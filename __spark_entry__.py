@@ -1,38 +1,782 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Registry of every implemented operator from SURVEY.md §2.12 (+ the
+training-data extensions): ``queries()`` maps name → (spark, sf_dir)
+callable built on :mod:`etl_gcp_spark`; ``oracle_sql()`` carries the
+DuckDB-executable ANSI-SQL twin for every SQL-expressible operator.
+Non-SQL-expressible ops (MinHash/SimHash/LSH — they depend on
+xxhash64 — and streaming session state) are registered without an
+oracle and take the driver's rows-only check.
+
+Determinism contract shared by both sides: float outputs rounded
+(4 dp for money/means, 6 dp for cosines), top-k ties broken by id,
+audit stamps frozen to a fixed literal.
 """
 
 from __future__ import annotations
 
+import datetime
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+_FIXED_TS = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from etl_gcp_spark.sources.readers import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline (SURVEY.md §7.1) on sf0.001: ingest →
+    normalize → clean → dedup → audit-stamp → one-pass quality
+    profile of lineitem."""
+    from etl_gcp_spark.operators.clean import audit_stamp, clean, normalize_columns
+    from etl_gcp_spark.operators.dedup import dedup
+    from etl_gcp_spark.operators.quality import quality_metrics
+
+    df = _t(spark, SF0001, "lineitem")
+    cleaned = audit_stamp(
+        dedup(clean(normalize_columns(df))), fixed_time=_FIXED_TS
+    )
+    return quality_metrics(
+        cleaned,
+        distinct_cols=["l_returnflag", "l_linestatus", "l_orderkey"],
+        null_cols=["l_quantity", "l_shipdate"],
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_q1(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_q3(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import shipping_priority
+
+    return shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_q5(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import regional_revenue
+
+    return regional_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import top_customers
+
+    return top_customers(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+def _q_order_ranks(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import customer_order_ranks
+
+    return customer_order_ranks(_t(spark, sf_dir, "orders"))
+
+
+def _q_rollup(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import order_rollup
+
+    return order_rollup(_t(spark, sf_dir, "orders"))
+
+
+def _q_pivot(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import priority_pivot
+
+    return priority_pivot(_t(spark, sf_dir, "orders"))
+
+
+def _q_anti(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import customers_without_orders
+
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    return customers_without_orders(_t(spark, sf_dir, "customer"), recent)
+
+
+def _q_intersect(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import (
+        active_positive_balance_customers,
+    )
+
+    return active_positive_balance_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _q_except(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import building_customers_no_orders
+
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return building_customers_no_orders(_t(spark, sf_dir, "customer"), recent)
+
+
+def _q_dedup_lineitem(spark, sf_dir):
+    from etl_gcp_spark.operators.dedup import dedup
+
+    return dedup(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_dup_count(spark, sf_dir):
+    from etl_gcp_spark.operators.dedup import dup_count
+
+    return dup_count(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_clean_orders(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import clean, normalize_columns
+
+    return clean(normalize_columns(_t(spark, sf_dir, "orders")))
+
+
+def _q_normalize_columns(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import normalize_columns
+
+    dirty = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("O OrderKey"),
+        F.col("o_totalprice").alias("O-Total.Price"),
+    )
+    return normalize_columns(dirty)
+
+
+def _q_audit_stamp(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import audit_stamp
+
+    return audit_stamp(_t(spark, sf_dir, "nation"), fixed_time=_FIXED_TS)
+
+
+def _event_rules():
+    from etl_gcp_spark.operators.validate import not_null_rule, range_rule
+
+    return [range_rule("value", 1.0, 99.0), not_null_rule("event_type")]
+
+
+def _q_violations(spark, sf_dir):
+    from etl_gcp_spark.operators.validate import violations
+
+    return violations(_t(spark, sf_dir, "events"), _event_rules())
+
+
+def _q_violation_summary(spark, sf_dir):
+    from etl_gcp_spark.operators.validate import violation_summary
+
+    return violation_summary(_t(spark, sf_dir, "events"), _event_rules())
+
+
+def _events_metrics(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import quality_metrics
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_day", F.to_date("ts")
+    )
+    return quality_metrics(
+        ev,
+        distinct_cols=["user_id", "event_type", "event_day"],
+        null_cols=["value"],
+    )
+
+
+def _q_quality_metrics(spark, sf_dir):
+    return _events_metrics(spark, sf_dir)
+
+
+def _q_quality_gate(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import Threshold, quality_gate
+
+    return quality_gate(
+        _events_metrics(spark, sf_dir),
+        [
+            Threshold("row_count", 5000),
+            Threshold("distinct_user_id", 10),
+            Threshold("distinct_event_type", 3),
+        ],
+    )
+
+
+def _q_schema_columns(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return spark.createDataFrame(
+        [(c,) for c in df.columns], "column_name string"
+    )
+
+
+def _q_ingest_csv(spark, sf_dir):
+    from etl_gcp_spark.sinks.writers import write_chunked_csv
+    from etl_gcp_spark.sources.readers import read_csv_inferred
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_csv_{os.path.basename(sf_dir)}"
+    )
+    write_chunked_csv(_t(spark, sf_dir, "nation"), path, rows_per_file=10)
+    return read_csv_inferred(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def _q_json_extract(spark, sf_dir):
+    from etl_gcp_spark.operators.events import extract_props_key
+
+    return extract_props_key(_t(spark, sf_dir, "events"))
+
+
+def _q_hourly(spark, sf_dir):
+    from etl_gcp_spark.operators.events import hourly_event_stats
+
+    return hourly_event_stats(_t(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from etl_gcp_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def _q_asof(spark, sf_dir):
+    from etl_gcp_spark.operators.events import asof_last_event
+
+    return asof_last_event(_t(spark, sf_dir, "events"))
+
+
+def _q_exact_text_dedup(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import exact_text_dedup
+
+    return exact_text_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from etl_gcp_spark.functions.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    from etl_gcp_spark.functions.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from etl_gcp_spark.functions.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from etl_gcp_spark.functions.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _q_minhash(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_filter=F.col("vec_id") < 10, k=5
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.95
+    )
+
+
+def _q_multimodal(spark, sf_dir):
+    from etl_gcp_spark.functions.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    return extract_features(
+        attach_binary_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _q_frame_samples(spark, sf_dir):
+    from etl_gcp_spark.functions.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    return sample_frames(attach_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+def _q_stream_hourly(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_hourly_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_hourly_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def _q_stream_dedup(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_dedup(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_stream_sessions(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_sessions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_sessions(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
+        "q5_regional_revenue": _q_q5,
+        "top_customers": _q_top_customers,
+        "customer_order_ranks": _q_order_ranks,
+        "order_rollup": _q_rollup,
+        "priority_pivot": _q_pivot,
+        "customers_without_orders": _q_anti,
+        "active_balance_intersect": _q_intersect,
+        "building_no_orders_except": _q_except,
+        "dedup_lineitem": _q_dedup_lineitem,
+        "dup_count_lineitem": _q_dup_count,
+        "clean_orders": _q_clean_orders,
+        "normalize_columns": _q_normalize_columns,
+        "audit_stamp": _q_audit_stamp,
+        "validate_violations": _q_violations,
+        "validation_summary": _q_violation_summary,
+        "quality_metrics": _q_quality_metrics,
+        "quality_gate": _q_quality_gate,
+        "schema_columns": _q_schema_columns,
+        "ingest_csv": _q_ingest_csv,
+        "events_json_extract": _q_json_extract,
+        "hourly_event_stats": _q_hourly,
+        "sessionize_events": _q_sessionize,
+        "asof_click_purchase": _q_asof,
+        "exact_text_dedup": _q_exact_text_dedup,
+        "doc_fingerprint": _q_fingerprint,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash,
+        "simhash_fingerprints": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_features": _q_multimodal,
+        "frame_samples": _q_frame_samples,
+        "streaming_hourly_counts": _q_stream_hourly,
+        "streaming_dedup": _q_stream_dedup,
+        "streaming_sessions": _q_stream_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_LANG_SCORES = """
+  SELECT doc_id,
+    CAST(len(list_intersect(list_distinct({toks}), ['table','agg','key','merge','vector'])) AS BIGINT) AS score_de,
+    CAST(len(list_intersect(list_distinct({toks}), ['the','a','fast','slow','row'])) AS BIGINT) AS score_en,
+    CAST(len(list_intersect(list_distinct({toks}), ['customer','order','group','sort','filter'])) AS BIGINT) AS score_es,
+    CAST(len(list_intersect(list_distinct({toks}), ['query','window','hash','big','small'])) AS BIGINT) AS score_fr,
+    CAST(len(list_intersect(list_distinct({toks}), ['stream','batch','data','join','scan'])) AS BIGINT) AS score_zh
+  FROM documents
+""".format(toks=_TOKS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 4) AS total_spend,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spend DESC, c_custkey
+            LIMIT 10
+        """,
+        "customer_order_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice,
+                   CAST(order_rank AS INTEGER) AS order_rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS order_rank
+                FROM orders
+            )
+            WHERE order_rank <= 3
+        """,
+        "order_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_value
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "priority_pivot": """
+            SELECT o_orderstatus,
+                   CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+                   CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+                   CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+                   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+                   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+            )
+        """,
+        "active_balance_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "building_no_orders_except": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        """,
+        "dedup_lineitem": "SELECT DISTINCT * FROM lineitem",
+        "dup_count_lineitem": """
+            SELECT CAST(
+                (SELECT count(*) FROM lineitem)
+                - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+                AS BIGINT) AS dup_count
+        """,
+        "clean_orders": """
+            SELECT coalesce(o_orderkey, 0) AS o_orderkey,
+                   coalesce(o_custkey, 0) AS o_custkey,
+                   coalesce(lower(trim(o_orderstatus)), 'unknown') AS o_orderstatus,
+                   coalesce(o_totalprice, 0.0) AS o_totalprice,
+                   o_orderdate,
+                   coalesce(lower(trim(o_orderpriority)), 'unknown') AS o_orderpriority
+            FROM orders
+        """,
+        "normalize_columns": """
+            SELECT o_orderkey AS o_orderkey, o_totalprice AS o_total_price
+            FROM orders
+        """,
+        "audit_stamp": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   TIMESTAMP '2026-01-01 00:00:00' AS loaded_at,
+                   DATE '2026-01-01' AS load_date
+            FROM nation
+        """,
+        "validate_violations": """
+            SELECT DISTINCT * FROM events
+            WHERE (value < 1.0 OR value > 99.0) OR event_type IS NULL
+        """,
+        "validation_summary": """
+            SELECT 'value_out_of_range' AS rule,
+                   CAST(count(*) FILTER (value < 1.0 OR value > 99.0) AS BIGINT) AS violations
+            FROM events
+            UNION ALL
+            SELECT 'event_type_null' AS rule,
+                   CAST(count(*) FILTER (event_type IS NULL) AS BIGINT) AS violations
+            FROM events
+        """,
+        "quality_metrics": """
+            SELECT CAST(count(*) AS BIGINT) AS row_count,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_event_type,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS distinct_event_day,
+                   CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS null_value
+            FROM events
+        """,
+        "quality_gate": """
+            WITH m AS (
+                SELECT CAST(count(*) AS BIGINT) AS row_count,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_user_id,
+                       CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_event_type
+                FROM events
+            )
+            SELECT 'row_count' AS check, CAST(row_count AS DOUBLE) AS value,
+                   CAST(5000.0 AS DOUBLE) AS threshold,
+                   row_count >= 5000 AS passed FROM m
+            UNION ALL
+            SELECT 'distinct_user_id', CAST(distinct_user_id AS DOUBLE),
+                   CAST(10.0 AS DOUBLE), distinct_user_id >= 10 FROM m
+            UNION ALL
+            SELECT 'distinct_event_type', CAST(distinct_event_type AS DOUBLE),
+                   CAST(3.0 AS DOUBLE), distinct_event_type >= 3 FROM m
+        """,
+        "schema_columns": """
+            SELECT * FROM (VALUES
+                ('l_orderkey'), ('l_partkey'), ('l_suppkey'), ('l_linenumber'),
+                ('l_quantity'), ('l_extendedprice'), ('l_discount'), ('l_tax'),
+                ('l_returnflag'), ('l_linestatus'), ('l_shipdate')
+            ) AS t(column_name)
+        """,
+        "ingest_csv": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "events_json_extract": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM lagged
+            ), numbered AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_id
+        """,
+        "asof_click_purchase": """
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "exact_text_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+                   CASE
+                     WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                     WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                     WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                     WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                     ELSE 'zh'
+                   END AS predicted_lang
+            FROM ({_LANG_SCORES})
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))
+                         / len({_TOKS}), 4) AS mean_token_len,
+                   round(len(list_filter({_TOKS}, t -> t = 'the' OR t = 'a'))
+                         / len({_TOKS}), 4) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[a-z ]', '', 'g'))
+                         / length(text), 4) AS junk_ratio,
+                   round(1.0
+                         - least(1.0, length(regexp_replace(text, '[a-z ]', '', 'g'))
+                                      / length(text) * 4.0)
+                         - least(0.5, len(list_filter({_TOKS}, t -> t = 'the' OR t = 'a'))
+                                      / len({_TOKS})), 4) AS quality_score
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH docs AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id1, id2,
+                   round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) AS jaccard
+            FROM pairs
+            JOIN cnt c1 ON c1.doc_id = id1
+            JOIN cnt c2 ON c2.doc_id = id2
+            WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= 0.8
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                FROM embeddings
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(qv, cv) AS raw_sim
+                FROM q CROSS JOIN c
+                WHERE neighbor_id <> query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, neighbor_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   md5(text) AS digest,
+                   CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
+                   CAST((octet_length(encode(text)) * 7) % 64 AS BIGINT) AS height
+            FROM documents
+        """,
+        "streaming_hourly_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "streaming_dedup": "SELECT * FROM events",
+        # no oracle (hash-function- or state-dependent; rows-only check):
+        #   minhash_lsh_pairs, simhash_fingerprints, simhash_pairs,
+        #   ann_lsh_topk, embedding_near_dup, frame_samples,
+        #   streaming_sessions
+    }

@@ -1,0 +1,247 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the query
+  set, score every (query, candidate) pair with a JVM-side
+  ``zip_with``/``aggregate`` dot product, take per-query top-k. Exact
+  baseline; cost O(|Q|·|C|·dim) but embarrassingly parallel and
+  shuffle-free until the final per-query heap.
+- :func:`lsh_bucketed_topk` — sign-random-projection LSH: candidates
+  restricted to matching hash buckets (multi-table), then exact
+  re-scoring of candidates only. The scale path: candidate count per
+  query is bounded by bucket occupancy instead of |C|. Hyperplanes
+  are pseudo-random from ``xxhash64`` so the operator is fully
+  deterministic with no stored model state.
+
+Everything is built-in Column expressions — no UDF, no Python
+serde — embedding math runs inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two array<double> columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    query_filter=None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side (small) is broadcast against the full candidate
+    set; ranking ties break on neighbor id so the result set is
+    deterministic. Output: (query_id, neighbor_id, sim, rank).
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    if query_filter is None:
+        query_filter = F.col(id_col).isin(query_ids or [])
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
+    )
+    c = base.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__c"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__q"), F.col("__c")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("sim"),
+            F.col("rank"),
+        )
+    )
+
+
+def _srp_bucket(vec: F.Column, table: int, n_planes: int, dim: int) -> F.Column:
+    """Sign-random-projection bucket id for one LSH table.
+
+    Hyperplane component (table t, plane p, dim d) is a deterministic
+    pseudo-random ±1 from ``xxhash64(t,p,d)`` — no stored model, any
+    executor recomputes it identically.
+    """
+    def proj_at(p: int):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(p), d), F.lit(2)) == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bit = F.when(proj_at(p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH bucket join + exact re-scoring.
+
+    Candidates = vectors sharing ≥1 of ``n_tables`` bucket ids with
+    the query. The bucket join shuffles only (table, bucket, id);
+    exact cosine runs on candidates alone. Recall rises with
+    ``n_tables``, bucket size falls with ``n_planes`` — defaults are
+    tuned for ~unit-norm 64-d clustered embeddings.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    buckets = base.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _srp_bucket(F.col("__v"), t, n_planes, dim).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "__v", "tb.tbl", "tb.bkt")
+    q = buckets.filter(F.col(id_col).isin(query_ids or [])).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        "tbl",
+        "bkt",
+    )
+    c = buckets.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__c"), "tbl", "bkt"
+    )
+    cands = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__q", "__c")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__q"), F.col("__c")).alias("__sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold).
+
+    Same LSH bucketing as :func:`lsh_bucketed_topk` but symmetric:
+    pairs sharing a bucket, verified exactly. The all-pairs analog of
+    document near-dup dedup, for modality-agnostic dedup by embedding.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    buckets = base.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _srp_bucket(F.col("__v"), t, n_planes, dim).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "__v", "tb.tbl", "tb.bkt")
+    a = buckets.select(
+        "tbl", "bkt", F.col(id_col).alias("id1"), F.col("__v").alias("v1")
+    )
+    b = buckets.select(
+        "tbl", "bkt", F.col(id_col).alias("id2"), F.col("__v").alias("v2")
+    )
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

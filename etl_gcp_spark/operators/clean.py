@@ -1,0 +1,119 @@
+"""Cleaning & normalization operators (reference parity, SURVEY.md §2.2).
+
+Semantics are matched to the reference exactly — including its quirks:
+
+- P1 normalize_columns: lowercase; ``' '``, ``'-'``, ``'.'`` → ``'_'``
+  (data_extractor.py:387-390).
+- P3 date coercion applies to every column whose NAME contains
+  ``'date'``, with unparseable → NULL (``errors='coerce'``,
+  data_loader.py:326-328).
+- P4 numeric null-fill with 0 (data_loader.py:329-330).
+- P5 string fill-then-casefold: ``fillna('Unknown')`` THEN
+  ``.str.lower().str.strip()`` — so the sentinel lands as
+  ``'unknown'``, lowercase (data_loader.py:331-332). Equivalent
+  single expression: ``coalesce(lower(trim(c)), 'unknown')``.
+- P6 bulk TRIM of text columns (data_loader.py:312-320) is subsumed
+  by P5's trim.
+- P7 audit stamp ``loaded_at``/``load_date``
+  (data_loader.py:426-427); P8 drop-meta (CODE_FLOW.md:464-465).
+
+All operators are pure column expressions — no UDFs — so they stay
+inside whole-stage codegen and cost one projection at any scale.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_gcp_spark.schemas import METADATA_COLUMNS, normalize_name
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """P1: rename every column via the reference's name cleaner."""
+    return df.toDF(*[normalize_name(c) for c in df.columns])
+
+
+def clean(df: DataFrame, *, string_fill: str = "Unknown") -> DataFrame:
+    """P3+P4+P5 in one projection, in the reference's order.
+
+    Column dispatch (on the column's ORIGINAL dtype, as in pandas):
+
+    1. name contains ``'date'`` → ``to_timestamp`` (coerce-to-null);
+    2. numeric → fill nulls with 0;
+    3. string → fill nulls with ``string_fill`` then lower+trim —
+       net effect ``coalesce(lower(trim(c)), lower(string_fill))``;
+    4. anything else passes through.
+
+    The fill-then-lower order means the sentinel is ``'unknown'``
+    (lowercase) — an intentional reference quirk kept for parity
+    (SURVEY.md §7.3 fidelity trap a).
+    """
+    sentinel = string_fill.lower().strip()
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if "date" in f.name.lower():
+            if isinstance(f.dataType, (T.TimestampType,)):
+                cols.append(c.alias(f.name))
+            else:
+                cols.append(F.to_timestamp(c).alias(f.name))
+        elif isinstance(f.dataType, _NUMERIC_TYPES):
+            cols.append(F.coalesce(c, F.lit(0).cast(f.dataType)).alias(f.name))
+        elif isinstance(f.dataType, T.StringType):
+            cols.append(
+                F.coalesce(F.lower(F.trim(c)), F.lit(sentinel)).alias(f.name)
+            )
+        else:
+            cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+def audit_stamp(
+    df: DataFrame,
+    *,
+    fixed_time: _dt.datetime | None = None,
+) -> DataFrame:
+    """P7: append ``loaded_at`` (timestamp) and ``load_date`` (date).
+
+    ``fixed_time`` freezes the stamp for deterministic tests/oracle
+    comparison (SURVEY.md §7.3 fidelity trap d); production use omits
+    it and gets ``current_timestamp()``/``current_date()``.
+    """
+    if fixed_time is not None:
+        ts = F.lit(fixed_time).cast(T.TimestampType())
+        dt = F.lit(fixed_time.date()).cast(T.DateType())
+    else:
+        ts, dt = F.current_timestamp(), F.current_date()
+    return df.withColumn("loaded_at", ts).withColumn("load_date", dt)
+
+
+def drop_meta(df: DataFrame) -> DataFrame:
+    """P8: drop audit columns prior to a re-stamp or re-export."""
+    return df.drop(*METADATA_COLUMNS)
+
+
+def trim_strings(df: DataFrame) -> DataFrame:
+    """P6: TRIM every string column (reference's in-DB PL/pgSQL loop,
+    data_loader.py:312-320) as a single codegen'd projection."""
+    return df.select(
+        *[
+            F.trim(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, T.StringType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )

@@ -1,0 +1,139 @@
+"""Event-stream batch operators: JSON, time windows, sessions, as-of.
+
+The reference has no streaming/temporal operators (SURVEY.md §2.9);
+these cover the `events` table surface the engine needs: JSON
+extraction, tumbling-window aggregation, gap-based sessionization, and
+an as-of join (point-in-time lookup) — the classic operator Spark has
+no primitive for, composed here from built-ins (SURVEY.md §4.3
+preference order (a)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def extract_props_key(events: DataFrame, key: str = "k") -> DataFrame:
+    """Pull an integer key out of the JSON ``props`` column.
+
+    ``get_json_object`` runs JVM-side (no UDF); at scale prefer
+    ``from_json`` with an explicit schema when several keys are needed
+    so the document is parsed once.
+    """
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object(F.col("props"), f"$.{key}")
+        .cast("long")
+        .alias(key),
+    )
+
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window × event_type aggregation (batch form).
+
+    ``F.window`` on a naive timestamp aligns to wall-clock hours under
+    the UTC session timezone — identical buckets to
+    ``date_trunc('hour', ts)``. Single shuffle on (window, type).
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative sum.
+
+    A new session starts when the gap to the previous event of the
+    same user exceeds ``gap_minutes``. Window ordering includes
+    event_id as tiebreaker so equal timestamps are deterministic.
+    Two window passes over ONE shuffle (both windows share the
+    user_id partitioning, so Spark reuses the exchange), then the
+    session aggregation reuses the same partitioning — check the plan:
+    a single Exchange feeds all three.
+
+    Streaming equivalent: ``F.session_window`` in
+    :mod:`etl_gcp_spark.streaming.events`.
+    """
+    order = [F.col("ts"), F.col("event_id")]
+    by_user = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(by_user).cast("long")
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(running).cast("long")
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def asof_last_event(
+    events: DataFrame,
+    *,
+    probe_type: str = "purchase",
+    build_type: str = "click",
+) -> DataFrame:
+    """As-of join: for each probe event, the latest build-side event
+    with ``build.ts <= probe.ts`` for the same user.
+
+    Composition (no Spark primitive for as-of): tag both sides, union,
+    sort within user by (ts, side) — build rows sort BEFORE probe rows
+    at equal ts so `<=` semantics hold — and carry the last non-null
+    build timestamp forward with ``last(..., ignorenulls)``. One
+    shuffle on user_id, no range explosion; equivalent plans via a
+    range join would be O(n·m) per user.
+
+    DuckDB oracle equivalent: ``ASOF LEFT JOIN ... ON user_id = user_id
+    AND probe.ts >= build.ts``.
+    """
+    build = events.filter(F.col("event_type") == build_type).select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("build_ts"),
+    )
+    probe = events.filter(F.col("event_type") == probe_type).select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("build_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = build.unionByName(probe).withColumn(
+        "last_build_ts", F.last("build_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_build_ts").alias(f"last_{build_type}_ts"),
+    )

@@ -1,0 +1,76 @@
+"""One-pass quality metrics + threshold gates (SURVEY.md §2.4).
+
+The reference's validator ships one multi-aggregate SQL query to
+BigQuery — COUNT(*), COUNT(DISTINCT col)×3, COUNTIF(col IS NULL)×3 in
+a single scan (data_validator.py:88-98) — then thresholds the results
+in Python and exits 0/1 (data_validator.py:126-132, :214-219). Here:
+
+- :func:`quality_metrics` builds the same single-scan multi-aggregate
+  as ONE ``df.agg`` (Catalyst collapses it into one hash aggregate
+  with map-side partials — the distributed analog of the reference's
+  warehouse pushdown).
+- :func:`quality_gate` turns thresholds into a report DataFrame;
+  :func:`gate_exit_code` reproduces the 0/1 process contract (R4).
+
+``distinct`` counts are exact by default; pass ``approx=True`` to use
+HyperLogLog (``approx_count_distinct``) — at 100 TB an exact
+count-distinct per column is a full shuffle each, while HLL sketches
+merge map-side in one pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_metrics(
+    df: DataFrame,
+    *,
+    distinct_cols: list[str] = (),
+    null_cols: list[str] = (),
+    approx: bool = False,
+) -> DataFrame:
+    """Single-row, single-pass quality profile of a DataFrame."""
+    cd = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    aggs += [cd(F.col(c)).cast("long").alias(f"distinct_{c}") for c in distinct_cols]
+    aggs += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in null_cols
+    ]
+    return df.agg(*aggs)
+
+
+@dataclass(frozen=True)
+class Threshold:
+    """minimum acceptable value for a metric column (A8 semantics)."""
+
+    metric: str
+    minimum: float
+
+
+def quality_gate(metrics: DataFrame, thresholds: list[Threshold]) -> DataFrame:
+    """Expand a 1-row metrics frame into a (check, value, threshold,
+    passed) report — the reference's threshold table
+    (data_validator.py:126-132) as data instead of log lines."""
+    rows = []
+    for t in thresholds:
+        rows.append(
+            F.struct(
+                F.lit(t.metric).alias("check"),
+                F.col(t.metric).cast("double").alias("value"),
+                F.lit(float(t.minimum)).alias("threshold"),
+                (F.col(t.metric) >= F.lit(t.minimum)).alias("passed"),
+            )
+        )
+    return metrics.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.check", "r.value", "r.threshold", "r.passed"
+    )
+
+
+def gate_exit_code(report: DataFrame) -> int:
+    """R4: 0 if every check passed, else 1 (data_validator.py:214-219)."""
+    failed = report.filter(~F.col("passed")).limit(1).count()
+    return 1 if failed else 0

