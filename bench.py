@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at sf0.1, one JSON line out.
+
+Runs a representative subset of the ``__spark_entry__.queries()``
+registry (relational + dedup + text + similarity + temporal) against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is forced to full execution
+with a noop-format write (no driver collect, no sink I/O measured).
+
+Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "top_customers",
+    "customer_order_ranks",
+    "order_rollup",
+    "dedup_lineitem",
+    "dup_count_lineitem",
+    "clean_orders",
+    "quality_metrics",
+    "hourly_event_stats",
+    "sessionize_events",
+    "asof_click_purchase",
+    "exact_text_dedup",
+    "doc_fingerprint",
+    "text_quality",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from etl_gcp_spark.session import get_spark
+
+    spark = get_spark("bench")
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+
+    # warm-up: executor threads, codegen compiler, parquet footer cache —
+    # session initialization should not be charged to the first query.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        1
+    ).collect()
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(time.perf_counter() - t_total, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

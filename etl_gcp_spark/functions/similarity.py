@@ -147,7 +147,7 @@ def lsh_bucketed_topk(
     buckets = base.select(
         F.col(id_col),
         F.col("__v"),
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -216,7 +216,7 @@ def embedding_near_dup_pairs(
     buckets = base.select(
         F.col(id_col),
         F.col("__v"),
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(

