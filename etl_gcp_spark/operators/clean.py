@@ -70,7 +70,10 @@ def clean(df: DataFrame, *, string_fill: str = "Unknown") -> DataFrame:
             if isinstance(f.dataType, (T.TimestampType,)):
                 cols.append(c.alias(f.name))
             else:
-                cols.append(F.to_timestamp(c).alias(f.name))
+                # try_to_timestamp, not to_timestamp: under Spark 4's
+                # default ANSI mode a malformed string THROWS, but the
+                # reference's errors='coerce' contract is NULL
+                cols.append(F.try_to_timestamp(c).alias(f.name))
         elif isinstance(f.dataType, _NUMERIC_TYPES):
             cols.append(F.coalesce(c, F.lit(0).cast(f.dataType)).alias(f.name))
         elif isinstance(f.dataType, T.StringType):

@@ -27,8 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# revenue expression used by the pricing queries
-_REVENUE = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+def _revenue() -> F.Column:
+    # built lazily: Column construction needs a live SparkContext,
+    # and this module must be importable before any session exists
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -40,9 +42,9 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(_REVENUE), 4).alias("sum_disc_price"),
+            F.round(F.sum(_revenue()), 4).alias("sum_disc_price"),
             F.round(
-                F.sum(_REVENUE * (F.lit(1.0) + F.col("l_tax"))), 4
+                F.sum(_revenue() * (F.lit(1.0) + F.col("l_tax"))), 4
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -79,7 +81,7 @@ def shipping_priority(
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(k)
     )
@@ -126,7 +128,7 @@ def regional_revenue(
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 
 

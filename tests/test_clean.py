@@ -1,0 +1,85 @@
+"""Cleaning operator contracts (SURVEY.md §2.2, reference fidelity).
+
+The fidelity traps from SURVEY.md §7.3 get explicit coverage:
+fill-then-lower sentinel is lowercase 'unknown' (P5), date coercion
+hits any column whose NAME contains 'date' with coerce-to-null (P3),
+numeric fill-0 (P4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.clean import (
+    audit_stamp,
+    clean,
+    drop_meta,
+    normalize_columns,
+    trim_strings,
+)
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([(1, "x", 0.5)], ["Year Start", "Loc-Abbr", "Data.Value"])
+    assert normalize_columns(df).columns == ["year_start", "loc_abbr", "data_value"]
+
+
+def test_clean_string_fill_then_lower(spark):
+    # reference fills 'Unknown' THEN lowercases: sentinel must be 'unknown'
+    df = spark.createDataFrame(
+        [Row(topic="  MiXeD  "), Row(topic=None)], "topic string"
+    )
+    got = {r.topic for r in clean(df).collect()}
+    assert got == {"mixed", "unknown"}
+
+
+def test_clean_numeric_fill_zero_preserves_type(spark):
+    df = spark.createDataFrame(
+        [Row(v=1.5), Row(v=None)], "v double"
+    )
+    out = clean(df)
+    assert dict(out.dtypes)["v"] == "double"
+    assert sorted(r.v for r in out.collect()) == [0.0, 1.5]
+
+
+def test_clean_date_name_coercion(spark):
+    # any column whose NAME contains 'date' is cast; garbage -> NULL
+    df = spark.createDataFrame(
+        [Row(start_date="2024-01-02", other="2024-01-02")],
+    )
+    out = clean(df)
+    types = dict(out.dtypes)
+    assert types["start_date"] == "timestamp"
+    assert types["other"] == "string"  # untouched by date rule
+    row = out.collect()[0]
+    assert row.start_date == dt.datetime(2024, 1, 2)
+
+    bad = spark.createDataFrame([Row(start_date="not-a-date")])
+    assert clean(bad).collect()[0].start_date is None
+
+
+def test_audit_stamp_and_drop_meta(spark):
+    df = spark.createDataFrame([Row(a=1)])
+    fixed = dt.datetime(2024, 5, 1, 12, 0, 0)
+    stamped = audit_stamp(df, fixed_time=fixed)
+    row = stamped.collect()[0]
+    assert row.loaded_at == fixed
+    assert row.load_date == fixed.date()
+    assert drop_meta(stamped).columns == ["a"]
+
+
+def test_trim_strings_only_touches_strings(spark):
+    df = spark.createDataFrame([Row(s="  pad  ", n=3)])
+    row = trim_strings(df).collect()[0]
+    assert row.s == "pad"
+    assert row.n == 3
+
+
+def test_clean_is_single_projection(spark):
+    """Scale contract: clean() must not add shuffles/extra stages."""
+    df = spark.createDataFrame([Row(topic="x", v=1.0, start_date="2024-01-01")])
+    plan = clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,106 @@
+"""Dedup + validation engine contracts (SURVEY.md §2.2-2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.dedup import dedup, dedup_keep_first, dup_count
+from etl_gcp_spark.operators.quality import (
+    Threshold,
+    gate_exit_code,
+    quality_gate,
+    quality_metrics,
+)
+from etl_gcp_spark.operators.validate import (
+    not_null_rule,
+    null_counts,
+    order_rule,
+    range_rule,
+    violation_summary,
+    violations,
+)
+
+
+def _dupes(spark):
+    return spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="a"), Row(k=1, v="b"), Row(k=2, v="c")]
+    )
+
+
+def test_dedup_full_row(spark):
+    assert dedup(_dupes(spark)).count() == 3
+
+
+def test_dedup_subset(spark):
+    assert dedup(_dupes(spark), subset=["k"]).count() == 2
+
+
+def test_dedup_keep_first_deterministic(spark):
+    out = dedup_keep_first(_dupes(spark), keys=["k"], order_by=["v"])
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "c")}
+
+
+def test_dup_count(spark):
+    # 4 rows, 3 distinct -> 1 surplus duplicate
+    assert dup_count(_dupes(spark)).collect()[0].dup_count == 1
+    # empty frame -> 0, not null
+    empty = _dupes(spark).limit(0)
+    assert dup_count(empty).collect()[0].dup_count == 0
+
+
+def _quality_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(ys=2000, ye=1999, val=150.0, topic=None),   # order + range + null
+            Row(ys=2000, ye=2001, val=50.0, topic="t"),     # clean
+            Row(ys=2001, ye=2002, val=-1.0, topic="t"),     # range
+        ]
+    )
+
+
+RULES = None
+
+
+def _rules():
+    return [
+        order_rule("ys", "ye"),
+        range_rule("val", 0, 100),
+        not_null_rule("topic"),
+    ]
+
+
+def test_violations_union_dedup(spark):
+    # row 1 violates three rules but appears ONCE (reference P14 dedup)
+    out = violations(_quality_df(spark), _rules())
+    assert out.count() == 2
+
+
+def test_violation_summary_counts(spark):
+    got = {r.rule: r.violations for r in violation_summary(_quality_df(spark), _rules()).collect()}
+    assert got == {"ys_gt_ye": 1, "val_out_of_range": 2, "topic_null": 1}
+
+
+def test_null_counts_single_pass(spark):
+    row = null_counts(_quality_df(spark), ["topic", "ys"]).collect()[0]
+    assert row.topic_nulls == 1 and row.ys_nulls == 0
+
+
+def test_quality_metrics_and_gate(spark):
+    m = quality_metrics(
+        _quality_df(spark), distinct_cols=["ys"], null_cols=["topic"]
+    )
+    row = m.collect()[0]
+    assert row.row_count == 3 and row.distinct_ys == 2 and row.null_topic == 1
+
+    report = quality_gate(
+        m,
+        [Threshold("row_count", 2), Threshold("distinct_ys", 5)],
+    )
+    got = {r.check: r.passed for r in report.collect()}
+    assert got == {"row_count": True, "distinct_ys": False}
+    assert gate_exit_code(report) == 1
+
+    ok_report = quality_gate(m, [Threshold("row_count", 1)])
+    assert gate_exit_code(ok_report) == 0

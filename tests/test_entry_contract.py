@@ -1,0 +1,51 @@
+"""Driver-contract tests for __spark_entry__.py: registry consistency,
+entry() smoke, column-name agreement between Spark and oracle SQL."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_keys_consistent():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert q, "queries() is empty"
+    # every oracle key must have a query; extras in queries() are the
+    # documented rows-only ops
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    # rows-only ops must be the genuinely non-SQL-expressible ones
+    for name in rows_only:
+        assert any(
+            tag in name
+            for tag in ("minhash", "simhash", "lsh", "stream", "frame", "near_dup")
+        ), f"{name} has no oracle but looks SQL-expressible"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns  # stable schema
+
+
+def test_oracle_sql_parses_in_duckdb(sf_dir):
+    """Every oracle must at least be valid DuckDB SQL against the
+    registered views (cheap guard against silent driver failures)."""
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        path = f"{sf_dir}/{t}.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as e:  # pragma: no cover
+            pytest.fail(f"oracle_sql[{name}] does not parse: {e}")

@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions — the 100 TB contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 1000-executor scale-up: dimension joins
+broadcast, filters/pruning reach the parquet scan, top-k avoids global
+sorts, JVM-path operators stay out of Python, window stages reuse one
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.events import sessionize
+from etl_gcp_spark.operators.relational import (
+    regional_revenue,
+    shipping_priority,
+    top_customers,
+)
+from etl_gcp_spark.operators.text_dedup import minhash_signatures
+from etl_gcp_spark.sources.readers import load_table, load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        regional_revenue(
+            t["region"], t["nation"], t["customer"],
+            t["orders"], t["lineitem"], t["supplier"],
+        )
+    )
+    # every dimension join is a broadcast join; the only sort-merge /
+    # shuffled join allowed is the fact-fact orders ⋈ lineitem
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: the scan's ReadSchema carries only the 2 columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(top_customers(t["customer"], t["orders"], k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_customer_broadcast(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(shipping_priority(t["customer"], t["orders"], t["lineitem"]))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_has_single_exchange(spark, sf_dir):
+    """The signature stage must shuffle ONCE (the groupBy(id)); the
+    hashing itself is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_signatures(docs, num_perm=16))
+    assert plan.count("Exchange") == 1
+
+
+def test_jvm_operators_have_no_python_stage(spark, sf_dir):
+    """Everything except the multimodal Pandas-UDF kernels must stay
+    JVM-side: no BatchEvalPython / ArrowEvalPython / MapInPandas."""
+    t = load_tables(spark, sf_dir)
+    for df in (
+        top_customers(t["customer"], t["orders"]),
+        minhash_signatures(t["documents"]),
+        sessionize(t["events"].limit(100)),
+    ):
+        plan = _plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """lag-window, running-sum window and the session aggregation all
+    partition by user_id — Spark must plan ONE exchange, reused."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(sessionize(ev))
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,127 @@
+"""Relational closure + temporal operator contracts on crafted frames
+with hand-computed answers (joins/windows/rollup/sessionize/as-of)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from etl_gcp_spark.operators.events import (
+    asof_last_event,
+    extract_props_key,
+    hourly_event_stats,
+    sessionize,
+)
+from etl_gcp_spark.operators.relational import (
+    customer_order_ranks,
+    customers_without_orders,
+    order_rollup,
+    top_customers,
+)
+
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_custkey=10, o_totalprice=100.0,
+                o_orderstatus="O", o_orderpriority="1-URGENT"),
+            Row(o_orderkey=2, o_custkey=10, o_totalprice=300.0,
+                o_orderstatus="O", o_orderpriority="2-HIGH"),
+            Row(o_orderkey=3, o_custkey=10, o_totalprice=200.0,
+                o_orderstatus="F", o_orderpriority="1-URGENT"),
+            Row(o_orderkey=4, o_custkey=20, o_totalprice=50.0,
+                o_orderstatus="O", o_orderpriority="5-LOW"),
+        ]
+    )
+
+
+def _customer(spark):
+    return spark.createDataFrame(
+        [
+            Row(c_custkey=10, c_name="alice", c_mktsegment="BUILDING"),
+            Row(c_custkey=20, c_name="bob", c_mktsegment="AUTOMOBILE"),
+            Row(c_custkey=30, c_name="carol", c_mktsegment="BUILDING"),
+        ]
+    )
+
+
+def test_top_customers(spark):
+    out = top_customers(_customer(spark), _orders(spark), k=1).collect()
+    assert len(out) == 1
+    assert (out[0].c_custkey, out[0].total_spend, out[0].n_orders) == (10, 600.0, 3)
+
+
+def test_customer_order_ranks_top_n_and_tiebreak(spark):
+    out = customer_order_ranks(_orders(spark), top_n=2).collect()
+    by_cust = {}
+    for r in out:
+        by_cust.setdefault(r.o_custkey, []).append((r.order_rank, r.o_orderkey))
+    assert sorted(by_cust[10]) == [(1, 2), (2, 3)]  # 300 then 200
+    assert sorted(by_cust[20]) == [(1, 4)]
+
+
+def test_order_rollup_has_subtotals_and_grand_total(spark):
+    rows = order_rollup(_orders(spark)).collect()
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1 and grand[0].n_orders == 4
+    status_subtotals = {
+        r.o_orderstatus: r.n_orders
+        for r in rows
+        if r.o_orderstatus is not None and r.o_orderpriority is None
+    }
+    assert status_subtotals == {"O": 3, "F": 1}
+
+
+def test_customers_without_orders(spark):
+    out = {r.c_custkey for r in customers_without_orders(_customer(spark), _orders(spark)).collect()}
+    assert out == {30}
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, event_type="click", ts=_ts(9, 0),
+                value=1.0, props='{"k": 7}'),
+            Row(event_id=2, user_id=1, event_type="click", ts=_ts(9, 10),
+                value=3.0, props='{"k": 8}'),
+            # 50-minute gap > 30 => new session
+            Row(event_id=3, user_id=1, event_type="purchase", ts=_ts(10, 0),
+                value=5.0, props="{}"),
+            Row(event_id=4, user_id=2, event_type="purchase", ts=_ts(9, 30),
+                value=2.0, props="{}"),
+        ]
+    )
+
+
+def test_extract_props_key(spark):
+    got = {r.event_id: r.k for r in extract_props_key(_events(spark)).collect()}
+    assert got == {1: 7, 2: 8, 3: None, 4: None}
+
+
+def test_hourly_event_stats(spark):
+    rows = hourly_event_stats(_events(spark)).collect()
+    got = {(r.window_start.hour, r.event_type): (r.n_events, r.avg_value) for r in rows}
+    assert got[(9, "click")] == (2, 2.0)
+    assert got[(9, "purchase")] == (1, 2.0)
+    assert got[(10, "purchase")] == (1, 5.0)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = sessionize(_events(spark), gap_minutes=30).collect()
+    u1 = sorted(
+        [(r.session_id, r.n_events) for r in rows if r.user_id == 1]
+    )
+    assert u1 == [(1, 2), (2, 1)]  # 9:00+9:10 together; 10:00 alone
+
+
+def test_asof_last_event(spark):
+    rows = asof_last_event(_events(spark)).collect()
+    got = {r.event_id: r.last_click_ts for r in rows}
+    # purchase at 10:00 sees user 1's last click 9:10; user 2 has none
+    assert got[3] == _ts(9, 10)
+    assert got[4] is None

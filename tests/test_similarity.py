@@ -1,0 +1,70 @@
+"""Similarity-search contracts: exact top-k vs hand-computed cosines,
+LSH recall of exact duplicates, near-dup pair detection."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from etl_gcp_spark.functions.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+VECS = {
+    1: [1.0, 0.0, 0.0, 0.0],
+    2: [1.0, 0.0, 0.0, 0.0],   # identical to 1
+    3: [1.0, 1.0, 0.0, 0.0],   # cos(1,3)=0.7071
+    4: [0.0, 0.0, 1.0, 0.0],   # orthogonal to 1
+    5: [0.0, 0.0, 0.9, 0.1],   # close to 4
+}
+
+
+def _emb(spark):
+    return spark.createDataFrame(
+        [Row(vec_id=k, embedding=v) for k, v in VECS.items()]
+    )
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_exact_values_and_order(spark):
+    out = cosine_topk(_emb(spark), query_ids=[1], k=3).collect()
+    got = [(r.neighbor_id, r.sim, r.rank) for r in out]
+    assert got[0] == (2, 1.0, 1)
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round(_cos(VECS[1], VECS[3]), 6)) < 1e-9
+    assert len(got) == 3 and got[2][2] == 3
+
+
+def test_cosine_topk_excludes_self(spark):
+    out = cosine_topk(_emb(spark), query_ids=[1], k=10).collect()
+    assert all(r.neighbor_id != 1 for r in out)
+    assert len(out) == 4  # all other vectors
+
+
+def test_lsh_topk_recalls_identical_vector(spark):
+    # identical vectors land in identical buckets in EVERY table, so
+    # neighbor 2 must be recalled for query 1 regardless of tuning
+    out = lsh_bucketed_topk(
+        _emb(spark), query_ids=[1], k=2, dim=4, n_planes=4, n_tables=2
+    ).collect()
+    assert out, "LSH returned no candidates"
+    assert out[0].neighbor_id == 2 and out[0].sim == 1.0
+
+
+def test_embedding_near_dup_pairs(spark):
+    pairs = {
+        (r.id1, r.id2): r.sim
+        for r in embedding_near_dup_pairs(
+            _emb(spark), threshold=0.9, dim=4, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    # orthogonal pair must never appear
+    assert (1, 4) not in pairs

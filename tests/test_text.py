@@ -1,0 +1,50 @@
+"""Text-analysis function contracts (training-data extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from etl_gcp_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_token_count(spark):
+    out = token_count(_docs(spark, ["a b  c", "one"])).collect()
+    got = {r.doc_id: (r.n_tokens, r.n_chars_measured) for r in out}
+    assert got[0] == (3, 6)  # double space collapses in \s+ split
+    assert got[1] == (1, 3)
+
+
+def test_fingerprint_canonicalizes(spark):
+    out = fingerprint(_docs(spark, ["  Hello World ", "hello world", "other"]))
+    fps = [r.fingerprint for r in out.orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_lang_id_argmax_and_tiebreak(spark):
+    # doc 0: two 'en' markers -> en; doc 1: zero overlap everywhere ->
+    # all scores tie at 0 -> alphabetical first ('de') wins
+    out = lang_id(_docs(spark, ["the fast row", "zzz qqq"])).orderBy("doc_id")
+    rows = out.collect()
+    assert rows[0].predicted_lang == "en"
+    assert rows[1].predicted_lang == sorted(LANG_MARKERS)[0]
+
+
+def test_quality_score_features(spark):
+    out = quality_score(_docs(spark, ["the a the a", "clean prose sample"]))
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 0 is all stopwords: stop_ratio 1.0 capped at 0.5 penalty
+    assert rows[0].stopword_ratio == 1.0
+    assert rows[0].quality_score < rows[1].quality_score
+    assert rows[1].junk_ratio == 0.0

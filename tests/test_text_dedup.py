@@ -1,0 +1,95 @@
+"""Document-dedup operator contracts: exact, Jaccard, MinHash, SimHash.
+
+Crafted corpora with known duplicate structure; MinHash-LSH recall is
+checked against the exact Jaccard baseline (the subset contract from
+the docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from etl_gcp_spark.operators.text_dedup import (
+    exact_text_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    with_shingles,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("today", "tonight")  # 1-word edit => high jaccard
+OTHER = "completely different content about database engines and storage layers"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE),
+            Row(doc_id=2, text=BASE),        # exact dup of 1
+            Row(doc_id=3, text=NEAR),        # near dup of 1
+            Row(doc_id=4, text=OTHER),
+            Row(doc_id=5, text="too short"), # < 3 tokens: no shingles
+        ]
+    )
+
+
+def test_with_shingles_drops_short_docs(spark):
+    sh = with_shingles(_docs(spark))
+    ids = {r.doc_id for r in sh.collect()}
+    assert ids == {1, 2, 3, 4}
+    row = sh.filter("doc_id = 1").collect()[0]
+    # 15 tokens -> 13 trigrams, minus repeated ones (array_distinct)
+    assert 1 < len(row.shingles) <= 13
+    assert "the quick brown" in row.shingles
+
+
+def test_exact_text_dedup_keeps_min_id(spark):
+    kept = {r.doc_id for r in exact_text_dedup(_docs(spark)).collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 collapses into doc 1
+
+
+def test_ngram_jaccard_finds_exact_and_near(spark):
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_signatures_shape_and_identity(spark):
+    sigs = minhash_signatures(_docs(spark), num_perm=16)
+    assert sigs.columns == ["doc_id"] + [f"h{i}" for i in range(16)]
+    rows = {r.doc_id: tuple(r)[1:] for r in sigs.collect()}
+    assert rows[1] == rows[2]       # identical docs -> identical signature
+    assert rows[1] != rows[4]
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    # verified candidates are a subset of true pairs; the j=1.0 pair
+    # MUST be recalled (identical signatures share every band)
+    assert lsh <= exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_identity_and_pairs(spark):
+    fp = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert fp[1] == fp[2]
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_pairs(_docs(spark), max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert all(h <= 3 for h in pairs.values())
