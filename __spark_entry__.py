@@ -138,6 +138,61 @@ def _q_except(spark, sf_dir):
     return building_customers_no_orders(_t(spark, sf_dir, "customer"), recent)
 
 
+def _q_q4(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import late_shipment_priority
+
+    return late_shipment_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_q6(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import revenue_forecast
+
+    return revenue_forecast(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_q10(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import returned_item_report
+
+    return returned_item_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q14(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import promo_revenue_share
+
+    return promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_q18(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import large_orders
+
+    return large_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_percentiles(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import order_value_percentiles
+
+    return order_value_percentiles(_t(spark, sf_dir, "orders"))
+
+
+def _q_price_bands(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import price_band_totals
+
+    return price_band_totals(_t(spark, sf_dir, "orders"))
+
+
 def _q_dedup_lineitem(spark, sf_dir):
     from etl_gcp_spark.operators.dedup import dedup
 
@@ -294,6 +349,36 @@ def _q_text_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    from etl_gcp_spark.functions.text import bpe_token_count
+
+    return bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _q_top_ngrams(spark, sf_dir):
+    from etl_gcp_spark.functions.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"))
+
+
+def _q_sliding(spark, sf_dir):
+    from etl_gcp_spark.operators.events import sliding_window_stats
+
+    return sliding_window_stats(_t(spark, sf_dir, "events"))
+
+
+def _q_daily_top_types(spark, sf_dir):
+    from etl_gcp_spark.operators.events import daily_top_event_types
+
+    return daily_top_event_types(_t(spark, sf_dir, "events"))
+
+
+def _q_near_dup_dedup(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import near_dup_dedup
+
+    return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
 
@@ -335,10 +420,21 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import exact_near_dup_pairs
+
+    # threshold 0.45 is calibrated to the synthetic embeddings (max
+    # pairwise cosine ≈0.51): high enough to be selective, low enough
+    # that the operator returns a non-vacuous pair set
+    return exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
 
+    # the scale path: SRP-LSH bucketing with 4 planes (recall tuned
+    # for the 0.45 regime), exact verification of candidates only
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.95
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=8
     )
 
 
@@ -390,6 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
+        "q4_late_shipments": _q_q4,
+        "q6_revenue_forecast": _q_q6,
+        "q10_returned_items": _q_q10,
+        "q14_promo_share": _q_q14,
+        "q18_large_orders": _q_q18,
+        "order_percentiles": _q_percentiles,
+        "price_band_totals": _q_price_bands,
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
@@ -417,6 +520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
+        "bpe_token_count": _q_bpe_token_count,
+        "top_ngrams": _q_top_ngrams,
+        "sliding_event_stats": _q_sliding,
+        "daily_top_event_types": _q_daily_top_types,
+        "near_dup_dedup": _q_near_dup_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "simhash_fingerprints": _q_simhash,
@@ -424,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multimodal_features": _q_multimodal,
         "frame_samples": _q_frame_samples,
         "streaming_hourly_counts": _q_stream_hourly,
@@ -445,6 +554,35 @@ _LANG_SCORES = """
     CAST(len(list_intersect(list_distinct({toks}), ['stream','batch','data','join','scan'])) AS BIGINT) AS score_zh
   FROM documents
 """.format(toks=_TOKS)
+
+
+# shared by ngram_jaccard_pairs and near_dup_dedup oracles
+_JACCARD_PAIRS = """
+    WITH docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+            FROM docs
+            CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+            WHERE len(toks) >= 3
+        )
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) AS jaccard
+    FROM pairs
+    JOIN cnt c1 ON c1.doc_id = id1
+    JOIN cnt c2 ON c2.doc_id = id2
+    WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -707,31 +845,143 @@ def oracle_sql() -> dict[str, str]:
                                       / len({_TOKS})), 4) AS quality_score
             FROM documents
         """,
-        "ngram_jaccard_pairs": """
-            WITH docs AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-                FROM documents
-            ), sh AS (
-                SELECT DISTINCT doc_id, shingle FROM (
-                    SELECT doc_id,
-                           toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
-                    FROM docs
-                    CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
-                    WHERE len(toks) >= 3
-                )
-            ), cnt AS (
-                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), pairs AS (
-                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+        "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "near_dup_dedup": f"""
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))
+        """,
+        "q4_late_shipments": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
             )
-            SELECT id1, id2,
-                   round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) AS jaccard
-            FROM pairs
-            JOIN cnt c1 ON c1.doc_id = id1
-            JOIN cnt c2 ON c2.doc_id = id2
-            WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= 0.8
+            GROUP BY o_orderpriority
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.02 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY lost_revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q14_promo_share": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 4
+            ) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING round(sum(l_quantity), 4) > 150.0
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "order_percentiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "price_band_totals": """
+            SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS band_value
+            FROM orders
+            JOIN (VALUES ('budget', 0.0, 100000.0),
+                         ('mid', 100000.0, 250000.0),
+                         ('premium', 250000.0, 400000.0),
+                         ('luxury', 400000.0, 600000.0)) AS b(band, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+                   CAST(len(list_distinct(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_distinct_pieces
+            FROM documents
+        """,
+        "top_ngrams": """
+            WITH docs AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS ngram
+                FROM docs
+                CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 3
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+            FROM grams GROUP BY ngram
+            ORDER BY freq DESC, ngram LIMIT 20
+        """,
+        "sliding_event_stats": """
+            WITH expanded AS (
+                SELECT TIMESTAMP '1970-01-01 00:00:00'
+                       + (floor(epoch(ts) / 1800)::BIGINT * 1800) * INTERVAL 1 SECOND
+                       AS window_start, event_type
+                FROM events
+                UNION ALL
+                SELECT TIMESTAMP '1970-01-01 00:00:00'
+                       + (floor(epoch(ts) / 1800)::BIGINT * 1800 - 1800) * INTERVAL 1 SECOND,
+                       event_type
+                FROM events
+            )
+            SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM expanded GROUP BY 1, 2
+        """,
+        "daily_top_event_types": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS event_day, event_type,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_day, event_type, n_events, CAST(rnk AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_day ORDER BY n_events DESC, event_type
+                ) AS rnk FROM daily
+            ) WHERE rnk <= 3
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         """,
         "cosine_topk": """
             WITH q AS (

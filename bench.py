@@ -23,6 +23,13 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q4_late_shipments",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "order_percentiles",
+    "price_band_totals",
     "top_customers",
     "customer_order_ranks",
     "order_rollup",
@@ -36,6 +43,11 @@ BENCH_QUERIES = [
     "exact_text_dedup",
     "doc_fingerprint",
     "text_quality",
+    "bpe_token_count",
+    "top_ngrams",
+    "sliding_event_stats",
+    "daily_top_event_types",
+    "near_dup_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -245,3 +245,35 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def exact_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (brute force).
+
+    Upper-triangle self cross-join with the full cosine on every
+    pair: O(n²·dim) but fully codegen'd — the correctness baseline
+    the LSH variant (:func:`embedding_near_dup_pairs`) is measured
+    against, and the right tool outright when one side fits in a
+    broadcast. At 100 TB use the LSH variant: this one's cross join
+    is quadratic in the corpus.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    a = base.select(F.col(id_col).alias("id1"), F.col("__v").alias("v1"))
+    b = base.select(F.col(id_col).alias("id2"), F.col("__v").alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -122,3 +122,59 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks — the regex family GPT-2-style tokenizers apply before BPE
+# merges. JVM-side regexp_extract_all; no Python in the path.
+BPE_PRETOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counts under BPE-style pre-tokenization (vs whitespace).
+
+    Returns both counts so downstream cost models can pick either;
+    ``n_bpe_pieces`` is the better proxy for LLM token cost.
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_PATTERN), 0
+    )
+    return documents.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_bpe_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+    )
+
+
+def top_ngrams(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams.
+
+    explode → count → TakeOrderedAndProject: the count shuffles the
+    8-byte hash-partitioned gram with map-side partial counts; the
+    top-k never materializes a global sort. Ties break on the gram
+    itself for determinism.
+    """
+    toked = documents.select(tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        toked.select(F.explode_outer(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -137,3 +137,47 @@ def asof_last_event(
         "ts",
         F.col("last_build_ts").alias(f"last_{build_type}_ts"),
     )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows; ``F.window`` expands them JVM-side).
+
+    Output is one row per (window_start, event_type) — the batch twin
+    of a sliding-window streaming aggregation.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def daily_top_event_types(events: DataFrame, *, k: int = 3) -> DataFrame:
+    """Top-k event types per day by volume (agg → rank window).
+
+    The rank window partitions by day — the same key the aggregation
+    grouped on — so the window reuses the aggregation's partitioning
+    where AQE allows; ties break on event_type.
+    """
+    daily = events.groupBy(
+        F.to_date("ts").alias("event_day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_day").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

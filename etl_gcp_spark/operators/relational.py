@@ -236,3 +236,207 @@ def building_customers_no_orders(
     )
     ordered = orders.select(F.col("o_custkey").alias("custkey"))
     return seg.exceptAll(ordered.dropDuplicates()).dropDuplicates()
+
+
+def late_shipment_priority(
+    orders: DataFrame, lineitem: DataFrame, *, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4-style: order counts per priority for orders with at
+    least one line shipped > ``late_days`` after the order date.
+
+    left_semi join: the probe side streams, the existence check never
+    duplicates order rows, and only (l_orderkey, l_shipdate) flow from
+    lineitem — at 100 TB the semi join ships two columns, not the row.
+    """
+    late_lines = lineitem.select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        late_lines,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.06,
+    qty_max: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style: pure filter + scalar aggregate, zero joins.
+
+    The whole query is one scan with every predicate pushed to
+    parquet (range filters on shipdate/discount/quantity) and a
+    map-side partial sum — the cheapest possible shape.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_max)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-style: top-k customers by lost revenue on returned
+    items in a quarter. customer/nation broadcast; one fact shuffle."""
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 4).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    qty_threshold: float = 150.0,
+) -> DataFrame:
+    """TPC-H Q18-style: orders whose total line quantity exceeds the
+    threshold, with customer attribution.
+
+    The HAVING runs on the pre-join aggregate (group lineitem first,
+    filter, THEN join) so only qualifying orderkeys reach the join —
+    at scale this is the difference between joining 1% and 100% of
+    the fact table.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14-style: % of revenue from PROMO parts in a month.
+
+    part is broadcast; numerator/denominator computed in ONE
+    conditional aggregate pass (no second scan, no self-join).
+    """
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact continuous percentiles of order value per order status.
+
+    Uses ``F.percentile`` (exact, sort-based within group). At 100 TB
+    exact percentiles of a skewed column are expensive by nature —
+    swap in ``percentile_approx`` (t-digest sketch, map-side
+    mergeable) when a bounded error is acceptable.
+    """
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("premium", 250_000.0, 400_000.0),
+    ("luxury", 400_000.0, 600_000.0),
+]
+
+
+def price_band_totals(orders: DataFrame) -> DataFrame:
+    """Range join: orders banded by [lo, hi) price intervals.
+
+    The band table is a tiny broadcast dimension joined on a non-equi
+    predicate — Spark plans BroadcastNestedLoopJoin, which is the
+    right physical strategy for a 4-row build side (each probe row
+    tests 4 intervals; no shuffle, no sort). With a large build side
+    this would need a bucketed/binned equi-join rewrite instead.
+    """
+    spark = orders.sparkSession
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("band_value"),
+        )
+    )

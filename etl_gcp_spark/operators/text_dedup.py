@@ -314,3 +314,34 @@ def simhash_pairs(
         .dropDuplicates(["id1", "id2"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_dedup(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    use_lsh: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy near-duplicate REMOVAL: drop every doc that matches a
+    lower-id doc at ``jaccard >= threshold``; keep the rest.
+
+    Keeper rule: a doc survives unless it is the higher id (id2) of
+    some similar pair — one left_anti join against the pair set. This
+    is the greedy linear-scan policy (not connected components): in a
+    chain a–b–c where only adjacent pairs are similar, b and c are
+    both dropped because each matches a lower id.
+
+    ``use_lsh`` switches the pair generator to MinHash LSH — same
+    output wherever LSH recall is 1, linear cost at corpus scale.
+    """
+    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+    pairs = pair_fn(
+        documents, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    )
+    losers = pairs.select(F.col("id2").alias(id_col)).dropDuplicates()
+    return documents.join(losers, id_col, "left_anti").select(
+        id_col, text_col
+    )
