@@ -295,6 +295,26 @@ def _q_ingest_csv(spark, sf_dir):
     )
 
 
+def _q_write_roundtrip(spark, sf_dir):
+    """S10/S13 + partition pruning, driver-graded: write orders
+    partitioned by status, re-read ONE partition, aggregate. The
+    re-read scan must prune to the o_orderstatus=F directory."""
+    from etl_gcp_spark.sinks.writers import write_table
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_part_{os.path.basename(sf_dir)}",
+    )
+    write_table(
+        _t(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+    )
+
+
 def _q_json_extract(spark, sf_dir):
     from etl_gcp_spark.operators.events import extract_props_key
 
@@ -511,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": _q_quality_gate,
         "schema_columns": _q_schema_columns,
         "ingest_csv": _q_ingest_csv,
+        "write_roundtrip": _q_write_roundtrip,
         "events_json_extract": _q_json_extract,
         "hourly_event_stats": _q_hourly,
         "sessionize_events": _q_sessionize,
@@ -761,6 +782,12 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(column_name)
         """,
         "ingest_csv": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "write_roundtrip": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_value
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderstatus
+        """,
         "events_json_extract": """
             SELECT event_id, event_type,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
