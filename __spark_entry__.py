@@ -494,6 +494,15 @@ def _q_stream_dedup(spark, sf_dir):
     return run_streaming_dedup(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def _q_stream_user_stats(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_user_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_user_stats(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def _q_stream_sessions(spark, sf_dir):
     from etl_gcp_spark.streaming.events import run_streaming_sessions
 
@@ -558,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": _q_frame_samples,
         "streaming_hourly_counts": _q_stream_hourly,
         "streaming_dedup": _q_stream_dedup,
+        "streaming_user_stats": _q_stream_user_stats,
         "streaming_sessions": _q_stream_sessions,
     }
 
@@ -1052,6 +1062,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "streaming_dedup": "SELECT * FROM events",
+        "streaming_user_stats": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(coalesce(value, 0.0)), 4) AS total_value,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
         # no oracle (hash-function- or state-dependent; rows-only check):
         #   minhash_lsh_pairs, simhash_fingerprints, simhash_pairs,
         #   ann_lsh_topk, embedding_near_dup, frame_samples,

@@ -134,3 +134,86 @@ def run_streaming_sessions(
         )
     )
     return _run_to_memory(sessions, output_mode="complete")
+
+
+USER_STATS_OUTPUT = (
+    "user_id long, n_events long, total_value double, "
+    "first_ts timestamp, last_ts timestamp"
+)
+USER_STATS_STATE = "n_events long, total_value double, first_us long, last_us long"
+
+
+def run_streaming_user_stats(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Custom stateful operator: per-user lifetime stats via
+    ``applyInPandasWithState``.
+
+    The built-in windows can't express "running per-key accumulators
+    emitted on every update" — this is the escape hatch the engine
+    offers for arbitrary state machines (CUSUM monitors, fraud
+    counters, per-entity models). State per user is four scalars;
+    each micro-batch updates it from the Arrow batch of that user's
+    new rows and emits the refreshed snapshot (update mode).
+
+    The bounded replay collapses to the final per-user snapshot
+    (max n_events per user) so the result is deterministic however
+    the source splits micro-batches.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdf_iter, state):
+        import datetime as dt
+
+        if state.exists:
+            n, total, first_us, last_us = state.get
+        else:
+            n, total, first_us, last_us = 0, 0.0, None, None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, total, first_us, last_us))
+        epoch = dt.datetime(1970, 1, 1)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "first_ts": [epoch + dt.timedelta(microseconds=first_us)],
+                "last_ts": [epoch + dt.timedelta(microseconds=last_us)],
+            }
+        )
+
+    stream = _stream_events(spark, events_path)
+    # state updates key on raw long micro-seconds; timestamps are
+    # reconstructed inside the kernel so no tz ambiguity enters state
+    raw = stream.select(
+        "user_id",
+        # unix_micros, NOT cast("long") (that truncates to seconds);
+        # kernel expects ns int64
+        (F.unix_micros(F.col("ts")) * 1000).alias("ts"),
+        "value",
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updated = raw.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_OUTPUT,
+        stateStructType=USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    snapshots = _run_to_memory(updated, output_mode="update")
+    # last snapshot per user = the one with the highest event count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
