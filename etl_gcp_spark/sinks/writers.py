@@ -104,3 +104,30 @@ def write_chunked_csv(
         .option("maxRecordsPerFile", str(rows_per_file))
         .csv(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (hash-partitioned layout).
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange on either side (verified in tests — the join plan has
+    zero Exchange nodes). At 100 TB this converts every recurring
+    fact-fact join on the bucket key from a full shuffle into a local
+    zip of co-located buckets. ``sort_cols`` additionally pre-sorts
+    within buckets so sort-merge joins skip their sort.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

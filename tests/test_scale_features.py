@@ -1,0 +1,94 @@
+"""Scale-feature contracts: bucketed co-located joins (zero-exchange
+plan), skew salting (same results as plain ops), and plan shapes for
+the newer relational operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.relational import (
+    large_orders,
+    late_shipment_priority,
+    price_band_totals,
+)
+from etl_gcp_spark.operators.skew import salted_count, salted_join
+from etl_gcp_spark.sinks.writers import write_bucketed_table
+from etl_gcp_spark.sources.readers import load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse dir is a static conf fixed at session start; managed
+    # test tables are dropped (files removed) in the finally block
+    left = spark.createDataFrame([Row(k=i, a=i * 2) for i in range(100)])
+    right = spark.createDataFrame([Row(k=i, b=i * 3) for i in range(100)])
+    write_bucketed_table(left, "bk_left", bucket_cols=["k"], n_buckets=4)
+    write_bucketed_table(right, "bk_right", bucket_cols=["k"], n_buckets=4)
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # co-located: bucket-to-bucket join
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def _skewed(spark):
+    # key 0 holds 90% of rows — the pathological shape
+    rows = [Row(k=0, v=i) for i in range(900)] + [
+        Row(k=i % 10 + 1, v=i) for i in range(100)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_salted_join_matches_plain_join(spark):
+    large = _skewed(spark)
+    small = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(11)])
+    plain = large.join(small, "k").groupBy("k").count()
+    salted = salted_join(large, small, "k").groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_count_matches_plain_count(spark):
+    df = _skewed(spark)
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r.k: r.n for r in salted_count(df, "k").collect()}
+    assert salted == plain
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The lineitem aggregate must sit BELOW the joins in the plan
+    (filter on total_qty applied pre-join)."""
+    t = load_tables(spark, sf_dir)
+    plan = _plan(large_orders(t["customer"], t["orders"], t["lineitem"]))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: joins appear before (above) the agg
+    assert join_pos < agg_pos
+
+
+def test_q4_semi_join_no_row_duplication(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    out = late_shipment_priority(t["orders"], t["lineitem"])
+    total = out.agg(F.sum("n_orders")).collect()[0][0]
+    # semi join counts each order at most once
+    assert total <= t["orders"].count()
+    assert "LeftSemi" in _plan(out)
+
+
+def test_price_bands_broadcast_nested_loop(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(price_band_totals(t["orders"]))
+    assert "BroadcastNestedLoopJoin" in plan
