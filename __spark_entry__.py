@@ -439,6 +439,22 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import ivf_topk
+
+    # n_probe = n_cells: exhaustive probing — IVF plumbing with exact
+    # results, so the DuckDB brute-force oracle applies. The
+    # approximate configuration (n_probe < n_cells) is exercised in
+    # unit tests where recall is compared against cosine_topk.
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=8,
+        n_probe=8,
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import exact_near_dup_pairs
 
@@ -503,6 +519,17 @@ def _q_stream_user_stats(spark, sf_dir):
     )
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import (
+        run_streaming_click_purchase_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_click_purchase_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def _q_stream_sessions(spark, sf_dir):
     from etl_gcp_spark.streaming.events import run_streaming_sessions
 
@@ -561,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multimodal_features": _q_multimodal,
@@ -568,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": _q_stream_hourly,
         "streaming_dedup": _q_stream_dedup,
         "streaming_user_stats": _q_stream_user_stats,
+        "streaming_interval_join": _q_stream_interval_join,
         "streaming_sessions": _q_stream_sessions,
     }
 
@@ -1020,6 +1049,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         """,
+        # exhaustive-probe IVF == exact top-k: same oracle as cosine_topk
+        "ann_ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                FROM embeddings
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(qv, cv) AS raw_sim
+                FROM q CROSS JOIN c
+                WHERE neighbor_id <> query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, neighbor_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 5
+        """,
         "cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1062,6 +1116,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "streaming_dedup": "SELECT * FROM events",
+        "streaming_interval_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   p.ts AS purchase_ts,
+                   c.event_id AS click_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+        """,
         "streaming_user_stats": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(coalesce(value, 0.0)), 4) AS total_value,

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
     "multimodal_features",
 ]
 

@@ -277,3 +277,122 @@ def exact_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def _pivot_cells(pivot_vecs: list[list[float]]) -> F.Column:
+    """Array of (cosine-to-pivot, cell) structs for the ``__v`` column,
+    with pivots inlined as literals — evaluated per row with NO
+    shuffle and no join. Cell ids are negated inside the struct so
+    ``array_max``'s lexicographic tiebreak prefers the LOWEST cell."""
+    return F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col("__v"), F.array(*[F.lit(x) for x in vec])
+                ).alias("s"),
+                F.lit(-(i + 1)).alias("negcell"),
+            )
+            for i, vec in enumerate(pivot_vecs)
+        ]
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantization: assign every vector to its nearest
+    pivot cell. Returns (assigned, pivot_vectors).
+
+    Pivots are the ``n_cells`` lowest-id vectors — deterministic and
+    model-free (production systems train k-means centroids offline;
+    the search structure is identical, only pivot quality differs).
+    The tiny pivot set is collected once at index-build time and
+    inlined as literals, so assignment is a pure per-row argmax —
+    embarrassingly parallel, zero shuffle, zero join.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    pivot_vecs = [
+        list(r["__v"]) for r in base.orderBy(id_col).limit(n_cells).collect()
+    ]
+    assigned = base.withColumn(
+        "cell", -F.array_max(_pivot_cells(pivot_vecs))["negcell"]
+    )
+    return assigned, pivot_vecs
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize, probe the query's
+    ``n_probe`` nearest cells, exact-rescore candidates only.
+
+    The classic ANN index re-expressed relationally: the inverted
+    file IS a DataFrame keyed by cell; probing IS a join on cell ids
+    (broadcast: the query side is small). Scan cost drops from |C| to
+    ~|C|·n_probe/n_cells per query; recall rises with ``n_probe``
+    (n_probe = n_cells degenerates to exact brute force).
+    """
+    assigned, pivot_vecs = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    # per query: its n_probe closest cells = slice of the sorted
+    # (sim, -cell) struct array — same inline pivots, still no shuffle
+    probed = (
+        assigned.filter(F.col(id_col).isin(query_ids or []))
+        .withColumn(
+            "__probe_cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(_pivot_cells(pivot_vecs), asc=False),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: -s["negcell"],
+                )
+            ),
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__q"),
+            F.col("__probe_cell").alias("cell"),
+        )
+    )
+    cands = probed.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__c"), "cell"
+        ),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__q"), F.col("__c")).alias("__sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("sim"),
+            "rank",
+        )
+    )

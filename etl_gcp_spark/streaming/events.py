@@ -217,3 +217,51 @@ def run_streaming_user_stats(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def run_streaming_click_purchase_join(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding ``lookback`` window.
+
+    Both sides carry watermarks and the join has a bounded time
+    range, so Spark can evict click state older than
+    purchase-watermark − lookback — the condition that keeps a
+    stream-stream join's state finite. Append mode: a match is final
+    the moment both rows exist (inner join, closed time bound).
+    """
+    clicks = (
+        _stream_events(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _stream_events(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    return _run_to_memory(joined, output_mode="append")

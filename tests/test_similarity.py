@@ -68,3 +68,26 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs.get((1, 2)) == 1.0
     # orthogonal pair must never appear
     assert (1, 4) not in pairs
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    from etl_gcp_spark.functions.similarity import ivf_topk
+
+    exact = cosine_topk(_emb(spark), query_ids=[1, 4], k=3).collect()
+    ivf = ivf_topk(
+        _emb(spark), query_ids=[1, 4], k=3, n_cells=3, n_probe=3
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, ivf))
+
+
+def test_ivf_partial_probe_is_subset(spark):
+    from etl_gcp_spark.functions.similarity import ivf_topk
+
+    out = ivf_topk(
+        _emb(spark), query_ids=[1], k=5, n_cells=3, n_probe=1
+    ).collect()
+    # probing one cell returns at most the cell's occupancy, ranked;
+    # every returned sim must match the exact pairwise value
+    for r in out:
+        expected = round(_cos(VECS[1], VECS[r.neighbor_id]), 6)
+        assert abs(r.sim - expected) < 1e-9
