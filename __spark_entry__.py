@@ -461,7 +461,9 @@ def _q_embedding_near_dup(spark, sf_dir):
     # threshold 0.45 is calibrated to the synthetic embeddings (max
     # pairwise cosine ≈0.51): high enough to be selective, low enough
     # that the operator returns a non-vacuous pair set
-    return exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return exact_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
 
 
 def _q_embedding_near_dup_lsh(spark, sf_dir):
