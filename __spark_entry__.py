@@ -193,6 +193,24 @@ def _q_price_bands(spark, sf_dir):
     return price_band_totals(_t(spark, sf_dir, "orders"))
 
 
+def _q_running_totals(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import customer_running_totals
+
+    return customer_running_totals(_t(spark, sf_dir, "orders"))
+
+
+def _q_order_gaps(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import order_gap_days
+
+    return order_gap_days(_t(spark, sf_dir, "orders"))
+
+
+def _q_cube(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import status_priority_cube
+
+    return status_priority_cube(_t(spark, sf_dir, "orders"))
+
+
 def _q_dedup_lineitem(spark, sf_dir):
     from etl_gcp_spark.operators.dedup import dedup
 
@@ -550,6 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q_q14,
         "q18_large_orders": _q_q18,
         "order_percentiles": _q_percentiles,
+        "customer_running_totals": _q_running_totals,
+        "order_gap_days": _q_order_gaps,
+        "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
@@ -972,6 +993,37 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "customer_running_totals": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 4) AS o_totalprice,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 4) AS running_spend,
+                   round(avg(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 4) AS moving_avg_3
+            FROM orders
+        """,
+        "order_gap_days": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                        ), o_orderdate) AS BIGINT) AS days_since_prev
+            FROM orders
+        """,
+        "status_priority_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(avg(o_totalprice), 4) AS avg_value
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "order_percentiles": """
             SELECT o_orderstatus,

@@ -440,3 +440,54 @@ def price_band_totals(orders: DataFrame) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("band_value"),
         )
     )
+
+
+def customer_running_totals(orders: DataFrame) -> DataFrame:
+    """Window frames: per-customer running spend + 3-order moving
+    average, ordered by order date.
+
+    Both frames share one partitioning (o_custkey) and ordering, so
+    Spark evaluates them in a single Window stage over one shuffle.
+    """
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    moving = (
+        Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.round(F.sum("o_totalprice").over(running), 4).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg_3"),
+    )
+
+
+def order_gap_days(orders: DataFrame) -> DataFrame:
+    """lag(): days since the same customer's previous order
+    (NULL for the first). One shuffle on o_custkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+def status_priority_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination in
+    one pass (Expand feeds a single hash aggregate)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+    )
