@@ -339,6 +339,12 @@ def _q_json_extract(spark, sf_dir):
     return extract_props_key(_t(spark, sf_dir, "events"))
 
 
+def _q_json_parsed(spark, sf_dir):
+    from etl_gcp_spark.operators.events import parse_props
+
+    return parse_props(_t(spark, sf_dir, "events"))
+
+
 def _q_hourly(spark, sf_dir):
     from etl_gcp_spark.operators.events import hourly_event_stats
 
@@ -592,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_csv": _q_ingest_csv,
         "write_roundtrip": _q_write_roundtrip,
         "events_json_extract": _q_json_extract,
+        "events_json_parsed": _q_json_parsed,
         "hourly_event_stats": _q_hourly,
         "sessionize_events": _q_sessionize,
         "asof_click_purchase": _q_asof,
@@ -853,6 +860,12 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": """
             SELECT event_id, event_type,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "events_json_parsed": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   props IS NOT NULL AND json_valid(props) AS props_valid
             FROM events
         """,
         "hourly_event_stats": """

@@ -181,3 +181,30 @@ def daily_top_event_types(events: DataFrame, *, k: int = 3) -> DataFrame:
         daily.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+PROPS_SCHEMA = "k long"
+
+
+def parse_props(events: DataFrame) -> DataFrame:
+    """Schema-declared JSON parsing: ``from_json`` with an explicit
+    struct, projected once.
+
+    The scale-preferred alternative to per-key ``get_json_object``
+    (:func:`extract_props_key`): the document is parsed a single time
+    however many fields are read, the parsed struct prunes like any
+    other nested column, and malformed documents yield NULL structs
+    instead of failing. Adding fields is a schema edit, not another
+    parse.
+    """
+    parsed = events.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), PROPS_SCHEMA).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.col("p.k").alias("k"),
+        F.col("p").isNotNull().alias("props_valid"),
+    )
