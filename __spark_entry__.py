@@ -293,6 +293,20 @@ def _q_quality_gate(spark, sf_dir):
     )
 
 
+def _q_freshness(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import freshness
+
+    return freshness(
+        _t(spark, sf_dir, "events"), "ts", as_of=_FIXED_TS, max_age_hours=24.0
+    )
+
+
+def _q_winnow(spark, sf_dir):
+    from etl_gcp_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _q_schema_columns(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     return spark.createDataFrame(
@@ -594,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_summary": _q_violation_summary,
         "quality_metrics": _q_quality_metrics,
         "quality_gate": _q_quality_gate,
+        "freshness_check": _q_freshness,
+        "winnow_fingerprints": _q_winnow,
         "schema_columns": _q_schema_columns,
         "ingest_csv": _q_ingest_csv,
         "write_roundtrip": _q_write_roundtrip,
@@ -843,6 +859,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'distinct_event_type', CAST(distinct_event_type AS DOUBLE),
                    CAST(3.0 AS DOUBLE), distinct_event_type >= 3 FROM m
         """,
+        "freshness_check": """
+            SELECT max(ts) AS latest_ts,
+                   round((epoch_us(TIMESTAMP '2026-01-01 00:00:00')
+                          - epoch_us(max(ts))) / 3600000000.0, 4) AS age_hours,
+                   (epoch_us(TIMESTAMP '2026-01-01 00:00:00')
+                    - epoch_us(max(ts))) / 3600000000.0 <= 24.0 AS fresh
+            FROM events
+        """,
+        # winnow_fingerprints: no oracle (xxhash64 not SQL-portable);
+        # winnowing invariants are unit-tested
         "schema_columns": """
             SELECT * FROM (VALUES
                 ('l_orderkey'), ('l_partkey'), ('l_suppkey'), ('l_linenumber'),

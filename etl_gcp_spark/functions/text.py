@@ -178,3 +178,44 @@ def top_ngrams(
         .orderBy(F.col("freq").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    *,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style rolling-hash selection).
+
+    Pipeline, all JVM-side per document: hash every character k-gram
+    (the rolling-hash set), then keep the minimum hash of each
+    ``window`` consecutive k-grams and dedup — the winnowing
+    guarantee that any match of length ≥ k+window−1 shares a
+    fingerprint. Output is one row per (doc, fingerprint): the
+    inverted-index shape, ready for a self-join to detect local
+    (substring-level) overlap that shingle/MinHash whole-set
+    similarity misses.
+
+    Hashes are ``xxhash64`` (not SQL-portable, so this operator takes
+    the rows-only check; invariants are unit-tested instead).
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.length(t) - k + 1
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+    )
+    # window minima over the hash sequence, then distinct
+    picked = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(gram_hashes) - window),
+            lambda i: F.array_min(F.slice(gram_hashes, i + 1, window)),
+        )
+    )
+    return (
+        documents.filter(F.length(t) >= k + window - 1)
+        .select(F.col(id_col), F.explode_outer(picked).alias("fingerprint"))
+    )

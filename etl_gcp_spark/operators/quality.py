@@ -74,3 +74,30 @@ def gate_exit_code(report: DataFrame) -> int:
     """R4: 0 if every check passed, else 1 (data_validator.py:214-219)."""
     failed = report.filter(~F.col("passed")).limit(1).count()
     return 1 if failed else 0
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    as_of,
+    max_age_hours: float = 24.0,
+) -> DataFrame:
+    """A6: data-freshness gate (documented in the reference's
+    monitoring queries — README.md:296-303, FLOW_DIAGRAMS.md:175-178 —
+    but absent from its validator; implemented here as a first-class
+    check).
+
+    One aggregation: latest event time, its age in hours relative to
+    ``as_of``, and the pass flag. ``as_of`` is explicit (a datetime)
+    so results are deterministic and testable; production callers
+    pass ``datetime.now(UTC)``.
+    """
+    ref_us = F.unix_micros(F.lit(as_of).cast("timestamp"))
+    latest = F.max(F.col(ts_col))
+    age_h = (ref_us - F.unix_micros(latest)) / F.lit(3.6e9)
+    return df.agg(
+        latest.alias("latest_ts"),
+        F.round(age_h, 4).alias("age_hours"),
+        (age_h <= F.lit(float(max_age_hours))).alias("fresh"),
+    )

@@ -21,7 +21,15 @@ def test_registry_keys_consistent():
     for name in rows_only:
         assert any(
             tag in name
-            for tag in ("minhash", "simhash", "lsh", "stream", "frame", "near_dup")
+            for tag in (
+                "minhash",
+                "simhash",
+                "lsh",
+                "stream",
+                "frame",
+                "near_dup",
+                "winnow",
+            )
         ), f"{name} has no oracle but looks SQL-expressible"
 
 

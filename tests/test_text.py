@@ -48,3 +48,26 @@ def test_quality_score_features(spark):
     assert rows[0].stopword_ratio == 1.0
     assert rows[0].quality_score < rows[1].quality_score
     assert rows[1].junk_ratio == 0.0
+
+
+def test_winnow_fingerprints_invariants(spark):
+    from etl_gcp_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [
+            base,
+            base,                               # identical
+            base.replace("lazy", "hazy"),       # local edit
+            "zz",                               # too short -> dropped
+        ],
+    )
+    out = winnow_fingerprints(docs, k=8, window=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert 3 not in fps                    # short doc filtered
+    assert fps[0] == fps[1]                # identical docs, identical sets
+    overlap = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert 0.3 < overlap < 1.0             # local edit: high but not full
