@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "asof_click_purchase",
     "exact_text_dedup",
     "doc_fingerprint",
+    "winnow_fingerprints",
     "text_quality",
     "bpe_token_count",
     "top_ngrams",

@@ -53,13 +53,6 @@ def _norm(a: F.Column, dim: int | None = None) -> F.Column:
     return F.sqrt(_dot(a, a, dim))
 
 
-def _as_unit(col: F.Column) -> F.Column:
-    """Normalize to a unit vector (HOF; runs once per ROW, so the
-    interpreted lambda cost is linear, not quadratic)."""
-    n = _norm(col)
-    return F.transform(col, lambda x: x / n)
-
-
 def cosine_similarity(
     a: F.Column, b: F.Column, dim: int | None = None
 ) -> F.Column:

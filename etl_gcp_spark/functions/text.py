@@ -202,20 +202,31 @@ def winnow_fingerprints(
     Hashes are ``xxhash64`` (not SQL-portable, so this operator takes
     the rows-only check; invariants are unit-tested instead).
     """
+    # staged projections: each lambda must reference a MATERIALIZED
+    # column, never an inline subexpression — a lambda body re-runs
+    # its subexpressions per element, which here would make the
+    # window-minimum pass O(len²) per document (measured: sf0.1 went
+    # from >4 min to ~3 s after staging)
     t = F.lower(F.trim(F.col(text_col)))
-    n_grams = F.length(t) - k + 1
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+    staged = documents.filter(F.length(t) >= k + window - 1).select(
+        F.col(id_col), t.alias("__t")
     )
-    # window minima over the hash sequence, then distinct
-    picked = F.array_distinct(
+    hashed = staged.select(
+        F.col(id_col),
         F.transform(
-            F.sequence(F.lit(0), F.size(gram_hashes) - window),
-            lambda i: F.array_min(F.slice(gram_hashes, i + 1, window)),
-        )
+            F.sequence(F.lit(1), F.length("__t") - k + 1),
+            lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(k))),
+        ).alias("__gh"),
     )
-    return (
-        documents.filter(F.length(t) >= k + window - 1)
-        .select(F.col(id_col), F.explode_outer(picked).alias("fingerprint"))
+    picked = hashed.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__gh") - window),
+                lambda i: F.array_min(F.slice(F.col("__gh"), i + 1, window)),
+            )
+        ).alias("__fp"),
+    )
+    return picked.select(
+        F.col(id_col), F.explode_outer("__fp").alias("fingerprint")
     )
