@@ -699,9 +699,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 4) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8)))
+                        / count(l_quantity) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_qty,
+                   CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+                        / count(l_extendedprice) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_price,
+                   CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(28,8)))
+                        / count(l_discount) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -894,10 +897,18 @@ def oracle_sql() -> dict[str, str]:
                    props IS NOT NULL AND json_valid(props) AS props_valid
             FROM events
         """,
+        # avg rounding: Spark's round(double) is HALF_UP on the value's
+        # shortest decimal repr; DuckDB rounds the binary double. With
+        # 2-dp inputs, group means often land EXACTLY on x.xxxx5 — the
+        # decimal sum keeps both numerators identical, and the
+        # DECIMAL(28,10) cast before round reproduces Spark's
+        # half-up-at-the-decimal-boundary behavior.
         "hourly_event_stats": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(avg(value), 4) AS avg_value
+                   CAST(round(CAST(sum(CAST(value AS DECIMAL(28,8)))
+                              / count(value) AS DECIMAL(28,10)), 4)
+                        AS DOUBLE) AS avg_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1060,7 +1071,9 @@ def oracle_sql() -> dict[str, str]:
         "status_priority_cube": """
             SELECT o_orderstatus, o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_orders,
-                   round(avg(o_totalprice), 4) AS avg_value
+                   CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                        / count(o_totalprice) AS DECIMAL(28,10)), 4) AS DOUBLE)
+                   AS avg_value
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,

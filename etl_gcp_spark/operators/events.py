@@ -37,13 +37,25 @@ def hourly_event_stats(events: DataFrame) -> DataFrame:
     the UTC session timezone — identical buckets to
     ``date_trunc('hour', ts)``. Single shuffle on (window, type).
     """
+    # exact-decimal mean, decimal END TO END: double summation is
+    # order-dependent, and with 2-dp inputs group means often land
+    # EXACTLY on a .00005 boundary where Spark's round (HALF_UP on
+    # the double's shortest string repr) and an exact-decimal round
+    # disagree by 1 ulp — observed at sf0.1. Decimal sum ÷ count stays
+    # exact, decimal round is well-defined HALF_UP, and only the final
+    # rounded value is cast to double.
+    exact_mean = F.round(
+        F.sum(F.col("value").cast("decimal(28,8)"))
+        / F.count(F.col("value")),
+        4,
+    ).cast("double")
     return (
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), F.col("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            exact_mean.alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -33,6 +33,24 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
+def _exact_avg(col: str, scale: int = 4) -> F.Column:
+    """Order-independent rounded mean: exact decimal sum ÷ count,
+    rounded in decimal space (HALF_UP), then cast to double.
+
+    ``round(avg(double))`` is a latent nondeterminism: partial-agg
+    summation order varies by partitioning, and with low-precision
+    inputs (money columns are 2 dp) group means frequently land
+    EXACTLY on a rounding boundary, where Spark's string-repr round
+    and an exact-decimal round differ by 1 ulp. Decimal end-to-end
+    removes both effects (same fix as hourly_event_stats; observed
+    there at sf0.1).
+    """
+    return F.round(
+        F.sum(F.col(col).cast("decimal(28,8)")) / F.count(F.col(col)),
+        scale,
+    ).cast("double")
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-style pricing summary: group-by returnflag/linestatus
     with 8 aggregates in one pass (single shuffle, map-side partials)."""
@@ -46,9 +64,9 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
             F.round(
                 F.sum(_revenue() * (F.lit(1.0) + F.col("l_tax"))), 4
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _exact_avg("l_quantity").alias("avg_qty"),
+            _exact_avg("l_extendedprice").alias("avg_price"),
+            _exact_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -489,5 +507,5 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
     one pass (Expand feeds a single hash aggregate)."""
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+        _exact_avg("o_totalprice").alias("avg_value"),
     )
