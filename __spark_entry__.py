@@ -307,6 +307,23 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_sql_interface(spark, sf_dir):
+    """The SQL front door: register the star schema as views and run
+    ANSI SQL on Catalyst (same plans as the DataFrame API)."""
+    from etl_gcp_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 4) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def _q_schema_columns(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     return spark.createDataFrame(
@@ -611,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_check": _q_freshness,
         "winnow_fingerprints": _q_winnow,
         "schema_columns": _q_schema_columns,
+        "sql_interface": _q_sql_interface,
         "ingest_csv": _q_ingest_csv,
         "write_roundtrip": _q_write_roundtrip,
         "events_json_extract": _q_json_extract,
@@ -880,6 +898,13 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(column_name)
         """,
         "ingest_csv": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "sql_interface": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 4) AS total_balance
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "write_roundtrip": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
                    round(sum(o_totalprice), 4) AS total_value

@@ -168,3 +168,17 @@ def read_http_csv(
         # Reference rejects empty API responses (data_extractor.py:199-200).
         raise ValueError("HTTP CSV source returned no data rows")
     return spark.createDataFrame(pdf)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Expose the star schema as temp views so the engine's full
+    surface is reachable from ``spark.sql`` — the reference's own
+    query modality is SQL strings (SURVEY.md §3); here the same text
+    runs on Catalyst instead of PG/BQ, with identical pushdown/
+    pruning/AQE treatment as the DataFrame API (both compile to the
+    same plans).
+    """
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
