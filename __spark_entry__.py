@@ -542,6 +542,27 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_resize(spark, sf_dir):
+    from etl_gcp_spark.functions.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+
+    return resize_media(attach_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+def _q_dedup_keep_first(spark, sf_dir):
+    from etl_gcp_spark.operators.dedup import dedup_keep_first
+
+    # D1's deterministic keep-first: lowest orderkey per
+    # (custkey, orderdate) — the explicit analog of MIN(ctid)
+    return dedup_keep_first(
+        _t(spark, sf_dir, "orders"),
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+
 def _q_frame_samples(spark, sf_dir):
     from etl_gcp_spark.functions.multimodal import (
         attach_binary_payload,
@@ -617,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_balance_intersect": _q_intersect,
         "building_no_orders_except": _q_except,
         "dedup_lineitem": _q_dedup_lineitem,
+        "dedup_keep_first": _q_dedup_keep_first,
         "dup_count_lineitem": _q_dup_count,
         "clean_orders": _q_clean_orders,
         "normalize_columns": _q_normalize_columns,
@@ -656,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_resize,
         "frame_samples": _q_frame_samples,
         "streaming_hourly_counts": _q_stream_hourly,
         "streaming_dedup": _q_stream_dedup,
@@ -817,6 +840,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
         """,
         "dedup_lineitem": "SELECT DISTINCT * FROM lineitem",
+        "dedup_keep_first": """
+            SELECT o_orderkey, o_custkey, o_orderdate FROM (
+                SELECT o_orderkey, o_custkey, o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY o_custkey, o_orderdate
+                           ORDER BY o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
         "dup_count_lineitem": """
             SELECT CAST(
                 (SELECT count(*) FROM lineitem)
@@ -1239,6 +1272,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) % 64 AS BIGINT) AS width,
                    CAST((octet_length(encode(text)) * 7) % 64 AS BIGINT) AS height
             FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   CAST(least(length(text), 1024) AS BIGINT) AS resized_len,
+                   md5(text || '|32x32') AS resized_digest
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "streaming_hourly_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

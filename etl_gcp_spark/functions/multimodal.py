@@ -149,3 +149,55 @@ def sample_frames(
 
     video = multimodal.filter(F.col("modality") == "video")
     return video.mapInPandas(kernel, schema)
+
+
+def resize_media(
+    multimodal: DataFrame,
+    *,
+    target_w: int = 32,
+    target_h: int = 32,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Resize plumbing for image payloads (Arrow-batched).
+
+    Real implementation decodes, resamples, re-encodes; the fake
+    kernel emits a deterministic digest of (payload, target dims) and
+    a byte-budget proportional to the target area — preserving the
+    real operator's schema, batching, and size semantics so the
+    pipeline around it is fully testable without codecs.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("resized_len", T.LongType()),
+            T.StructField("resized_digest", T.StringType()),
+        ]
+    )
+    if not fake_decode:
+        decode_media(b"", "image")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = [
+                hashlib.md5(
+                    bytes(p) + f"|{target_w}x{target_h}".encode()
+                ).hexdigest()
+                for p in pdf["payload"]
+            ]
+            out_len = [
+                min(len(bytes(p)), target_w * target_h) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                    "resized_len": pd.Series(out_len, dtype="int64"),
+                    "resized_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    images = multimodal.filter(F.col("modality") == "image")
+    return images.mapInPandas(kernel, schema)

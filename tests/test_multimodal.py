@@ -59,3 +59,17 @@ def test_decode_media_is_stubbed():
         decode_media(b"bytes", "image")
     with pytest.raises(NotImplementedError):
         extract_features(None, fake_decode=False)
+
+
+def test_resize_media_contract(spark):
+    from etl_gcp_spark.functions.multimodal import resize_media
+
+    mm = attach_binary_payload(_docs(spark))
+    out = {r.doc_id: r for r in resize_media(mm, target_w=8, target_h=8).collect()}
+    images = {r.doc_id for r in mm.filter("modality = 'image'").collect()}
+    assert set(out) == images
+    for r in out.values():
+        assert (r.width, r.height) == (8, 8)
+        assert r.resized_len <= 64 and len(r.resized_digest) == 32
+    with pytest.raises(NotImplementedError):
+        resize_media(mm, fake_decode=False)
