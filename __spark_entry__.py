@@ -229,6 +229,15 @@ def _q_clean_orders(spark, sf_dir):
     return clean(normalize_columns(_t(spark, sf_dir, "orders")))
 
 
+def _q_pipeline_gold(spark, sf_dir):
+    from etl_gcp_spark.pipeline import run_pipeline
+
+    # the reference's whole extractor→loader flow as one lazy plan
+    return run_pipeline(
+        _t(spark, sf_dir, "orders"), fixed_time=_FIXED_TS
+    ).gold
+
+
 def _q_normalize_columns(spark, sf_dir):
     from etl_gcp_spark.operators.clean import normalize_columns
 
@@ -641,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _q_dedup_keep_first,
         "dup_count_lineitem": _q_dup_count,
         "clean_orders": _q_clean_orders,
+        "pipeline_gold": _q_pipeline_gold,
         "normalize_columns": _q_normalize_columns,
         "audit_stamp": _q_audit_stamp,
         "validate_violations": _q_violations,
@@ -867,6 +877,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "normalize_columns": """
             SELECT o_orderkey AS o_orderkey, o_totalprice AS o_total_price
+            FROM orders
+        """,
+        "pipeline_gold": """
+            SELECT DISTINCT
+                   coalesce(o_orderkey, 0) AS o_orderkey,
+                   coalesce(o_custkey, 0) AS o_custkey,
+                   coalesce(lower(trim(o_orderstatus)), 'unknown') AS o_orderstatus,
+                   coalesce(o_totalprice, 0.0) AS o_totalprice,
+                   o_orderdate,
+                   coalesce(lower(trim(o_orderpriority)), 'unknown') AS o_orderpriority,
+                   TIMESTAMP '2026-01-01 00:00:00' AS loaded_at,
+                   DATE '2026-01-01' AS load_date
             FROM orders
         """,
         "audit_stamp": """
