@@ -55,6 +55,12 @@ def quality_gate(metrics: DataFrame, thresholds: list[Threshold]) -> DataFrame:
     """Expand a 1-row metrics frame into a (check, value, threshold,
     passed) report — the reference's threshold table
     (data_validator.py:126-132) as data instead of log lines."""
+    if not thresholds:
+        # explode(array()) would be VOID-typed; return an empty,
+        # correctly-typed report instead
+        return metrics.sparkSession.createDataFrame(
+            [], "check string, value double, threshold double, passed boolean"
+        )
     rows = []
     for t in thresholds:
         rows.append(
