@@ -451,6 +451,12 @@ def _q_sliding(spark, sf_dir):
     return sliding_window_stats(_t(spark, sf_dir, "events"))
 
 
+def _q_time_rollup(spark, sf_dir):
+    from etl_gcp_spark.operators.events import time_rollup
+
+    return time_rollup(_t(spark, sf_dir, "events"))
+
+
 def _q_daily_top_types(spark, sf_dir):
     from etl_gcp_spark.operators.events import daily_top_event_types
 
@@ -677,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "sliding_event_stats": _q_sliding,
         "daily_top_event_types": _q_daily_top_types,
+        "time_rollup": _q_time_rollup,
         "near_dup_dedup": _q_near_dup_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
@@ -1213,6 +1220,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
             FROM expanded GROUP BY 1, 2
+        """,
+        "time_rollup": """
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+                   AS total_value
+            FROM events
+            GROUP BY ROLLUP (1, 2, 3)
         """,
         "daily_top_event_types": """
             WITH daily AS (

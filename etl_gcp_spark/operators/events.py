@@ -220,3 +220,28 @@ def parse_props(events: DataFrame) -> DataFrame:
         F.col("p.k").alias("k"),
         F.col("p").isNotNull().alias("props_valid"),
     )
+
+
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hour ⊂ day ⊂ week
+    aggregates in ONE pass.
+
+    ROLLUP over (week, day, hour) emits hour-level rows plus daily,
+    weekly and grand-total subtotals from a single Expand + hash
+    aggregate — the batch analog of a continuous aggregate hierarchy,
+    with no self-unions and one shuffle. NULL granularity columns
+    mark the subtotal level (standard ROLLUP semantics).
+    """
+    truncated = events.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return truncated.rollup("week", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,8)")).cast("decimal(28,8)"),
+            4,
+        ).cast("double").alias("total_value"),
+    )
