@@ -181,6 +181,109 @@ def _q_q18(spark, sf_dir):
     )
 
 
+def _q_q2(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def _q_q7(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import nation_trade_volume
+
+    return nation_trade_volume(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q8(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import market_share
+
+    return market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def _q_q9(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import product_type_margin
+
+    return product_type_margin(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q13(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _q_q16(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import supplier_part_variety
+
+    return supplier_part_variety(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_q17(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_q19(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import disjunctive_revenue
+
+    return disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def _q_q21(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import waiting_suppliers
+
+    return waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q22(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import idle_rich_customers
+
+    return idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def _q_percentiles(spark, sf_dir):
     from etl_gcp_spark.operators.relational import order_value_percentiles
 
@@ -640,6 +743,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q_q10,
         "q14_promo_share": _q_q14,
         "q18_large_orders": _q_q18,
+        "q2_min_cost_supplier": _q_q2,
+        "q7_nation_volume": _q_q7,
+        "q8_market_share": _q_q8,
+        "q9_product_margin": _q_q9,
+        "q13_order_distribution": _q_q13,
+        "q16_supplier_variety": _q_q16,
+        "q17_small_qty_revenue": _q_q17,
+        "q19_disjunctive_revenue": _q_q19,
+        "q21_waiting_suppliers": _q_q21,
+        "q22_idle_customers": _q_q22,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
         "order_gap_days": _q_order_gaps,
@@ -1118,6 +1231,171 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+        """,
+        "q2_min_cost_supplier": """
+            WITH region_suppliers AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), offers AS (
+                SELECT l_partkey, p_partkey, p_type, s_name, s_acctbal, n_name,
+                       l_extendedprice / l_quantity AS unit_price
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN region_suppliers ON l_suppkey = s_suppkey
+                WHERE p_type = 'LARGE'
+            ), best AS (
+                SELECT l_partkey AS b_partkey, min(unit_price) AS min_price
+                FROM offers GROUP BY 1
+            )
+            SELECT DISTINCT round(s_acctbal, 4) AS s_acctbal, s_name, n_name,
+                   p_partkey, p_type, round(unit_price, 4) AS unit_price
+            FROM offers
+            JOIN best ON l_partkey = b_partkey AND unit_price = min_price
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN volume ELSE 0.0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+                SELECT o_orderdate, n2.n_name AS supp_nation,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            )
+            GROUP BY 1
+        """,
+        "q9_product_margin": """
+            SELECT nation, o_year, round(sum(margin), 4) AS sum_profit
+            FROM (
+                SELECT n_name AS nation,
+                       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount)
+                         - CAST(0.1 AS DOUBLE) * p_retailprice * l_quantity AS margin
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE p_type = 'STANDARD'
+            )
+            GROUP BY 1, 2
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                                AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_qty_revenue": """
+            SELECT CAST(round(sum(l_extendedprice) / CAST(7.0 AS DOUBLE), 4)
+                        AS DOUBLE) AS avg_yearly
+            FROM lineitem l
+            JOIN part ON l.l_partkey = p_partkey
+            WHERE p_brand = 'Brand#7'
+              AND l_quantity < (
+                  SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+              )
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_suppliers": """
+            WITH lo AS (
+                SELECT l_orderkey, l_suppkey,
+                       (date_diff('day', o_orderdate, l_shipdate) > 90) AS is_late
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per_order AS (
+                SELECT l_orderkey AS po_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+                FROM lo GROUP BY 1
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM lo
+            JOIN per_order ON l_orderkey = po_orderkey
+                          AND n_supp > 1 AND n_late = 1
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE is_late AND n_name = 'NATION_3'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "q22_idle_customers": """
+            WITH stats AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(28,8))) AS bal_sum,
+                       CAST(count(*) AS BIGINT) AS bal_cnt
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer, stats
+            WHERE CAST(c_acctbal AS DECIMAL(28,8)) * bal_cnt > bal_sum
+              AND c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY 1
         """,
         "q18_large_orders": """
             WITH big AS (

@@ -509,3 +509,429 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _exact_avg("o_totalprice").alias("avg_value"),
     )
+
+
+def nation_trade_volume(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: revenue shipped between a
+    supplier nation and a customer nation (both directions), per
+    ship-year.
+
+    The nation dimension is joined twice under different aliases —
+    both broadcast, so the only shuffles are the two fact joins.
+    The pair filter is applied after both name lookups (Catalyst pushes
+    the half that references a single side below the join).
+    """
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("supp_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cust_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("supp_nk"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cust_nk"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    *,
+    target_nation: str = "NATION_5",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-style market share: the target nation's share of
+    revenue for one part type sold into one region, per order year.
+
+    Conditional-sum ÷ total-sum in a single aggregate (one pass); all
+    five dimensions broadcast.
+    """
+    nations_in_region = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    supp_nations = nation.select(
+        F.col("n_nationkey").alias("supp_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = _revenue()
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("c_nationkey") == F.col("cust_nk"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nations), F.col("s_nationkey") == F.col("supp_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def product_type_margin(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    *,
+    part_type: str = "STANDARD",
+    cost_factor: float = 0.1,
+) -> DataFrame:
+    """TPC-H Q9-style product profit by supplier nation and order year.
+
+    The reference schema has no partsupp/supplycost, so unit cost is
+    modeled as ``cost_factor * p_retailprice`` — the oracle encodes the
+    identical formula, so the adaptation stays checkable.
+    """
+    margin = _revenue() - F.lit(cost_factor) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(margin), 4).alias("sum_profit"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, *, exclude_priority: str = "4-NOT SPECIFIED"
+) -> DataFrame:
+    """TPC-H Q13-style customer distribution: histogram of customers by
+    how many (qualifying) orders they placed, including zero.
+
+    Left outer join so order-less customers land in the c_count=0
+    bucket; two keyed aggregations (custkey, then count-of-counts) —
+    the second one is tiny.
+    """
+    counted = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != exclude_priority),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counted.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def supplier_part_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    *,
+    exclude_brand: str = "Brand#3",
+    exclude_type_prefix: str = "PROMO",
+    sizes: tuple = (1, 9, 14, 19, 23, 36, 45, 49),
+) -> DataFrame:
+    """TPC-H Q16-style supplier variety: distinct suppliers observed per
+    (brand, type, size), excluding one brand, one type prefix, and
+    suppliers with negative balance (the "complaints" analogue).
+
+    Lineitem stands in for partsupp as the part↔supplier bridge.
+    The exclusion list is a broadcast left_anti join (NOT IN without a
+    null-trap); countDistinct shuffles once on the group keys.
+    """
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != exclude_brand)
+                    & (~F.col("p_type").startswith(exclude_type_prefix))
+                    & (F.col("p_size").isin(*sizes))
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, *, brand: str = "Brand#7"
+) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's mean quantity) were not filled.
+
+    The correlated scalar subquery becomes a per-part aggregate joined
+    back to the fact rows — both sides pre-filtered to the brand's
+    parts so the aggregate only touches relevant rows.
+    """
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    li = lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly")
+        )
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    brand/size/quantity branches evaluated in one scan.
+
+    The common join key (partkey) is extracted so Catalyst plans ONE
+    broadcast join with the OR residual as a post-join filter, not a
+    union of three scans.
+    """
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_3",
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: lines shipped
+    > late_days after the order date, in multi-supplier orders where
+    this supplier was the ONLY late one.
+
+    The two correlated EXISTS / NOT EXISTS become per-order window
+    aggregates (distinct suppliers, distinct late suppliers) — ONE scan
+    of each fact table and one shuffle on the order key, instead of the
+    textbook plan's two self-joins (asserted in tests/test_plans.py).
+    Per-order supplier sets are tiny (≤ lines-per-order), so collect_set
+    over the window stays O(1) per row at any scale.
+    """
+    w = Window.partitionBy("l_orderkey")
+    lo = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "is_late",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days,
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    return (
+        lo.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, *, since: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average positive balance
+    and no RECENT orders (none since ``since``), grouped by nation.
+
+    The scalar-average threshold is compared in exact decimal space —
+    ``c_acctbal * count > sum`` — so the cut is bit-identical across
+    engines and summation orders (the same class of boundary
+    nondeterminism as _exact_avg, applied to a filter). The anti join
+    runs against the pre-filtered (small) recent-orders key set.
+    """
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(28,8)")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("c_acctbal").cast("decimal(28,8)") * F.col("bal_cnt")
+            > F.col("bal_sum")
+        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    part_type: str = "LARGE",
+    region_name: str = "EUROPE",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-style min-cost supplier: for each part of one type, the
+    region's supplier(s) offering the lowest observed unit price.
+
+    Lineitem stands in for partsupp (unit price = extendedprice /
+    quantity — the same IEEE division on both engines, so the
+    min-equality join is exact). Per-part min + join-back replaces the
+    correlated subquery; dims broadcast; dropDuplicates collapses
+    repeat offers at the same price.
+    """
+    region_suppliers = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(region_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .dropDuplicates()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(k)
+    )

@@ -90,3 +90,51 @@ def test_sessionize_single_exchange(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = _plan(sessionize(ev))
     assert plan.count("Exchange") == 1
+
+
+def test_q7_double_nation_broadcast(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import nation_trade_volume
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        nation_trade_volume(
+            t["supplier"], t["lineitem"], t["orders"], t["customer"], t["nation"]
+        )
+    )
+    # supplier, customer, and BOTH nation aliases broadcast; the only
+    # shuffled join is the lineitem ⋈ orders fact join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_single_join_with_or_residual(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import disjunctive_revenue
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(disjunctive_revenue(t["lineitem"], t["part"]))
+    # the OR'd brand/size/qty branches must NOT explode into a union of
+    # scans: one scan of lineitem, one broadcast join, OR as residual
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Scan parquet") == 2
+
+
+def test_q21_no_fact_self_join(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import waiting_suppliers
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        waiting_suppliers(t["supplier"], t["lineitem"], t["orders"], t["nation"])
+    )
+    # EXISTS/NOT EXISTS expressed as one per-order aggregate join-back:
+    # lineitem is scanned once, not three times
+    assert plan.count("Scan parquet") <= 4  # lineitem, orders, supplier, nation
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import supplier_part_variety
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(supplier_part_variety(t["lineitem"], t["part"], t["supplier"]))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
