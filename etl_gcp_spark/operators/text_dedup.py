@@ -252,27 +252,28 @@ def simhash(
     # minhash_signatures (per-bit lambda aggregates ran interpreted
     # and cost ~10 s at 5K docs; this form is one codegen'd hash
     # aggregate with map-side partials shuffling 64 longs per doc).
+    # per-bit expressions are assembled as SQL strings — the
+    # Column-object route costs ~1.4 s of py4j round trips PER PLAN
+    # BUILD at 64 bits (identical AST and results; construction only)
     posting = documents.select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
     votes = posting.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"b{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS b{b}"
+            )
             for b in range(bits)
         ]
     )
-    fingerprint = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = (
-            F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        )
-        fingerprint = fingerprint.bitwiseOR(F.shiftleft(bit, b))
-    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+    fingerprint = "|".join(
+        f"shiftleft(CAST(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END AS BIGINT), {b})"
+        for b in range(bits)
+    )
+    return votes.select(
+        F.col(id_col), F.expr(f"({fingerprint}) AS simhash")
+    )
 
 
 def simhash_pairs(
