@@ -284,6 +284,42 @@ def _q_q22(spark, sf_dir):
     )
 
 
+def _q_grouping_sets(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import grouping_sets_totals
+
+    return grouping_sets_totals(_t(spark, sf_dir, "orders"))
+
+
+def _q_tfidf(spark, sf_dir):
+    from etl_gcp_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _q_ingest_jsonl(spark, sf_dir):
+    """S1-S3 analogue for JSONL: round-trip documents through
+    newline-delimited JSON with a DECLARED schema (no inference
+    job), then aggregate per source — equal to aggregating the
+    parquet directly, which is what the oracle does."""
+    from etl_gcp_spark.sources.readers import read_jsonl
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_jsonl_{os.path.basename(sf_dir)}",
+    )
+    _t(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+    back = read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
 def _q_percentiles(spark, sf_dir):
     from etl_gcp_spark.operators.relational import order_value_percentiles
 
@@ -753,6 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q_q19,
         "q21_waiting_suppliers": _q_q21,
         "q22_idle_customers": _q_q22,
+        "grouping_sets_totals": _q_grouping_sets,
+        "tfidf_top_terms": _q_tfidf,
+        "ingest_jsonl": _q_ingest_jsonl,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
         "order_gap_days": _q_order_gaps,
@@ -1396,6 +1435,47 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT o_custkey FROM orders
                    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
             GROUP BY 1
+        """,
+        "grouping_sets_totals": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_value
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            ), scored AS (
+                SELECT doc_id, tf.term,
+                       round(tf * (CAST(n_docs + 1 AS DOUBLE)
+                                   / CAST(df + 1 AS DOUBLE)), 4) AS score
+                FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+        """,
+        "ingest_jsonl": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+            GROUP BY source
         """,
         "q18_large_orders": """
             WITH big AS (

@@ -11,7 +11,7 @@ with Python serde.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker-token lists for the n-gram/stopword language heuristic.
@@ -229,4 +229,53 @@ def winnow_fingerprints(
     )
     return picked.select(
         F.col(id_col), F.explode_outer("__fp").alias("fingerprint")
+    )
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF.
+
+    IDF uses the log-free rational form ``(N+1)/(df+1)`` rather than
+    its logarithm: ln() is not correctly-rounded in either JVM libm
+    or C libm, so a log-based score can differ by 1 ulp across
+    engines and flip rank ties — the rational form is plain IEEE
+    division, bit-identical everywhere, and order-equivalent for
+    ranking within a document whenever tf is constant. Shape: two
+    keyed aggregations (doc-term tf, term df — both map-side
+    partial), a term-keyed join, a broadcast scalar N, one window.
+    """
+    toks = documents.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
     )

@@ -935,3 +935,27 @@ def min_cost_supplier(
         )
         .limit(k)
     )
+
+
+def grouping_sets_totals(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS showcase: per-status totals, per-priority totals,
+    and the grand total in ONE pass (Expand + a single aggregate —
+    the third member of the rollup/cube family; arbitrary set lists
+    where rollup/cube are fixed hierarchies).
+
+    ``grouping(col)`` flags distinguish "NULL because aggregated
+    away" from a genuine NULL group key.
+    """
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        )
+    )

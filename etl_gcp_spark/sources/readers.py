@@ -182,3 +182,21 @@ def register_views(
     """
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Newline-delimited JSON source.
+
+    With ``schema`` given (DDL string), the read is a single pass with
+    no inference job and malformed rows coerce to NULLs
+    (PERMISSIVE); schema=None falls back to Spark's two-pass
+    inference — fine interactively, avoid in pipelines (the reference
+    infers schemas from data at every load; the engine makes
+    declared-schema the first-class path, SURVEY.md §2.5/C1).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,75 @@
+"""tfidf_top_terms, grouping_sets_totals, read_jsonl contracts."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.sources.readers import load_table, read_jsonl
+
+
+def test_tfidf_ranks_within_doc(spark, sf_dir):
+    from etl_gcp_spark.functions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    rows = out.collect()
+    # every doc contributes at most k rows, ranks are 1..k dense
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # scores non-increasing with rank
+        by_rank = sorted(doc_rows, key=lambda r: r["rank"])
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a["score"] >= b["score"]
+
+
+def test_tfidf_rarer_term_scores_higher_at_equal_tf(spark):
+    from etl_gcp_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa cc"), (3, "aa dd")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_top_terms(docs, k=5).collect()
+    }
+    # 'aa' appears in all docs, 'bb' only in doc 1 — same tf=1
+    assert out[(1, "bb")] > out[(1, "aa")]
+
+
+def test_grouping_sets_has_grand_total(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import grouping_sets_totals
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = grouping_sets_totals(orders).collect()
+    total = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(total) == 1
+    assert total[0]["n_orders"] == orders.count()
+    # per-status rows sum to the grand total
+    per_status = [r for r in rows if r["g_status"] == 0]
+    assert sum(r["n_orders"] for r in per_status) == orders.count()
+
+
+def test_read_jsonl_declared_schema_no_inference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = os.path.join(tempfile.gettempdir(), "etl_gcp_spark_test_jsonl")
+    docs.write.mode("overwrite").json(path)
+    ddl = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    back = read_jsonl(spark, path, ddl)
+    assert [f.name for f in back.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    assert back.count() == 50
+    # malformed input coerces to NULL rather than raising (PERMISSIVE)
+    bad = os.path.join(tempfile.gettempdir(), "etl_gcp_spark_test_jsonl_bad")
+    spark.createDataFrame(
+        [('{"doc_id": "not-a-number", "text": "x"}',)], "value string"
+    ).write.mode("overwrite").text(bad)
+    rows = read_jsonl(spark, bad, ddl).collect()
+    assert rows[0]["doc_id"] is None
