@@ -28,6 +28,18 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q14_promo_share",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_margin",
+    "q13_order_distribution",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "grouping_sets_totals",
+    "tfidf_top_terms",
     "order_percentiles",
     "price_band_totals",
     "top_customers",
