@@ -320,6 +320,26 @@ def _q_ingest_jsonl(spark, sf_dir):
     )
 
 
+def _q_pii_redact(spark, sf_dir):
+    from etl_gcp_spark.functions.text import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "documents"))
+
+
+def _q_pack_documents(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), budget=512)
+
+
+def _q_contamination(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import contamination_overlap
+
+    return contamination_overlap(
+        _t(spark, sf_dir, "documents"), benchmark_source="src0", min_shared=5
+    )
+
+
 def _q_percentiles(spark, sf_dir):
     from etl_gcp_spark.operators.relational import order_value_percentiles
 
@@ -792,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
+        "pii_redact": _q_pii_redact,
+        "pack_documents": _q_pack_documents,
+        "contamination_overlap": _q_contamination,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
         "order_gap_days": _q_order_gaps,
@@ -1476,6 +1499,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
             FROM documents
             GROUP BY source
+        """,
+        "pii_redact": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IP]', 'g'),
+                     '\d{6,}', '[NUM]', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ips
+            FROM documents
+        """,
+        "pack_documents": """
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+            FROM (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (
+                    SELECT doc_id, source,
+                           CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                                AS BIGINT) AS n_tokens
+                    FROM documents
+                )
+            )
+        """,
+        "contamination_overlap": """
+            WITH docs AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, source, shingle FROM (
+                    SELECT doc_id, source,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh JOIN bench USING (shingle)
+            WHERE source <> 'src0'
+            GROUP BY doc_id
+            HAVING count(*) >= 5
         """,
         "q18_large_orders": """
             WITH big AS (

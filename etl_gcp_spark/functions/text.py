@@ -279,3 +279,47 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+# patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB oracle): no backreferences, no lookaround
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_LONG_DIGITS = r"\d{6,}"
+
+
+def pii_redact(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, long digit runs —
+    phone/account/SSN-ish) from a text column; report per-doc match
+    counts so downstream filters can drop high-PII documents.
+
+    Pure ``regexp_replace``/``regexp_extract_all`` Column expressions
+    — codegen, no UDF, embarrassingly parallel. Counts are computed
+    BEFORE replacement; the digit-run pass runs last so emails/IPs
+    containing digits are counted under their specific class.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"),
+            _PII_IPV4,
+            "[IP]",
+        ),
+        _PII_LONG_DIGITS,
+        "[NUM]",
+    )
+    return documents.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+    )

@@ -1,0 +1,101 @@
+"""Corpus-level training-data operators: sequence packing and
+benchmark-contamination screening.
+
+Neither exists in the reference (it stops at row-level clean/dedup,
+`data_loader.py:296-384`); both are table-stakes for assembling LLM
+training corpora at scale, and both are pure DataFrame compositions —
+no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.functions.text import tokens
+from etl_gcp_spark.operators.text_dedup import with_shingles
+
+
+def pack_documents(
+    documents: DataFrame,
+    *,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs, sequentially by
+    id WITHIN each shard: pack_id = floor(exclusive-prefix-tokens /
+    budget) — the streaming "fill until the budget rolls over" rule.
+
+    Packing is per-shard (one window partition per ``shard_col``
+    value), not global: a single global running sum would serialize
+    the whole corpus through one partition at 100 TB, while per-shard
+    windows parallelize across shards and match how corpora are
+    actually sharded. One shuffle on the shard key.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    return (
+        documents.select(
+            F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")
+        )
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget).alias(
+                "pack_id"
+            ),
+        )
+    )
+
+
+def contamination_overlap(
+    documents: DataFrame,
+    *,
+    benchmark_source: str = "src0",
+    min_shared: int = 5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Benchmark-contamination screen: corpus documents sharing ≥
+    ``min_shared`` distinct n-gram shingles with ANY document of the
+    held-out benchmark shard.
+
+    The benchmark shingle set is small by construction (eval sets
+    are) — it is deduplicated and broadcast, so the corpus side needs
+    one scan, one broadcast semi-ish join on the 8-byte shingle hash,
+    and one count per doc. No quadratic pair join: overlap is counted
+    against the UNION of benchmark shingles, which is what a
+    decontamination filter actually thresholds on.
+    """
+    sh = with_shingles(documents, text_col, id_col, n)
+    ids = documents.select(F.col(id_col), F.col(source_col))
+    sh = sh.join(ids, id_col)
+    posting = sh.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode_outer("shingles").alias("shingle"),
+    ).select(
+        F.col(id_col), F.col(source_col), F.xxhash64("shingle").alias("__h")
+    )
+    bench = (
+        posting.filter(F.col(source_col) == benchmark_source)
+        .select("__h")
+        .dropDuplicates()
+    )
+    return (
+        posting.filter(F.col(source_col) != benchmark_source)
+        .join(F.broadcast(bench), "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
