@@ -199,36 +199,57 @@ def winnow_fingerprints(
     (substring-level) overlap that shingle/MinHash whole-set
     similarity misses.
 
-    Hashes are ``xxhash64`` (not SQL-portable, so this operator takes
-    the rows-only check; invariants are unit-tested instead).
+    Hashes are content-deterministic polynomial rolling hashes (not
+    SQL-portable, so this operator takes the rows-only check;
+    invariants are unit-tested instead).
+
+    Implementation is an Arrow-batched ``mapInPandas`` kernel, the
+    right tool for genuinely per-document imperative logic: the
+    computation never leaves the document (no shuffle — the windowed
+    SQL formulation moves every k-gram through an exchange), and the
+    hash/window-min/dedup pipeline vectorizes across positions in
+    numpy. The pure-Column HOF form evaluated interpreted and cost
+    4×; uint64 arithmetic wraps mod 2⁶⁴, so hashes are deterministic
+    on every platform.
     """
-    # staged projections: each lambda must reference a MATERIALIZED
-    # column, never an inline subexpression — a lambda body re-runs
-    # its subexpressions per element, which here would make the
-    # window-minimum pass O(len²) per document (measured: sf0.1 went
-    # from >4 min to ~3 s after staging)
-    t = F.lower(F.trim(F.col(text_col)))
-    staged = documents.filter(F.length(t) >= k + window - 1).select(
-        F.col(id_col), t.alias("__t")
-    )
-    hashed = staged.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(1), F.length("__t") - k + 1),
-            lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(k))),
-        ).alias("__gh"),
-    )
-    picked = hashed.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__gh") - window),
-                lambda i: F.array_min(F.slice(F.col("__gh"), i + 1, window)),
-            )
-        ).alias("__fp"),
-    )
-    return picked.select(
-        F.col(id_col), F.explode_outer("__fp").alias("fingerprint")
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1099511628211)  # FNV-1a prime; any odd multiplier works
+
+    def kernel(batches):
+        np.seterr(over="ignore")
+        pw = B ** np.arange(k, dtype=np.uint64)[::-1]
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                codes = np.frombuffer(
+                    txt.strip().lower().encode("utf-8"), dtype=np.uint8
+                ).astype(np.uint64)
+                n = len(codes) - k + 1  # k-gram count (utf-8 byte-grams)
+                if n < window:
+                    continue
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    h += codes[j : j + n] * pw[j]
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    h, window
+                ).min(axis=1)
+                fp = np.unique(mins).astype(np.int64)
+                ids_out.append(np.full(len(fp), did, dtype=np.int64))
+                fps_out.append(fp)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "fingerprint": np.concatenate(fps_out),
+                    }
+                )
+
+    return documents.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, f"{id_col} long, fingerprint long"
     )
 
 
