@@ -340,6 +340,18 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_rolling_spend(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import rolling_weekly_spend
+
+    return rolling_weekly_spend(_t(spark, sf_dir, "orders"))
+
+
+def _q_gap_fill(spark, sf_dir):
+    from etl_gcp_spark.operators.events import gap_fill_hourly
+
+    return gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
 def _q_percentiles(spark, sf_dir):
     from etl_gcp_spark.operators.relational import order_value_percentiles
 
@@ -813,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
         "pii_redact": _q_pii_redact,
+        "rolling_weekly_spend": _q_rolling_spend,
+        "gap_fill_hourly": _q_gap_fill,
         "pack_documents": _q_pack_documents,
         "contamination_overlap": _q_contamination,
         "order_percentiles": _q_percentiles,
@@ -1554,6 +1568,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE source <> 'src0'
             GROUP BY doc_id
             HAVING count(*) >= 5
+        """,
+        "rolling_weekly_spend": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+                   ), 4) AS spend_7d
+            FROM orders
+        """,
+        "gap_fill_hourly": """
+            WITH bounds AS (
+                SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                       date_trunc('hour', max(ts)) AS h1
+                FROM events GROUP BY user_id
+            ), grid AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                FROM bounds
+            ), hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS n,
+                       max_by(event_type, event_id) AS last_type
+                FROM events GROUP BY 1, 2
+            )
+            SELECT g.user_id, g.hour, coalesce(n, 0) AS n_events,
+                   last_value(last_type IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hour
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS state_type
+            FROM grid g
+            LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
         """,
         "q18_large_orders": """
             WITH big AS (

@@ -245,3 +245,48 @@ def time_rollup(events: DataFrame) -> DataFrame:
             4,
         ).cast("double").alias("total_value"),
     )
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Time-grid gap filling: one row per (user, hour) between the
+    user's first and last activity — zero-filled event counts plus a
+    forward-filled activity state (the last event_type seen).
+
+    The hourly grid is generated per user with ``sequence`` + explode
+    (no driver-side calendar, no cross join against a global grid —
+    each user's span stays in its own partition), and forward fill is
+    ``last(ignorenulls)`` over an unbounded-preceding frame: one
+    shuffle on user_id total. The in-hour state tie-break is
+    ``max_by(event_type, event_id)`` — deterministic because event
+    ids are unique.
+    """
+    hours = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("__h0"),
+        F.date_trunc("hour", F.max("ts")).alias("__h1"),
+    )
+    grid = hours.select(
+        "user_id",
+        F.explode(
+            F.sequence("__h0", "__h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max_by("event_type", "event_id").alias("__last_type"),
+    )
+    ff = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("__n", F.lit(0)).alias("n_events"),
+            F.last("__last_type", ignorenulls=True)
+            .over(ff)
+            .alias("state_type"),
+        )
+    )

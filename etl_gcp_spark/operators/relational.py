@@ -959,3 +959,27 @@ def grouping_sets_totals(orders: DataFrame) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total_value"),
         )
     )
+
+
+def rolling_weekly_spend(orders: DataFrame, *, days: int = 7) -> DataFrame:
+    """RANGE-frame window: per customer, total spend over the trailing
+    ``days`` calendar days — a time-based frame (peers by timestamp),
+    not a row-count frame, so same-day orders fall in the same frame
+    regardless of row order.
+
+    One shuffle on the customer key; the frame bound is epoch seconds
+    (integer range), portable to the oracle's epoch()-based frame.
+    Rounded sums are safe here without decimals: frames hold few
+    2-dp values, so the double sum sits ~1e-11 from a 2-dp decimal,
+    never near a 4-dp rounding boundary.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias(f"spend_{days}d"),
+    )

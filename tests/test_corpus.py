@@ -65,3 +65,42 @@ def test_contamination_flags_verbatim_copy(spark):
         ).collect()
     }
     assert out == {2: 8}  # 10 tokens -> 8 trigrams, all shared
+
+
+def test_rolling_weekly_spend_trailing_frame(spark):
+    from etl_gcp_spark.operators.relational import rolling_weekly_spend
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01", 100.0),
+            (2, 10, "2024-01-05", 50.0),   # within 7d of #1
+            (3, 10, "2024-01-20", 25.0),   # outside
+            (4, 11, "2024-01-05", 10.0),   # other customer
+        ],
+        "o_orderkey long, o_custkey long, d string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_custkey",
+        "cast(d as timestamp) as o_orderdate", "o_totalprice",
+    )
+    out = {r["o_orderkey"]: r["spend_7d"] for r in rolling_weekly_spend(orders).collect()}
+    assert out == {1: 100.0, 2: 150.0, 3: 25.0, 4: 10.0}
+
+
+def test_gap_fill_hourly_fills_and_carries_state(spark):
+    from etl_gcp_spark.operators.events import gap_fill_hourly
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "signup", 1.0, "{}"),
+            (2, "2024-01-01 03:20:00", 7, "click", 1.0, "{}"),
+        ],
+        "event_id long, t string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(t as timestamp) as ts",
+        "user_id", "event_type", "value", "props",
+    )
+    rows = sorted(gap_fill_hourly(events).collect(), key=lambda r: r["hour"])
+    assert len(rows) == 4  # hours 00..03 inclusive
+    assert [r["n_events"] for r in rows] == [1, 0, 0, 1]
+    # state carries forward through the empty hours
+    assert [r["state_type"] for r in rows] == ["signup", "signup", "signup", "click"]
