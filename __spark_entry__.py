@@ -352,6 +352,15 @@ def _q_gap_fill(spark, sf_dir):
     return gap_fill_hourly(_t(spark, sf_dir, "events"))
 
 
+def _q_salted_counts(spark, sf_dir):
+    """Skew path in the correctness gate: two-stage salted
+    aggregation (partial on (key, salt), combine on key) — result is
+    identical to a plain GROUP BY, which is what the oracle runs."""
+    from etl_gcp_spark.operators.skew import salted_count
+
+    return salted_count(_t(spark, sf_dir, "events"), "event_type")
+
+
 def _q_percentiles(spark, sf_dir):
     from etl_gcp_spark.operators.relational import order_value_percentiles
 
@@ -826,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_jsonl": _q_ingest_jsonl,
         "pii_redact": _q_pii_redact,
         "rolling_weekly_spend": _q_rolling_spend,
+        "salted_event_counts": _q_salted_counts,
         "gap_fill_hourly": _q_gap_fill,
         "pack_documents": _q_pack_documents,
         "contamination_overlap": _q_contamination,
@@ -1600,6 +1610,10 @@ def oracle_sql() -> dict[str, str]:
                    ) AS state_type
             FROM grid g
             LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+        """,
+        "salted_event_counts": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
         """,
         "q18_large_orders": """
             WITH big AS (
