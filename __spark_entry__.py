@@ -1524,7 +1524,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
         """,
-        "pii_redact": """
+        "pii_redact": r"""
             SELECT doc_id,
                    regexp_replace(
                      regexp_replace(
@@ -1542,7 +1542,7 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_ips
             FROM documents
         """,
-        "pack_documents": """
+        "pack_documents": r"""
             SELECT doc_id, source, n_tokens,
                    CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
             FROM (
@@ -1557,7 +1557,7 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
         """,
-        "contamination_overlap": """
+        "contamination_overlap": r"""
             WITH docs AS (
                 SELECT doc_id, source,
                        regexp_split_to_array(trim(text), '\s+') AS toks
