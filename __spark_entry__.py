@@ -284,6 +284,35 @@ def _q_q22(spark, sf_dir):
     )
 
 
+def _q_q11(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import important_parts
+
+    return important_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _q_q15(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import top_revenue_suppliers
+
+    return top_revenue_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def _q_q20(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import bulk_shippers
+
+    return bulk_shippers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -828,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": _q_q16,
         "q17_small_qty_revenue": _q_q17,
         "q19_disjunctive_revenue": _q_q19,
+        "q11_important_parts": _q_q11,
+        "q15_top_supplier": _q_q15,
+        "q20_bulk_shippers": _q_q20,
         "q21_waiting_suppliers": _q_q21,
         "q22_idle_customers": _q_q22,
         "grouping_sets_totals": _q_grouping_sets,
@@ -1443,6 +1475,58 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q11_important_parts": """
+            WITH nation_supp AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+            ), value AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(28,8))) AS part_value
+                FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM nation_supp)
+                GROUP BY 1
+            )
+            SELECT l_partkey,
+                   CAST(round(part_value, 4) AS DOUBLE) AS part_value
+            FROM value
+            WHERE part_value * (SELECT count(*) FROM value)
+                  > (SELECT sum(part_value) FROM value) * 2
+            ORDER BY 2 DESC, 1
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(28,8))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(round(total_rev, 4) AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q20_bulk_shippers": """
+            SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN
+                        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+                    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING sum(l_quantity) > 30
+              )
+            ORDER BY s_name
         """,
         "q21_waiting_suppliers": """
             WITH lo AS (

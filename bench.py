@@ -32,8 +32,11 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_margin",
+    "q11_important_parts",
     "q13_order_distribution",
+    "q15_top_supplier",
     "q16_supplier_variety",
+    "q20_bulk_shippers",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",

@@ -983,3 +983,164 @@ def rolling_weekly_spend(orders: DataFrame, *, days: int = 7) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 4).alias(f"spend_{days}d"),
     )
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style top supplier: revenue per supplier over one
+    quarter, returning the supplier(s) whose revenue equals the global
+    maximum (the reference view + scalar-max subquery collapsed into
+    one aggregate reused on both sides).
+
+    The max-equality test runs in exact decimal space — each per-row
+    double product is bit-identical across engines, cast to
+    DECIMAL(28,8) once, then summed order-independently — so the argmax
+    never flips on a last-ulp double difference. The revenue aggregate
+    is computed ONCE; the global max is a broadcast scalar crossed back
+    onto it (no self-join of lineitem), and supplier attaches by
+    broadcast.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(28,8)")
+            ).alias("total_rev")
+        )
+    )
+    best = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_3",
+    mean_factor: int = 2,
+) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose traded value through
+    one nation's suppliers exceeds ``mean_factor``× the MEAN per-part
+    value for that nation (lineitem value standing in for partsupp
+    supplycost*availqty — the driver tables carry no partsupp).
+
+    TPC-H's fixed share (0.0001/SF) must shrink with scale to stay
+    meaningful; a mean-relative cut is scale-free, so the same query is
+    non-trivial at sf0.001 and at 100 TB. The comparison is exact:
+    ``value * n_parts > factor * total`` multiplies DECIMAL sums by
+    integers only — independent of summation order and engine. One
+    shuffle (group by partkey); the national total is a broadcast
+    scalar, suppliers of the nation a broadcast semi join.
+    """
+    nation_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = (
+        lineitem.join(
+            F.broadcast(nation_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(28,8)")
+            ).alias("part_value")
+        )
+    )
+    total = value.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.col("n_parts")
+            > F.col("total_value") * F.lit(mean_factor)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def bulk_shippers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    name_prefix: str = "red",
+    nation_name: str = "NATION_3",
+    start: str = "1998-01-01",
+    end: str = "1999-01-01",
+    min_qty: int = 30,
+) -> DataFrame:
+    """TPC-H Q20-style nested-IN shape: suppliers in one nation who
+    shipped more than ``min_qty`` units of some prefix-named part in a
+    year (lineitem shipments standing in for partsupp availability).
+
+    The textbook double-nested IN — suppkey IN (… partkey IN (…)) —
+    becomes two broadcast left-semi joins feeding ONE grouped HAVING:
+    part's prefix filter broadcasts into the lineitem scan (with the
+    date range pushed to parquet), the qualifying (supp, part) totals
+    collapse to distinct suppkeys, and supplier is probed semi — no
+    row duplication, no correlated re-scan.
+    """
+    prefix_parts = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    heavy_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(prefix_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            heavy_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -138,3 +138,39 @@ def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
     plan = _plan(supplier_part_variety(t["lineitem"], t["part"], t["supplier"]))
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_q15_aggregates_once_no_self_join(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import top_revenue_suppliers
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(top_revenue_suppliers(t["lineitem"], t["supplier"]))
+    # the view + scalar-max subquery must not rescan lineitem: one
+    # lineitem scan, max as a broadcast scalar, supplier broadcast
+    assert plan.count("Scan parquet") <= 3  # lineitem (+reused), supplier
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the date range reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q11_semi_join_and_broadcast_scalar(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import important_parts
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(important_parts(t["lineitem"], t["supplier"], t["nation"]))
+    # nation suppliers reach lineitem as a broadcast LEFT SEMI (no row
+    # duplication); the national total is a broadcast scalar
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_is_two_semi_joins(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import bulk_shippers
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        bulk_shippers(t["supplier"], t["nation"], t["lineitem"], t["part"])
+    )
+    # both INs become semi joins; neither input is duplicated
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
