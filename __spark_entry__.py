@@ -313,6 +313,14 @@ def _q_q20(spark, sf_dir):
     )
 
 
+def _q_q12(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import shipmode_priority_counts
+
+    return shipmode_priority_counts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -858,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q_q17,
         "q19_disjunctive_revenue": _q_q19,
         "q11_important_parts": _q_q11,
+        "q12_shipmode_priority": _q_q12,
         "q15_top_supplier": _q_q15,
         "q20_bulk_shippers": _q_q20,
         "q21_waiting_suppliers": _q_q21,
@@ -1495,6 +1504,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE part_value * (SELECT count(*) FROM value)
                   > (SELECT sum(part_value) FROM value) * 2
             ORDER BY 2 DESC, 1
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q15_top_supplier": """
             WITH rev AS (

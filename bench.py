@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q9_product_margin",
     "q11_important_parts",
+    "q12_shipmode_priority",
     "q13_order_distribution",
     "q15_top_supplier",
     "q16_supplier_variety",

@@ -1144,3 +1144,45 @@ def bulk_shippers(
         .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+def shipmode_priority_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    *,
+    late_days: int = 30,
+    start: str = "1997-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12-style conditional-count pivot: per ship class
+    (``l_returnflag`` standing in for the missing ``l_shipmode``), how
+    many late-shipped lines belonged to high- vs low-priority orders.
+
+    Both CASE branches ride the SAME grouped pass — one scan, one
+    shuffle on the group key, both counts map-side combined. The
+    shipdate year window is pushed to the parquet scan before the join,
+    so only the window's lines are shuffled; orders contributes three
+    columns. The lateness predicate is a non-equi residual on the
+    orderkey equi-join, evaluated inside the join, not after it.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    return (
+        lines.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

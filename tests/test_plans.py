@@ -164,6 +164,17 @@ def test_q11_semi_join_and_broadcast_scalar(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q12_conditional_counts_one_pass(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import shipmode_priority_counts
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(shipmode_priority_counts(t["lineitem"], t["orders"]))
+    # both priority counts ride one grouped pass with map-side combine
+    assert "partial_sum" in plan
+    # the shipdate year window reaches the lineitem parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
 def test_q20_nested_in_is_two_semi_joins(spark, sf_dir):
     from etl_gcp_spark.operators.relational import bulk_shippers
 
