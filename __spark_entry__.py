@@ -321,6 +321,77 @@ def _q_q12(spark, sf_dir):
     )
 
 
+def _q_cdc_upsert(spark, sf_dir):
+    from etl_gcp_spark.operators.cdc import cdc_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.withColumn("_src_rank", F.lit(2))
+    changes = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+        .withColumn("_src_rank", F.lit(1))
+    )
+    merged = cdc_upsert(base, changes, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).orderBy("o_orderkey")
+
+
+def _q_scd2(spark, sf_dir):
+    from etl_gcp_spark.operators.cdc import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        ["o_custkey"],
+        change_time="o_orderdate",
+        version_of=["o_orderkey", "o_totalprice"],
+        tiebreakers=["o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+def _q_agg_delta(spark, sf_dir):
+    from etl_gcp_spark.operators.cdc import merge_agg_delta
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base_agg = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias(
+                "o_totalprice"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    delta = orders.filter(F.col("o_orderdate") >= cut).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(28,8)")
+    )
+    merged = merge_agg_delta(
+        base_agg, delta, ["o_orderpriority"], sum_cols=["o_totalprice"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.round("o_totalprice", 4).cast("double").alias("total_price"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    ).orderBy("o_orderpriority")
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -871,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_bulk_shippers": _q_q20,
         "q21_waiting_suppliers": _q_q21,
         "q22_idle_customers": _q_q22,
+        "cdc_upsert_orders": _q_cdc_upsert,
+        "scd2_order_history": _q_scd2,
+        "agg_delta_merge": _q_agg_delta,
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
@@ -1550,6 +1624,44 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 30
               )
             ORDER BY s_name
+        """,
+        "cdc_upsert_orders": """
+            WITH unioned AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority, 2 AS _src_rank
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       round(o_totalprice * 1.1, 4) AS o_totalprice,
+                       o_orderdate, o_orderpriority, 1 AS _src_rank
+                FROM orders WHERE o_orderkey % 5 = 0
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 4) AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM unioned
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY _src_rank) = 1
+            ORDER BY o_orderkey
+        """,
+        "scd2_order_history": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 4) AS o_totalprice,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER w AS valid_to,
+                   lead(o_orderdate) OVER w IS NULL AS is_current
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "agg_delta_merge": """
+            SELECT o_orderpriority,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 4)
+                        AS DOUBLE) AS total_price,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "q21_waiting_suppliers": """
             WITH lo AS (

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "grouping_sets_totals",
+    "cdc_upsert_orders",
+    "scd2_order_history",
+    "agg_delta_merge",
     "tfidf_top_terms",
     "order_percentiles",
     "price_band_totals",

@@ -1,0 +1,128 @@
+"""CDC / incremental-maintenance operators.
+
+The reference is a change-data-capture pipeline in name and shape —
+its transient chunks are literally ``cdc_chunk_%04d.csv``
+(``data_extractor.py:205-217``) and each daily run is a full-refresh
+upsert of the warehouse table (``data_loader.py:429-433``,
+WRITE_TRUNCATE then WRITE_APPEND). These operators give that flow
+engine-level semantics that stay cheap when the table no longer fits a
+daily rewrite:
+
+- :func:`cdc_upsert` — keep-latest-per-key merge of a change batch
+  into a base snapshot (SCD type 1). One shuffle on the key.
+- :func:`scd2_history` — effective-dated history (SCD type 2) from an
+  append-only change log, via a single window pass.
+- :func:`merge_agg_delta` — incremental maintenance of a grouped
+  aggregate: combine a materialized base aggregate with the aggregate
+  of a delta batch WITHOUT rescanning base facts. At 100 TB the base
+  is never re-read; only the delta shuffles.
+
+Scale notes: upsert shuffles once on the merge key (window over
+``partitionBy(keys)``); with the base stored bucketed by the key
+(`sinks/writers.py::write_bucketed`) the exchange on the base side
+disappears entirely. ``merge_agg_delta`` expresses re-aggregation of
+two pre-aggregated inputs — Spark plans a partial/final aggregate over
+inputs that are already tiny compared to the facts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cdc_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    *,
+    version_col: str = "_src_rank",
+) -> DataFrame:
+    """Merge ``changes`` into ``base``, keeping exactly one row per key
+    — the one with the LOWEST ``version_col`` (rank 1 = newest batch).
+
+    Spark-first MERGE INTO: union the two sides (schema-aligned by
+    name), then one ``row_number`` window over the key. A single
+    shuffle on ``keys``; no join, no base rewrite of untouched
+    partitions at the storage layer when combined with partitioned /
+    bucketed sinks. Inserts (keys only in ``changes``) and updates
+    (keys in both) fall out of the same pass; ``base``-only keys
+    survive untouched.
+    """
+    unioned = base.unionByName(changes)
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", version_col)
+    )
+
+
+def scd2_history(
+    log: DataFrame,
+    keys: Sequence[str],
+    *,
+    change_time: str,
+    version_of: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Effective-dated history (SCD type 2) from an append-only change
+    log: each logged state of a key becomes a row with
+    ``valid_from``/``valid_to`` bounds and an ``is_current`` flag.
+
+    One window pass — ``lead(change_time)`` over the key ordered by
+    time closes each interval; the last state per key stays open
+    (``valid_to`` NULL, ``is_current`` true). No self-join: the naive
+    formulation (each row joined to its successor) would shuffle the
+    log twice and skew on hot keys; ``lead`` is one shuffle, one sort,
+    linear scan per partition.
+
+    ``tiebreakers`` make the interval chain deterministic when two
+    states of one key share a ``change_time`` — without them the
+    lead() order (hence the history) is partitioning-dependent.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(change_time).asc(), *[F.col(t).asc() for t in tiebreakers]
+    )
+    out = log.select(
+        *keys,
+        *version_of,
+        F.col(change_time).alias("valid_from"),
+        F.lead(change_time).over(w).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_agg_delta(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Fold a delta batch's grouped aggregate into a materialized base
+    aggregate without touching base facts.
+
+    ``delta`` is raw fact rows; it is aggregated to the same shape as
+    ``base_agg`` (per-key SUMs + row count), then the two aggregates
+    are unioned and re-summed. SUM and COUNT are commutative monoids,
+    so re-aggregating partial aggregates is exact — the identity Spark
+    itself exploits for map-side partial aggregation, lifted to the
+    storage layer. The expensive input is never rescanned: cost is
+    O(|delta| + |groups|), not O(|base facts|).
+    """
+    delta_agg = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).alias(count_col),
+        )
+    )

@@ -1,0 +1,134 @@
+"""CDC / incremental-maintenance operator semantics (operators/cdc.py).
+
+The reference's pipeline is a daily full-refresh CDC load
+(data_extractor.py:205-217 chunk naming, data_loader.py:429-433
+truncate-then-append); these tests pin the engine-level merge
+semantics that replace the rewrite at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.cdc import cdc_upsert, merge_agg_delta, scd2_history
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, 2), (2, "b", 20.0, 2), (3, "c", 30.0, 2)],
+        "k int, v string, amt double, _src_rank int",
+    )
+
+
+def test_upsert_update_insert_untouched(spark):
+    changes = spark.createDataFrame(
+        [(2, "B", 25.0, 1), (4, "d", 40.0, 1)],
+        "k int, v string, amt double, _src_rank int",
+    )
+    out = {
+        r["k"]: (r["v"], r["amt"])
+        for r in cdc_upsert(_base(spark), changes, ["k"]).collect()
+    }
+    assert out == {
+        1: ("a", 10.0),  # untouched
+        2: ("B", 25.0),  # updated (changes rank wins)
+        3: ("c", 30.0),  # untouched
+        4: ("d", 40.0),  # inserted
+    }
+
+
+def test_upsert_drops_bookkeeping_columns(spark):
+    changes = _base(spark).limit(0)
+    cols = cdc_upsert(_base(spark), changes, ["k"]).columns
+    assert "_src_rank" not in cols and "_rn" not in cols
+
+
+def test_upsert_single_shuffle_no_join(spark):
+    changes = _base(spark).limit(0)
+    plan = (
+        cdc_upsert(_base(spark), changes, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # merge is union + window, never a join
+    assert plan.count("Exchange") == 1  # one shuffle, on the merge key
+
+
+def test_scd2_interval_chain(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 101, "2024-01-01"),
+            (1, 102, "2024-02-01"),
+            (1, 103, "2024-03-01"),
+            (2, 201, "2024-01-15"),
+        ],
+        "k int, state int, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    rows = sorted(
+        scd2_history(
+            log, ["k"], change_time="t", version_of=["state"]
+        ).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    # each interval closes at the next state's start; last stays open
+    assert [r["state"] for r in rows] == [101, 102, 103, 201]
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+    assert rows[1]["valid_to"] == rows[2]["valid_from"]
+    assert rows[2]["valid_to"] is None and rows[2]["is_current"]
+    assert rows[3]["valid_to"] is None and rows[3]["is_current"]
+    assert not rows[0]["is_current"] and not rows[1]["is_current"]
+
+
+def test_scd2_tiebreaker_is_deterministic(spark):
+    log = spark.createDataFrame(
+        [(1, 9, "2024-01-01"), (1, 3, "2024-01-01")],
+        "k int, state int, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    rows = sorted(
+        scd2_history(
+            log,
+            ["k"],
+            change_time="t",
+            version_of=["state"],
+            tiebreakers=["state"],
+        ).collect(),
+        key=lambda r: r["state"],
+    )
+    assert rows[0]["state"] == 3 and not rows[0]["is_current"]
+    assert rows[1]["state"] == 9 and rows[1]["is_current"]
+
+
+def test_merge_agg_delta_equals_full_recompute(spark, sf_dir):
+    from etl_gcp_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(28,8)")
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base_agg = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("o_totalprice"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    merged = {
+        r["o_orderpriority"]: (r["o_totalprice"], r["n_rows"])
+        for r in merge_agg_delta(
+            base_agg, delta, ["o_orderpriority"], sum_cols=["o_totalprice"]
+        ).collect()
+    }
+    full = {
+        r["o_orderpriority"]: (r["o_totalprice"], r["n_rows"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("o_totalprice"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    # decimal sums are exact: delta-merged aggregate == full recompute
+    assert merged == full
