@@ -900,6 +900,13 @@ def _q_stream_user_stats(spark, sf_dir):
     )
 
 
+def _q_stream_upsert(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_upsert
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_upsert(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def _q_stream_interval_join(spark, sf_dir):
     from etl_gcp_spark.streaming.events import (
         run_streaming_click_purchase_join,
@@ -1013,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": _q_frame_samples,
         "streaming_hourly_counts": _q_stream_hourly,
         "streaming_dedup": _q_stream_dedup,
+        "streaming_upsert": _q_stream_upsert,
         "streaming_user_stats": _q_stream_user_stats,
         "streaming_interval_join": _q_stream_interval_join,
         "streaming_sessions": _q_stream_sessions,
@@ -2051,6 +2059,13 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND c.ts <= p.ts
              AND c.ts >= p.ts - INTERVAL 1 HOUR
+        """,
+        "streaming_upsert": """
+            SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+                   event_type AS last_type, value AS last_value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
         "streaming_user_stats": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -39,9 +39,19 @@ def cdc_upsert(
     keys: Sequence[str],
     *,
     version_col: str = "_src_rank",
+    order_by: Sequence = (),
 ) -> DataFrame:
-    """Merge ``changes`` into ``base``, keeping exactly one row per key
-    — the one with the LOWEST ``version_col`` (rank 1 = newest batch).
+    """Merge ``changes`` into ``base``, keeping exactly one row per key.
+
+    Two recency models:
+
+    - default: the row with the LOWEST ``version_col`` wins (rank 1 =
+      newest batch) — batch-recency merge; the bookkeeping column is
+      dropped from the output.
+    - ``order_by`` given (Column expressions): the first row under
+      that ordering wins — e.g. ``[col('ts').desc()]`` for
+      newest-by-event-time, which is the correct model when batches
+      are NOT time-ordered (file backfills, out-of-order streams).
 
     Spark-first MERGE INTO: union the two sides (schema-aligned by
     name), then one ``row_number`` window over the key. A single
@@ -52,12 +62,14 @@ def cdc_upsert(
     survive untouched.
     """
     unioned = base.unionByName(changes)
-    w = Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
-    return (
+    order = list(order_by) if order_by else [F.col(version_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", version_col)
+        .drop("_rn")
     )
+    return out if order_by else out.drop(version_col)
 
 
 def scd2_history(

@@ -265,3 +265,80 @@ def run_streaming_click_purchase_join(
         ),
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
     return _run_to_memory(joined, output_mode="append")
+
+
+def run_streaming_upsert(
+    spark: SparkSession, events_path: str, *, n_batches: int = 4
+) -> DataFrame:
+    """Continuous CDC: fold each microbatch into a keyed snapshot
+    (newest event per user) with ``foreachBatch`` + ``cdc_upsert``.
+
+    The events replay is staged as ``n_batches`` files consumed one per
+    trigger (``maxFilesPerTrigger=1``), so the merge really runs N
+    times against an evolving store — not a single-batch degenerate
+    run. Batches are NOT time-ordered (the split is hash-partitioned),
+    so the merge orders by event time, not batch arrival:
+    ``cdc_upsert(..., order_by=[ts desc, event_id desc])`` — the
+    upsert that stays correct under out-of-order delivery/backfill.
+
+    The snapshot lives as versioned parquet (write-new-then-swap
+    pointer, never overwrite-in-place of a file being read — the
+    pattern an object-store sink needs anyway). State per key is one
+    row; snapshot size is bounded by |keys|, not stream length. At
+    scale the same merge targets a partitioned/bucketed table so only
+    touched partitions rewrite.
+    """
+    from pyspark.sql import Window
+
+    from etl_gcp_spark.operators.cdc import cdc_upsert
+
+    batch = spark.read.schema(EVENTS_SCHEMA).format("parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_upsert_{uuid.uuid4().hex}"
+    )
+    staged = os.path.join(root, "in")
+    batch.load(events_path).repartition(n_batches).write.parquet(staged)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    state = {"dir": None, "version": 0}
+    recency = lambda: [F.col("ts").desc(), F.col("event_id").desc()]  # noqa: E731
+
+    def merge(batch_df, _batch_id):
+        w = Window.partitionBy("user_id").orderBy(*recency())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if state["dir"] is None:
+            merged = latest
+        else:
+            prev = batch_df.sparkSession.read.parquet(state["dir"])
+            merged = cdc_upsert(prev, latest, ["user_id"], order_by=recency())
+        state["version"] += 1
+        out = os.path.join(root, f"v{state['version']}")
+        merged.write.parquet(out)
+        state["dir"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["dir"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -99,6 +99,35 @@ def test_scd2_tiebreaker_is_deterministic(spark):
     assert rows[1]["state"] == 9 and rows[1]["is_current"]
 
 
+def test_streaming_upsert_matches_batch_latest(spark, sf_dir):
+    import os
+
+    from pyspark.sql import Window
+
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_upsert
+
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_ts"])
+        for r in run_streaming_upsert(
+            spark, os.path.join(sf_dir, "events.parquet"), n_batches=4
+        ).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    # 4 hash-split (time-interleaved) microbatches merged by event time
+    # reproduce exactly the batch-computed newest-per-user snapshot
+    assert got == want
+
+
 def test_merge_agg_delta_equals_full_recompute(spark, sf_dir):
     from etl_gcp_spark.sources.readers import load_table
 
