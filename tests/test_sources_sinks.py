@@ -95,3 +95,27 @@ def test_quality_metrics_on_real_table(spark, sf_dir):
     assert row.row_count > 0
     assert row.distinct_l_returnflag >= 1
     assert row.null_l_orderkey == 0
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
+    """A selective dim filter must prune FACT partitions at runtime
+    (dynamic partition pruning), not just at the dim scan — the
+    mechanism that keeps a star join from scanning 100 TB of fact
+    partitions when the dim filter hits a handful of them."""
+    fact = os.path.join(str(tmp_path), "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact)
+    dim = spark.createDataFrame(
+        [Row(priority="1-URGENT", tier="hot"), Row(priority="5-LOW", tier="cold")]
+    ).filter(F.col("tier") == "hot")
+    joined = (
+        spark.read.parquet(fact)
+        .join(F.broadcast(dim), F.col("o_orderpriority") == F.col("priority"))
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
