@@ -134,14 +134,28 @@ def ngram_jaccard_pairs(
     # ints) — ~shingles·8 B per doc, safe to pin at corpus scale.
     posting = sized.select(
         F.col(id_col),
+        F.col("n_sh"),
         F.explode_outer(F.slice("__hs", F.lit(1), F.col("__plen"))).alias(
             "__h"
         ),
     )
+    # length filter (PPJoin's second prune): J ≥ θ forces
+    # min(|A|,|B|)/max(|A|,|B|) ≥ θ, checked in the same exact
+    # integer space as the prefix (min·den ≥ max·num). Evaluated
+    # inside the posting join, it kills size-incompatible candidates
+    # before the dropDuplicates shuffle and the array-intersect
+    # verification — the hot-shingle quadratic term only pays for
+    # pairs that could still qualify.
     cands = (
         posting.alias("x")
         .join(posting.alias("y"), F.col("x.__h") == F.col("y.__h"))
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .filter(
+            (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            & (
+                F.least(F.col("x.n_sh"), F.col("y.n_sh")) * F.lit(den)
+                >= F.greatest(F.col("x.n_sh"), F.col("y.n_sh")) * F.lit(num)
+            )
+        )
         .select(
             F.col(f"x.{id_col}").alias("id1"),
             F.col(f"y.{id_col}").alias("id2"),
