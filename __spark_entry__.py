@@ -392,6 +392,18 @@ def _q_agg_delta(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def _q_value_distribution(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import order_value_distribution
+
+    return order_value_distribution(_t(spark, sf_dir, "orders"))
+
+
+def _q_variant_props(spark, sf_dir):
+    from etl_gcp_spark.operators.events import variant_props_stats
+
+    return variant_props_stats(_t(spark, sf_dir, "events"))
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -952,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_upsert_orders": _q_cdc_upsert,
         "scd2_order_history": _q_scd2,
         "agg_delta_merge": _q_agg_delta,
+        "order_value_distribution": _q_value_distribution,
+        "variant_props_stats": _q_variant_props,
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
@@ -1632,6 +1646,29 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 30
               )
             ORDER BY s_name
+        """,
+        "order_value_distribution": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER w AS BIGINT) AS value_quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+        """,
+        "variant_props_stats": """
+            SELECT event_type,
+                   CAST(count(CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT)) AS BIGINT) AS n_with_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "cdc_upsert_orders": """
             WITH unioned AS (

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "grouping_sets_totals",
+    "order_value_distribution",
+    "variant_props_stats",
     "cdc_upsert_orders",
     "scd2_order_history",
     "agg_delta_merge",

@@ -290,3 +290,33 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
             .alias("state_type"),
         )
     )
+
+
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, ``variant_get`` typed
+    paths out of it — the open-schema path for event payloads whose
+    keys are not known at write time.
+
+    VARIANT beats string re-parsing at scale: the JSON text is parsed
+    ONCE into a binary encoding and every subsequent path access is a
+    cheap binary probe, where ``get_json_object`` re-tokenizes the
+    string per extraction. With payloads stored as a variant column in
+    parquet, Spark 4 also pushes shredded-field pruning to the scan.
+    NULL/absent keys degrade to NULL (count skips them), so ragged
+    payloads need no schema migration.
+    """
+    typed = events.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

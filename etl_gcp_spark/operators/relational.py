@@ -1185,3 +1185,29 @@ def shipmode_priority_counts(
         )
         .orderBy("l_returnflag")
     )
+
+
+def order_value_distribution(orders: DataFrame, *, buckets: int = 4) -> DataFrame:
+    """Per-priority value distribution in ONE window pass: quartile
+    bucket (``ntile``), ``percent_rank`` and ``cume_dist`` for every
+    order within its priority class.
+
+    All three analytics share a single window spec, so Catalyst plans
+    ONE shuffle (hash on priority) + ONE sort — three columns for the
+    price of one pass. The window partitions by priority, never
+    globally: a global ntile would serialize the whole table through
+    one partition, the classic scale cliff this formulation avoids.
+    percent_rank/cume_dist are exact rationals of row counts —
+    engine-portable without rounding tricks (rounded only to tame
+    display width).
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(buckets).over(w).cast("bigint").alias("value_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -175,6 +175,19 @@ def test_q12_conditional_counts_one_pass(spark, sf_dir):
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
 
 
+def test_value_distribution_single_window_pass(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import order_value_distribution
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(order_value_distribution(t["orders"]))
+    # ntile + percent_rank + cume_dist share one window spec:
+    # exactly one shuffle and one Window operator, partitioned (no
+    # global single-partition sort)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
 def test_q20_nested_in_is_two_semi_joins(spark, sf_dir):
     from etl_gcp_spark.operators.relational import bulk_shippers
 
