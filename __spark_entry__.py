@@ -404,6 +404,18 @@ def _q_variant_props(spark, sf_dir):
     return variant_props_stats(_t(spark, sf_dir, "events"))
 
 
+def _q_zscore_outliers(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import zscore_outliers
+
+    return zscore_outliers(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        ["o_orderpriority"],
+        z_threshold=1.5,
+        id_cols=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).orderBy("o_orderkey")
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -966,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delta_merge": _q_agg_delta,
         "order_value_distribution": _q_value_distribution,
         "variant_props_stats": _q_variant_props,
+        "zscore_outliers": _q_zscore_outliers,
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
@@ -1646,6 +1659,25 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 30
               )
             ORDER BY s_name
+        """,
+        "zscore_outliers": r"""
+            WITH m AS (
+                SELECT o_orderpriority,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                            AS DOUBLE) AS s1,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))
+                                * CAST(o_totalprice AS DECIMAL(28,8)))
+                            AS DOUBLE) AS s2,
+                       CAST(count(o_totalprice) AS DOUBLE) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+                   round((o_totalprice - s1 / n)
+                         / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS zscore
+            FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+            WHERE abs(round((o_totalprice - s1 / n)
+                            / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)) > 1.5
+            ORDER BY o_orderkey
         """,
         "order_value_distribution": """
             SELECT o_orderkey, o_orderpriority,

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "grouping_sets_totals",
     "order_value_distribution",
     "variant_props_stats",
+    "zscore_outliers",
     "cdc_upsert_orders",
     "scd2_order_history",
     "agg_delta_merge",

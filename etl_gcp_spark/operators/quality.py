@@ -107,3 +107,56 @@ def freshness(
         F.round(age_h, 4).alias("age_hours"),
         (age_h <= F.lit(float(max_age_hours))).alias("fresh"),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    z_threshold: float = 3.0,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Statistical outlier gate: rows whose ``value_col`` deviates
+    more than ``z_threshold`` standard deviations from their group
+    mean (extends the reference's fixed-range rule P12 — hardcoded
+    0..100 bounds, data_loader.py:356-359 — to distribution-relative
+    bounds that survive schema/scale drift).
+
+    Moments are computed from EXACT decimal sums (Σx, Σx², n) so the
+    z-scores are independent of partitioning/summation order — the
+    same determinism contract as ``_exact_avg``; a double
+    ``stddev_samp`` would wobble in the last ulp across engines and
+    partitionings. One grouped pass over the facts; the tiny
+    per-group moment table broadcasts back onto the rows, so the
+    facts are scanned twice but shuffled never (broadcast join, no
+    exchange on the fact side at any scale where groups ≪ rows).
+    """
+    x = F.col(value_col).cast("decimal(28,8)")
+    moments = df.groupBy(*group_cols).agg(
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+        F.count(x).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    keep = id_cols if id_cols is not None else df.columns
+    z = (F.col(value_col) - F.col("__mean")) / F.col("__std")
+    return (
+        df.join(
+            F.broadcast(
+                moments.select(
+                    *group_cols,
+                    mean.alias("__mean"),
+                    F.sqrt(var).alias("__std"),
+                )
+            ),
+            group_cols,
+        )
+        .withColumn("zscore", F.round(z, 4))
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+        .select(*keep, "zscore")
+    )

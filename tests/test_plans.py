@@ -198,3 +198,19 @@ def test_q20_nested_in_is_two_semi_joins(spark, sf_dir):
     # both INs become semi joins; neither input is duplicated
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_outliers_broadcasts_moments(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import zscore_outliers
+
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        zscore_outliers(
+            t["orders"], "o_totalprice", ["o_orderpriority"],
+            z_threshold=1.5,
+        )
+    )
+    # the per-group moment table must come back as a broadcast join —
+    # the fact side is never shuffled on the group key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
