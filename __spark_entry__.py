@@ -416,6 +416,18 @@ def _q_zscore_outliers(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def _q_chunk_builtin(spark, sf_dir):
+    from etl_gcp_spark.functions.udtfs import chunk_documents_builtin
+
+    return chunk_documents_builtin(_t(spark, sf_dir, "documents"))
+
+
+def _q_chunk_udtf(spark, sf_dir):
+    from etl_gcp_spark.functions.udtfs import chunk_documents_udtf
+
+    return chunk_documents_udtf(spark, _t(spark, sf_dir, "documents"))
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -979,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_distribution": _q_value_distribution,
         "variant_props_stats": _q_variant_props,
         "zscore_outliers": _q_zscore_outliers,
+        "chunk_documents": _q_chunk_builtin,
+        "chunk_documents_udtf": _q_chunk_udtf,
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
@@ -1659,6 +1673,38 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 30
               )
             ORDER BY s_name
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           0, CAST(floor((len(toks) - 1) / 24)
+                                   AS BIGINT))) AS gs
+                FROM t
+            )
+            SELECT doc_id, CAST(gs AS INT) AS chunk_idx,
+                   array_to_string(toks[gs*24+1 : gs*24+32], ' ') AS chunk,
+                   CAST(len(toks[gs*24+1 : gs*24+32]) AS INT) AS n_tokens
+            FROM s
+        """,
+        "chunk_documents_udtf": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           0, CAST(floor((len(toks) - 1) / 24)
+                                   AS BIGINT))) AS gs
+                FROM t
+            )
+            SELECT doc_id, CAST(gs AS INT) AS chunk_idx,
+                   array_to_string(toks[gs*24+1 : gs*24+32], ' ') AS chunk,
+                   CAST(len(toks[gs*24+1 : gs*24+32]) AS INT) AS n_tokens
+            FROM s
         """,
         "zscore_outliers": r"""
             WITH m AS (

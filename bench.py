@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "order_value_distribution",
     "variant_props_stats",
     "zscore_outliers",
+    "chunk_documents",
     "cdc_upsert_orders",
     "scd2_order_history",
     "agg_delta_merge",

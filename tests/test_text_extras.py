@@ -73,3 +73,34 @@ def test_read_jsonl_declared_schema_no_inference(spark, sf_dir):
     ).write.mode("overwrite").text(bad)
     rows = read_jsonl(spark, bad, ddl).collect()
     assert rows[0]["doc_id"] is None
+
+
+def test_chunk_udtf_matches_builtin(spark, sf_dir):
+    """The UDTF (extension surface) and the sequence+slice JVM chain
+    (hot path) are twin implementations — identical output rows."""
+    from etl_gcp_spark.functions.udtfs import (
+        chunk_documents_builtin,
+        chunk_documents_udtf,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = chunk_documents_builtin(docs)
+    b = chunk_documents_udtf(spark, docs)
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+def test_chunk_builtin_stays_jvm_side(spark, sf_dir):
+    from etl_gcp_spark.functions.udtfs import chunk_documents_builtin
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        chunk_documents_builtin(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
+        assert marker not in plan
