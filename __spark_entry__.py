@@ -428,6 +428,12 @@ def _q_chunk_udtf(spark, sf_dir):
     return chunk_documents_udtf(spark, _t(spark, sf_dir, "documents"))
 
 
+def _q_metrics_long(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import priority_metrics_long
+
+    return priority_metrics_long(_t(spark, sf_dir, "orders"))
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -993,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": _q_zscore_outliers,
         "chunk_documents": _q_chunk_builtin,
         "chunk_documents_udtf": _q_chunk_udtf,
+        "priority_metrics_long": _q_metrics_long,
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
@@ -1673,6 +1680,25 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 30
               )
             ORDER BY s_name
+        """,
+        "priority_metrics_long": """
+            WITH wide AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS DOUBLE) AS n_orders,
+                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 4)
+                            AS DOUBLE) AS total_value,
+                       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                                       / count(o_totalprice)
+                                       AS DECIMAL(28,10)), 4)
+                            AS DOUBLE) AS avg_value
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+            FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'total_value', total_value FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'avg_value', avg_value FROM wide
         """,
         "chunk_documents": """
             WITH t AS (

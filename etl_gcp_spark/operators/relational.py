@@ -1211,3 +1211,31 @@ def order_value_distribution(orders: DataFrame, *, buckets: int = 4) -> DataFram
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+def priority_metrics_long(orders: DataFrame) -> DataFrame:
+    """Wide→long reshape (melt/UNPIVOT): one aggregated row per
+    priority with (n_orders, total_value, avg_value) columns, unpivoted
+    to (priority, metric, value) — the reporting shape the reference
+    emits as separate validation-issue records (data_loader.py:361-371
+    builds its issue list metric-by-metric; UNPIVOT is that list as a
+    relational operator).
+
+    ``unpivot`` is a zero-shuffle Expand over the already-aggregated
+    (tiny) wide table — the single groupBy shuffle is the only
+    exchange at any scale. avg is decimal-exact (``_exact_avg``) so
+    the long table is engine-portable.
+    """
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("total_value"),
+        _exact_avg("o_totalprice").alias("avg_value"),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_orders", "total_value", "avg_value"],
+        "metric",
+        "value",
+    )
