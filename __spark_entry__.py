@@ -434,6 +434,20 @@ def _q_metrics_long(spark, sf_dir):
     return priority_metrics_long(_t(spark, sf_dir, "orders"))
 
 
+def _q_nation_balance(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import nation_balance_fullouter
+
+    return nation_balance_fullouter(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def _q_except_all(spark, sf_dir):
+    from etl_gcp_spark.operators.relational import bulk_parts_except_returned
+
+    return bulk_parts_except_returned(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_grouping_sets(spark, sf_dir):
     from etl_gcp_spark.operators.relational import grouping_sets_totals
 
@@ -1000,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_builtin,
         "chunk_documents_udtf": _q_chunk_udtf,
         "priority_metrics_long": _q_metrics_long,
+        "nation_balance_fullouter": _q_nation_balance,
+        "bulk_parts_except_returned": _q_except_all,
         "grouping_sets_totals": _q_grouping_sets,
         "tfidf_top_terms": _q_tfidf,
         "ingest_jsonl": _q_ingest_jsonl,
@@ -1680,6 +1696,34 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 30
               )
             ORDER BY s_name
+        """,
+        "nation_balance_fullouter": """
+            WITH c AS (
+                SELECT c_nationkey,
+                       CAST(count(*) AS BIGINT) AS n_customers,
+                       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 4)
+                            AS DOUBLE) AS customer_balance
+                FROM customer GROUP BY 1
+            ), s AS (
+                SELECT s_nationkey,
+                       CAST(count(*) AS BIGINT) AS n_suppliers,
+                       CAST(round(sum(CAST(s_acctbal AS DECIMAL(28,8))), 4)
+                            AS DOUBLE) AS supplier_balance
+                FROM supplier GROUP BY 1
+            )
+            SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(customer_balance, 0.0) AS customer_balance,
+                   coalesce(n_suppliers, 0) AS n_suppliers,
+                   coalesce(supplier_balance, 0.0) AS supplier_balance
+            FROM c FULL JOIN s ON c_nationkey = s_nationkey
+            ORDER BY nationkey
+        """,
+        "bulk_parts_except_returned": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem
+            WHERE l_quantity > 45 AND l_returnflag = 'R'
         """,
         "priority_metrics_long": """
             WITH wide AS (

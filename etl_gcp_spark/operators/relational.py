@@ -1239,3 +1239,58 @@ def priority_metrics_long(orders: DataFrame) -> DataFrame:
         "metric",
         "value",
     )
+
+
+def nation_balance_fullouter(
+    customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Full-outer reconciliation: per-nation customer vs supplier
+    account balances side by side, keeping nations that have only one
+    of the two populations (the join shape LEFT/INNER silently drop).
+
+    Both sides aggregate BEFORE the join — the full-outer join runs on
+    two ≤|nations| row inputs, not on the raw tables, so its cost is
+    trivial at any scale and the row-multiplying hazard of outer joins
+    on facts never arises. Sums are decimal-exact.
+    """
+    cust = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("customer_balance"),
+    )
+    supp = supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("supplier_balance"),
+    )
+    joined = cust.join(
+        supp, F.col("c_nationkey") == F.col("s_nationkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
+    ).orderBy("nationkey")
+
+
+def bulk_parts_except_returned(
+    lineitem: DataFrame, *, min_qty: int = 45
+) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): bulk-shipped part keys minus
+    returned bulk shipments, KEEPING multiplicity — a part shipped in
+    bulk 3× and returned once survives twice, which the distinct
+    EXCEPT would collapse to one row.
+
+    ``exceptAll`` plans as a count-per-key aggregate on each side and
+    a generate of (count_left − count_right) copies — one shuffle per
+    side on the part key, no join explosion, no row-at-a-time logic.
+    """
+    bulk = lineitem.filter(F.col("l_quantity") > min_qty).select("l_partkey")
+    returned = lineitem.filter(
+        (F.col("l_quantity") > min_qty) & (F.col("l_returnflag") == "R")
+    ).select("l_partkey")
+    return bulk.exceptAll(returned)
