@@ -813,6 +813,38 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_universe_sample_join(spark, sf_dir):
+    from etl_gcp_spark.operators.sampling import sampled_join_revenue
+
+    return sampled_join_revenue(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"), fraction=0.1
+    )
+
+
+_STRATA_FRACTIONS = {"1-URGENT": 1.0, "3-MEDIUM": 0.2, "5-LOW": 0.05}
+
+
+def _q_stratified_sample_counts(spark, sf_dir):
+    from etl_gcp_spark.operators.sampling import stratified_sample
+
+    s = stratified_sample(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "o_orderpriority",
+        _STRATA_FRACTIONS,
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
 
@@ -1070,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_top_event_types": _q_daily_top_types,
         "time_rollup": _q_time_rollup,
         "near_dup_dedup": _q_near_dup_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "universe_sample_join": _q_universe_sample_join,
+        "stratified_sample_counts": _q_stratified_sample_counts,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "simhash_fingerprints": _q_simhash,
@@ -1458,6 +1493,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "universe_sample_join": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE ((o_orderkey * 48271) % 2147483647) % 10000 < 1000
+            ), l AS (
+                SELECT l_orderkey,
+                       l_extendedprice * (1 - l_discount) AS rev
+                FROM lineitem
+                WHERE ((l_orderkey * 48271) % 2147483647) % 10000 < 1000
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS sample_rows,
+                   round(sum(rev), 4) AS sample_revenue,
+                   round(sum(rev) / CAST(0.1 AS DOUBLE), 2) AS est_revenue
+            FROM o JOIN l ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "stratified_sample_counts": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+            FROM orders
+            WHERE ((o_orderkey * 48271) % 2147483647) % 10000 <
+                  CASE o_orderpriority
+                      WHEN '1-URGENT' THEN 10000
+                      WHEN '3-MEDIUM' THEN 2000
+                      WHEN '5-LOW' THEN 500
+                      ELSE 0
+                  END
+            GROUP BY o_orderpriority
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id1, id2 FROM ({_JACCARD_PAIRS})
+            ), sym AS (
+                SELECT id1 AS u, id2 AS v FROM pairs
+                UNION ALL
+                SELECT id2 AS u, id1 AS v FROM pairs
+            ), reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+            ), comp AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
+        """,
         "near_dup_dedup": f"""
             SELECT doc_id, text FROM documents
             WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))

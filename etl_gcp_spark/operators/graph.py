@@ -1,0 +1,123 @@
+"""Connected components over a pair graph — dedup clustering.
+
+The reference's dedup is keep-first over exact row groups
+(data_loader.py:301-311); the near-dup family (text_dedup.py) emits
+similar PAIRS. At corpus scale the pairs must be closed into
+CLUSTERS — a chain a~b~c is one duplicate group even when (a,c)
+itself is below threshold — and each cluster collapsed to one
+canonical representative. That closure is connected components.
+
+Spark-first design: iterative min-label propagation over the edge
+list. Each round is one shuffle-join (labels ⋈ edges) plus one
+map-side-combinable ``groupBy(min)``; labels only ever decrease, so
+the fixpoint test is a 1-row aggregate comparing ``sum(label)``
+between rounds (no row-wise diff join). Lineage is cut every round
+with ``localCheckpoint`` — without it the plan doubles per iteration
+and the job dies at ~20 rounds.
+
+Round count is bounded by component diameter. Near-dup clusters are
+near-cliques (every member within threshold of a shared template),
+so 2-3 rounds close them; for adversarial long-chain graphs switch
+to alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) which contracts in
+O(log² n) rounds — same per-round shuffle shape, so the plumbing
+here carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, component) for every vertex; component = min reachable id.
+
+    ``vertices`` supplies the universe (isolated vertices come out as
+    their own singleton component); ``edges`` is undirected input —
+    each row connects ``src_col`` ↔ ``dst_col`` regardless of order.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    # sum(lbl) is a monotone potential: propagation only lowers labels,
+    # so equality between rounds IS convergence. DECIMAL(38,0) keeps the
+    # sum exact for any realistic id domain (no double truncation).
+    total = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iterations):
+        msgs = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .select(F.col("v").alias("node"), F.col("lbl"))
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_total = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).first()[0]
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} rounds"
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("component")
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate clustering: close the exact-Jaccard pair graph
+    into components and label every document with its canonical
+    (minimum) cluster id.
+
+    Output: (doc_id, cluster_id, cluster_size). Singleton documents —
+    no similar partner, or too short to shingle — keep themselves as
+    cluster_id with cluster_size 1. Downstream keep-one-per-cluster
+    dedup is ``filter(doc_id == cluster_id)``; unlike the greedy rule
+    in :func:`~etl_gcp_spark.operators.text_dedup.near_dup_dedup`
+    (drop any doc matching a lower id), clustering keeps exactly one
+    representative per transitive group.
+    """
+    from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        documents, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(
+        documents.select(id_col),
+        pairs,
+        id_col=id_col,
+        src_col="id1",
+        dst_col="id2",
+    ).select(F.col(id_col), F.col("component").alias("cluster_id"))
+    sizes = F.count("*").over(Window.partitionBy("cluster_id"))
+    return comp.select(
+        id_col, "cluster_id", sizes.cast("bigint").alias("cluster_size")
+    )

@@ -1,0 +1,76 @@
+"""Connected-components / dedup-clustering contracts.
+
+A hand-built graph with a chain (transitive closure must merge it),
+a separate 2-clique, and isolated vertices; then the composed
+dedup_clusters operator on the crafted corpus from test_text_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from etl_gcp_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _graph(spark):
+    vertices = spark.createDataFrame([Row(id=i) for i in range(1, 9)])
+    # chain 1-2-3-4 (plus a reversed edge), clique 5-6, isolated 7, 8
+    edges = spark.createDataFrame(
+        [
+            Row(src=2, dst=1),
+            Row(src=2, dst=3),
+            Row(src=3, dst=4),
+            Row(src=5, dst=6),
+        ]
+    )
+    return vertices, edges
+
+
+def test_chain_closes_transitively(spark):
+    vertices, edges = _graph(spark)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_self_loops_and_dup_edges_are_harmless(spark):
+    vertices = spark.createDataFrame([Row(id=i) for i in (10, 20)])
+    edges = spark.createDataFrame(
+        [Row(src=10, dst=10), Row(src=10, dst=20), Row(src=20, dst=10)]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {10: 10, 20: 10}
+
+
+def test_dedup_clusters_groups_chain_not_just_pairs(spark):
+    # a~b and b~c similar, a~c NOT directly similar: clustering must
+    # still place all three in one cluster (vs near_dup_dedup's greedy
+    # pairwise rule). Build texts so adjacent jaccard >= 0.8.
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:36] + ["x1", "x2", "x3", "x4"])   # ~0.8 vs a
+    c = " ".join(base[:32] + ["x1", "x2", "x3", "x4", "y1", "y2", "y3", "y4"])
+    other = "entirely unrelated words making one more document here now"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=a),
+            Row(doc_id=2, text=b),
+            Row(doc_id=3, text=c),
+            Row(doc_id=4, text=other),
+            Row(doc_id=5, text="too short"),
+        ]
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, threshold=0.7).collect()
+    }
+    assert rows[4] == (4, 1) and rows[5] == (5, 1)
+    # all of 1,2,3 share cluster 1 iff the closure merged the chain
+    assert rows[1] == (1, 3) and rows[2] == (1, 3) and rows[3] == (1, 3)
+    # every doc labeled exactly once
+    assert len(rows) == 5
