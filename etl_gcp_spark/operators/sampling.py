@@ -1,0 +1,104 @@
+"""Deterministic, engine-portable sampling operators.
+
+The reference has no sampling (its validation reads full tables —
+data_validator.py:61-98); at 100 TB, quality metrics and debug
+queries need samples. ``df.sample()`` is wrong for that job twice
+over: it is nondeterministic across runs/partitionings, and sampling
+two tables independently breaks joins (a 10% sample of orders joined
+to a 10% sample of lineitem keeps ~1% of join rows, biased to
+nothing).
+
+Both operators here key the keep/drop decision on a DETERMINISTIC
+hash of a column, not an RNG:
+
+- repeatable: same rows survive on every run, any partitioning, any
+  engine — a DuckDB oracle can replay the exact sample;
+- universe sampling (VerdictDB/BlinkDB lineage): sampling BOTH join
+  sides by the same hash of the JOIN KEY keeps a coherent p-fraction
+  of the key universe, so sample(A) ⋈ sample(B) IS a p-sample of
+  A ⋈ B (every surviving key keeps all its rows on both sides) —
+  aggregate estimates scale by 1/p with no join-selectivity bias.
+
+The hash is a Lehmer/Park–Miller step, h(k) = (k·48271) mod
+(2³¹−1), chosen over xxhash64 deliberately: it is exact int64
+arithmetic both engines evaluate identically (safe for keys up to
+~1.9×10¹⁴ — beyond that, pre-reduce the key mod 2³¹−1), stays
+inside whole-stage codegen, and the filter is sargable enough to
+evaluate at scan time right after the parquet row-group read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_M31 = 2_147_483_647  # 2^31 - 1, Mersenne prime
+_A = 48_271  # Park–Miller multiplier
+
+
+def hash_bucket(key: Column, buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key."""
+    return ((key.cast("bigint") * F.lit(_A)) % F.lit(_M31)) % F.lit(buckets)
+
+
+def universe_sample(
+    df: DataFrame, key_col: str, fraction: float, *, buckets: int = 10_000
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``fraction`` of
+    bucket space. Same (key_col value ⇒ kept?) decision everywhere:
+    apply to both sides of a join on that key and the joined sample
+    is a ``fraction`` sample of the join."""
+    return df.filter(
+        hash_bucket(F.col(key_col), buckets) < int(round(fraction * buckets))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` made
+    repeatable): each stratum keeps its own fraction of the key
+    space. Rare strata can be kept at 1.0 while dominant strata are
+    thinned — the standard shape for balancing a skewed training
+    corpus."""
+    thresh = F.lit(int(round(default * buckets)))
+    for value, frac in sorted(fractions.items()):
+        thresh = (
+            F.when(F.col(strata_col) == value, int(round(frac * buckets)))
+            .otherwise(thresh)
+        )
+    return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)
+
+
+def sampled_join_revenue(
+    orders: DataFrame, lineitem: DataFrame, *, fraction: float = 0.1
+) -> DataFrame:
+    """Estimated revenue per order-priority from a universe sample.
+
+    Both tables are sampled by the SAME hash of the order key, so the
+    join loses no surviving order's lineitems; per-group revenue and
+    row counts scale by 1/fraction. Output carries the estimate next
+    to the surviving raw sums so the oracle can check both.
+    """
+    o = universe_sample(orders, "o_orderkey", fraction).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = universe_sample(lineitem, "l_orderkey", fraction).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("sample_rows"),
+            F.round(F.sum("rev"), 4).alias("sample_revenue"),
+            F.round(F.sum("rev") / fraction, 2).alias("est_revenue"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Deterministic-sampling contracts: repeatability, universe-join
+coherence, per-stratum thresholds."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.sampling import (
+    hash_bucket,
+    sampled_join_revenue,
+    stratified_sample,
+    universe_sample,
+)
+
+
+def _orders(spark, n=2000):
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("o_orderkey"),
+        F.when(F.col("id") % 3 == 0, "1-URGENT")
+        .when(F.col("id") % 3 == 1, "3-MEDIUM")
+        .otherwise("5-LOW")
+        .alias("o_orderpriority"),
+    )
+
+
+def test_universe_sample_is_deterministic(spark):
+    df = _orders(spark)
+    a = sorted(r[0] for r in universe_sample(df, "o_orderkey", 0.1).collect())
+    b = sorted(r[0] for r in universe_sample(df, "o_orderkey", 0.1).collect())
+    assert a == b and 0 < len(a) < 2000
+
+
+def test_universe_sample_fraction_roughly_holds(spark):
+    df = spark.range(1, 20001).select(F.col("id").alias("k"))
+    kept = universe_sample(df, "k", 0.1).count()
+    assert 1600 <= kept <= 2400  # 10% ± 2%
+
+
+def test_universe_join_keeps_whole_keys(spark):
+    # every order surviving the sample must keep ALL its lineitems:
+    # sample(A) ⋈ sample(B) on the hashed key loses no partial groups.
+    orders = _orders(spark, 500)
+    lineitem = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.explode(F.array(F.lit(1.0), F.lit(2.0))).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+    )
+    est = sampled_join_revenue(orders, lineitem, fraction=0.2)
+    per_key = (
+        universe_sample(orders, "o_orderkey", 0.2)
+        .join(
+            universe_sample(lineitem, "l_orderkey", 0.2),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .count()
+    )
+    # 2 lineitems per order, never 1 (a partial group would mean the
+    # two sides disagreed about a key)
+    assert {r["count"] for r in per_key.collect()} == {2}
+    assert est.count() > 0
+
+
+def test_stratified_thresholds_respected(spark):
+    df = _orders(spark, 3000)
+    out = stratified_sample(
+        df,
+        "o_orderkey",
+        "o_orderpriority",
+        {"1-URGENT": 1.0, "3-MEDIUM": 0.5},
+    )
+    counts = {
+        r["o_orderpriority"]: r["n"]
+        for r in out.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["1-URGENT"] == 1000  # fraction 1.0 keeps everything
+    assert 350 <= counts.get("3-MEDIUM", 0) <= 650
+    assert "5-LOW" not in counts  # default fraction 0 drops the stratum
+
+
+def test_hash_bucket_matches_reference_formula(spark):
+    rows = (
+        spark.range(1, 100)
+        .select(F.col("id"), hash_bucket(F.col("id"), 10_000).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert r["b"] == (r["id"] * 48271) % 2147483647 % 10000
