@@ -813,6 +813,92 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_lateral_topn(spark, sf_dir):
+    """Spark LATERAL correlated subquery (decorrelated by Catalyst to
+    a ranked window join): top-2 customers by balance per nation."""
+    from etl_gcp_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+def _q_write_roundtrip_orc(spark, sf_dir):
+    """S10 in a second columnar format: ORC write → read → aggregate
+    (same Catalyst scan pipeline; vectorized ORC reader)."""
+    from etl_gcp_spark.sinks.writers import write_table
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_orc_{os.path.basename(sf_dir)}"
+    )
+    write_table(
+        _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        ),
+        path,
+        fmt="orc",
+    )
+    return (
+        spark.read.orc(path)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
+        )
+    )
+
+
+def _q_compact_small_files(spark, sf_dir):
+    """Small-files compaction: fragment customer into ~tiny files,
+    compact to one, prove row preservation + the new file count."""
+    from etl_gcp_spark.sinks.writers import compact_files, write_table
+
+    base = os.path.basename(sf_dir)
+    frag = os.path.join(tempfile.gettempdir(), f"etl_gcp_spark_frag_{base}")
+    compacted = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_compact_{base}"
+    )
+    write_table(
+        _t(spark, sf_dir, "customer").repartition(16),
+        frag,
+        max_records_per_file=100,
+    )
+    n_files = compact_files(spark, frag, compacted, target_files=1)
+    out = spark.read.parquet(compacted)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_files).cast("bigint").alias("n_files_after"),
+    )
+
+
+def _q_hll_distinct_stats(spark, sf_dir):
+    """Sketch aggregates (Apache DataSketches HLL + GK quantiles):
+    mergeable distinct-count and percentile estimates per priority —
+    the 100 TB path where exact countDistinct's shuffle is the
+    bottleneck. Rows-only check: estimates are engine-specific."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_sketch_agg(o_custkey))"
+            ).alias("est_distinct_custs"),
+            F.expr("approx_percentile(o_totalprice, 0.5)").alias(
+                "approx_median_price"
+            ),
+            F.count_distinct(F.col("o_custkey")).alias("exact_distinct"),
+        )
+    )
+
+
 def _q_universe_sample_join(spark, sf_dir):
     from etl_gcp_spark.operators.sampling import sampled_join_revenue
 
@@ -1105,6 +1191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "universe_sample_join": _q_universe_sample_join,
         "stratified_sample_counts": _q_stratified_sample_counts,
+        "lateral_topn_per_nation": _q_lateral_topn,
+        "write_roundtrip_orc": _q_write_roundtrip_orc,
+        "compact_small_files": _q_compact_small_files,
+        "hll_distinct_stats": _q_hll_distinct_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash,
         "simhash_fingerprints": _q_simhash,
@@ -1493,6 +1583,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "lateral_topn_per_nation": """
+            SELECT n_name, t.c_name, t.c_acctbal
+            FROM nation CROSS JOIN LATERAL (
+                SELECT c_name, c_acctbal FROM customer
+                WHERE c_nationkey = n_nationkey
+                ORDER BY c_acctbal DESC, c_name LIMIT 2
+            ) t
+        """,
+        "write_roundtrip_orc": """
+            SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   round(sum(s_acctbal), 4) AS total_balance
+            FROM supplier
+            GROUP BY s_nationkey
+        """,
+        "compact_small_files": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(1 AS BIGINT) AS n_files_after
+            FROM customer
+        """,
         "universe_sample_join": """
             WITH o AS (
                 SELECT o_orderkey, o_orderpriority FROM orders

@@ -131,3 +131,33 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_files: int = 1,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ``target_files`` output files; returns the file count written.
+
+    The small-files problem is the dual of the reference's 50K-row
+    chunking (data_extractor.py:205-217): long-running ingest
+    accumulates thousands of tiny files and scan tasks degenerate to
+    per-file overhead. ``coalesce`` (no shuffle — merges input splits
+    into fewer tasks) rewrites the layout; at real scale pick
+    target_files ≈ bytes/128 MB. Repartition-by-range would also
+    re-cluster; coalesce is the cheap pure-compaction path.
+    """
+    df = spark.read.format(fmt).load(src_path)
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(dst_path)
+    import os as _os
+
+    return sum(
+        1
+        for f in _os.listdir(dst_path)
+        if not f.startswith(("_", ".")) and f.endswith(fmt)
+    )

@@ -92,3 +92,29 @@ def test_price_bands_broadcast_nested_loop(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     plan = _plan(price_band_totals(t["orders"]))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hll_sketch_estimate_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50_000).selectExpr("id % 1000 AS user", "id")
+    row = df.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user))").alias("est"),
+        F.count_distinct("user").alias("exact"),
+    ).first()
+    assert abs(row["est"] - row["exact"]) <= 0.05 * row["exact"]
+
+
+def test_hll_sketches_merge_across_partitions(spark):
+    # mergeability is the point of the sketch: union of per-group
+    # sketches == sketch of the union (within estimation error)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000).selectExpr("id % 4 AS part", "id % 500 AS user")
+    merged = (
+        df.groupBy("part")
+        .agg(F.expr("hll_sketch_agg(user)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .first()["est"]
+    )
+    assert abs(merged - 500) <= 25

@@ -119,3 +119,30 @@ def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in plan
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    import os
+
+    from etl_gcp_spark.sinks.writers import compact_files, write_table
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS g")
+    write_table(df.repartition(8), src, max_records_per_file=50)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith("parquet"))
+    n_dst = compact_files(spark, src, dst, target_files=1)
+    assert n_src >= 8 and n_dst == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert sorted(r["id"] for r in back.collect()) == list(range(1000))
+
+
+def test_orc_roundtrip_matches_source(spark, tmp_path):
+    from etl_gcp_spark.sinks.writers import write_table
+
+    path = str(tmp_path / "orc")
+    df = spark.range(0, 500).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v")
+    write_table(df, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 500
+    assert dict(back.dtypes) == dict(df.dtypes)
