@@ -813,6 +813,51 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_promo_window_shipments(spark, sf_dir):
+    """Binned range join (no nested-loop plan): shipments falling in
+    3-day promo windows anchored at every 97th order."""
+    from etl_gcp_spark.operators.rangejoin import range_join_binned
+
+    promo = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("w_start"),
+            (F.unix_date(F.col("o_orderdate").cast("date")) + 3).alias(
+                "w_end"
+            ),
+        )
+    )
+    points = _t(spark, sf_dir, "lineitem").select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("ship_day")
+    )
+    return (
+        range_join_binned(
+            points,
+            promo,
+            point_col="ship_day",
+            start_col="w_start",
+            end_col="w_end",
+            bin_width=3,
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipments"))
+    )
+
+
+def _q_funnel_conversion(spark, sf_dir):
+    from etl_gcp_spark.operators.events import funnel_stages
+
+    return funnel_stages(_t(spark, sf_dir, "events"))
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    from etl_gcp_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def _q_lateral_topn(spark, sf_dir):
     """Spark LATERAL correlated subquery (decorrelated by Catalyst to
     a ranked window join): top-2 customers by balance per nation."""
@@ -1192,6 +1237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "universe_sample_join": _q_universe_sample_join,
         "stratified_sample_counts": _q_stratified_sample_counts,
         "lateral_topn_per_nation": _q_lateral_topn,
+        "promo_window_shipments": _q_promo_window_shipments,
+        "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
         "write_roundtrip_orc": _q_write_roundtrip_orc,
         "compact_small_files": _q_compact_small_files,
         "hll_distinct_stats": _q_hll_distinct_stats,
@@ -1583,6 +1631,68 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "promo_window_shipments": """
+            WITH promo AS (
+                SELECT o_orderkey,
+                       CAST(o_orderdate AS DATE) AS ws
+                FROM orders WHERE o_orderkey % 97 = 0
+            )
+            SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipments
+            FROM promo JOIN lineitem
+              ON CAST(l_shipdate AS DATE) >= ws
+             AND CAST(l_shipdate AS DATE) < ws + 3
+            GROUP BY o_orderkey
+        """,
+        "funnel_conversion": """
+            WITH t0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), t1 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+                WHERE e.event_type = 'view' GROUP BY e.user_id
+            ), t2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), t3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), n AS (
+                SELECT (SELECT count(*) FROM t0) AS n0,
+                       (SELECT count(*) FROM t1) AS n1,
+                       (SELECT count(*) FROM t2) AS n2,
+                       (SELECT count(*) FROM t3) AS n3
+            )
+            SELECT CAST(1 AS INT) AS stage_no, 'signup' AS stage,
+                   CAST(n0 AS BIGINT) AS n_users,
+                   round(n0 * CAST(100.0 AS DOUBLE) / n0, 4) AS conversion_pct
+            FROM n
+            UNION ALL SELECT 2, 'view', CAST(n1 AS BIGINT),
+                   round(n1 * CAST(100.0 AS DOUBLE) / n0, 4) FROM n
+            UNION ALL SELECT 3, 'click', CAST(n2 AS BIGINT),
+                   round(n2 * CAST(100.0 AS DOUBLE) / n0, 4) FROM n
+            UNION ALL SELECT 4, 'purchase', CAST(n3 AS BIGINT),
+                   round(n3 * CAST(100.0 AS DOUBLE) / n0, 4) FROM n
+        """,
+        "retention_cohorts": """
+            WITH weeks AS (
+                SELECT user_id, date_trunc('week', ts) AS wk FROM events
+            ), first AS (
+                SELECT user_id, min(wk) AS cohort_week
+                FROM weeks GROUP BY user_id
+            )
+            SELECT cohort_week,
+                   CAST(floor(date_diff('day', CAST(cohort_week AS DATE),
+                                        CAST(wk AS DATE)) / 7) AS INT)
+                       AS week_offset,
+                   CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+            FROM weeks w JOIN first f ON w.user_id = f.user_id
+            WHERE floor(date_diff('day', CAST(cohort_week AS DATE),
+                                  CAST(wk AS DATE)) / 7) < 4
+            GROUP BY 1, 2
+        """,
         "lateral_topn_per_nation": """
             SELECT n_name, t.c_name, t.c_acctbal
             FROM nation CROSS JOIN LATERAL (

@@ -320,3 +320,88 @@ def variant_props_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str] = ["signup", "view", "click", "purchase"],
+) -> DataFrame:
+    """Ordered-funnel conversion: users reaching each stage IN ORDER.
+
+    Stage k counts a user only if a stage-k event happened strictly
+    after that user's stage-(k-1) entry time. One shuffle total: all
+    per-stage entry times are min-over-user window expressions on the
+    SAME partitioning (user_id), so Catalyst plans one Exchange and
+    chains Window operators; the k-step dependency (stage k's window
+    reads stage k-1's column) forces chained selects, not extra
+    shuffles. Output: (stage, n_users, conversion_pct) with
+    conversion relative to the first stage.
+    """
+    df = events.select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    prev = None
+    for k, stage in enumerate(stages):
+        cond = F.col("event_type") == stage
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        col = f"__t{k}"
+        df = df.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = col
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"__t{k}").alias(f"__t{k}") for k in range(len(stages))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"__t{k}").cast("bigint").alias(f"__n{k}")
+            for k in range(len(stages))
+        ]
+    )
+    stage_rows = None
+    for k, stage in enumerate(stages):
+        row = counts.select(
+            F.lit(k + 1).cast("int").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            F.col(f"__n{k}").alias("n_users"),
+            F.round(F.col(f"__n{k}") * 100.0 / F.col("__n0"), 4).alias(
+                "conversion_pct"
+            ),
+        )
+        stage_rows = row if stage_rows is None else stage_rows.unionByName(row)
+    return stage_rows
+
+
+def retention_cohorts(events: DataFrame, *, max_weeks: int = 4) -> DataFrame:
+    """Weekly retention triangle: cohort = week of a user's first
+    event; cell (cohort, offset) = distinct users of that cohort
+    active ``offset`` weeks later.
+
+    Two aggregations: first-seen per user (shuffle on user_id), then
+    (cohort, offset) counts (shuffle on the cohort key). The
+    first-seen frame re-joins events on user_id — at scale both sides
+    are already hash-partitioned on user_id, so AQE plans a
+    co-partitioned sort-merge join with no extra exchange on the
+    events side.
+    """
+    weeks = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_date(F.col("wk").cast("date"))
+                 - F.unix_date(F.col("cohort_week").cast("date"))) / 7
+            ).cast("int"),
+        )
+        .filter(F.col("week_offset") < max_weeks)
+        # DATE output (not the truncated timestamp): engines disagree
+        # on date_trunc('week')'s return type, and the week boundary
+        # is a calendar fact, not a time instant
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
