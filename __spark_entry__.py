@@ -813,6 +813,63 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_profile_orders(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+
+
+def _q_train_test_split(spark, sf_dir):
+    from etl_gcp_spark.operators.sampling import train_test_split
+
+    return (
+        train_test_split(
+            _t(spark, sf_dir, "orders"), "o_custkey", test_fraction=0.1
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("o_custkey").alias("n_custs"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+    )
+
+
+def _q_dynamic_partition_overwrite(spark, sf_dir):
+    """Incremental partition reload: rewrite ONLY the 'O' partition
+    (filtered to high-value orders); other partitions untouched."""
+    from etl_gcp_spark.sinks.writers import write_table
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_dynpart_{os.path.basename(sf_dir)}",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_table(orders, path, partition_by=["o_orderstatus"])
+    reload_o = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 50000)
+    )
+    write_table(
+        reload_o,
+        path,
+        partition_by=["o_orderstatus"],
+        dynamic_overwrite=True,
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        )
+    )
+
+
 def _q_promo_window_shipments(spark, sf_dir):
     """Binned range join (no nested-loop plan): shipments falling in
     3-day promo windows anchored at every 97th order."""
@@ -928,7 +985,14 @@ def _q_hll_distinct_stats(spark, sf_dir):
     """Sketch aggregates (Apache DataSketches HLL + GK quantiles):
     mergeable distinct-count and percentile estimates per priority —
     the 100 TB path where exact countDistinct's shuffle is the
-    bottleneck. Rows-only check: estimates are engine-specific."""
+    bottleneck. Rows-only check: estimates are engine-specific.
+
+    Deliberately NO exact count_distinct alongside: mixing a DISTINCT
+    aggregate with TypedImperative (object) aggregates forces the
+    whole plan from ObjectHashAggregate into sort-based fallback over
+    Expand output — measured 0.3 s → 18 s at sf0.1. The exact-vs-
+    estimate accuracy contract lives in tests/test_scale_features.py.
+    """
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -939,7 +1003,6 @@ def _q_hll_distinct_stats(spark, sf_dir):
             F.expr("approx_percentile(o_totalprice, 0.5)").alias(
                 "approx_median_price"
             ),
-            F.count_distinct(F.col("o_custkey")).alias("exact_distinct"),
         )
     )
 
@@ -1238,6 +1301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": _q_stratified_sample_counts,
         "lateral_topn_per_nation": _q_lateral_topn,
         "promo_window_shipments": _q_promo_window_shipments,
+        "profile_orders": _q_profile_orders,
+        "train_test_split_counts": _q_train_test_split,
+        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
         "write_roundtrip_orc": _q_write_roundtrip_orc,
@@ -1631,6 +1697,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "profile_orders": """
+            SELECT column_name, n_rows, n_nulls, n_distinct,
+                   min_value, max_value
+            FROM (
+                SELECT 'o_orderkey' AS column_name,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                       CAST(min(o_orderkey) AS DOUBLE) AS min_value,
+                       CAST(max(o_orderkey) AS DOUBLE) AS max_value
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(count(DISTINCT o_custkey) AS BIGINT),
+                       CAST(min(o_custkey) AS DOUBLE),
+                       CAST(max(o_custkey) AS DOUBLE)
+                FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                       CAST(min(o_totalprice) AS DOUBLE),
+                       CAST(max(o_totalprice) AS DOUBLE)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+                FROM orders
+            )
+        """,
+        "train_test_split_counts": """
+            SELECT CASE WHEN ((o_custkey * 48271) % 2147483647) % 10000 < 1000
+                        THEN 'test' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+            FROM orders
+            GROUP BY 1
+        """,
+        "dynamic_partition_overwrite": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_value
+            FROM orders
+            WHERE o_orderstatus <> 'O'
+               OR (o_orderstatus = 'O' AND o_totalprice > 50000)
+            GROUP BY o_orderstatus
+        """,
         "promo_window_shipments": """
             WITH promo AS (
                 SELECT o_orderkey,

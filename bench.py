@@ -79,6 +79,14 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "embedding_near_dup",
     "multimodal_features",
+    "dedup_clusters",
+    "universe_sample_join",
+    "stratified_sample_counts",
+    "promo_window_shipments",
+    "funnel_conversion",
+    "retention_cohorts",
+    "lateral_topn_per_nation",
+    "hll_distinct_stats",
 ]
 
 

@@ -160,3 +160,46 @@ def zscore_outliers(
         .filter(F.abs(F.col("zscore")) > z_threshold)
         .select(*keep, "zscore")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Deequ-style column profiler: one scan, long-form output.
+
+    For every profiled column: row count, null count, exact distinct
+    count, and numeric min/max (NULL for non-numeric columns). All
+    metrics are expressions of a SINGLE ``df.agg`` — Catalyst plans
+    one hash aggregate over one scan regardless of column count — and
+    the wide 1-row result is reshaped to (column, metric rows) with
+    ``stack``, which is a zero-shuffle projection.
+
+    At 100 TB swap ``count_distinct`` for ``approx_count_distinct``
+    (each exact distinct adds shuffle state per column); the rest is
+    map-side-only.
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = columns or df.columns
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        mn = f"`__min_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`__max_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{c}', __rows, `__nulls_{c}`, `__nd_{c}`, {mn}, {mx}"
+        )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -102,3 +102,29 @@ def sampled_join_revenue(
             F.round(F.sum("rev") / fraction, 2).alias("est_revenue"),
         )
     )
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    test_fraction: float = 0.1,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/test assignment by key hash.
+
+    The split column is a pure function of the key: re-runs, engine
+    changes, and incremental additions never move a key across the
+    boundary (the property RNG splits lose the moment data order or
+    partitioning changes — and the one that prevents test-set leakage
+    when the corpus is re-ingested). Grouped entities (all rows of
+    one key) land on the same side, the requirement when the key is a
+    user/document and rows are its events/chunks.
+    """
+    cut = int(round(test_fraction * buckets))
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key_col), buckets) < cut, "test").otherwise(
+            "train"
+        ),
+    )

@@ -36,6 +36,7 @@ def write_table(
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     merge_schema: bool = False,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Write a DataFrame as an atomic table directory.
 
@@ -48,6 +49,10 @@ def write_table(
     writer = df.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        # replace ONLY the partitions present in df (the incremental
+        # reload path); static overwrite would truncate the whole table
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if merge_schema:

@@ -87,3 +87,16 @@ def test_hash_bucket_matches_reference_formula(spark):
     )
     for r in rows:
         assert r["b"] == (r["id"] * 48271) % 2147483647 % 10000
+
+
+def test_train_test_split_partitions_all_rows_by_key(spark):
+    from etl_gcp_spark.operators.sampling import train_test_split
+
+    df = _orders(spark, 5000)
+    out = train_test_split(df, "o_orderkey", test_fraction=0.2)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 5000
+    assert 800 <= counts["test"] <= 1200
+    # stable across recomputation
+    again = train_test_split(df, "o_orderkey", test_fraction=0.2)
+    assert out.filter("split = 'test'").count() == again.filter("split = 'test'").count()

@@ -146,3 +146,44 @@ def test_orc_roundtrip_matches_source(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == 500
     assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.sinks.writers import write_table
+
+    path = str(tmp_path / "dyn")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("p")
+    )
+    write_table(df, path, partition_by=["p"])
+    # reload ONLY partition p='true' with a 10-row subset
+    write_table(
+        df.filter((F.col("p") == "true") & (F.col("id") < 20)),
+        path,
+        partition_by=["p"],
+        dynamic_overwrite=True,
+    )
+    back = spark.read.parquet(path)
+    assert back.filter("p = 'false'").count() == 50   # untouched
+    assert back.filter("p = 'true'").count() == 10    # replaced
+
+
+def test_profile_table_one_pass_and_values(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b="y"), Row(a=None, b="x")]
+    )
+    got = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert got["a"]["n_rows"] == 3 and got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 2
+    assert got["a"]["min_value"] == 1.0 and got["a"]["max_value"] == 2.0
+    assert got["b"]["n_nulls"] == 0 and got["b"]["n_distinct"] == 2
+    assert got["b"]["min_value"] is None
+    # single aggregate over a single scan: no join, no second scan
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
