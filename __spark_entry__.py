@@ -813,6 +813,55 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_fuzzy_name_pairs(spark, sf_dir):
+    from etl_gcp_spark.operators.linkage import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name", max_distance=1
+    )
+
+
+def _q_exact_median_prices(spark, sf_dir):
+    """Exact (interpolating) median/quartiles per status — the sort-
+    based exact path, vs hll_distinct_stats' sketch path."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+        )
+    )
+
+
+def _q_python_datasource(spark, sf_dir):
+    """Reference chunk protocol through the Spark 4 Python DataSource
+    API: one InputPartition per cdc_chunk_*.csv."""
+    from etl_gcp_spark.sources.pyds import (
+        ChunkedCsvDataSource,
+        write_reference_chunks,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_chunks_{os.path.basename(sf_dir)}",
+    )
+    write_reference_chunks(
+        _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        path,
+    )
+    spark.dataSource.register(ChunkedCsvDataSource)
+    return (
+        spark.read.format("chunked_csv")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("path", path)
+        .load()
+    )
+
+
 def _q_profile_orders(spark, sf_dir):
     from etl_gcp_spark.operators.quality import profile_table
 
@@ -1302,6 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topn_per_nation": _q_lateral_topn,
         "promo_window_shipments": _q_promo_window_shipments,
         "profile_orders": _q_profile_orders,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "exact_median_prices": _q_exact_median_prices,
+        "python_datasource_chunks": _q_python_datasource,
         "train_test_split_counts": _q_train_test_split,
         "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
         "funnel_conversion": _q_funnel_conversion,
@@ -1697,6 +1749,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND length(a.c_name) = length(b.c_name)
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "exact_median_prices": """
+            SELECT o_orderstatus,
+                   round(median(o_totalprice), 4) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "python_datasource_chunks": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
         "profile_orders": """
             SELECT column_name, n_rows, n_nulls, n_distinct,
                    min_value, max_value

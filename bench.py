@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "lateral_topn_per_nation",
     "hll_distinct_stats",
+    "fuzzy_name_pairs",
+    "exact_median_prices",
+    "profile_orders",
+    "train_test_split_counts",
 ]
 
 

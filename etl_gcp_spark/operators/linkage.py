@@ -1,0 +1,90 @@
+"""Record linkage: fuzzy string matching with mask-key blocking.
+
+Naive fuzzy join is levenshtein over the full cross product —
+O(n²·L²), the first thing that dies at corpus scale. The first fix
+tried here was positional-SEGMENT pigeonhole blocking (split into
+d+1 segments, join on any equal segment): correct, but degenerate on
+identifier-like data — a constant prefix ("Customer#…") makes one
+segment value global, and that single block regenerates the full
+cross product (measured: fine at 1.5K rows, non-terminating at 15K).
+
+The shipped scheme is the deletion/mask neighborhood (SymSpell
+lineage): for distance 1 on equal-length strings, emit L keys per
+row — the string with position i masked out, for every i. Two
+strings within one SUBSTITUTION share the masked variant at the
+substituted position (identical strings share all L of them), so an
+equi-join on (position, masked) is complete, and each block holds
+only strings identical everywhere else — block size ≈ alphabet
+size, independent of n and of shared prefixes/suffixes. Cost is a
+deliberate space-for-fanout trade: L rows per input (linear, scan-
+local) instead of data-dependent quadratic blocks.
+
+Levenshtein 1 between equal-length strings is exactly one
+substitution (an indel pair would cost 2), so substitution
+completeness IS levenshtein completeness at d=1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 1,
+) -> DataFrame:
+    """(id1, id2, distance) for same-length value pairs within
+    levenshtein ``max_distance`` (currently 1 — the airtight case).
+
+    One explode (L rows per input), one equi-join on (position,
+    masked string), one pair-dedup, exact ``levenshtein`` on the
+    surviving candidates only.
+    """
+    if max_distance != 1:
+        raise NotImplementedError(
+            "mask-key blocking is implemented for max_distance=1; "
+            "for coarser matching use text_dedup.ngram_jaccard_pairs"
+        )
+    # materialize the string + its length BEFORE the lambda indexes
+    # them (interpreted lambda bodies re-evaluate inline
+    # subexpressions per element — see text_dedup.with_shingles)
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), F.length(text_col).alias("__n")
+    )
+    # masked variant i = text with char i replaced by \x01 (same
+    # length, so different-length strings can never share a key)
+    masked = base.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.concat(
+                    F.col("__t").substr(F.lit(1), i - 1),
+                    F.lit("\x01"),
+                    F.col("__t").substr(i + 1, F.col("__n")),
+                ),
+            )
+        ).alias("pos", "mkey"),
+    )
+    a = masked.select(
+        F.col(id_col).alias("id1"), F.col("__t").alias("t1"), "pos", "mkey"
+    )
+    b = masked.select(
+        F.col(id_col).alias("id2"), F.col("__t").alias("t2"), "pos", "mkey"
+    )
+    return (
+        a.join(b, ["pos", "mkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "t1", "t2")
+        .dropDuplicates(["id1", "id2"])
+        .withColumn(
+            "distance", F.levenshtein(F.col("t1"), F.col("t2")).cast("int")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id1", "id2", "distance")
+    )

@@ -1,0 +1,98 @@
+"""Fuzzy-pair linkage + Python DataSource contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.linkage import fuzzy_pairs
+
+
+def test_fuzzy_pairs_matches_naive_quadratic(spark):
+    names = [
+        "alpha-0001", "alpha-0002", "alpha-1001", "beta-0001",
+        "alpha-0001", "gamma-zz99", "alpha0001x",  # last: same len, far
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, name=n) for i, n in enumerate(names)]
+    )
+    got = sorted(
+        (r["id1"], r["id2"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "name", max_distance=1).collect()
+    )
+    naive = sorted(
+        (r["id1"], r["id2"], r["distance"])
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").cast("int").alias("distance"),
+        )
+        .filter(
+            (F.col("distance") <= 1)
+            & (F.length(F.col("a.name")) == F.length(F.col("b.name")))
+        )
+        .collect()
+    )
+    assert got == naive
+    assert (0, 4, 0) in got  # exact duplicate pair found
+    assert (0, 1, 1) in got  # one-substitution pair found
+
+
+def test_fuzzy_pairs_plans_equi_join(spark):
+    df = spark.createDataFrame([Row(id=1, name="aaaa"), Row(id=2, name="aaab")])
+    plan = (
+        fuzzy_pairs(df, "id", "name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_python_datasource_parallel_chunks(spark, tmp_path):
+    from etl_gcp_spark.sources.pyds import (
+        ChunkedCsvDataSource,
+        write_reference_chunks,
+    )
+
+    df = spark.range(0, 37).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    files = write_reference_chunks(df, str(tmp_path), rows_per_chunk=10)
+    assert len(files) == 4  # 37 rows / 10 per chunk, reference naming
+    assert files[0].endswith("cdc_chunk_0000.csv")
+    spark.dataSource.register(ChunkedCsvDataSource)
+    back = (
+        spark.read.format("chunked_csv")
+        .schema("k long, v double, s string")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4  # one task per chunk
+    rows = sorted((r["k"], r["v"], r["s"]) for r in back.collect())
+    assert len(rows) == 37
+    assert rows[0] == (0, 0.0, "row-0") and rows[36] == (36, 54.0, "row-36")
+
+
+def test_python_datasource_column_subset_and_reorder(spark, tmp_path):
+    from etl_gcp_spark.sources.pyds import (
+        ChunkedCsvDataSource,
+        write_reference_chunks,
+    )
+
+    df = spark.range(0, 5).select(
+        F.col("id").alias("a"), (F.col("id") + 10).alias("b")
+    )
+    write_reference_chunks(df, str(tmp_path), rows_per_chunk=3)
+    spark.dataSource.register(ChunkedCsvDataSource)
+    back = (
+        spark.read.format("chunked_csv")
+        .schema("b long, a long")  # reversed order: header-name binding
+        .option("path", str(tmp_path))
+        .load()
+    )
+    rows = sorted((r["a"], r["b"]) for r in back.collect())
+    assert rows == [(i, i + 10) for i in range(5)]
