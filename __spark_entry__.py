@@ -813,6 +813,73 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_session_window_stats(spark, sf_dir):
+    from etl_gcp_spark.operators.events import session_window_stats
+
+    return session_window_stats(_t(spark, sf_dir, "events"))
+
+
+def _q_user_value_trend(spark, sf_dir):
+    from etl_gcp_spark.operators.events import user_value_trend
+
+    return user_value_trend(_t(spark, sf_dir, "events"))
+
+
+def _q_corrupt_record_ingest(spark, sf_dir):
+    """Resilient ingest (reference R3/P10 posture inverted): bad rows
+    are quarantined in-band, not fatal."""
+    from etl_gcp_spark.sources.readers import read_jsonl_permissive
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_badjson_{os.path.basename(sf_dir)}.jsonl",
+    )
+    with open(path, "w") as fh:
+        for i in range(8):
+            fh.write('{"k": %d, "v": %d.5}\n' % (i, i * 10))
+        fh.write('{"k": broken!!\n')
+        fh.write("not json at all\n")
+    df = read_jsonl_permissive(spark, path, "k long, v double")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count("k").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.round(F.sum("v"), 4).alias("v_total"),
+    )
+
+
+def _q_schema_evolution_read(spark, sf_dir):
+    """Additive schema evolution: append files carrying a NEW column
+    to an existing layout; mergeSchema read back-fills NULLs."""
+    from etl_gcp_spark.sinks.writers import write_table
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_evolve_{os.path.basename(sf_dir)}",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_table(v1, path, mode="overwrite")
+    write_table(v2, path, mode="append")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias(
+                "status"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        )
+    )
+
+
 def _q_fuzzy_name_pairs(spark, sf_dir):
     from etl_gcp_spark.operators.linkage import fuzzy_pairs
 
@@ -1352,6 +1419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_window_shipments": _q_promo_window_shipments,
         "profile_orders": _q_profile_orders,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "session_window_stats": _q_session_window_stats,
+        "user_value_trend": _q_user_value_trend,
+        "corrupt_record_ingest": _q_corrupt_record_ingest,
+        "schema_evolution_read": _q_schema_evolution_read,
         "exact_median_prices": _q_exact_median_prices,
         "python_datasource_chunks": _q_python_datasource,
         "train_test_split_counts": _q_train_test_split,
@@ -1749,6 +1820,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "session_window_stats": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session,
+                       event_id
+                FROM lagged
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4)
+                        AS DOUBLE) AS session_value
+            FROM numbered
+            GROUP BY user_id, session_id
+        """,
+        "user_value_trend": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(value, x), 6) AS slope_per_day,
+                   round(regr_intercept(value, x), 6) AS intercept,
+                   round(corr(value, x), 6) AS corr_xy
+            FROM (
+                SELECT event_type, value,
+                       (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                           / CAST(86400000000 AS DOUBLE) AS x
+                FROM events
+            )
+            GROUP BY event_type
+        """,
+        "corrupt_record_ingest": """
+            SELECT CAST(10 AS BIGINT) AS n_rows,
+                   CAST(8 AS BIGINT) AS n_good,
+                   CAST(2 AS BIGINT) AS n_corrupt,
+                   CAST(280.0 + 8 * 0.5 AS DOUBLE) AS v_total
+        """,
+        "schema_evolution_read": """
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+                        ELSE o_orderstatus END AS status,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_value
+            FROM orders
+            GROUP BY 1
+        """,
         "fuzzy_name_pairs": """
             SELECT a.c_custkey AS id1, b.c_custkey AS id2,
                    CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "exact_median_prices",
     "profile_orders",
     "train_test_split_counts",
+    "session_window_stats",
+    "user_value_trend",
 ]
 
 

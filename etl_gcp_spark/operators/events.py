@@ -405,3 +405,61 @@ def retention_cohorts(events: DataFrame, *, max_weeks: int = 4) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+def session_window_stats(
+    events: DataFrame, *, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` operator.
+
+    Same semantics as :func:`sessionize` (lag + running-sum islands)
+    but expressed with Spark's built-in session window, which merges
+    overlapping [ts, ts+gap) intervals per key inside one
+    aggregation — no window-function sort pass, and the SAME
+    expression works under Structured Streaming with state cleanup
+    (the lag/cumsum form is batch-only). Session end is
+    last_event + gap by definition (built-in semantics); the islands
+    oracle reproduces it as max(ts) + gap.
+    """
+    g = f"{gap_minutes} minutes"
+    return (
+        events.groupBy("user_id", F.session_window("ts", g))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Regression aggregates (regr_slope / regr_intercept / corr):
+    per-type linear trend of event value over time.
+
+    One codegen'd aggregation pass — the moment sums (Σx, Σy, Σxy,
+    Σx², n) combine map-side, so the shuffle carries five doubles per
+    group regardless of row count. x = fractional days since
+    2024-01-01 keeps slope magnitudes O(1) so 6-dp rounding is
+    stable across engines (verified vs DuckDB's regr_* family).
+    """
+    x = (F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )) / F.lit(86_400_000_000.0)
+    return (
+        events.select("event_type", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_day"),
+            F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            F.round(F.corr("y", "x"), 6).alias("corr_xy"),
+        )
+    )

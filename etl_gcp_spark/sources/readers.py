@@ -200,3 +200,33 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Error-tolerant JSONL read: malformed lines survive as rows with
+    every data column NULL and the raw line in ``corrupt_col``.
+
+    The reference's resilience posture is reject-and-abort (empty-set
+    guard, per-chunk rollback — data_extractor.py:199-200, :402-412);
+    at corpus scale a single bad line must not kill a 100 TB load.
+    PERMISSIVE mode (Spark's default, made explicit) quarantines bad
+    records in-band; downstream splits good/bad with one filter each.
+    The declared schema keeps the scan single-pass (no inference
+    read).
+
+    Caveat: Spark refuses plans that project ONLY ``corrupt_col``
+    from the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    ``.cache()`` the frame first when isolating bad rows."""
+    full = f"{schema_ddl}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -29,6 +29,7 @@ def test_registry_keys_consistent():
                 "frame",
                 "near_dup",
                 "winnow",
+                "hll",  # sketch estimates are engine-specific
             )
         ), f"{name} has no oracle but looks SQL-expressible"
 

@@ -125,3 +125,57 @@ def test_asof_last_event(spark):
     # purchase at 10:00 sees user 1's last click 9:10; user 2 has none
     assert got[3] == _ts(9, 10)
     assert got[4] is None
+
+
+def test_session_window_matches_islands_sessionize(spark, sf_dir):
+    from etl_gcp_spark.operators.events import session_window_stats, sessionize
+    from etl_gcp_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = session_window_stats(ev)
+    b = sessionize(ev)
+    # same number of sessions, same (user, start, n_events) triples
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in a.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in b.collect()
+    )
+    assert got == want
+
+
+def test_user_value_trend_recovers_known_slope(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.events import user_value_trend
+
+    # value = 2*days + 5 exactly -> slope 2, intercept 5, corr 1
+    base = "2024-01-01 00:00:00"
+    df = spark.range(0, 200).select(
+        F.lit("linear").alias("event_type"),
+        (F.lit(base).cast("timestamp")
+         + F.make_interval(days=F.col("id").cast("int"))).alias("ts"),
+        (F.col("id") * 2.0 + 5.0).alias("value"),
+    )
+    row = user_value_trend(df).first()
+    assert row["slope_per_day"] == 2.0
+    assert row["intercept"] == 5.0
+    assert row["corr_xy"] == 1.0
+
+
+def test_corrupt_records_quarantined_not_fatal(spark, tmp_path):
+    from etl_gcp_spark.sources.readers import read_jsonl_permissive
+
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"k": 1, "v": 1.5}\n')
+        fh.write("garbage line\n")
+        fh.write('{"k": 2, "v": 2.5}\n')
+    # caching is required before queries that project ONLY the corrupt
+    # column (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN guard)
+    df = read_jsonl_permissive(spark, p, "k long, v double").cache()
+    assert df.count() == 3
+    good = df.filter(df["_corrupt_record"].isNull())
+    assert sorted(r["k"] for r in good.collect()) == [1, 2]
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert bad.count() == 1 and "garbage" in bad.first()["_corrupt_record"]
