@@ -813,6 +813,51 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_write_roundtrip_xml(spark, sf_dir):
+    """Spark 4 built-in XML source (S10 in a third format): write
+    region as XML rows, read back with rowTag, project."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_xml_{os.path.basename(sf_dir)}"
+    )
+    (
+        _t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .write.mode("overwrite")
+        .option("rootTag", "regions")
+        .option("rowTag", "region")
+        .format("xml")
+        .save(path)
+    )
+    return (
+        spark.read.option("rowTag", "region")
+        .format("xml")
+        .load(path)
+        .select(
+            F.col("r_regionkey").cast("long"),
+            F.col("r_name").cast("string"),
+        )
+    )
+
+
+def _q_parameterized_sql(spark, sf_dir):
+    """Parameterized SQL front door (named-parameter binding — no
+    string interpolation, plan-cache friendly)."""
+    from etl_gcp_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_value
+        FROM orders
+        WHERE o_totalprice >= :minprice AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"minprice": 200000.0, "status": "O"},
+    )
+
+
 def _q_session_window_stats(spark, sf_dir):
     from etl_gcp_spark.operators.events import session_window_stats
 
@@ -1420,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "session_window_stats": _q_session_window_stats,
+        "write_roundtrip_xml": _q_write_roundtrip_xml,
+        "parameterized_sql": _q_parameterized_sql,
         "user_value_trend": _q_user_value_trend,
         "corrupt_record_ingest": _q_corrupt_record_ingest,
         "schema_evolution_read": _q_schema_evolution_read,
@@ -1820,6 +1867,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
+        "write_roundtrip_xml": """
+            SELECT r_regionkey, r_name FROM region
+        """,
+        "parameterized_sql": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_value
+            FROM orders
+            WHERE o_totalprice >= 200000.0 AND o_orderstatus = 'O'
+            GROUP BY o_orderpriority
+        """,
         "session_window_stats": """
             WITH lagged AS (
                 SELECT user_id, ts, event_id, value,

@@ -187,3 +187,22 @@ def test_profile_table_one_pass_and_values(spark):
     # single aggregate over a single scan: no join, no second scan
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_observation_metrics_piggyback_on_action(spark):
+    # df.observe: aggregate metrics collected as a side effect of the
+    # main action - the zero-extra-pass monitoring hook quality gates
+    # want at scale (no second scan for counts).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("ingest_metrics")
+    df = spark.range(0, 1000).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+        F.count_if(F.col("id") % 2 == 0).alias("n_even"),
+    )
+    assert df.count() == 1000  # the action
+    got = obs.get
+    assert got == {"n_rows": 1000, "id_sum": 499500, "n_even": 500}
