@@ -813,6 +813,18 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_enrich
+
+    dim = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return run_streaming_enrich(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        dim,
+        key_expr="pmod(user_id, 25)",
+    )
+
+
 def _q_write_roundtrip_xml(spark, sf_dir):
     """Spark 4 built-in XML source (S10 in a third format): write
     region as XML rows, read back with rowTag, project."""
@@ -1466,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "session_window_stats": _q_session_window_stats,
         "write_roundtrip_xml": _q_write_roundtrip_xml,
+        "streaming_enrich": _q_streaming_enrich,
         "parameterized_sql": _q_parameterized_sql,
         "user_value_trend": _q_user_value_trend,
         "corrupt_record_ingest": _q_corrupt_record_ingest,
@@ -1869,6 +1882,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "write_roundtrip_xml": """
             SELECT r_regionkey, r_name FROM region
+        """,
+        "streaming_enrich": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4)
+                        AS DOUBLE) AS value_total
+            FROM events JOIN nation ON n_nationkey = user_id % 25
+            GROUP BY n_name
         """,
         "parameterized_sql": """
             SELECT o_orderpriority,

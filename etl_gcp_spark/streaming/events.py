@@ -342,3 +342,35 @@ def run_streaming_upsert(
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+def run_streaming_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    *,
+    key_expr: str,
+) -> DataFrame:
+    """Stream-static enrichment: join each event microbatch against a
+    static dimension, aggregate per dimension attribute.
+
+    The static side is planned as a broadcast hash join under the
+    stream — no shuffle of the stream, no state (stream-static inner
+    joins are stateless by definition: each batch joins against the
+    same snapshot). This is the standard "enrich events with a dim
+    table" pattern; at scale the dim refresh is a re-broadcast per
+    trigger, not a stateful stream-stream join.
+    """
+    from pyspark.sql.functions import broadcast
+
+    stream = _stream_events(spark, events_path).withColumn(
+        "join_key", F.expr(key_expr)
+    )
+    joined = stream.join(broadcast(dim), stream["join_key"] == dim[dim.columns[0]])
+    agg = joined.groupBy(dim[dim.columns[1]]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+        .cast("double")
+        .alias("value_total"),
+    )
+    return _run_to_memory(agg, output_mode="complete")
