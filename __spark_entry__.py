@@ -813,6 +813,12 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_quantized_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import quantized_cosine_topk
+
+    return quantized_cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_streaming_enrich(spark, sf_dir):
     from etl_gcp_spark.streaming.events import run_streaming_enrich
 
@@ -1479,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": _q_session_window_stats,
         "write_roundtrip_xml": _q_write_roundtrip_xml,
         "streaming_enrich": _q_streaming_enrich,
+        "quantized_cosine_topk": _q_quantized_topk,
         "parameterized_sql": _q_parameterized_sql,
         "user_value_trend": _q_user_value_trend,
         "corrupt_record_ingest": _q_corrupt_record_ingest,
@@ -1882,6 +1889,39 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "write_roundtrip_xml": """
             SELECT r_regionkey, r_name FROM region
+        """,
+        "quantized_cosine_topk": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), qz AS (
+                SELECT vec_id,
+                       list_max(list_transform(v, x -> abs(x))) AS scale,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+                       v
+                FROM s
+            ), qv AS (
+                SELECT vec_id, scale, norm,
+                       list_transform(
+                           v, x -> CAST(round(x * 127.0 / scale) AS BIGINT)
+                       ) AS qvec
+                FROM qz
+            ), scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(CAST(list_dot_product(q.qvec, c.qvec) AS DOUBLE)
+                             * q.scale * c.scale
+                             / (16129.0 * q.norm * c.norm), 6) AS approx_sim
+                FROM qv q JOIN qv c
+                  ON q.vec_id % 200 = 0 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, approx_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_sim DESC, neighbor_id
+                   ) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
         """,
         "streaming_enrich": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,

@@ -91,3 +91,40 @@ def test_ivf_partial_probe_is_subset(spark):
     for r in out:
         expected = round(_cos(VECS[1], VECS[r.neighbor_id]), 6)
         assert abs(r.sim - expected) < 1e-9
+
+
+def test_int8_quantize_bounds_and_reconstruction(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.125]), (2, [2.0, 0.0, -4.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    assert out[1]["scale"] == 1.0 and out[2]["scale"] == 4.0
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+    assert out[1]["qvec"] == [64, -127, 32, 16]
+
+
+def test_quantized_topk_agrees_with_exact_on_separated_data(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    approx = quantized_cosine_topk(emb, every=200, k=5)
+    exact = cosine_topk(
+        emb, query_filter=(F.col("vec_id") % 200) == 0, k=5, dim=64
+    )
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    # int8 quantization keeps >= 80% of exact top-5 membership per query
+    hits = sum(1 for k_ in a if a[k_] in e.values())
+    assert hits >= 0.8 * len(a)
