@@ -20,7 +20,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
@@ -813,6 +813,60 @@ def _q_near_dup_dedup(spark, sf_dir):
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_k_anonymity(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import k_anonymity_suppress
+
+    kept = k_anonymity_suppress(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=3,
+    )
+    return kept.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_kept"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+def _q_first_last_orders(spark, sf_dir):
+    """first_value/last_value with explicit full frame: each
+    customer's first and last order priority by date."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first_value(F.col("o_orderpriority")).over(w).alias(
+                "first_priority"
+            ),
+            F.last_value(F.col("o_orderpriority")).over(w).alias(
+                "last_priority"
+            ),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+        )
+        .dropDuplicates(["o_custkey"])
+    )
+
+
+def _q_group_by_all(spark, sf_dir):
+    """Spark 4 SQL sugar: GROUP BY ALL / ORDER BY ALL."""
+    from etl_gcp_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
 def _q_quantized_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import quantized_cosine_topk
 
@@ -1486,6 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_roundtrip_xml": _q_write_roundtrip_xml,
         "streaming_enrich": _q_streaming_enrich,
         "quantized_cosine_topk": _q_quantized_topk,
+        "k_anonymity_counts": _q_k_anonymity,
+        "first_last_orders": _q_first_last_orders,
+        "group_by_all_sql": _q_group_by_all,
         "parameterized_sql": _q_parameterized_sql,
         "user_value_trend": _q_user_value_trend,
         "corrupt_record_ingest": _q_corrupt_record_ingest,
@@ -1889,6 +1946,36 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "write_roundtrip_xml": """
             SELECT r_regionkey, r_name FROM region
+        """,
+        "k_anonymity_counts": """
+            WITH sizes AS (
+                SELECT c_nationkey, c_mktsegment, count(*) AS g
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+            FROM customer JOIN sizes USING (c_nationkey, c_mktsegment)
+            WHERE g >= 3
+            GROUP BY c_nationkey
+        """,
+        "first_last_orders": """
+            SELECT DISTINCT o_custkey,
+                   first_value(o_orderpriority) OVER w AS first_priority,
+                   last_value(o_orderpriority) OVER w AS last_priority,
+                   CAST(count(*) OVER w AS BIGINT) AS n_orders
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            )
+        """,
+        "group_by_all_sql": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            GROUP BY ALL
         """,
         "quantized_cosine_topk": """
             WITH s AS (

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "train_test_split_counts",
     "session_window_stats",
     "user_value_trend",
+    "first_last_orders",
+    "k_anonymity_counts",
+    "quantized_cosine_topk",
 ]
 
 

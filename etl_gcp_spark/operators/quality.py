@@ -203,3 +203,23 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def k_anonymity_suppress(
+    df: DataFrame, quasi_cols: list[str], *, k: int = 5
+) -> DataFrame:
+    """k-anonymity suppression over quasi-identifier columns.
+
+    Any combination of quasi-identifier values shared by fewer than
+    ``k`` rows re-identifies individuals; those groups are suppressed
+    (dropped) before the data leaves the pipeline — the baseline
+    privacy gate for releasing or training on user-derived tables.
+    One aggregation computes group sizes; a window would equally work
+    but the agg output is tiny (distinct QI combinations), so the
+    re-join is a broadcast. Output: surviving rows only.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__gsize"))
+    return (
+        df.join(F.broadcast(sizes.filter(F.col("__gsize") >= k)), quasi_cols)
+        .drop("__gsize")
+    )

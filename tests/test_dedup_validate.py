@@ -104,3 +104,18 @@ def test_quality_metrics_and_gate(spark):
 
     ok_report = quality_gate(m, [Threshold("row_count", 1)])
     assert gate_exit_code(ok_report) == 0
+
+
+def test_k_anonymity_suppresses_small_groups(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.quality import k_anonymity_suppress
+
+    rows = [Row(uid=i, city="A", age=30) for i in range(5)]
+    rows += [Row(uid=10, city="B", age=40)]  # singleton: re-identifiable
+    rows += [Row(uid=11, city="A", age=40), Row(uid=12, city="A", age=40)]
+    df = spark.createDataFrame(rows)
+    kept = k_anonymity_suppress(df, ["city", "age"], k=2)
+    got = sorted(r["uid"] for r in kept.collect())
+    assert got == [0, 1, 2, 3, 4, 11, 12]  # the (B,40) singleton is gone
+    assert "__gsize" not in kept.columns
