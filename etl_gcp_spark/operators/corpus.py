@@ -56,6 +56,77 @@ def pack_documents(
     )
 
 
+def boilerplate_sentences(
+    documents: DataFrame,
+    *,
+    min_docs: int = 3,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus boilerplate detection: sentences repeated across
+    ≥ ``min_docs`` distinct documents (navbars, license headers,
+    cookie banners — the lines a corpus-cleaning pass strips).
+
+    Sentence split is a JVM-side regex ``split`` + ``explode``; the
+    aggregation groups on the sentence text with map-side partials,
+    so at 100 TB the shuffle carries one (sentence, partial-count)
+    pair per distinct sentence per map task, not one row per
+    occurrence. Short fragments are filtered BEFORE the exchange.
+    """
+    sent = F.explode(F.split(F.col(text_col), r"\. ")).alias("sentence")
+    return (
+        documents.select(F.col(id_col), sent)
+        .select(F.col(id_col), F.trim("sentence").alias("sentence"))
+        .filter(F.length("sentence") >= min_len)
+        .groupBy("sentence")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def source_mixture_rates(
+    documents: DataFrame,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling rates that re-weight the corpus to a
+    UNIFORM target mixture: rate = (total/k)/n_source, capped at 1.0
+    (undersampled shards are never inflated past their size).
+
+    The per-source counts are one map-side-combined aggregation; the
+    scalar (total, k) joins back by broadcast — no second scan of the
+    corpus and no driver round-trip, so the plan is identical at
+    100 TB. Downstream, ``universe_sample`` applies the rate per
+    shard deterministically.
+    """
+    counts = documents.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("__total")
+                    / F.col("__k")
+                    / F.col("n_docs").cast("double"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )
+
+
 def contamination_overlap(
     documents: DataFrame,
     *,
