@@ -777,6 +777,12 @@ def _q_text_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_repetition_signals(spark, sf_dir):
+    from etl_gcp_spark.functions.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def _q_bpe_token_count(spark, sf_dir):
     from etl_gcp_spark.functions.text import bpe_token_count
 
@@ -1523,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
         "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
         "sliding_event_stats": _q_sliding,

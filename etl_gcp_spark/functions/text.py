@@ -147,6 +147,73 @@ def bpe_token_count(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of tokens taken by the most frequent word, the fraction
+    of bigram occurrences taken by the most frequent bigram, and the
+    fraction of trigram occurrences that are repeats (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters — public
+    methodology; no reference-repo counterpart, extension surface).
+
+    Scale shape: the three gram streams are tagged and unioned BEFORE
+    aggregation, so one hash-partitioned count chain (with map-side
+    partials) serves all three signals — one shuffle family instead of
+    three, and the per-(doc, gram) width is (long, byte, string).
+    The final per-doc reduce is a conditional agg over ≤3 rows/doc.
+    """
+    toks = tokens(F.col(text_col))
+
+    def grams(n: int):
+        t = F.col("__toks")
+        if n == 1:
+            arr = t
+        else:
+            arr = F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(t, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            )
+        return (
+            documents.select("doc_id", toks.alias("__toks"))
+            .filter(F.size("__toks") >= n)
+            .select(
+                "doc_id", F.lit(n).alias("typ"), F.explode(arr).alias("g")
+            )
+        )
+
+    tagged = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    per_gram = tagged.groupBy("doc_id", "typ", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_typ = per_gram.groupBy("doc_id", "typ").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("dst"),
+    )
+
+    def pick(typ: int, col: str) -> Column:
+        return F.max(F.when(F.col("typ") == typ, F.col(col)))
+
+    return per_typ.groupBy("doc_id").agg(
+        pick(1, "tot").cast("long").alias("n_tokens"),
+        F.round(pick(1, "mx") / pick(1, "tot"), 4).alias("top_word_ratio"),
+        F.coalesce(
+            F.round(pick(2, "mx") / pick(2, "tot"), 4), F.lit(0.0)
+        ).alias("top_bigram_ratio"),
+        F.coalesce(
+            F.round(
+                F.lit(1.0) - pick(3, "dst") / pick(3, "tot").cast("double"), 4
+            ),
+            F.lit(0.0),
+        ).alias("dup_trigram_ratio"),
+    )
+
+
 def top_ngrams(
     documents: DataFrame,
     *,

@@ -85,10 +85,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     for c in ns_cols:
         # integer division: float division loses µs precision at 1e18 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # parquet TIMESTAMP(isAdjustedToUTC=false) infers as TIMESTAMP_NTZ;
+    # the session runs in UTC so the cast is value-identical and keeps
+    # one timestamp flavor engine-wide (matches DuckDB's naive read)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

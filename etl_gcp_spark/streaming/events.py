@@ -27,9 +27,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+# variant for data whose ts is parquet TIMESTAMP(NANOS): Spark's reader
+# rejects that physical type, so it is declared long (nanosAsLong) and
+# truncated to microsecond timestamps in _stream_events.
+EVENTS_SCHEMA_NS = (
     "event_id long, ts long, user_id long, "
     "event_type string, value double, props string"
 )
+
+
+def _ts_is_nanos(events_path: str) -> bool:
+    from etl_gcp_spark.sources.readers import _nanos_timestamp_cols
+
+    return "ts" in _nanos_timestamp_cols(events_path)
 
 
 def _stream_events(spark: SparkSession, events_path: str) -> DataFrame:
@@ -37,9 +50,9 @@ def _stream_events(spark: SparkSession, events_path: str) -> DataFrame:
 
     The file source requires a directory; a lone ``events.parquet``
     file is staged into a temp dir (cheap metadata copy at test scale;
-    production points at an arriving-files directory). The driver
-    data stores ``ts`` as TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects — it is declared long and truncated to
+    production points at an arriving-files directory). ``ts`` stored
+    as TIMESTAMP(NANOS) — which Spark's parquet reader rejects — is
+    detected from the footer and read long-then-truncated to
     microsecond timestamps, same as the batch reader.
     """
     if os.path.isfile(events_path):
@@ -49,9 +62,17 @@ def _stream_events(spark: SparkSession, events_path: str) -> DataFrame:
         os.makedirs(staged)
         shutil.copy(events_path, os.path.join(staged, "part-0.parquet"))
         events_path = staged
+    if not _ts_is_nanos(events_path):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .load(events_path)
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_path)
+        spark.readStream.schema(EVENTS_SCHEMA_NS)
+        .format("parquet")
+        .load(events_path)
     )
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -292,20 +313,31 @@ def run_streaming_upsert(
 
     from etl_gcp_spark.operators.cdc import cdc_upsert
 
-    batch = spark.read.schema(EVENTS_SCHEMA).format("parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize ts to microsecond TIMESTAMP at stage time so the stream
+    # schema is uniform regardless of the source's physical unit
+    if _ts_is_nanos(events_path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = (
+            spark.read.schema(EVENTS_SCHEMA_NS)
+            .format("parquet")
+            .load(events_path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        src = spark.read.schema(EVENTS_SCHEMA).format("parquet").load(
+            events_path
+        )
     root = os.path.join(
         tempfile.gettempdir(), f"etl_gcp_spark_upsert_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
-    batch.load(events_path).repartition(n_batches).write.parquet(staged)
+    src.repartition(n_batches).write.parquet(staged)
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(staged)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
     state = {"dir": None, "version": 0}
