@@ -1950,6 +1950,42 @@ def oracle_sql() -> dict[str, str]:
                                       / len({_TOKS})), 4) AS quality_score
             FROM documents
         """,
+        "repetition_signals": """
+            WITH docs AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, 1 AS typ, unnest(toks) AS g
+                FROM docs WHERE len(toks) >= 1
+                UNION ALL
+                SELECT doc_id, 2, toks[g.i] || ' ' || toks[g.i+1]
+                FROM docs
+                CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+                WHERE len(toks) >= 2
+                UNION ALL
+                SELECT doc_id, 3,
+                       toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+                FROM docs
+                CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 3
+            ), per_gram AS (
+                SELECT doc_id, typ, g, count(*) AS c
+                FROM grams GROUP BY 1, 2, 3
+            ), per_typ AS (
+                SELECT doc_id, typ, max(c) AS mx, sum(c) AS tot,
+                       count(*) AS dst
+                FROM per_gram GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(max(CASE WHEN typ = 1 THEN tot END) AS BIGINT) AS n_tokens,
+                   round(max(CASE WHEN typ = 1 THEN mx END)::DOUBLE
+                         / max(CASE WHEN typ = 1 THEN tot END), 4) AS top_word_ratio,
+                   coalesce(round(max(CASE WHEN typ = 2 THEN mx END)::DOUBLE
+                         / max(CASE WHEN typ = 2 THEN tot END), 4), 0.0) AS top_bigram_ratio,
+                   coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
+                         / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0) AS dup_trigram_ratio
+            FROM per_typ GROUP BY doc_id
+        """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "write_roundtrip_xml": """
             SELECT r_regionkey, r_name FROM region

@@ -155,6 +155,11 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
     "Scaling Language Models" §A1.1 repetition filters — public
     methodology; no reference-repo counterpart, extension surface).
 
+    Row coverage: documents with NULL ``text`` produce no output row
+    (the ``size(toks) >= n`` filter is NULL for NULL text) — unlike
+    :func:`token_count`, which keeps them with NULL metrics. The
+    DuckDB oracle mirrors the same drop.
+
     Scale shape: the three gram streams are tagged and unioned BEFORE
     aggregation, so one hash-partitioned count chain (with map-side
     partials) serves all three signals — one shuffle family instead of
