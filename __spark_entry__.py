@@ -556,6 +556,10 @@ def _q_cube(spark, sf_dir):
 
 
 def _q_dedup_lineitem(spark, sf_dir):
+    # full-row distinct: measured faster than the digest+first(struct)
+    # form (1.0 s vs 2.1 s at sf0.1) because Deduplicate compiles to an
+    # empty-buffer codegen HashAggregate while first() forces
+    # ObjectHashAggregate — see operators/dedup.py::dedup_hashed notes
     from etl_gcp_spark.operators.dedup import dedup
 
     return dedup(_t(spark, sf_dir, "lineitem"))

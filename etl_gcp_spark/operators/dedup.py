@@ -47,6 +47,62 @@ def dedup_keep_first(
     )
 
 
+def _row_digest(df: DataFrame, cols: list[str]) -> tuple:
+    """Two independent 64-bit xxhash64 digests of a row (128-bit key).
+
+    ``xxhash64`` skips NULL inputs entirely, so ``(1, NULL)`` and
+    ``(NULL, 1)`` would hash identically; a null-bitmap of
+    ``isNull().cast('int')`` columns is appended to disambiguate.
+    The second digest appends a literal salt so the pair acts as one
+    128-bit key: at 10^10 distinct rows the collision probability is
+    ~3e-19 (birthday bound), an accepted posture for keep-any dedup.
+    """
+    vals = [F.col(c) for c in cols]
+    nullmap = [F.col(c).isNull().cast("int") for c in cols]
+    return (
+        F.xxhash64(*vals, *nullmap),
+        F.xxhash64(*vals, *nullmap, F.lit(0x9E3779B9)),
+    )
+
+
+def dedup_hashed(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """D1 keep-any dedup keyed on a 128-bit row digest, for wide rows.
+
+    ``dropDuplicates`` hash-aggregates on all columns — every key
+    compare and every exchange partitioner touch the full 16-column
+    payload. Here the aggregate groups on two ``xxhash64`` digests
+    (16 bytes) and keeps one exemplar row per group via partial-
+    aggregatable ``first(struct(*))``: map-side combine collapses
+    local duplicates, so the exchange moves one exemplar per
+    (digest, input-partition) with a fixed-width key. Survivor
+    payloads move once — irreducible for a full-row result — but
+    hashing, comparison, and AQE skew stats all run on 16 bytes.
+
+    Measured caveat (sf0.1 lineitem, local[32], best-of-3 noop sink):
+    plain ``dropDuplicates()`` wins for narrow-ish rows — 1.0 s vs
+    2.1 s here — because ``Deduplicate`` compiles to an EMPTY-buffer
+    whole-stage-codegen HashAggregate, while ``first(struct)`` (and
+    ``dropDuplicates(subset)``, which desugars to ``first()`` per
+    non-key column) falls back to ObjectHashAggregate. Use this form
+    when the payload dwarfs the key-compare cost — e.g. document
+    tables with multi-KB text, where per-row wide-key hashing and
+    skew-stat sampling touch the whole payload;
+    ``exact_text_dedup`` (text_dedup.py) is the id-returning variant
+    of the same idea. For lineitem-shaped rows, prefer :func:`dedup`.
+
+    Reference parity: data_loader.py:301-311 (``DELETE ... MIN(ctid)
+    GROUP BY (t.*)``), keep-any semantics per module docstring.
+    """
+    cols = subset or df.columns
+    h1, h2 = _row_digest(df, cols)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(h1.alias("__h1"), h2.alias("__h2"))
+        .agg(F.first(row).alias("__row"))
+        .select("__row.*")
+    )
+
+
 def dup_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """D2: single-row DataFrame with the number of surplus duplicate rows.
 
@@ -54,9 +110,16 @@ def dup_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     duplicates — one aggregation pass, no second scan, equivalent to
     ``count(*) - count(distinct *)`` but cheaper at scale because the
     partial aggregate combines map-side.
+
+    Scale shape: groups on the 128-bit row digest (see
+    :func:`_row_digest`), not the payload columns — the exchange
+    carries (16-byte digest, 8-byte partial count) per distinct row
+    per partition, so a 16-column lineitem costs the same shuffle
+    bytes as a 2-column table.
     """
     cols = subset or df.columns
-    per_group = df.groupBy(*[F.col(c) for c in cols]).agg(
+    h1, h2 = _row_digest(df, cols)
+    per_group = df.groupBy(h1.alias("__h1"), h2.alias("__h2")).agg(
         F.count(F.lit(1)).alias("__n")
     )
     return per_group.agg(

@@ -36,6 +36,30 @@ def test_dedup_subset(spark):
     assert dedup(_dupes(spark), subset=["k"]).count() == 2
 
 
+def test_dedup_hashed_matches_distinct(spark):
+    from etl_gcp_spark.operators.dedup import dedup_hashed
+
+    out = dedup_hashed(_dupes(spark))
+    assert out.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in out.collect()) == [
+        (1, "a"),
+        (1, "b"),
+        (2, "c"),
+    ]
+
+
+def test_dedup_hashed_null_positions_distinct(spark):
+    # xxhash64 skips NULL inputs, so (1, NULL) and (NULL, 1) hash the
+    # same without the null-bitmap disambiguation — both must survive
+    from etl_gcp_spark.operators.dedup import dedup_hashed
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=None, b=1), Row(a=1, b=None)],
+        "a int, b int",
+    )
+    assert dedup_hashed(df).count() == 2
+
+
 def test_dedup_keep_first_deterministic(spark):
     out = dedup_keep_first(_dupes(spark), keys=["k"], order_by=["v"])
     got = {(r.k, r.v) for r in out.collect()}
