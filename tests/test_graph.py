@@ -67,10 +67,35 @@ def test_dedup_clusters_groups_chain_not_just_pairs(spark):
     )
     rows = {
         r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-        for r in dedup_clusters(docs, threshold=0.7).collect()
+        # exact pair source: this test checks transitive-closure
+        # semantics, not LSH recall (a J≈0.7 edge on a 5-doc fixture
+        # is below the default banding's reliable-recall regime)
+        for r in dedup_clusters(
+            docs, threshold=0.7, pair_source="exact"
+        ).collect()
     }
     assert rows[4] == (4, 1) and rows[5] == (5, 1)
     # all of 1,2,3 share cluster 1 iff the closure merged the chain
     assert rows[1] == (1, 3) and rows[2] == (1, 3) and rows[3] == (1, 3)
     # every doc labeled exactly once
     assert len(rows) == 5
+
+
+def test_dedup_clusters_lsh_matches_exact_source(spark, sf_dir):
+    # the registered (default) LSH pair source must produce the same
+    # clustering as the exact AllPairs source on the driver's corpus —
+    # the condition under which the recursive-CTE oracle applies
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(docs, threshold=0.8).collect()
+    }
+    exact = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(
+            docs, threshold=0.8, pair_source="exact"
+        ).collect()
+    }
+    assert lsh == exact

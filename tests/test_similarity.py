@@ -70,6 +70,33 @@ def test_embedding_near_dup_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def test_embedding_lsh_full_recall_on_testdata(spark, sf_dir):
+    # locks the oracle-validity claim for the LSH-backed
+    # embedding_near_dup headline: at the registered config
+    # (θ=0.45, 3 planes × 16 tables) the bucketed generator recalls
+    # every exact pair on the driver's corpus, with identical
+    # exact-verified sims. Deterministic — planes are seeded.
+    from etl_gcp_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        exact_near_dup_pairs,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id1, r.id2, r.sim)
+        for r in exact_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id1, r.id2, r.sim)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, n_planes=3, n_tables=16
+        ).collect()
+    }
+    assert lsh == exact
+    assert exact  # non-vacuous
+
+
 def test_ivf_exhaustive_probe_equals_brute_force(spark):
     from etl_gcp_spark.functions.similarity import ivf_topk
 

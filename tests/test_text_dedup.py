@@ -84,6 +84,27 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert (1, 2) in lsh
 
 
+def test_minhash_lsh_full_recall_on_testdata(spark, sf_dir):
+    # locks the oracle-validity claim for the LSH-backed registry
+    # entries (minhash_lsh_pairs / near_dup_dedup / dedup_clusters):
+    # the banded generator recalls EVERY exact pair on the driver's
+    # corpus, so the exact-Jaccard DuckDB oracle applies to the LSH
+    # path. Deterministic — signatures are xxhash64 of fixed data.
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id1, r.id2, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id1, r.id2, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert exact  # non-vacuous: the corpus does contain near-dups
+
+
 def test_simhash_identity_and_pairs(spark):
     fp = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert fp[1] == fp[2]
