@@ -701,6 +701,46 @@ def _q_ingest_csv(spark, sf_dir):
     )
 
 
+def _q_write_roundtrip_jdbc(spark, sf_dir):
+    """S6/S8/S9/S10 over a REAL JDBC store: write nation into an
+    embedded Derby database (batched INSERTs, overwrite), read it
+    back as a 4-way PARTITIONED range scan on the key, and aggregate
+    per region. Derby ships on Spark's classpath, so the exercised
+    path is the production jdbc format, not a mock
+    (sources/jdbc.py; reference data_extractor.py:379-412,
+    data_loader.py:106-108)."""
+    from etl_gcp_spark.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        derby_memory_url,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = derby_memory_url(f"rt_{os.path.basename(sf_dir)}")
+    write_jdbc(
+        _t(spark, sf_dir, "nation"),
+        url,
+        "NATION_RT",
+        mode="overwrite",
+        driver=DERBY_EMBEDDED_DRIVER,
+        batchsize=1000,
+    )
+    back = read_jdbc(
+        spark,
+        url,
+        "NATION_RT",
+        partition_column="N_NATIONKEY",
+        lower_bound=0,
+        upper_bound=24,
+        num_partitions=4,
+        driver=DERBY_EMBEDDED_DRIVER,
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
 def _q_write_roundtrip(spark, sf_dir):
     """S10/S13 + partition pruning, driver-graded: write orders
     partitioned by status, re-read ONE partition, aggregate. The
@@ -1544,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": _q_sql_interface,
         "ingest_csv": _q_ingest_csv,
         "write_roundtrip": _q_write_roundtrip,
+        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
         "events_json_extract": _q_json_extract,
         "events_json_parsed": _q_json_parsed,
         "hourly_event_stats": _q_hourly,
@@ -1871,6 +1912,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c_acctbal), 4) AS total_balance
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "write_roundtrip_jdbc": """
+            SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+                   min(n_name) AS first_nation
+            FROM nation GROUP BY n_regionkey
         """,
         "write_roundtrip": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,

@@ -137,3 +137,31 @@ def require_columns(schema_or_df, required: list[str]) -> list[str]:
     )
     have = {normalize_name(c) for c in cols}
     return [c for c in required if normalize_name(c) not in have]
+
+
+def table_exists(spark, name: str) -> bool:
+    """S11 table-existence probe — ``spark.catalog.tableExists`` on
+    temp views, global temp views, and catalog tables alike.
+
+    The reference probes ``information_schema.tables``
+    (data_extractor.py:266-277); the catalog call is the engine-side
+    equivalent and costs one metastore lookup, no scan.
+    """
+    return spark.catalog.tableExists(name)
+
+
+def list_columns(spark, name: str):
+    """S12 column-catalog probe as a DataFrame of
+    (column_name, data_type, nullable).
+
+    The reference reads ``information_schema.columns``
+    (data_extractor.py:279-294). ``spark.catalog.listColumns`` is the
+    metastore analog; the result is re-exposed as a DataFrame so it
+    composes with the rest of the engine (joinable against
+    expectations, writable through any sink).
+    """
+    cols = spark.catalog.listColumns(name)
+    return spark.createDataFrame(
+        [(c.name, c.dataType, bool(c.nullable)) for c in cols],
+        "column_name string, data_type string, nullable boolean",
+    )
