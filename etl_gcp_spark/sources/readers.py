@@ -47,6 +47,17 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    def ns_cols_of(p: str) -> list[str] | None:
+        try:
+            schema = pq.read_schema(p)
+        except Exception:
+            return None
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+
     if os.path.isdir(path):
         parts = [
             os.path.join(path, f)
@@ -55,16 +66,24 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         ]
         if not parts:
             return []
-        path = parts[0]
-    try:
-        schema = pq.read_schema(path)
-    except Exception:
-        return []
-    return [
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+        # check EVERY footer, not just the first: a directory mixing
+        # TIMESTAMP(NANOS) and micros files would otherwise be
+        # classified by file order and the rest misread (long-vs-
+        # timestamp mismatch surfaces as nulls or garbage values)
+        per_file = [(p, ns_cols_of(p)) for p in parts]
+        readable = [(p, c) for p, c in per_file if c is not None]
+        if not readable:
+            return []
+        first_path, first_cols = readable[0]
+        for p, c in readable[1:]:
+            if c != first_cols:
+                raise ValueError(
+                    "mixed timestamp precisions across parquet files: "
+                    f"{first_path} has ns-columns {first_cols} but {p} "
+                    f"has {c}; rewrite to one precision before reading"
+                )
+        return first_cols
+    return ns_cols_of(path) or []
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,6 +98,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same truncation DuckDB applies, keeping both
     engines bit-identical on event time.
     """
+    # the TIMESTAMP_NTZ→TIMESTAMP cast below is value-identical ONLY
+    # under a UTC session zone; pin it here rather than trusting every
+    # session builder to remember the config (a non-UTC session would
+    # silently shift event times)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:

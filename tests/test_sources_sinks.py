@@ -30,6 +30,28 @@ def test_load_table_events_nanos_timestamps(spark, sf_dir):
     assert ev.limit(1).count() == 1
 
 
+def test_mixed_precision_dir_raises(spark, sf_dir, tmp_path):
+    # a directory mixing TIMESTAMP(NANOS) and micros parquet files
+    # must be rejected, not silently classified by its first file
+    import shutil
+
+    import pytest
+
+    from etl_gcp_spark.sources.readers import _nanos_timestamp_cols
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a_nanos.parquet")
+    # micros twin with the same column name
+    spark.createDataFrame([(1,)], "event_id long").selectExpr(
+        "event_id", "timestamp'2024-01-01' as ts"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "mp"))
+    src = next((tmp_path / "mp").glob("*.parquet"))
+    shutil.copy(src, d / "b_micros.parquet")
+    with pytest.raises(ValueError, match="mixed timestamp precisions"):
+        _nanos_timestamp_cols(str(d))
+
+
 def test_load_all_tables_nonempty(spark, sf_dir):
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
