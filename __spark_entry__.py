@@ -1513,6 +1513,98 @@ def _q_stream_sessions(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- reference-parity core (data_loader/data_validator path) ---
+        "clean_orders": _q_clean_orders,
+        "pipeline_gold": _q_pipeline_gold,
+        "normalize_columns": _q_normalize_columns,
+        "audit_stamp": _q_audit_stamp,
+        "dedup_lineitem": _q_dedup_lineitem,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dup_count_lineitem": _q_dup_count,
+        "quality_metrics": _q_quality_metrics,
+        "quality_gate": _q_quality_gate,
+        "freshness_check": _q_freshness,
+        "validate_violations": _q_violations,
+        "validation_summary": _q_violation_summary,
+        "schema_columns": _q_schema_columns,
+        "ingest_csv": _q_ingest_csv,
+        "write_roundtrip": _q_write_roundtrip,
+        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
+        "sql_interface": _q_sql_interface,
+        # --- text / LLM-pipeline signals ---
+        "exact_text_dedup": _q_exact_text_dedup,
+        "doc_fingerprint": _q_fingerprint,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
+        "bpe_token_count": _q_bpe_token_count,
+        "top_ngrams": _q_top_ngrams,
+        # --- dedup + similarity (LSH headliners with verified oracles) ---
+        "near_dup_dedup": _q_near_dup_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "cosine_topk": _q_cosine_topk,
+        "ann_ivf_topk": _q_ivf_topk,
+        "quantized_cosine_topk": _q_quantized_topk,
+        # --- events / temporal ---
+        "events_json_extract": _q_json_extract,
+        "events_json_parsed": _q_json_parsed,
+        "hourly_event_stats": _q_hourly,
+        "sessionize_events": _q_sessionize,
+        "asof_click_purchase": _q_asof,
+        "sliding_event_stats": _q_sliding,
+        "daily_top_event_types": _q_daily_top_types,
+        "time_rollup": _q_time_rollup,
+        # --- remaining oracle-carrying operators ---
+        "priority_pivot": _q_pivot,
+        "customers_without_orders": _q_anti,
+        "active_balance_intersect": _q_intersect,
+        "building_no_orders_except": _q_except,
+        "universe_sample_join": _q_universe_sample_join,
+        "stratified_sample_counts": _q_stratified_sample_counts,
+        "lateral_topn_per_nation": _q_lateral_topn,
+        "promo_window_shipments": _q_promo_window_shipments,
+        "profile_orders": _q_profile_orders,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "session_window_stats": _q_session_window_stats,
+        "write_roundtrip_xml": _q_write_roundtrip_xml,
+        "streaming_enrich": _q_streaming_enrich,
+        "k_anonymity_counts": _q_k_anonymity,
+        "first_last_orders": _q_first_last_orders,
+        "group_by_all_sql": _q_group_by_all,
+        "parameterized_sql": _q_parameterized_sql,
+        "user_value_trend": _q_user_value_trend,
+        "corrupt_record_ingest": _q_corrupt_record_ingest,
+        "schema_evolution_read": _q_schema_evolution_read,
+        "exact_median_prices": _q_exact_median_prices,
+        "python_datasource_chunks": _q_python_datasource,
+        "train_test_split_counts": _q_train_test_split,
+        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
+        "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
+        "write_roundtrip_orc": _q_write_roundtrip_orc,
+        "compact_small_files": _q_compact_small_files,
+        "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_resize,
+        "streaming_hourly_counts": _q_stream_hourly,
+        "streaming_dedup": _q_stream_dedup,
+        "streaming_upsert": _q_stream_upsert,
+        "streaming_user_stats": _q_stream_user_stats,
+        "streaming_interval_join": _q_stream_interval_join,
+        # --- rows-only surfaces (no SQL-expressible oracle) ---
+        "winnow_fingerprints": _q_winnow,
+        "hll_distinct_stats": _q_hll_distinct_stats,
+        "simhash_fingerprints": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_lsh_topk": _q_ann_topk,
+        "frame_samples": _q_frame_samples,
+        "streaming_sessions": _q_stream_sessions,
+        # --- verified green in round 1 (CORRECTNESS_r01) ---
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
@@ -1563,91 +1655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
-        "priority_pivot": _q_pivot,
-        "customers_without_orders": _q_anti,
-        "active_balance_intersect": _q_intersect,
-        "building_no_orders_except": _q_except,
-        "dedup_lineitem": _q_dedup_lineitem,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dup_count_lineitem": _q_dup_count,
-        "clean_orders": _q_clean_orders,
-        "pipeline_gold": _q_pipeline_gold,
-        "normalize_columns": _q_normalize_columns,
-        "audit_stamp": _q_audit_stamp,
-        "validate_violations": _q_violations,
-        "validation_summary": _q_violation_summary,
-        "quality_metrics": _q_quality_metrics,
-        "quality_gate": _q_quality_gate,
-        "freshness_check": _q_freshness,
-        "winnow_fingerprints": _q_winnow,
-        "schema_columns": _q_schema_columns,
-        "sql_interface": _q_sql_interface,
-        "ingest_csv": _q_ingest_csv,
-        "write_roundtrip": _q_write_roundtrip,
-        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
-        "events_json_extract": _q_json_extract,
-        "events_json_parsed": _q_json_parsed,
-        "hourly_event_stats": _q_hourly,
-        "sessionize_events": _q_sessionize,
-        "asof_click_purchase": _q_asof,
-        "exact_text_dedup": _q_exact_text_dedup,
-        "doc_fingerprint": _q_fingerprint,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "text_quality": _q_text_quality,
-        "repetition_signals": _q_repetition_signals,
-        "bpe_token_count": _q_bpe_token_count,
-        "top_ngrams": _q_top_ngrams,
-        "sliding_event_stats": _q_sliding,
-        "daily_top_event_types": _q_daily_top_types,
-        "time_rollup": _q_time_rollup,
-        "near_dup_dedup": _q_near_dup_dedup,
-        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
-        "dedup_clusters": _q_dedup_clusters,
-        "universe_sample_join": _q_universe_sample_join,
-        "stratified_sample_counts": _q_stratified_sample_counts,
-        "lateral_topn_per_nation": _q_lateral_topn,
-        "promo_window_shipments": _q_promo_window_shipments,
-        "profile_orders": _q_profile_orders,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "session_window_stats": _q_session_window_stats,
-        "write_roundtrip_xml": _q_write_roundtrip_xml,
-        "streaming_enrich": _q_streaming_enrich,
-        "quantized_cosine_topk": _q_quantized_topk,
-        "k_anonymity_counts": _q_k_anonymity,
-        "first_last_orders": _q_first_last_orders,
-        "group_by_all_sql": _q_group_by_all,
-        "parameterized_sql": _q_parameterized_sql,
-        "user_value_trend": _q_user_value_trend,
-        "corrupt_record_ingest": _q_corrupt_record_ingest,
-        "schema_evolution_read": _q_schema_evolution_read,
-        "exact_median_prices": _q_exact_median_prices,
-        "python_datasource_chunks": _q_python_datasource,
-        "train_test_split_counts": _q_train_test_split,
-        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
-        "funnel_conversion": _q_funnel_conversion,
-        "retention_cohorts": _q_retention_cohorts,
-        "write_roundtrip_orc": _q_write_roundtrip_orc,
-        "compact_small_files": _q_compact_small_files,
-        "hll_distinct_stats": _q_hll_distinct_stats,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_lsh_pairs": _q_minhash,
-        "simhash_fingerprints": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ivf_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "multimodal_features": _q_multimodal,
-        "multimodal_resize": _q_resize,
-        "frame_samples": _q_frame_samples,
-        "streaming_hourly_counts": _q_stream_hourly,
-        "streaming_dedup": _q_stream_dedup,
-        "streaming_upsert": _q_stream_upsert,
-        "streaming_user_stats": _q_stream_user_stats,
-        "streaming_interval_join": _q_stream_interval_join,
-        "streaming_sessions": _q_stream_sessions,
     }
 
 

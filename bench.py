@@ -1,10 +1,12 @@
-"""Benchmark harness: headline queries at sf0.1, one JSON line out.
+"""Benchmark harness: the FULL query registry at sf0.1, one JSON line.
 
-Runs a representative subset of the ``__spark_entry__.queries()``
-registry (relational + dedup + text + similarity + temporal) against
+Runs every ``__spark_entry__.queries()`` entry against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``. Each query is forced to full execution
 with a noop-format write (no driver collect, no sink I/O measured).
+Benching the whole registry keeps per-query regressions detectable
+round over round — a query that silently triples in cost shows up in
+the BENCH_r{N}.json diff, not just in suite totals.
 
 Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
          "queries": {name: sec, ...}, "sf": 0.1}
@@ -19,84 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q4_late_shipments",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_margin",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q20_bulk_shippers",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "grouping_sets_totals",
-    "order_value_distribution",
-    "variant_props_stats",
-    "zscore_outliers",
-    "chunk_documents",
-    "cdc_upsert_orders",
-    "scd2_order_history",
-    "agg_delta_merge",
-    "tfidf_top_terms",
-    "order_percentiles",
-    "price_band_totals",
-    "top_customers",
-    "customer_order_ranks",
-    "order_rollup",
-    "dedup_lineitem",
-    "dup_count_lineitem",
-    "clean_orders",
-    "quality_metrics",
-    "hourly_event_stats",
-    "sessionize_events",
-    "asof_click_purchase",
-    "exact_text_dedup",
-    "doc_fingerprint",
-    "winnow_fingerprints",
-    "text_quality",
-    "bpe_token_count",
-    "top_ngrams",
-    "sliding_event_stats",
-    "daily_top_event_types",
-    "near_dup_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "cosine_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "multimodal_features",
-    "dedup_clusters",
-    "universe_sample_join",
-    "stratified_sample_counts",
-    "promo_window_shipments",
-    "funnel_conversion",
-    "retention_cohorts",
-    "lateral_topn_per_nation",
-    "hll_distinct_stats",
-    "fuzzy_name_pairs",
-    "exact_median_prices",
-    "profile_orders",
-    "train_test_split_counts",
-    "session_window_stats",
-    "user_value_trend",
-    "first_last_orders",
-    "k_anonymity_counts",
-    "quantized_cosine_topk",
-]
 
 
 def main() -> None:
@@ -112,6 +36,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()
+    bench_queries = list(registry)
 
     # warm-up: executor threads, codegen compiler, parquet footer cache —
     # session initialization should not be charged to the first query.
@@ -127,7 +52,7 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = registry[name]
         # hermetic per-query steady state: operators that persist()
         # internal indexes (the dedup family) leak cache entries and

@@ -302,10 +302,14 @@ def embedding_near_dup_pairs(
 
     a = buckets.select("tbl", "bkt", F.col(id_col).alias("id1"))
     b = buckets.select("tbl", "bkt", F.col(id_col).alias("id2"))
+    # project to (id1, id2) BEFORE the dedup: a subset dropDuplicates
+    # would desugar to first(tbl)/first(bkt) aggregates and fall back
+    # to ObjectHashAggregate; the full-row distinct stays codegen
     pairs = (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2")
+        .dropDuplicates()
     )
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")

@@ -25,6 +25,15 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_formatted(df) -> str:
+    """Full formatted explain — survives AQE string truncation."""
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_q5_broadcasts_all_dimensions(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     plan = _plan(
@@ -214,3 +223,102 @@ def test_zscore_outliers_broadcasts_moments(spark, sf_dir):
     # the fact side is never shuffled on the group key
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_count_exchange_carries_digest_only(spark, sf_dir):
+    """The D2 metric shuffles (digest, count), never the payload: the
+    exchange's partial-aggregate schema must hold exactly the two
+    64-bit digest halves and the partial count — a 16-column lineitem
+    costs the same shuffle bytes as a 2-column table."""
+    import re
+
+    from etl_gcp_spark.operators.dedup import dup_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan_formatted(dup_count(li))
+    # first Exchange block: its Input must be exactly the two digest
+    # grouping expressions plus the 8-byte partial count — 3 columns,
+    # no l_* payload attribute
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    exchange = next(b for b in blocks if b.startswith("Exchange"))
+    input_line = next(
+        ln for ln in exchange.splitlines() if ln.startswith("Input")
+    )
+    assert input_line.startswith("Input [3]"), input_line
+    assert "l_orderkey" not in input_line and "l_comment" not in input_line
+    assert "hashpartitioning(_groupingexpression" in exchange
+
+
+def test_embedding_near_dup_headline_shuffles_ids_not_vectors(spark, sf_dir):
+    """The LSH headline's candidate join must shuffle (tbl, bkt, id)
+    only — embeddings re-attach AFTER the pair dedup, and the exact
+    verification runs in one Arrow-batched kernel."""
+    from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
+
+    import re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan_formatted(
+        embedding_near_dup_pairs(emb, threshold=0.45, n_planes=3, n_tables=16)
+    )
+    # NO exchange may carry the vector payload: vectors cross the
+    # Arrow boundary map-side (bucketing) and re-attach only after the
+    # candidate dedup — whether the bucket join shuffles or broadcasts
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    exchanges = [b for b in blocks if b.startswith("Exchange")]
+    assert exchanges, "expected at least the candidate-dedup exchange"
+    for b in exchanges:
+        input_line = next(
+            ln for ln in b.splitlines() if ln.startswith("Input")
+        )
+        assert "__v" not in input_line and "embedding" not in input_line
+        # the candidate dedup is a pure distinct: no first() buffers
+        assert "first" not in input_line
+    # Arrow boundaries: the GEMM bucketing kernel (planned once per
+    # join side) and the exact-verification kernel — nothing else
+    # drops to Python
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 3
+
+
+def test_simhash_pairs_filters_before_dedup_exchange(spark, sf_dir):
+    """hamming <= d must be applied below the candidate dedup's
+    exchange, so only qualifying pairs shuffle; the dedup itself is a
+    full-row distinct (codegen HashAggregate, no first())."""
+    from etl_gcp_spark.operators.text_dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(simhash_pairs(docs))
+    assert "ObjectHashAggregate" not in plan
+    # the hamming filter exists and no 'first(' aggregate survives
+    assert "first(" not in plan
+
+
+def test_jdbc_partitioned_read_plans_range_scan(spark):
+    """The partitioned JDBC read must produce a JDBC relation scan
+    (pushdown-capable), split into the requested partition count."""
+    from etl_gcp_spark.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        derby_memory_url,
+        read_jdbc,
+        write_jdbc,
+    )
+    from pyspark.sql import Row
+
+    url = derby_memory_url("planchk")
+    write_jdbc(
+        spark.createDataFrame([Row(k=i, v=i * 2) for i in range(10)]),
+        url,
+        "T_PLAN",
+        mode="overwrite",
+        driver=DERBY_EMBEDDED_DRIVER,
+    )
+    df = read_jdbc(
+        spark, url, "T_PLAN",
+        partition_column="K", lower_bound=0, upper_bound=10,
+        num_partitions=3, driver=DERBY_EMBEDDED_DRIVER,
+    )
+    assert df.rdd.getNumPartitions() == 3
+    filtered = df.filter(F.col("k") > 5)
+    plan = _plan(filtered)
+    # the relation is a JDBC scan and the filter is pushed to it
+    assert "JDBCRelation" in plan and "PushedFilters" in plan
