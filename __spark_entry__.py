@@ -504,6 +504,30 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_quality_filter(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import quality_filter
+
+    # thresholds calibrated to the synthetic corpus (token p5 ≈ 16,
+    # max top-word ratio 0.30) so every rule is reachable and the
+    # verdict is non-vacuous — same posture as the 0.45 embedding
+    # threshold
+    return quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=16,
+        max_top_word_ratio=0.25,
+    )
+
+
+def _q_curation_funnel(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import curation_funnel
+
+    return curation_funnel(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=16,
+        max_top_word_ratio=0.25,
+    )
+
+
 def _q_rolling_spend(spark, sf_dir):
     from etl_gcp_spark.operators.relational import rolling_weekly_spend
 
@@ -1538,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "repetition_signals": _q_repetition_signals,
+        "quality_filter": _q_quality_filter,
+        "curation_funnel": _q_curation_funnel,
         "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
         # --- dedup + similarity (LSH headliners with verified oracles) ---
@@ -1673,11 +1699,16 @@ _LANG_SCORES = """
 """.format(toks=_TOKS)
 
 
-# shared by ngram_jaccard_pairs and near_dup_dedup oracles
-_JACCARD_PAIRS = """
+# shared by ngram_jaccard_pairs / near_dup_dedup / curation oracles
+def _jaccard_pairs_over(src: str) -> str:
+    """Exact-Jaccard pair SQL over an arbitrary (doc_id, text) source."""
+    return _JACCARD_PAIRS_TEMPLATE.format(src=src)
+
+
+_JACCARD_PAIRS_TEMPLATE = """
     WITH docs AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents
+        FROM {src}
     ), sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
@@ -1699,6 +1730,67 @@ _JACCARD_PAIRS = """
     JOIN cnt c1 ON c1.doc_id = id1
     JOIN cnt c2 ON c2.doc_id = id2
     WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= 0.8
+"""
+
+_JACCARD_PAIRS = _jaccard_pairs_over("documents")
+
+# quality_filter verdict: feature SQL mirrors the text_quality and
+# repetition_signals oracles (same 4-dp rounding), CASE order mirrors
+# operators/corpus.py::QUALITY_RULES
+_QUALITY_VERDICT = """
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               round(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+                   AS mean_token_len,
+               round(length(regexp_replace(text, '[a-z ]', '', 'g'))
+                     / length(text), 4) AS junk_ratio
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, 1 AS typ, unnest(toks) AS g
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) WHERE len(toks) >= 1
+        UNION ALL
+        SELECT doc_id, 3,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+        WHERE len(toks) >= 3
+    ), per_gram AS (
+        SELECT doc_id, typ, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    ), rep AS (
+        SELECT doc_id,
+               round(max(CASE WHEN typ = 1 THEN mx END)::DOUBLE
+                     / max(CASE WHEN typ = 1 THEN tot END), 4)
+                   AS top_word_ratio,
+               coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
+                     / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0)
+                   AS dup_trigram_ratio
+        FROM (
+            SELECT doc_id, typ, max(c) AS mx, sum(c) AS tot, count(*) AS dst
+            FROM per_gram GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ), verdict AS (
+        SELECT d.doc_id,
+               CASE
+                 WHEN f.n_tokens IS NULL THEN 'null_text'
+                 WHEN f.n_tokens < 16 THEN 'too_short'
+                 WHEN f.n_tokens > 100000 THEN 'too_long'
+                 WHEN f.mean_token_len < 2.0 OR f.mean_token_len > 12.0
+                     THEN 'mean_token_len'
+                 WHEN f.junk_ratio > 0.2 THEN 'junk'
+                 WHEN r.top_word_ratio > 0.25 THEN 'repetitive_word'
+                 WHEN r.dup_trigram_ratio > 0.5 THEN 'repetitive_trigram'
+               END AS reason
+        FROM documents d
+        LEFT JOIN feats f USING (doc_id)
+        LEFT JOIN rep r USING (doc_id)
+    )
 """
 
 
@@ -2064,6 +2156,60 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
                          / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0) AS dup_trigram_ratio
             FROM per_typ GROUP BY doc_id
+        """,
+        "quality_filter": _QUALITY_VERDICT + """
+            SELECT doc_id, reason IS NULL AS keep, reason FROM verdict
+        """,
+        "curation_funnel": _QUALITY_VERDICT + """
+            , kept AS (
+                SELECT d.doc_id, d.text
+                FROM documents d JOIN verdict v USING (doc_id)
+                WHERE v.reason IS NULL
+            ), exact_keep AS (
+                SELECT min(doc_id) AS doc_id
+                FROM kept GROUP BY md5(lower(trim(text)))
+            ), exact_docs AS (
+                SELECT k.doc_id, k.text
+                FROM kept k JOIN exact_keep e USING (doc_id)
+            ), docs2 AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM exact_docs
+            ), sh2 AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                           toks[g.i+2] AS shingle
+                    FROM docs2
+                    CROSS JOIN LATERAL
+                        (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), cnt2 AS (
+                SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id
+            ), cand2 AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+                FROM sh2 a JOIN sh2 b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id2 FROM cand2
+                JOIN cnt2 c1 ON c1.doc_id = id1
+                JOIN cnt2 c2 ON c2.doc_id = id2
+                WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4)
+                      >= 0.8
+            ), near AS (
+                SELECT doc_id FROM exact_docs
+                WHERE doc_id NOT IN (SELECT id2 FROM losers)
+            )
+            SELECT 'raw' AS stage, 1 AS stage_order,
+                   (SELECT count(*) FROM documents) AS n_docs
+            UNION ALL
+            SELECT 'quality_kept', 2, (SELECT count(*) FROM kept)
+            UNION ALL
+            SELECT 'exact_deduped', 3, (SELECT count(*) FROM exact_docs)
+            UNION ALL
+            SELECT 'near_deduped', 4, (SELECT count(*) FROM near)
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS,
         "write_roundtrip_xml": """

@@ -170,3 +170,141 @@ def contamination_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# Gopher-style rejection thresholds (Rae et al. 2021, §A1.1 — public
+# methodology), adapted to the synthetic corpus's scale. Order matters:
+# the FIRST failing rule names the rejection reason.
+QUALITY_RULES = (
+    ("too_short", "n_tokens < {min_tokens}"),
+    ("too_long", "n_tokens > {max_tokens}"),
+    ("mean_token_len", "mean_token_len < 2.0 OR mean_token_len > 12.0"),
+    ("junk", "junk_ratio > {max_junk_ratio}"),
+    ("repetitive_word", "top_word_ratio > {max_top_word_ratio}"),
+    ("repetitive_trigram", "dup_trigram_ratio > {max_dup_trigram_ratio}"),
+)
+
+
+def quality_filter(
+    documents: DataFrame,
+    *,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_junk_ratio: float = 0.2,
+    max_top_word_ratio: float = 0.3,
+    max_dup_trigram_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keep/drop VERDICT with the first failing rule as
+    the reason — the decision layer over :func:`quality_score` and
+    :func:`repetition_signals` (which only emit features).
+
+    Output: (doc_id, keep, reason) — ``reason`` NULL for keepers.
+    Documents with NULL text are dropped with reason ``'null_text'``.
+
+    Scale shape: the feature frames are narrow (id + doubles), so the
+    doc_id join shuffles ~40 bytes/doc; the verdict itself is a
+    codegen CASE chain. At 100 TB prefer joining the verdict back to
+    the payload over carrying text through the metric computation.
+    """
+    from etl_gcp_spark.functions.text import quality_score, repetition_signals
+
+    params = dict(
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_junk_ratio=max_junk_ratio,
+        max_top_word_ratio=max_top_word_ratio,
+        max_dup_trigram_ratio=max_dup_trigram_ratio,
+    )
+    q = quality_score(documents, text_col=text_col)
+    r = repetition_signals(documents, text_col=text_col).select(
+        id_col, "top_word_ratio", "dup_trigram_ratio"
+    )
+    feats = (
+        documents.select(id_col)
+        .join(q.drop("n_tokens"), id_col, "left")
+        .join(
+            r.withColumnRenamed("doc_id", id_col)
+            if id_col != "doc_id"
+            else r,
+            id_col,
+            "left",
+        )
+        .join(
+            documents.select(
+                id_col, F.size(tokens(F.col(text_col))).alias("n_tokens")
+            ),
+            id_col,
+            "left",
+        )
+    )
+    reason = F.when(F.col("n_tokens").isNull(), F.lit("null_text"))
+    for name, cond in QUALITY_RULES:
+        reason = reason.when(
+            F.expr(cond.format(**params)), F.lit(name)
+        )
+    return feats.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def curation_funnel(
+    documents: DataFrame,
+    *,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **filter_kwargs,
+) -> DataFrame:
+    """End-to-end corpus curation funnel — the assembled pipeline a
+    training-data run executes, reported as per-stage survivor counts:
+
+    raw → quality_filter → exact dedup (md5 keep-min-id) →
+    near-dup removal (MinHash LSH, greedy lower-id keeper).
+
+    Output: (stage, stage_order, n_docs) — 4 rows. Each stage feeds
+    the next, so the counts are monotone non-increasing; the funnel
+    is the at-a-glance health report for a curation run (how much did
+    each gate remove?).
+    """
+    from etl_gcp_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        exact_text_dedup,
+    )
+
+    verdict = quality_filter(
+        documents, text_col=text_col, id_col=id_col, **filter_kwargs
+    )
+    kept = documents.join(
+        verdict.filter(F.col("keep")).select(id_col), id_col
+    )
+    exact_ids = exact_text_dedup(kept, text_col=text_col, id_col=id_col)
+    exact_docs = kept.join(exact_ids, id_col)
+    pairs = minhash_lsh_pairs(
+        exact_docs,
+        threshold=jaccard_threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    near = exact_docs.join(
+        pairs.select(F.col("id2").alias(id_col)).dropDuplicates(),
+        id_col,
+        "left_anti",
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(documents, "raw", 1)
+        .unionByName(stage(kept, "quality_kept", 2))
+        .unionByName(stage(exact_docs, "exact_deduped", 3))
+        .unionByName(stage(near, "near_deduped", 4))
+    )

@@ -104,3 +104,72 @@ def test_gap_fill_hourly_fills_and_carries_state(spark):
     assert [r["n_events"] for r in rows] == [1, 0, 0, 1]
     # state carries forward through the empty hours
     assert [r["state_type"] for r in rows] == ["signup", "signup", "signup", "click"]
+
+
+def test_quality_filter_reasons(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import quality_filter
+
+    good = "the quick brown fox jumps over a lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text="tiny doc"),                     # too_short
+            Row(doc_id=3, text="a " * 40),                      # repetitive_word
+            Row(doc_id=4, text="!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@"),
+            Row(doc_id=5, text=None),                           # null_text
+            Row(doc_id=6, text="x y " * 20),                    # mean_token_len < 2
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.keep, r.reason)
+        for r in quality_filter(docs, min_tokens=5).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_short")
+    assert got[3][1] in ("repetitive_word", "mean_token_len")
+    assert got[4] == (False, "junk")
+    assert got[5] == (False, "null_text")
+    assert got[6] == (False, "mean_token_len")
+    assert len(got) == 6  # every input doc gets a verdict row
+
+
+def test_curation_funnel_monotone_and_dedups(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import curation_funnel
+
+    import itertools
+
+    letters = [
+        "tok" + a + b
+        for a, b in itertools.product("abcdefg", repeat=2)
+    ]
+    base = " ".join(letters[:40])
+    near = " ".join(letters[:36] + ["xa", "xb", "xc", "xd"])
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),        # exact dup of 1
+            Row(doc_id=3, text=near),        # near dup of 1 (J ≈ 0.8)
+            Row(doc_id=4, text="short"),     # quality-dropped
+            Row(
+                doc_id=5,
+                text=" ".join(
+                    "tok" + a + b
+                    for a, b in itertools.product("hijklm", repeat=2)
+                ),
+            ),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.stage: r.n_docs
+        for r in curation_funnel(docs, min_tokens=5).collect()
+    }
+    assert rows["raw"] == 5
+    assert rows["quality_kept"] == 4          # doc 4 gone
+    assert rows["exact_deduped"] == 3         # doc 2 gone
+    assert rows["near_deduped"] == 2          # doc 3 gone
