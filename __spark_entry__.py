@@ -528,6 +528,12 @@ def _q_curation_funnel(spark, sf_dir):
     )
 
 
+def _q_source_mixture(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import source_mixture_rates
+
+    return source_mixture_rates(_t(spark, sf_dir, "documents"))
+
+
 def _q_rolling_spend(spark, sf_dir):
     from etl_gcp_spark.operators.relational import rolling_weekly_spend
 
@@ -1564,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "quality_filter": _q_quality_filter,
         "curation_funnel": _q_curation_funnel,
+        "source_mixture_rates": _q_source_mixture,
         "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
         # --- dedup + similarity (LSH headliners with verified oracles) ---
@@ -2156,6 +2163,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
                          / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0) AS dup_trigram_ratio
             FROM per_typ GROUP BY doc_id
+        """,
+        "source_mixture_rates": """
+            WITH counts AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), totals AS (
+                SELECT sum(n_docs) AS total, count(*) AS k FROM counts
+            )
+            SELECT source, n_docs,
+                   round(least(1.0,
+                         (total / k) / n_docs::DOUBLE), 6) AS sample_rate
+            FROM counts CROSS JOIN totals
         """,
         "quality_filter": _QUALITY_VERDICT + """
             SELECT doc_id, reason IS NULL AS keep, reason FROM verdict

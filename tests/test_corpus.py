@@ -173,3 +173,39 @@ def test_curation_funnel_monotone_and_dedups(spark):
     assert rows["quality_kept"] == 4          # doc 4 gone
     assert rows["exact_deduped"] == 3         # doc 2 gone
     assert rows["near_deduped"] == 2          # doc 3 gone
+
+
+def test_boilerplate_sentences_finds_repeated_banner(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import boilerplate_sentences
+
+    banner = "this content is provided under the creative commons license"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"unique alpha words here. {banner}"),
+            Row(doc_id=2, text=f"different beta content now. {banner}"),
+            Row(doc_id=3, text=f"{banner}. totally gamma material"),
+            Row(doc_id=4, text="no shared banner in this one at all"),
+        ]
+    )
+    out = boilerplate_sentences(docs, min_docs=3, min_len=20).collect()
+    assert len(out) == 1
+    assert out[0].sentence == banner
+    assert out[0].n_docs == 3
+
+
+def test_source_mixture_rates_reweights_to_uniform(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import source_mixture_rates
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big" if i < 90 else "small", text="x")
+         for i in range(100)]
+    )
+    rates = {r.source: (r.n_docs, r.sample_rate) for r in
+             source_mixture_rates(docs).collect()}
+    # target = 100/2 = 50 per source: big downsampled, small capped at 1
+    assert rates["big"] == (90, round(50 / 90, 6))
+    assert rates["small"] == (10, 1.0)
