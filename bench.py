@@ -78,19 +78,32 @@ def main() -> None:
     # suite cost; wall_sec additionally includes the warm-up repeats
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "wall_sec": wall,
-                "repeat": repeat,
-            }
-        )
-    )
+    # The round driver records only the TAIL of this line, so field
+    # order is survival order: per-query timings sorted ASCENDING by
+    # time (cheap ones truncate first, expensive ones — the ones worth
+    # auditing — survive), summary scalars last. The full untruncated
+    # result additionally lands in BENCH_LOCAL.json for diffing with
+    # scripts/bench_diff.py.
+    result = {
+        "metric": "total_wall_sec",
+        "unit": "sec",
+        "repeat": repeat,
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "n_queries": len(timings),
+        "value": total,
+        "wall_sec": wall,
+        "sf": sf,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
