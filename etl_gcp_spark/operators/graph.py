@@ -152,3 +152,93 @@ def dedup_clusters(
         F.lit(1).cast("bigint").alias("cluster_size"),
     )
     return clustered.unionByName(singles)
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log² n) rounds regardless of component
+    DIAMETER, where min-label propagation needs O(diameter) rounds.
+
+    Use this for adversarial graphs (long chains — e.g. near-dup
+    "telephone game" drift across a crawl); for near-clique dedup
+    graphs :func:`connected_components` converges in 2-3 cheaper
+    rounds. Same output contract: (id, component = min reachable id).
+
+    Per round each operator is one groupBy(min) plus one join — the
+    same shuffle shape as a propagation round; the win is round COUNT.
+    Convergence = the edge multiset is a fixpoint of both operators,
+    detected with an order-insensitive (count, hash-sum) signature —
+    collision odds ~2⁻⁶⁴ per round, acceptable for a loop guard that
+    is additionally capped at ``max_iterations``.
+    """
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct every edge from the larger endpoint: u ≥ v
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    cur = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    sig = _sig(cur)
+    for _ in range(max_iterations):
+        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        new_sig = _sig(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iterations} rounds"
+        )
+    # at the fixpoint the edge set is a star forest: u → component min
+    membership = cur.select(
+        F.col("u").alias(id_col), F.col("v").alias("component")
+    )
+    singletons = vertices.select(F.col(id_col)).join(
+        membership.select(id_col), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("component"))
+    return membership.unionByName(singletons)

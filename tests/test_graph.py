@@ -99,3 +99,43 @@ def test_dedup_clusters_lsh_matches_exact_source(spark, sf_dir):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_star_contraction_closes_long_chain(spark):
+    # a 120-node path graph: label propagation needs O(diameter) = 120
+    # rounds (far past its cap); star contraction closes in O(log² n)
+    from etl_gcp_spark.operators.graph import connected_components_star
+
+    verts = spark.createDataFrame([Row(id=i) for i in range(120)])
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(119)]
+    )
+    out = connected_components_star(verts, edges)
+    rows = {r.id: r.component for r in out.collect()}
+    assert len(rows) == 120
+    assert set(rows.values()) == {0}
+
+
+def test_star_contraction_matches_propagation(spark):
+    import random
+
+    from etl_gcp_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    edges = [
+        Row(src=rng.randrange(n), dst=rng.randrange(n)) for _ in range(45)
+    ]
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    e = spark.createDataFrame(edges)
+    prop = {
+        r.id: r.component for r in connected_components(verts, e).collect()
+    }
+    star = {
+        r.id: r.component
+        for r in connected_components_star(verts, e).collect()
+    }
+    assert prop == star
