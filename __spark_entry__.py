@@ -528,6 +528,49 @@ def _q_curation_funnel(spark, sf_dir):
     )
 
 
+def _q_bucketed_join_totals(spark, sf_dir):
+    """The co-located fact-fact join: orders and lineitem persisted
+    bucketed on the join key with matching bucket counts, then joined
+    with ZERO exchange on either side (plan-asserted in
+    tests/test_scale_features.py). At 100 TB this converts every
+    recurring orderkey join from a full shuffle of both facts into a
+    local zip of pre-hashed buckets — bucketing is the one physical
+    layout decision that pays for itself across every downstream
+    query (sinks/writers.py::write_bucketed_table)."""
+    from etl_gcp_spark.sinks.writers import write_bucketed_table
+
+    sfx = os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
+    for t, k in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{t}_{sfx}"
+        if not spark.catalog.tableExists(name):
+            # the in-memory catalog forgets managed tables between
+            # sessions while their warehouse directories persist;
+            # clear any orphaned location before re-creating
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path or spark.conf.get("spark.sql.warehouse.dir")
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            write_bucketed_table(
+                _t(spark, sf_dir, t), name, bucket_cols=[k], n_buckets=8
+            )
+    o = spark.table(f"bkt_orders_{sfx}")
+    li = spark.table(f"bkt_lineitem_{sfx}")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
 def _q_source_mixture(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import source_mixture_rates
 
@@ -1571,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "curation_funnel": _q_curation_funnel,
         "source_mixture_rates": _q_source_mixture,
+        "bucketed_join_totals": _q_bucketed_join_totals,
         "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
         # --- dedup + similarity (LSH headliners with verified oracles) ---
@@ -2163,6 +2207,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
                          / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0) AS dup_trigram_ratio
             FROM per_typ GROUP BY doc_id
+        """,
+        "bucketed_join_totals": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus
         """,
         "source_mixture_rates": """
             WITH counts AS (
