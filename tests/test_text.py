@@ -71,3 +71,20 @@ def test_winnow_fingerprints_invariants(spark):
     assert fps[0] == fps[1]                # identical docs, identical sets
     overlap = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
     assert 0.3 < overlap < 1.0             # local edit: high but not full
+
+
+def test_repetition_engines_agree_on_testdata(spark, sf_dir):
+    # the Arrow kernel and the SQL-mirrorable Column form must be
+    # value-identical (incl. HALF_UP 4-dp rounding on exact binary
+    # halves like 2/64) — the condition under which the shared DuckDB
+    # oracle covers the default engine
+    from etl_gcp_spark.functions.text import repetition_signals
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrow = {tuple(r) for r in repetition_signals(docs).collect()}
+    sql = {
+        tuple(r) for r in repetition_signals(docs, engine="sql").collect()
+    }
+    assert arrow == sql
+    assert arrow
