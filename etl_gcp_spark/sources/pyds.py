@@ -111,6 +111,15 @@ def write_reference_chunks(
     os.makedirs(path, exist_ok=True)
     for stale in glob.glob(os.path.join(path, "cdc_chunk_*.csv")):
         os.remove(stale)
+    # guard the driver-side collect: this writer exists for fixtures;
+    # a caller pointing it at a real table should get a loud error,
+    # not an OOM'd driver
+    n = df.count()
+    if n > 1_000_000:
+        raise ValueError(
+            f"write_reference_chunks collects to the driver ({n} rows); "
+            "it is a fixture writer — use write_chunked_csv for real data"
+        )
     rows = df.collect()
     cols = df.columns
     out = []
