@@ -528,6 +528,12 @@ def _q_curation_funnel(spark, sf_dir):
     )
 
 
+def _q_unigram_surprisal(spark, sf_dir):
+    from etl_gcp_spark.functions.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def _q_bucketed_join_totals(spark, sf_dir):
     """The co-located fact-fact join: orders and lineitem persisted
     bucketed on the join key with matching bucket counts, then joined
@@ -1614,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "curation_funnel": _q_curation_funnel,
         "source_mixture_rates": _q_source_mixture,
+        "unigram_surprisal": _q_unigram_surprisal,
         "bucketed_join_totals": _q_bucketed_join_totals,
         "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
@@ -2207,6 +2214,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
                          / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0) AS dup_trigram_ratio
             FROM per_typ GROUP BY doc_id
+        """,
+        "unigram_surprisal": """
+            WITH posting AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ), freqs AS (
+                SELECT tok, count(*) AS c FROM posting GROUP BY tok
+            ), total AS (
+                SELECT sum(c) AS total FROM freqs
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln(c / total)), 4) AS mean_surprisal
+            FROM posting JOIN freqs USING (tok) CROSS JOIN total
+            GROUP BY doc_id
         """,
         "bucketed_join_totals": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,

@@ -494,3 +494,42 @@ def pii_redact(
         .cast("long")
         .alias("n_ips"),
     )
+
+
+def unigram_surprisal(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram LM surprisal per document — the
+    SQL-expressible proxy for the LM-perplexity quality filter
+    (Wenzek et al. 2020, "CCNet" — public methodology: documents with
+    unusually high perplexity under a reference LM are dropped or
+    down-weighted).
+
+    score(d) = mean over tokens t of −ln P(t), with P estimated from
+    the corpus itself (a held-out/reference corpus just swaps the
+    frequency table). Output: (doc_id, n_tokens, mean_surprisal).
+
+    Scale shape: one map-side-combined frequency aggregation over
+    (8-byte hashed) tokens, one shuffle join of the token stream
+    against the frequency table on the same key, one per-doc mean —
+    all codegen. The frequency table is |vocab| rows; Catalyst
+    broadcasts it when small, shuffles both sides at web-corpus vocab
+    sizes. No driver collect at any size.
+    """
+    posting = documents.select(
+        "doc_id", F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
+    freqs = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("total"))
+    scored = (
+        posting.join(freqs, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("c") / F.col("total"))).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
+    )

@@ -88,3 +88,26 @@ def test_repetition_engines_agree_on_testdata(spark, sf_dir):
     }
     assert arrow == sql
     assert arrow
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.text import unigram_surprisal
+
+    # "common common common" vs a doc of hapaxes: rare tokens carry
+    # more surprisal
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common common"),
+            Row(doc_id=2, text="rare unique single tokens"),
+        ]
+    )
+    got = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    assert got[2].mean_surprisal > got[1].mean_surprisal
+    # exact values: P(common)=4/8 -> ln2; hapax -> ln8
+    import math
+
+    assert got[1].mean_surprisal == round(math.log(2), 4)
+    assert got[2].mean_surprisal == round(math.log(8), 4)
