@@ -1471,15 +1471,29 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+    )
+
+    # HEADLINE = distributed blocked GEMM: exact, no driver collect,
+    # no broadcast-fit limit — the measured right algorithm at this
+    # threshold (θ=0.45 is calibrated to the synthetic embeddings,
+    # max pairwise cosine ≈0.51; at that θ SRP-LSH candidates are 87%
+    # of all pairs — banding prunes nothing, costing 4.5 s vs 0.6 s
+    # here at sf0.1). The LSH variant below stays registered as the
+    # high-threshold (θ ≥ ~0.8) scale path; the broadcast GEMM as the
+    # small-side baseline. All three share the brute-force oracle.
+    return blocked_exact_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
 
-    # HEADLINE = the scale path: SRP-LSH bucketing (3 planes × 16
-    # tables — recall tuned for the 0.45 regime; verified 100% recall
-    # vs the exact GEMM at sf0.001 AND sf0.01, so the brute-force
-    # DuckDB oracle applies at driver scale), exact verification of
-    # candidates only. Threshold 0.45 is calibrated to the synthetic
-    # embeddings (max pairwise cosine ≈0.51): high enough to be
-    # selective, low enough that the pair set is non-vacuous.
+    # SRP-LSH bucketing (3 planes × 16 tables): verified 100% recall
+    # vs the exact GEMM at sf0.001 AND sf0.01 (locked in pytest), so
+    # the brute-force DuckDB oracle applies at driver scale
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.45,
@@ -1631,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_dedup_exact": _q_near_dup_dedup_exact,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_topk": _q_ivf_topk,
@@ -3355,6 +3370,14 @@ def oracle_sql() -> dict[str, str]:
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         """,
         "embedding_near_dup_exact": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        """,
+        "embedding_near_dup_lsh": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(list_cosine_similarity(
                        a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

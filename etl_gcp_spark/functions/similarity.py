@@ -281,6 +281,9 @@ def embedding_near_dup_pairs(
     pairs sharing a bucket, verified exactly. The all-pairs analog of
     document near-dup dedup, for modality-agnostic dedup by embedding.
     """
+    # persist the bucketed frame: BOTH join sides reference it, and
+    # without pinning the GEMM bucketing kernel executes twice
+    # (visible as two MapInPandas blocks in the plan)
     buckets = _srp_buckets_df(
         embeddings,
         n_planes=n_planes,
@@ -288,7 +291,7 @@ def embedding_near_dup_pairs(
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,
-    )
+    ).persist()
     # candidate generation shuffles ONLY (tbl, bkt, id) — never the
     # vectors: with t tables a vector would otherwise traverse the
     # bucket join t times, and every surviving pair would drag
@@ -681,3 +684,94 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_sim", "rank")
     )
+
+
+def blocked_exact_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.45,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine pairs via DISTRIBUTED blocked GEMM — no
+    driver collect, no broadcast-fit requirement.
+
+    Completes the near-dup family's cost triangle:
+
+    - :func:`exact_near_dup_pairs` — broadcast-GEMM: fastest while one
+      side's matrix fits in a broadcast (~GBs);
+    - :func:`embedding_near_dup_pairs` — SRP-LSH: wins when the
+      threshold is high enough that banding prunes (θ ≥ ~0.8; at
+      θ=0.45 measured candidates ≈ 87% of all pairs — no pruning);
+    - this — the unbounded exact path: O(n²·dim) work, distributed as
+      (upper-triangle) block pairs, each task one dense numpy GEMM.
+
+    Mechanics: vectors hash into ``n_blocks`` row-blocks; blocks are
+    packed with ``collect_list`` (one row per block), self-joined on
+    ``x.blk <= y.blk``, and each block pair streams through an
+    Arrow-batched kernel. Shuffle volume is n·(B+1)/2·dim doubles
+    (each block meets B−1 partners + itself); pick B so a block is
+    ~tens of MB — B ≈ n·dim·8 / 32 MB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    packed = base.groupBy(
+        F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).alias("blk")
+    ).agg(
+        F.collect_list("__id").alias("ids"),
+        F.collect_list("__v").alias("vecs"),
+    )
+    pairs = (
+        packed.select(
+            F.col("blk").alias("xblk"),
+            F.col("ids").alias("xids"),
+            F.col("vecs").alias("xvecs"),
+        )
+        .join(
+            packed.select(
+                F.col("blk").alias("yblk"),
+                F.col("ids").alias("yids"),
+                F.col("vecs").alias("yvecs"),
+            ),
+            F.col("xblk") <= F.col("yblk"),
+        )
+        # spread the B(B+1)/2 block-pair rows across the cluster — the
+        # join above may land them on few partitions
+        .repartition(F.col("xblk"), F.col("yblk"))
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_x = np.asarray(row.xids, dtype=np.int64)
+                ids_y = np.asarray(row.yids, dtype=np.int64)
+                mx = np.stack([np.asarray(v, dtype=np.float64) for v in row.xvecs])
+                my = np.stack([np.asarray(v, dtype=np.float64) for v in row.yvecs])
+                mx /= np.linalg.norm(mx, axis=1, keepdims=True)
+                my /= np.linalg.norm(my, axis=1, keepdims=True)
+                sims = mx @ my.T
+                ii, jj = np.where(sims >= threshold)
+                if row.xblk == row.yblk:
+                    # diagonal block: keep the upper triangle only
+                    keep = ids_x[ii] < ids_y[jj]
+                    id1 = ids_x[ii][keep]
+                    id2 = ids_y[jj][keep]
+                    s = sims[ii, jj][keep]
+                else:
+                    # cross block: every pair occurs exactly once here
+                    # (blocks are disjoint, join is x.blk < y.blk);
+                    # emit in canonical (low, high) orientation
+                    ax, ay = ids_x[ii], ids_y[jj]
+                    id1 = np.minimum(ax, ay)
+                    id2 = np.maximum(ax, ay)
+                    s = sims[ii, jj]
+                yield pd.DataFrame(
+                    {"id1": id1, "id2": id2, "sim": np.round(s, 6)}
+                )
+
+    return pairs.mapInPandas(kernel, "id1 long, id2 long, sim double")

@@ -249,8 +249,8 @@ def test_dup_count_exchange_carries_digest_only(spark, sf_dir):
     assert "hashpartitioning(_groupingexpression" in exchange
 
 
-def test_embedding_near_dup_headline_shuffles_ids_not_vectors(spark, sf_dir):
-    """The LSH headline's candidate join must shuffle (tbl, bkt, id)
+def test_embedding_near_dup_lsh_shuffles_ids_not_vectors(spark, sf_dir):
+    """The LSH variant's candidate join must shuffle (tbl, bkt, id)
     only — embeddings re-attach AFTER the pair dedup, and the exact
     verification runs in one Arrow-batched kernel."""
     from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs

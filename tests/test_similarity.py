@@ -71,11 +71,11 @@ def test_embedding_near_dup_pairs(spark):
 
 
 def test_embedding_lsh_full_recall_on_testdata(spark, sf_dir):
-    # locks the oracle-validity claim for the LSH-backed
-    # embedding_near_dup headline: at the registered config
-    # (θ=0.45, 3 planes × 16 tables) the bucketed generator recalls
-    # every exact pair on the driver's corpus, with identical
-    # exact-verified sims. Deterministic — planes are seeded.
+    # locks the oracle-validity claim for the embedding_near_dup_lsh
+    # entry: at the registered config (θ=0.45, 3 planes × 16 tables)
+    # the bucketed generator recalls every exact pair on the driver's
+    # corpus, with identical exact-verified sims. Deterministic —
+    # planes are seeded.
     from etl_gcp_spark.functions.similarity import (
         embedding_near_dup_pairs,
         exact_near_dup_pairs,
@@ -155,3 +155,30 @@ def test_quantized_topk_agrees_with_exact_on_separated_data(spark):
     # int8 quantization keeps >= 80% of exact top-5 membership per query
     hits = sum(1 for k_ in a if a[k_] in e.values())
     assert hits >= 0.8 * len(a)
+
+
+def test_blocked_gemm_matches_broadcast_exact(spark, sf_dir):
+    # the unbounded exact path (no collect, no broadcast) must agree
+    # with the broadcast-GEMM baseline pair-for-pair — including
+    # cross-block pairs in both id orientations (regression: an early
+    # version dropped cross-block pairs where id_x > id_y)
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+        exact_near_dup_pairs,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id1, r.id2, r.sim)
+        for r in exact_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    for n_blocks in (1, 3, 16):
+        blocked = {
+            (r.id1, r.id2, r.sim)
+            for r in blocked_exact_near_dup_pairs(
+                emb, threshold=0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"n_blocks={n_blocks}"
+    assert exact
