@@ -274,10 +274,11 @@ def test_embedding_near_dup_lsh_shuffles_ids_not_vectors(spark, sf_dir):
         assert "__v" not in input_line and "embedding" not in input_line
         # the candidate dedup is a pure distinct: no first() buffers
         assert "first" not in input_line
-    # Arrow boundaries: the GEMM bucketing kernel (planned once per
-    # join side) and the exact-verification kernel — nothing else
-    # drops to Python
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 3
+    # Arrow boundaries: the GEMM bucketing kernel (planned ONCE —
+    # the bucketed frame is persisted, so both join sides read the
+    # cached relation) and the exact-verification kernel — nothing
+    # else drops to Python
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
 
 
 def test_simhash_pairs_filters_before_dedup_exchange(spark, sf_dir):
