@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, mirroring what a 100 TB training-data pipeline needs:
+Top-k paths, mirroring what a 100 TB training-data pipeline needs:
 
 - :func:`cosine_topk` — brute-force exact top-k: broadcast the query
   set, score every (query, candidate) pair with a JVM-side
@@ -9,13 +9,26 @@ Two paths, mirroring what a 100 TB training-data pipeline needs:
   shuffle-free until the final per-query heap.
 - :func:`lsh_bucketed_topk` — sign-random-projection LSH: candidates
   restricted to matching hash buckets (multi-table), then exact
-  re-scoring of candidates only. The scale path: candidate count per
-  query is bounded by bucket occupancy instead of |C|. Hyperplanes
-  are pseudo-random from ``xxhash64`` so the operator is fully
-  deterministic with no stored model state.
+  re-scoring of candidates only. Candidate count per query is bounded
+  by bucket occupancy instead of |C|. Hyperplanes are pseudo-random
+  from ``xxhash64`` so the operator is fully deterministic with no
+  stored model state.
+- :func:`ivf_topk` — inverted-file ANN: cells as join keys.
 
-Everything is built-in Column expressions — no UDF, no Python
-serde — embedding math runs inside whole-stage codegen.
+All-pairs near-dup forms a measured COST TRIANGLE — pick by scale
+and threshold:
+
+- :func:`exact_near_dup_pairs` — broadcast GEMM; fastest while one
+  side's matrix fits in a broadcast (~GBs);
+- :func:`blocked_exact_near_dup_pairs` — distributed blocked GEMM;
+  exact at ANY size (no collect, no broadcast), O(n²·dim) work
+  spread as block-pair tasks;
+- :func:`embedding_near_dup_pairs` — SRP-LSH; sub-quadratic ONLY
+  when the threshold is high enough for banding to prune (θ ≥ ~0.8;
+  at θ=0.45 measured candidates ≈ 87% of all pairs).
+
+Hot paths are built-in Column expressions or Arrow-batched numpy
+GEMM kernels — no row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
