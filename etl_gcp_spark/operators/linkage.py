@@ -77,6 +77,15 @@ def fuzzy_pairs(
     b = masked.select(
         F.col(id_col).alias("id2"), F.col("__t").alias("t2"), "pos", "mkey"
     )
+    # Shape note (measured at sf0.1, best-of-3): the subset dedup
+    # here DOES desugar to first(t1)/first(t2) ObjectHashAggregate,
+    # but mask-key blocks are ~alphabet-sized so candidate volume is
+    # tiny and the texts riding the dedup cost ~nothing (1.5 s).
+    # Both "optimizations" tried against it measured WORSE: computing
+    # levenshtein per candidate occurrence before a full-row distinct
+    # (the simhash_pairs trick) pays the O(L²) DP up to L times per
+    # pair (2.9 s); deduping bare (id1,id2) then re-attaching texts
+    # adds two joins (2.2 s). Keep the straightforward form.
     return (
         a.join(b, ["pos", "mkey"])
         .filter(F.col("id1") < F.col("id2"))
