@@ -528,6 +528,18 @@ def _q_curation_funnel(spark, sf_dir):
     )
 
 
+def _q_mixture_sample_counts(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import mixture_sample
+
+    # budget 0.5: keep ~half of the (balanced) corpus so the sampler
+    # visibly engages; per-source survivor counts are the check
+    return (
+        mixture_sample(_t(spark, sf_dir, "documents"), budget_fraction=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+
+
 def _q_unigram_surprisal(spark, sf_dir):
     from etl_gcp_spark.functions.text import unigram_surprisal
 
@@ -1634,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "curation_funnel": _q_curation_funnel,
         "source_mixture_rates": _q_source_mixture,
+        "mixture_sample_counts": _q_mixture_sample_counts,
         "unigram_surprisal": _q_unigram_surprisal,
         "bucketed_join_totals": _q_bucketed_join_totals,
         "bpe_token_count": _q_bpe_token_count,
@@ -2229,6 +2242,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(1.0 - max(CASE WHEN typ = 3 THEN dst END)::DOUBLE
                          / max(CASE WHEN typ = 3 THEN tot END), 4), 0.0) AS dup_trigram_ratio
             FROM per_typ GROUP BY doc_id
+        """,
+        "mixture_sample_counts": """
+            WITH counts AS (
+                SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY source
+            ), totals AS (
+                SELECT sum(n_docs) AS total, count(*) AS k FROM counts
+            ), rates AS (
+                SELECT source,
+                       least(1.0, round(least(1.0,
+                           (total / k) / n_docs::DOUBLE), 6) * 0.5) AS rate
+                FROM counts CROSS JOIN totals
+            )
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE ((d.doc_id * 48271) % 2147483647) % 10000
+                  < round(r.rate * 10000)
+            GROUP BY d.source
         """,
         "unigram_surprisal": """
             WITH posting AS (

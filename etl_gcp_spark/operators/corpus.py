@@ -313,3 +313,40 @@ def curation_funnel(
         .unionByName(stage(exact_docs, "exact_deduped", 3))
         .unionByName(stage(near, "near_deduped", 4))
     )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    *,
+    budget_fraction: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """APPLY :func:`source_mixture_rates`: deterministically sample
+    each source at its uniform-remix rate scaled by
+    ``budget_fraction`` (the overall corpus-size budget: 0.5 keeps
+    ~half of a balanced corpus, re-balancing skewed sources first).
+
+    The keep/drop decision is the engine-portable Lehmer hash of the
+    document id (operators/sampling.py) — the same rows survive on
+    every run, partitioning, and engine, so the sample is replayable
+    and oracle-checkable. One broadcast join of the (tiny) rate table
+    against the corpus; the filter evaluates scan-side.
+    """
+    from etl_gcp_spark.operators.sampling import hash_bucket
+
+    rates = source_mixture_rates(documents, source_col=source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.col("sample_rate") * F.lit(budget_fraction)
+        ).alias("__rate"),
+    )
+    return (
+        documents.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(F.col(id_col), buckets)
+            < F.round(F.col("__rate") * buckets).cast("bigint")
+        )
+        .drop("__rate")
+    )

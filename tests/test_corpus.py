@@ -209,3 +209,32 @@ def test_source_mixture_rates_reweights_to_uniform(spark):
     # target = 100/2 = 50 per source: big downsampled, small capped at 1
     assert rates["big"] == (90, round(50 / 90, 6))
     assert rates["small"] == (10, 1.0)
+
+
+def test_mixture_sample_rebalances_and_is_deterministic(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.corpus import mixture_sample
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, source="big" if i < 900 else "small", text="x")
+            for i in range(1000)
+        ]
+    )
+    out = mixture_sample(docs)  # budget 1.0: uniform remix target
+    counts = {
+        r.source: r.n_kept
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()
+    }
+    # big (900 docs, rate 500/900) downsamples toward 500; small
+    # (100 docs, rate capped at 1.0) keeps everything
+    assert counts["small"] == 100
+    assert 400 <= counts["big"] <= 600
+    # deterministic: same survivors on a second run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in mixture_sample(docs).collect())
+    assert ids1 == ids2
