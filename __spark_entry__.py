@@ -1618,61 +1618,10 @@ def _q_stream_sessions(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- reference-parity core (data_loader/data_validator path) ---
-        "clean_orders": _q_clean_orders,
-        "pipeline_gold": _q_pipeline_gold,
-        "normalize_columns": _q_normalize_columns,
-        "audit_stamp": _q_audit_stamp,
-        "dedup_lineitem": _q_dedup_lineitem,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dup_count_lineitem": _q_dup_count,
-        "quality_metrics": _q_quality_metrics,
-        "quality_gate": _q_quality_gate,
-        "freshness_check": _q_freshness,
-        "validate_violations": _q_violations,
-        "validation_summary": _q_violation_summary,
-        "schema_columns": _q_schema_columns,
-        "ingest_csv": _q_ingest_csv,
-        "write_roundtrip": _q_write_roundtrip,
-        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
-        "sql_interface": _q_sql_interface,
-        # --- text / LLM-pipeline signals ---
-        "exact_text_dedup": _q_exact_text_dedup,
-        "doc_fingerprint": _q_fingerprint,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "text_quality": _q_text_quality,
-        "repetition_signals": _q_repetition_signals,
-        "quality_filter": _q_quality_filter,
-        "curation_funnel": _q_curation_funnel,
-        "source_mixture_rates": _q_source_mixture,
-        "mixture_sample_counts": _q_mixture_sample_counts,
-        "unigram_surprisal": _q_unigram_surprisal,
-        "bucketed_join_totals": _q_bucketed_join_totals,
-        "bpe_token_count": _q_bpe_token_count,
-        "top_ngrams": _q_top_ngrams,
-        # --- dedup + similarity (LSH headliners with verified oracles) ---
-        "near_dup_dedup": _q_near_dup_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "cosine_topk": _q_cosine_topk,
-        "ann_ivf_topk": _q_ivf_topk,
-        "quantized_cosine_topk": _q_quantized_topk,
-        # --- events / temporal ---
-        "events_json_extract": _q_json_extract,
-        "events_json_parsed": _q_json_parsed,
-        "hourly_event_stats": _q_hourly,
-        "sessionize_events": _q_sessionize,
-        "asof_click_purchase": _q_asof,
-        "sliding_event_stats": _q_sliding,
-        "daily_top_event_types": _q_daily_top_types,
-        "time_rollup": _q_time_rollup,
-        # --- remaining oracle-carrying operators ---
+        # --- round-3 correctness window: the 42 entries never yet
+        # driver-checked (CORRECTNESS_r01 ∪ r02 covers the other 100).
+        # The driver verifies ~the first 50 keys in dict order, so these
+        # come first; slots 43-50 hold entries new in round 3. ---
         "priority_pivot": _q_pivot,
         "customers_without_orders": _q_anti,
         "active_balance_intersect": _q_intersect,
@@ -1708,7 +1657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _q_stream_upsert,
         "streaming_user_stats": _q_stream_user_stats,
         "streaming_interval_join": _q_stream_interval_join,
-        # --- rows-only surfaces (no SQL-expressible oracle) ---
         "winnow_fingerprints": _q_winnow,
         "hll_distinct_stats": _q_hll_distinct_stats,
         "simhash_fingerprints": _q_simhash,
@@ -1716,7 +1664,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_topk,
         "frame_samples": _q_frame_samples,
         "streaming_sessions": _q_stream_sessions,
-        # --- verified green in round 1 (CORRECTNESS_r01) ---
+        # --- new in round 3 (inside the first-50 window) ---
+        # --- driver-green in r01/r02 (rotated out of the window) ---
+        "clean_orders": _q_clean_orders,
+        "pipeline_gold": _q_pipeline_gold,
+        "normalize_columns": _q_normalize_columns,
+        "audit_stamp": _q_audit_stamp,
+        "dedup_lineitem": _q_dedup_lineitem,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dup_count_lineitem": _q_dup_count,
+        "quality_metrics": _q_quality_metrics,
+        "quality_gate": _q_quality_gate,
+        "freshness_check": _q_freshness,
+        "validate_violations": _q_violations,
+        "validation_summary": _q_violation_summary,
+        "schema_columns": _q_schema_columns,
+        "ingest_csv": _q_ingest_csv,
+        "write_roundtrip": _q_write_roundtrip,
+        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
+        "sql_interface": _q_sql_interface,
+        "exact_text_dedup": _q_exact_text_dedup,
+        "doc_fingerprint": _q_fingerprint,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
+        "quality_filter": _q_quality_filter,
+        "curation_funnel": _q_curation_funnel,
+        "source_mixture_rates": _q_source_mixture,
+        "mixture_sample_counts": _q_mixture_sample_counts,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "bucketed_join_totals": _q_bucketed_join_totals,
+        "bpe_token_count": _q_bpe_token_count,
+        "top_ngrams": _q_top_ngrams,
+        "near_dup_dedup": _q_near_dup_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "cosine_topk": _q_cosine_topk,
+        "ann_ivf_topk": _q_ivf_topk,
+        "quantized_cosine_topk": _q_quantized_topk,
+        "events_json_extract": _q_json_extract,
+        "events_json_parsed": _q_json_parsed,
+        "hourly_event_stats": _q_hourly,
+        "sessionize_events": _q_sessionize,
+        "asof_click_purchase": _q_asof,
+        "sliding_event_stats": _q_sliding,
+        "daily_top_event_types": _q_daily_top_types,
+        "time_rollup": _q_time_rollup,
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
@@ -3515,7 +3514,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         # no oracle (hash-function- or state-dependent; rows-only check):
-        #   minhash_lsh_pairs, simhash_fingerprints, simhash_pairs,
-        #   ann_lsh_topk, embedding_near_dup, frame_samples,
-        #   streaming_sessions
+        #   winnow_fingerprints, hll_distinct_stats, simhash_fingerprints,
+        #   simhash_pairs, ann_lsh_topk, frame_samples, streaming_sessions
     }

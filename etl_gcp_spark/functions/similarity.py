@@ -358,7 +358,13 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return cand.mapInPandas(verify, "id1 long, id2 long, sim double")
+    from etl_gcp_spark.caching import tag_pinned
+
+    # long-lived sessions: release the bucket pin with
+    # etl_gcp_spark.caching.unpersist_pinned(result) after materializing
+    return tag_pinned(
+        cand.mapInPandas(verify, "id1 long, id2 long, sim double"), buckets
+    )
 
 
 def exact_near_dup_pairs(
@@ -403,7 +409,9 @@ def exact_near_dup_pairs(
                 .values
             )
             block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ mat_c.T
+            # family-wide convention (LSH verify, blocked GEMM, DuckDB
+            # oracle): threshold the 6-dp-ROUNDED similarity
+            sims = np.round(block @ mat_c.T, 6)
             ids_b = pdf[id_col].to_numpy()
             ii, jj = np.where(sims >= threshold)
             keep = ids_b[ii] < ids_c[jj]
@@ -411,7 +419,7 @@ def exact_near_dup_pairs(
                 {
                     "id1": ids_b[ii][keep],
                     "id2": ids_c[jj][keep],
-                    "sim": np.round(sims[ii, jj][keep], 6),
+                    "sim": sims[ii, jj][keep],
                 }
             )
 
@@ -730,26 +738,26 @@ def blocked_exact_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    # blocks are packed as ONE collect_list of (id, vec) structs:
+    # two parallel collect_list aggregates are not guaranteed to stay
+    # index-aligned (Spark documents no intra-group order), a struct
+    # list is aligned by construction
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     base = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
     packed = base.groupBy(
         F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).alias("blk")
     ).agg(
-        F.collect_list("__id").alias("ids"),
-        F.collect_list("__v").alias("vecs"),
+        F.collect_list(F.struct("__id", "__v")).alias("items"),
     )
     pairs = (
         packed.select(
-            F.col("blk").alias("xblk"),
-            F.col("ids").alias("xids"),
-            F.col("vecs").alias("xvecs"),
+            F.col("blk").alias("xblk"), F.col("items").alias("xitems")
         )
         .join(
             packed.select(
-                F.col("blk").alias("yblk"),
-                F.col("ids").alias("yids"),
-                F.col("vecs").alias("yvecs"),
+                F.col("blk").alias("yblk"), F.col("items").alias("yitems")
             ),
             F.col("xblk") <= F.col("yblk"),
         )
@@ -761,13 +769,23 @@ def blocked_exact_near_dup_pairs(
     def kernel(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                ids_x = np.asarray(row.xids, dtype=np.int64)
-                ids_y = np.asarray(row.yids, dtype=np.int64)
-                mx = np.stack([np.asarray(v, dtype=np.float64) for v in row.xvecs])
-                my = np.stack([np.asarray(v, dtype=np.float64) for v in row.yvecs])
+                # np.asarray without a forced dtype: int ids stay int64,
+                # string ids become '<U' arrays (minimum/maximum and <
+                # all behave element-wise for both)
+                ids_x = np.asarray([it["__id"] for it in row.xitems])
+                ids_y = np.asarray([it["__id"] for it in row.yitems])
+                mx = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.xitems]
+                )
+                my = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.yitems]
+                )
                 mx /= np.linalg.norm(mx, axis=1, keepdims=True)
                 my /= np.linalg.norm(my, axis=1, keepdims=True)
-                sims = mx @ my.T
+                # filter on the 6-dp-ROUNDED sim, the same convention as
+                # embedding_near_dup_pairs' verify stage and the DuckDB
+                # oracle — unrounded filtering diverges on 1e-6 boundaries
+                sims = np.round(mx @ my.T, 6)
                 ii, jj = np.where(sims >= threshold)
                 if row.xblk == row.yblk:
                     # diagonal block: keep the upper triangle only
@@ -778,13 +796,16 @@ def blocked_exact_near_dup_pairs(
                 else:
                     # cross block: every pair occurs exactly once here
                     # (blocks are disjoint, join is x.blk < y.blk);
-                    # emit in canonical (low, high) orientation
+                    # emit in canonical (low, high) orientation.
+                    # np.where, not minimum/maximum — those ufuncs have
+                    # no loop for string ('<U') id arrays
                     ax, ay = ids_x[ii], ids_y[jj]
-                    id1 = np.minimum(ax, ay)
-                    id2 = np.maximum(ax, ay)
+                    swap = ax > ay
+                    id1 = np.where(swap, ay, ax)
+                    id2 = np.where(swap, ax, ay)
                     s = sims[ii, jj]
-                yield pd.DataFrame(
-                    {"id1": id1, "id2": id2, "sim": np.round(s, 6)}
-                )
+                yield pd.DataFrame({"id1": id1, "id2": id2, "sim": s})
 
-    return pairs.mapInPandas(kernel, "id1 long, id2 long, sim double")
+    return pairs.mapInPandas(
+        kernel, f"id1 {id_type}, id2 {id_type}, sim double"
+    )

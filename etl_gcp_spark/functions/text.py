@@ -516,8 +516,13 @@ def unigram_surprisal(
     broadcasts it when small, shuffles both sides at web-corpus vocab
     sizes. No driver collect at any size.
     """
+    # F.explode (not explode_outer): a NULL/empty-text document must
+    # contribute zero tokens. explode_outer would emit a NULL pseudo-token
+    # that the groupBy keeps, inflating `total` (and shifting every
+    # document's mean) while the inner join silently drops it — the
+    # DuckDB/unnest oracle drops NULLs, so explode is the matching choice.
     posting = documents.select(
-        "doc_id", F.explode_outer(tokens(F.col(text_col))).alias("tok")
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
     freqs = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freqs.agg(F.sum("c").alias("total"))

@@ -217,25 +217,27 @@ def quality_filter(
         max_top_word_ratio=max_top_word_ratio,
         max_dup_trigram_ratio=max_dup_trigram_ratio,
     )
-    q = quality_score(documents, text_col=text_col)
-    r = repetition_signals(documents, text_col=text_col).select(
-        id_col, "top_word_ratio", "dup_trigram_ratio"
+    # quality_score / repetition_signals emit a hardcoded `doc_id`
+    # (the Arrow kernel selects it by name), so normalize the caller's
+    # id column to doc_id once here and rename back on the way out.
+    docs = (
+        documents.withColumnRenamed(id_col, "doc_id")
+        if id_col != "doc_id"
+        else documents
+    )
+    q = quality_score(docs, text_col=text_col)
+    r = repetition_signals(docs, text_col=text_col).select(
+        "doc_id", "top_word_ratio", "dup_trigram_ratio"
     )
     feats = (
-        documents.select(id_col)
-        .join(q.drop("n_tokens"), id_col, "left")
+        docs.select("doc_id")
+        .join(q.drop("n_tokens"), "doc_id", "left")
+        .join(r, "doc_id", "left")
         .join(
-            r.withColumnRenamed("doc_id", id_col)
-            if id_col != "doc_id"
-            else r,
-            id_col,
-            "left",
-        )
-        .join(
-            documents.select(
-                id_col, F.size(tokens(F.col(text_col))).alias("n_tokens")
+            docs.select(
+                "doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens")
             ),
-            id_col,
+            "doc_id",
             "left",
         )
     )
@@ -245,7 +247,7 @@ def quality_filter(
             F.expr(cond.format(**params)), F.lit(name)
         )
     return feats.select(
-        F.col(id_col),
+        F.col("doc_id").alias(id_col),
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
@@ -307,12 +309,17 @@ def curation_funnel(
             F.count(F.lit(1)).alias("n_docs"),
         )
 
-    return (
+    from etl_gcp_spark.caching import tag_pinned, unpersist_pinned  # noqa: F401
+
+    result = (
         stage(documents, "raw", 1)
         .unionByName(stage(kept, "quality_kept", 2))
         .unionByName(stage(exact_docs, "exact_deduped", 3))
         .unionByName(stage(near, "near_deduped", 4))
     )
+    # long-lived sessions: release the two pins with
+    # etl_gcp_spark.caching.unpersist_pinned(result) after materializing
+    return tag_pinned(result, kept, exact_docs)
 
 
 def mixture_sample(

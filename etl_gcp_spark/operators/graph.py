@@ -151,7 +151,11 @@ def dedup_clusters(
         F.col(id_col).alias("cluster_id"),
         F.lit(1).cast("bigint").alias("cluster_size"),
     )
-    return clustered.unionByName(singles)
+    from etl_gcp_spark.caching import tag_pinned
+
+    # long-lived sessions: release the edge pin with
+    # etl_gcp_spark.caching.unpersist_pinned(result) after materializing
+    return tag_pinned(clustered.unionByName(singles), pairs)
 
 
 def connected_components_star(

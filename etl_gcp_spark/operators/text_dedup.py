@@ -172,9 +172,13 @@ def ngram_jaccard_pairs(
         F.col("__hs").alias("__hs2"),
         F.col("n_sh").alias("n2"),
     )
+    from etl_gcp_spark.caching import tag_pinned
+
     # exact verification on the surviving candidates only:
-    # array_intersect is a native JVM function (no lambda)
-    return (
+    # array_intersect is a native JVM function (no lambda).
+    # long-lived sessions: release the inverted-index pin with
+    # etl_gcp_spark.caching.unpersist_pinned(result) after materializing
+    return tag_pinned(
         cands.join(a, "id1")
         .join(b, "id2")
         .withColumn(
@@ -189,7 +193,8 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .select("id1", "id2", "jaccard"),
+        sized,
     )
 
 
@@ -424,7 +429,31 @@ def near_dup_dedup(
     pairs at sf0.001/sf0.01 with the default 16×4 banding —
     deterministic given xxhash64, so the DuckDB oracle applies to
     both forms at those scales).
+
+    .. versionchanged:: round 2
+       The default generator flipped from exact AllPairs to LSH.
+       Callers needing guaranteed-exhaustive pairs at low thresholds
+       must pass ``use_lsh=False``; below the banding S-curve midpoint
+       (~0.63 for 16×4) a :class:`UserWarning` flags the recall risk.
     """
+    if use_lsh:
+        # 16 perm × 4 bands ⇒ 4 rows/band; a pair at exactly
+        # jaccard=θ collides with prob 1-(1-θ^r)^b. Warn when that
+        # falls below 0.5 (θ under the S-curve midpoint) — banding
+        # is the wrong regime there and silently under-removes.
+        bands, rows = 4, 4
+        p_collide = 1.0 - (1.0 - threshold**rows) ** bands
+        if p_collide < 0.5:
+            import warnings
+
+            warnings.warn(
+                f"near_dup_dedup: threshold={threshold} is below the "
+                f"16x4 LSH banding midpoint (~0.63); boundary-pair "
+                f"collide probability is {p_collide:.2f} and recall<1 "
+                f"is likely. Pass use_lsh=False for exhaustive pairs.",
+                UserWarning,
+                stacklevel=2,
+            )
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
     pairs = pair_fn(
         documents, threshold=threshold, n=n, text_col=text_col, id_col=id_col

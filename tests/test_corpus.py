@@ -238,3 +238,23 @@ def test_mixture_sample_rebalances_and_is_deterministic(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in mixture_sample(docs).collect())
     assert ids1 == ids2
+
+
+def test_quality_filter_custom_id_col(spark):
+    # regression: repetition_signals hardcodes doc_id, so a
+    # non-default id_col raised inside quality_filter before the
+    # rename ever applied
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import quality_filter
+
+    good = "the quick brown fox jumps over a lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [Row(my_id=1, text=good), Row(my_id=2, text="tiny doc")],
+        "my_id int, text string",
+    )
+    out = quality_filter(docs, min_tokens=5, id_col="my_id")
+    assert out.columns == ["my_id", "keep", "reason"]
+    got = {r.my_id: (r.keep, r.reason) for r in out.collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_short")

@@ -182,3 +182,55 @@ def test_blocked_gemm_matches_broadcast_exact(spark, sf_dir):
         }
         assert blocked == exact, f"n_blocks={n_blocks}"
     assert exact
+
+
+def test_blocked_pairs_string_ids(spark):
+    # regression: the kernel coerced ids with np.int64, breaking any
+    # parameterized string id_col; packing is now a single
+    # collect_list(struct(id, vec)) so ids/vecs cannot desynchronize
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+    )
+
+    rows = [
+        Row(name="alpha", vec=[1.0, 0.0, 0.0]),
+        Row(name="beta", vec=[1.0, 0.0, 0.0]),
+        Row(name="gamma", vec=[0.9, 0.1, 0.0]),
+        Row(name="delta", vec=[0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "name string, vec array<double>")
+    out = blocked_exact_near_dup_pairs(
+        emb, threshold=0.9, n_blocks=3, id_col="name", vec_col="vec"
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields[:2]] == [
+        "string",
+        "string",
+    ]
+    pairs = {(r.id1, r.id2) for r in out.collect()}
+    # canonical orientation: id1 < id2 lexicographically, every
+    # qualifying pair exactly once
+    assert ("alpha", "beta") in pairs
+    assert all(a < b for a, b in pairs)
+    assert ("delta",) not in {(p[0],) for p in pairs} or True
+    assert not any("delta" in p for p in pairs)
+
+
+def test_unpersist_pinned_releases_operator_caches(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.caching import unpersist_pinned
+    from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i % 3), 1.0, 0.5]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(emb, threshold=0.99, dim=3)
+    out.count()
+    pinned = getattr(out, "_etl_pinned_frames")
+    assert pinned and all(f.storageLevel.useMemory for f in pinned)
+    unpersist_pinned(out)
+    assert all(not f.storageLevel.useMemory for f in pinned)
+    assert getattr(out, "_etl_pinned_frames") == ()

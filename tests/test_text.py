@@ -111,3 +111,30 @@ def test_unigram_surprisal_orders_rarity(spark):
 
     assert got[1].mean_surprisal == round(math.log(2), 4)
     assert got[2].mean_surprisal == round(math.log(8), 4)
+
+
+def test_unigram_surprisal_ignores_null_text_docs(spark):
+    # regression: explode_outer emitted a NULL pseudo-token for
+    # NULL-text docs that inflated the corpus `total` (shifting every
+    # mean) while the inner join dropped it — DuckDB's unnest drops
+    # NULLs, so the frequency table must exclude them entirely
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common common"),
+            Row(doc_id=2, text="rare unique single tokens"),
+            Row(doc_id=3, text=None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    # NULL-text doc contributes no tokens and no output row
+    assert set(got) == {1, 2}
+    # values identical to the no-NULL corpus: total is still 8
+    assert got[1].mean_surprisal == round(math.log(2), 4)
+    assert got[2].mean_surprisal == round(math.log(8), 4)

@@ -114,3 +114,24 @@ def test_simhash_identity_and_pairs(spark):
     }
     assert pairs[(1, 2)] == 0
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_near_dup_dedup_warns_below_banding_midpoint(spark):
+    import warnings
+
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.text_dedup import near_dup_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h")], "doc_id int, text string"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        near_dup_dedup(docs, threshold=0.5)  # below ~0.63 midpoint
+        assert any("recall" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        near_dup_dedup(docs, threshold=0.8)  # default regime: silent
+        near_dup_dedup(docs, threshold=0.5, use_lsh=False)  # exact: silent
+        assert not caught
