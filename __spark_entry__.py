@@ -1469,10 +1469,31 @@ def _q_ann_topk(spark, sf_dir):
 def _q_ivf_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import ivf_topk
 
+    # GENUINELY selective probing: 32 cells, 4 probed — each query
+    # rescores ~1/8 of the corpus. Measured recall vs brute force on
+    # the synthetic corpus is 0.8-0.9 (near-uniform vectors scatter
+    # true neighbors across cells — the honest ANN trade; locked with
+    # a floor in pytest), so the brute-force oracle does NOT apply.
+    # Instead the oracle MIRRORS the algorithm: deterministic pivots
+    # (32 lowest ids) → argmax-cosine assignment → 4-cell probe →
+    # exact rescore, replayed in SQL — a hash-match on the
+    # approximate semantics itself. The exhaustive twin below keeps
+    # the brute-force oracle.
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=32,
+        n_probe=4,
+    )
+
+
+def _q_ivf_topk_exhaustive(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import ivf_topk
+
     # n_probe = n_cells: exhaustive probing — IVF plumbing with exact
-    # results, so the DuckDB brute-force oracle applies. The
-    # approximate configuration (n_probe < n_cells) is exercised in
-    # unit tests where recall is compared against cosine_topk.
+    # results, so the DuckDB brute-force oracle applies; the oracle
+    # twin of the selective ann_ivf_topk registration.
     return ivf_topk(
         _t(spark, sf_dir, "embeddings"),
         query_ids=list(range(10)),
@@ -1503,9 +1524,14 @@ def _q_embedding_near_dup(spark, sf_dir):
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
 
-    # SRP-LSH bucketing (3 planes × 16 tables): verified 100% recall
-    # vs the exact GEMM at sf0.001 AND sf0.01 (locked in pytest), so
-    # the brute-force DuckDB oracle applies at driver scale
+    # the θ-DISPATCHING front door: at the registered θ=0.45 (the
+    # only regime where this corpus has pairs — max pairwise cosine
+    # ≈0.51) SRP banding cannot prune (measured candidates ≈87% of
+    # all pairs, 5.7 s vs ~1 s), so engine="auto" routes to the
+    # distributed blocked GEMM; at θ ≥ 0.7 the same call runs real
+    # banding. Forced-LSH recall at this θ stays pytest-locked
+    # (test_embedding_lsh_full_recall_on_testdata), and the
+    # brute-force oracle applies on every path.
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.45,
@@ -1665,6 +1691,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": _q_frame_samples,
         "streaming_sessions": _q_stream_sessions,
         # --- new in round 3 (inside the first-50 window) ---
+        # ann_ivf_topk moved here: its registration changed from
+        # exhaustive to selective probing (new algorithm-mirroring
+        # oracle), so it needs a fresh driver check
+        "ann_ivf_topk": _q_ivf_topk,
+        "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
+        # embedding_near_dup_lsh moved here: its execution path
+        # changed (θ-dispatch to blocked GEMM at the registered θ),
+        # so it needs a fresh driver check
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -1703,10 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_dedup_exact": _q_near_dup_dedup_exact,
         "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "cosine_topk": _q_cosine_topk,
-        "ann_ivf_topk": _q_ivf_topk,
         "quantized_cosine_topk": _q_quantized_topk,
         "events_json_extract": _q_json_extract,
         "events_json_parsed": _q_json_parsed,
@@ -3415,8 +3448,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         """,
-        # exhaustive-probe IVF == exact top-k: same oracle as cosine_topk
+        # selective IVF (32 cells / 4 probes): the oracle REPLAYS the
+        # algorithm — deterministic pivots (32 lowest vec_ids, cell =
+        # 1-based id rank), argmax-cosine assignment (tie → lowest
+        # cell, = numpy argmax first-max), per-query top-4 probe cells
+        # (sim desc, cell asc = Spark's sort_array on (s, negcell)),
+        # exact rescore of probed cells only. A hash match here
+        # verifies the approximate semantics end-to-end, not just row
+        # counts.
         "ann_ivf_topk": """
+            WITH piv AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                       embedding::DOUBLE[] AS pv
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 32)
+            ), base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), assigned AS (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY list_cosine_similarity(v, pv) DESC, cell
+                       ) AS arnk
+                FROM base CROSS JOIN piv
+            ), cells AS (
+                SELECT vec_id, v, cell FROM assigned WHERE arnk = 1
+            ), probe AS (
+                SELECT q.vec_id AS query_id, q.v AS qv, p.cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, p.pv) DESC,
+                                    p.cell
+                       ) AS prnk
+                FROM base q CROSS JOIN piv p
+                WHERE q.vec_id < 10
+            ), scored AS (
+                SELECT query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(pr.qv, c.v) AS raw_sim
+                FROM (SELECT query_id, qv, cell FROM probe
+                      WHERE prnk <= 4) pr
+                JOIN cells c USING (cell)
+                WHERE c.vec_id <> query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, neighbor_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 5
+        """,
+        # exhaustive-probe IVF == exact top-k: same oracle as cosine_topk
+        "ann_ivf_topk_exhaustive": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                 FROM embeddings WHERE vec_id < 10

@@ -285,6 +285,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    engine: str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -293,7 +294,27 @@ def embedding_near_dup_pairs(
     Same LSH bucketing as :func:`lsh_bucketed_topk` but symmetric:
     pairs sharing a bucket, verified exactly. The all-pairs analog of
     document near-dup dedup, for modality-agnostic dedup by embedding.
+
+    ``engine``: ``"auto"`` (default) picks by θ-regime — SRP banding
+    only prunes when the threshold is high (p_plane = 1 − arccos(θ)/π;
+    measured at θ=0.45 candidates ≈ 87% of ALL pairs, i.e. LSH pays
+    bucketing cost for no pruning and loses ~5× to a dense GEMM), so
+    below ``θ < 0.7`` auto dispatches to the distributed blocked GEMM
+    (:func:`blocked_exact_near_dup_pairs` — exact, no collect, no
+    broadcast limit) and above it runs banding. ``"lsh"`` / ``"gemm"``
+    force a path (tests pin ``"lsh"`` to lock banding recall).
+    Output contract is identical on every path: (id1, id2, sim) with
+    the 6-dp-rounded-threshold convention.
     """
+    if engine not in ("auto", "lsh", "gemm"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "gemm" or (engine == "auto" and threshold < 0.7):
+        return blocked_exact_near_dup_pairs(
+            embeddings,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     # persist the bucketed frame: BOTH join sides reference it, and
     # without pinning the GEMM bucketing kernel executes twice
     # (visible as two MapInPandas blocks in the plan)
@@ -428,36 +449,6 @@ def exact_near_dup_pairs(
     )
 
 
-def _pivot_cells(pivot_vecs: list[list[float]]) -> F.Column:
-    """Array of (cosine-to-pivot, cell) structs for the ``__v`` column,
-    with pivots inlined as literals — evaluated per row with NO
-    shuffle and no join. Cell ids are negated inside the struct so
-    ``array_max``'s lexicographic tiebreak prefers the LOWEST cell.
-
-    Assembled as ONE SQL string (single py4j call): the Column-object
-    route cost ~1 s of driver latency per plan build at 8×64 just
-    creating literals. Pivot norms are folded to Python-float
-    constants; the summation order matches the previous HOF form
-    term-for-term, so cell assignments are bit-identical. Only probe
-    ordering evaluates this (a handful of query rows), so whether
-    codegen compiles or interprets the 8×64 tree is immaterial —
-    bulk assignment goes through the GEMM kernel in ivf_assign.
-    """
-    import math
-
-    parts = []
-    for i, vec in enumerate(pivot_vecs):
-        xs = [float(x) for x in vec]
-        dot = "+".join(f"`__v`[{d}]*{x!r}D" for d, x in enumerate(xs))
-        vv = "+".join(f"`__v`[{d}]*`__v`[{d}]" for d in range(len(xs)))
-        pnorm = math.sqrt(sum(x * x for x in xs))
-        parts.append(
-            f"named_struct('s',({dot})/(sqrt({vv})*{pnorm!r}D),"
-            f"'negcell',{-(i + 1)})"
-        )
-    return F.expr("array(" + ",".join(parts) + ")")
-
-
 def ivf_assign(
     embeddings: DataFrame,
     *,
@@ -539,44 +530,56 @@ def ivf_topk(
     ~|C|·n_probe/n_cells per query; recall rises with ``n_probe``
     (n_probe = n_cells degenerates to exact brute force).
     """
+    import numpy as np
+
     assigned, pivot_vecs = ivf_assign(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
-    # per query: its n_probe closest cells = slice of the sorted
-    # (sim, -cell) struct array. Built from the raw scan, NOT from
-    # `assigned`: the id filter then pushes down to parquet, and the
-    # tiny query side skips the Python assignment stage entirely
-    # (probe order is JVM-side HOF over a handful of rows).
-    probed = (
+    # per query: its n_probe closest cells, computed DRIVER-SIDE in
+    # numpy. The query side is a bounded handful of rows (the same
+    # acceptable-collect class as the pivot seed above), and the
+    # previous JVM-expression route — n_cells structs × 2·dim inlined
+    # literal terms, sorted per row — cost seconds of parse/optimize
+    # latency at 32×64 (~4K terms) before a single task ran.
+    # argsort(kind="stable") on the negated sims keeps the LOWEST
+    # cell on exact ties, matching numpy argmax assignment and the
+    # DuckDB oracle's (sim DESC, cell ASC) ordering.
+    qrows = (
         embeddings.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
         )
         .filter(F.col(id_col).isin(query_ids or []))
-        .withColumn(
-            "__probe_cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(_pivot_cells(pivot_vecs), asc=False),
-                        1,
-                        n_probe,
-                    ),
-                    lambda s: -s["negcell"],
-                )
-            ),
-        )
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("__v").alias("__q"),
-            F.col("__probe_cell").alias("cell"),
-        )
+        .collect()
     )
-    cands = F.broadcast(probed).join(
-        assigned.select(
-            F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__c"), "cell"
-        ),
-        "cell",
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    pmat = np.asarray(pivot_vecs, dtype=np.float64)
+    pmat /= np.linalg.norm(pmat, axis=1, keepdims=True)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__v"], dtype=np.float64)
+        sims = pmat @ (qv / np.linalg.norm(qv))
+        for cell in np.argsort(-sims, kind="stable")[:n_probe]:
+            probe_rows.append((r[id_col], int(cell) + 1))
+    spark = embeddings.sparkSession
+    probed = spark.createDataFrame(
+        probe_rows or [], "query_id long, cell int"
+    )
+    qside = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__q"),
+    ).filter(F.col("query_id").isin(query_ids or []))
+    cands = (
+        F.broadcast(probed)
+        .join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__v").alias("__c"),
+                "cell",
+            ),
+            "cell",
+        )
+        .join(F.broadcast(qside), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id")
     )

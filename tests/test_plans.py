@@ -258,8 +258,12 @@ def test_embedding_near_dup_lsh_shuffles_ids_not_vectors(spark, sf_dir):
     import re
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # engine="lsh": this test asserts the BANDING plan shape; at
+    # θ=0.45 the auto dispatcher would route to the blocked GEMM
     plan = _plan_formatted(
-        embedding_near_dup_pairs(emb, threshold=0.45, n_planes=3, n_tables=16)
+        embedding_near_dup_pairs(
+            emb, threshold=0.45, n_planes=3, n_tables=16, engine="lsh"
+        )
     )
     # NO exchange may carry the vector payload: vectors cross the
     # Arrow boundary map-side (bucketing) and re-attach only after the

