@@ -1,0 +1,213 @@
+"""Scale-stress harness for the dedup/similarity family.
+
+The sf0.1 bench can hide superlinear behavior (candidate blowup,
+driver-side joins, per-round shuffle growth): this script synthesizes
+a deterministic corpus at 1x and Nx (default 10x) the sf0.1 shape —
+documents with planted exact/near duplicates, embeddings with planted
+high-cosine neighbors — and times the SCALE-PATH operators on both:
+
+    minhash_lsh_pairs          (banding + exact verify)
+    blocked_exact_near_dup_pairs (distributed blocked GEMM)
+    dedup_clusters             (LSH edges + label propagation)
+    curation_funnel            (filter -> exact dedup -> LSH near-dup)
+
+For each operator it reports wall seconds at both sizes and the
+observed scaling exponent  log(t_N / t_1) / log(N)  — ~1 is linear,
+2 is quadratic. The verdict asserts every exponent < 1.7 (sub-
+quadratic with headroom for fixed overheads at the small size, which
+bias the exponent UP: constant costs inflate t_1's denominator share).
+
+Determinism: numpy seed 42 everywhere, same generator at both sizes
+(the 1x corpus is NOT sf0.1 itself, so both points share structure).
+Output: one JSON line + SCALE_STRESS.json at the repo root.
+
+Usage: python scripts/scale_stress.py [--scale 10] [--out .scale_stress]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = (
+    "the a fast slow row table agg key merge vector customer order group "
+    "sort filter query window hash big small stream batch data join scan "
+    "spark line column part value"
+).split()
+
+BASE_DOCS = 5_000        # sf0.1 documents rows
+BASE_VECS = 2_000        # sf0.1 embeddings rows
+DIM = 64
+EXACT_DUP_FRAC = 0.02    # planted exact text duplicates
+NEAR_DUP_FRAC = 0.04     # planted ~5%-token-mutated near duplicates
+VEC_DUP_FRAC = 0.01      # planted high-cosine embedding neighbors
+
+
+def gen_documents(n: int, rng: np.random.Generator):
+    """(doc_id, text, lang, source, n_chars) rows with planted dups."""
+    vocab = np.array(VOCAB)
+    langs = np.array(["en", "de", "es", "fr", "zh"])
+    texts: list[str] = []
+    n_base = n - int(n * EXACT_DUP_FRAC) - int(n * NEAR_DUP_FRAC)
+    for _ in range(n_base):
+        toks = rng.choice(vocab, size=int(rng.integers(30, 81)))
+        texts.append(" ".join(toks))
+    for _ in range(int(n * EXACT_DUP_FRAC)):
+        texts.append(texts[int(rng.integers(0, n_base))])
+    for _ in range(int(n * NEAR_DUP_FRAC)):
+        toks = texts[int(rng.integers(0, n_base))].split()
+        n_mut = max(1, int(len(toks) * 0.05))
+        for pos in rng.integers(0, len(toks), size=n_mut):
+            toks[int(pos)] = str(rng.choice(vocab))
+        texts.append(" ".join(toks))
+    ids = np.arange(len(texts), dtype=np.int64)
+    return {
+        "doc_id": ids,
+        "text": texts,
+        "lang": langs[rng.integers(0, len(langs), size=len(texts))],
+        "source": [f"src{i % 20}" for i in ids],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }
+
+
+def gen_embeddings(n: int, rng: np.random.Generator):
+    """(vec_id, embedding float32[DIM], label) with planted neighbors."""
+    n_dup = int(n * VEC_DUP_FRAC)
+    base = rng.standard_normal((n - n_dup, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = base[rng.integers(0, len(base), size=n_dup)]
+    # noise VECTOR norm ~ 0.06*sqrt(64) ~ 0.5 -> cos(src, noisy) ~ 0.9
+    noisy = src + 0.06 * rng.standard_normal((n_dup, DIM))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    mat = np.vstack([base, noisy]).astype(np.float32)
+    return {
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(mat),
+        "label": rng.integers(0, 10, size=n).astype(np.int32),
+    }
+
+
+def write_parquet(out_dir: str, scale: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for mult in (1, scale):
+        rng = np.random.default_rng(42)  # same stream at both sizes
+        docs = gen_documents(BASE_DOCS * mult, rng)
+        vecs = gen_embeddings(BASE_VECS * mult, rng)
+        pq.write_table(
+            pa.table(docs), f"{out_dir}/documents_x{mult}.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": vecs["vec_id"],
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs["embedding"]],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": vecs["label"],
+                }
+            ),
+            f"{out_dir}/embeddings_x{mult}.parquet",
+        )
+
+
+def bench(out_dir: str, scale: int) -> dict:
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+    )
+    from etl_gcp_spark.operators.corpus import curation_funnel
+    from etl_gcp_spark.operators.graph import dedup_clusters
+    from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
+    from etl_gcp_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+
+    def docs(mult: int):
+        return spark.read.parquet(f"{out_dir}/documents_x{mult}.parquet")
+
+    def vecs(mult: int):
+        return spark.read.parquet(f"{out_dir}/embeddings_x{mult}.parquet")
+
+    # n_blocks so a GEMM block stays ~constant rows at both sizes
+    ops = {
+        "minhash_lsh_pairs": lambda m: minhash_lsh_pairs(
+            docs(m), threshold=0.8
+        ),
+        "blocked_gemm_pairs": lambda m: blocked_exact_near_dup_pairs(
+            vecs(m), threshold=0.8, n_blocks=4 * m
+        ),
+        "dedup_clusters": lambda m: dedup_clusters(docs(m), threshold=0.8),
+        "curation_funnel": lambda m: curation_funnel(docs(m)),
+    }
+
+    # warmup: spawn python workers + codegen so the 1x points aren't
+    # billed for session fixed costs
+    minhash_lsh_pairs(docs(1), threshold=0.8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    blocked_exact_near_dup_pairs(vecs(1), threshold=0.8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    results: dict[str, dict] = {}
+    for name, fn in ops.items():
+        timings = {}
+        for mult in (1, scale):
+            t0 = time.time()
+            out = fn(mult)
+            n_rows = out.count()
+            timings[mult] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            results.setdefault(name, {})[f"rows_x{mult}"] = n_rows
+        exp = float(
+            np.log(timings[scale] / timings[1]) / np.log(scale)
+        )
+        results[name].update(
+            {
+                "sec_x1": timings[1],
+                f"sec_x{scale}": timings[scale],
+                "exponent": round(exp, 3),
+                "sublinear_ok": exp < 1.7,
+            }
+        )
+    spark.stop()
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--out", default=".scale_stress")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gen:
+        write_parquet(args.out, args.scale)
+    results = bench(args.out, args.scale)
+    report = {
+        "scale": args.scale,
+        "base_docs": BASE_DOCS,
+        "base_vecs": BASE_VECS,
+        "ops": results,
+        "all_subquadratic": all(
+            r["sublinear_ok"] for r in results.values()
+        ),
+    }
+    with open("SCALE_STRESS.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
