@@ -1159,6 +1159,27 @@ def _q_fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+def _q_fuzzy_name_pairs_d2(spark, sf_dir):
+    from etl_gcp_spark.operators.linkage import fuzzy_pairs
+
+    # SymSpell deletion-neighborhood blocking: levenshtein <= 2
+    # INCLUDING insert/delete pairs (the d=1 mask scheme is
+    # substitution-only) — closes the round-2 extension gap.
+    # Registered over ONE market segment: zero-padded sequential
+    # names make d<=2 matching inherently dense (~n²/25 qualifying
+    # pairs — at full sf0.1 the ANSWER is ~2M rows), so the bounded
+    # input keeps the bench measuring the algorithm, not the output
+    # materialization. The operator itself is unrestricted.
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ),
+        "c_custkey",
+        "c_name",
+        max_distance=2,
+    )
+
+
 def _q_exact_median_prices(spark, sf_dir):
     """Exact (interpolating) median/quartiles per status — the sort-
     based exact path, vs hll_distinct_stats' sketch path."""
@@ -1700,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed (θ-dispatch to blocked GEMM at the registered θ),
         # so it needs a fresh driver check
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -2526,6 +2548,20 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
              AND length(a.c_name) = length(b.c_name)
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        # d=2 deletion-neighborhood: no length predicate — insert/
+        # delete pairs are in scope, the oracle is the plain
+        # levenshtein cross product
+        "fuzzy_name_pairs_d2": """
+            WITH seg AS (
+                SELECT c_custkey, c_name FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+            FROM seg a JOIN seg b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
         """,
         "exact_median_prices": """
             SELECT o_orderstatus,

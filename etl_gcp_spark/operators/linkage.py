@@ -43,11 +43,20 @@ def fuzzy_pairs(
     One explode (L rows per input), one equi-join on (position,
     masked string), one pair-dedup, exact ``levenshtein`` on the
     surviving candidates only.
+
+    ``max_distance=2`` switches to the full deletion-neighborhood
+    scheme (:func:`fuzzy_pairs_deletes`), which also covers
+    insert/delete edits the d=1 mask scheme cannot see.
     """
+    if max_distance == 2:
+        return fuzzy_pairs_deletes(
+            df, id_col, text_col, max_distance=2
+        )
     if max_distance != 1:
         raise NotImplementedError(
-            "mask-key blocking is implemented for max_distance=1; "
-            "for coarser matching use text_dedup.ngram_jaccard_pairs"
+            "mask-key blocking covers max_distance=1 and the deletion "
+            "neighborhood covers 2; for coarser matching use "
+            "text_dedup.ngram_jaccard_pairs"
         )
     # materialize the string + its length BEFORE the lambda indexes
     # them (interpreted lambda bodies re-evaluate inline
@@ -93,6 +102,110 @@ def fuzzy_pairs(
         .dropDuplicates(["id1", "id2"])
         .withColumn(
             "distance", F.levenshtein(F.col("t1"), F.col("t2")).cast("int")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id1", "id2", "distance")
+    )
+
+
+def fuzzy_pairs_deletes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 2,
+) -> DataFrame:
+    """(id1, id2, distance) for value pairs within levenshtein
+    ``max_distance`` (≤ 2) via the SymSpell deletion neighborhood.
+
+    Blocking key set per string = every subsequence reachable by
+    deleting up to ``d`` characters (the string itself, L delete-1
+    variants, L·(L−1)/2 delete-2 variants). Two strings within
+    levenshtein d always share at least one such key (Garbe's
+    SymSpell invariant — public algorithm), so an equi-join on the
+    key is COMPLETE; sharing a key only bounds distance by 2d, so
+    survivors are verified with exact ``levenshtein``. Unlike the
+    d=1 positional-mask scheme this also finds insert/delete pairs
+    (different-length strings).
+
+    Scale shape: key fan-out is 1 + L + C(L,2) per row — linear in n,
+    quadratic only in the (bounded, small) string length; the shuffle
+    carries (key, id) after the candidate projection, the pair dedup
+    is a full-row codegen distinct on bare (id1, id2), and texts
+    re-attach afterwards by two joins. At d=2's fan-out the bare-pair
+    dedup wins over carrying texts through it — the OPPOSITE of the
+    measured d=1 trade (see fuzzy_pairs' shape note): pair-occurrence
+    multiplicity grows with the key count, so the narrow exchange
+    matters more than the two extra joins.
+    """
+    if max_distance > 2:
+        raise NotImplementedError(
+            "deletion-neighborhood blocking is implemented for "
+            "max_distance <= 2 (key fan-out grows as C(L, d))"
+        )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__n"),
+    )
+    t, n = F.col("__t"), F.col("__n")
+
+    def _del1(i):
+        return F.concat(t.substr(F.lit(1), i - 1), t.substr(i + 1, n))
+
+    def _del2(i, j):
+        # delete positions i < j: [1, i) + (i, j) + (j, L]
+        return F.concat(
+            t.substr(F.lit(1), i - 1),
+            t.substr(i + 1, j - i - 1),
+            t.substr(j + 1, n),
+        )
+
+    d0 = F.array(t)
+    # guards: F.sequence(1, 0) generates a DESCENDING sequence, not
+    # an empty one — empty-array fallbacks keep short strings safe
+    d1 = F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n), _del1)
+    ).otherwise(F.array().cast("array<string>"))
+    d2 = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n), lambda j: _del2(i, j)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keys = F.array_distinct(F.concat(d0, d1, d2))
+    keyed = base.select(
+        F.col(id_col), F.explode(keys).alias("__k")
+    )
+    pairs = (
+        keyed.select(F.col(id_col).alias("id1"), "__k")
+        .join(keyed.select(F.col(id_col).alias("id2"), "__k"), "__k")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
+    texts = base.select(id_col, "__t")
+    return (
+        pairs.join(
+            texts.select(
+                F.col(id_col).alias("id1"), F.col("__t").alias("__t1")
+            ),
+            "id1",
+        )
+        .join(
+            texts.select(
+                F.col(id_col).alias("id2"), F.col("__t").alias("__t2")
+            ),
+            "id2",
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("__t1"), F.col("__t2")).cast("int"),
         )
         .filter(F.col("distance") <= max_distance)
         .select("id1", "id2", "distance")

@@ -96,3 +96,44 @@ def test_python_datasource_column_subset_and_reorder(spark, tmp_path):
     )
     rows = sorted((r["a"], r["b"]) for r in back.collect())
     assert rows == [(i, i + 10) for i in range(5)]
+
+
+def test_fuzzy_pairs_d2_matches_naive_quadratic(spark):
+    # deletion-neighborhood blocking at d=2 must agree with the naive
+    # cross product INCLUDING different-length (insert/delete) pairs,
+    # which the d=1 mask scheme cannot see
+    names = [
+        "alpha-0001",   # 0
+        "alpha-0002",   # 1: 1 sub from 0
+        "alpha-1002",   # 2: 2 subs from 0, 1 sub from 1
+        "alpha-001",    # 3: 1 delete from 0
+        "alpha-00012",  # 4: 1 insert from 0, d2 from 3
+        "alpha-99",     # 5: far from all
+        "alpha-0001",   # 6: exact dup of 0
+        "zz",           # 7: short-string guard exercise
+        "z",            # 8: d1 from 7
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, name=n) for i, n in enumerate(names)]
+    )
+    got = sorted(
+        (r["id1"], r["id2"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    )
+    naive = sorted(
+        (r["id1"], r["id2"], r["distance"])
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").cast("int").alias("distance"),
+        )
+        .filter(F.col("distance") <= 2)
+        .collect()
+    )
+    assert got == naive
+    assert (0, 3, 1) in got   # pure-deletion pair found
+    assert (0, 4, 1) in got   # pure-insertion pair found
+    assert (3, 4, 2) in got   # delete+insert pair found
+    assert (7, 8, 1) in got   # short strings survive the guards
