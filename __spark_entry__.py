@@ -1524,6 +1524,24 @@ def _q_ivf_topk_exhaustive(spark, sf_dir):
     )
 
 
+def _q_ivf_kmeans_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import ivf_topk_trained
+
+    # k-means-TRAINED IVF (2 Lloyd iterations, 32 cells, 4 probed):
+    # the production index posture. The oracle REPLAYS the training —
+    # centroid components rounded to 6 dp after each mean on both
+    # engines, so float summation-order eps cannot flip the next
+    # iteration's argmax.
+    return ivf_topk_trained(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=32,
+        n_probe=4,
+        n_iters=2,
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import (
         blocked_exact_near_dup_pairs,
@@ -1722,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so it needs a fresh driver check
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
+        "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -3525,6 +3544,95 @@ def oracle_sql() -> dict[str, str]:
                       WHERE prnk <= 4) pr
                 JOIN cells c USING (cell)
                 WHERE c.vec_id <> query_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, raw_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY raw_sim DESC, neighbor_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 5
+        """,
+        # k-means-trained IVF: the oracle REPLAYS 2 Lloyd iterations
+        # (seeded from the 32 lowest-id vectors) — assignment is
+        # argmax cosine with (sim DESC, cell ASC) ties, the new
+        # centroid is the per-cell elementwise mean ROUNDED TO 6 DP
+        # (both engines round, so summation-order eps dies before the
+        # next argmax) — then probes the 4 nearest trained centroids
+        # and exact-rescores, mirroring ivf_topk_trained exactly.
+        "ann_ivf_kmeans_topk": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+                FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 32)
+            ), a1 AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT b.vec_id, b.v, c.cell,
+                           row_number() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.v, c.cv)
+                                        DESC, c.cell
+                           ) AS rnk
+                    FROM base b CROSS JOIN c0 c
+                ) WHERE rnk = 1
+            ), c1 AS (
+                SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                    SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                        SELECT cell, unnest(v) AS val,
+                               generate_subscripts(v, 1) AS idx
+                        FROM a1
+                    ) GROUP BY cell, idx
+                ) GROUP BY cell
+            ), a2 AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT b.vec_id, b.v, c.cell,
+                           row_number() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.v, c.cv)
+                                        DESC, c.cell
+                           ) AS rnk
+                    FROM base b CROSS JOIN c1 c
+                ) WHERE rnk = 1
+            ), c2 AS (
+                SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                    SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                        SELECT cell, unnest(v) AS val,
+                               generate_subscripts(v, 1) AS idx
+                        FROM a2
+                    ) GROUP BY cell, idx
+                ) GROUP BY cell
+            ), af AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT b.vec_id, b.v, c.cell,
+                           row_number() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.v, c.cv)
+                                        DESC, c.cell
+                           ) AS rnk
+                    FROM base b CROSS JOIN c2 c
+                ) WHERE rnk = 1
+            ), probe AS (
+                SELECT query_id, cell FROM (
+                    SELECT q.vec_id AS query_id, c.cell,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, c.cv)
+                                        DESC, c.cell
+                           ) AS prnk
+                    FROM base q CROSS JOIN c2 c
+                    WHERE q.vec_id < 10
+                ) WHERE prnk <= 4
+            ), scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(qb.v, a.v) AS raw_sim
+                FROM probe p
+                JOIN af a USING (cell)
+                JOIN base qb ON qb.vec_id = p.query_id
+                WHERE a.vec_id <> p.query_id
             ), ranked AS (
                 SELECT query_id, neighbor_id, raw_sim,
                        row_number() OVER (

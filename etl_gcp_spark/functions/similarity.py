@@ -475,7 +475,6 @@ def ivf_assign(
     lexicographic rule).
     """
     import numpy as np
-    import pandas as pd
 
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
@@ -484,11 +483,38 @@ def ivf_assign(
         list(r["__v"]) for r in base.orderBy(id_col).limit(n_cells).collect()
     ]
     pmat = np.asarray(pivot_vecs, dtype=np.float64)
-    pmat /= np.linalg.norm(pmat, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast(pmat)
+    assigned = _assign_to_centroids(
+        base, pmat, list(range(1, len(pivot_vecs) + 1)), id_col
+    )
+    return assigned, pivot_vecs
+
+
+def _assign_to_centroids(
+    base: DataFrame,
+    cmat,
+    cell_labels: list[int],
+    id_col: str,
+) -> DataFrame:
+    """Argmax-cosine assignment of every (id, __v) row to one of the
+    given centroids — one Arrow-batched numpy GEMM per partition
+    (batch × centroidsᵀ), zero shuffle, zero join.
+
+    ``cell_labels`` must be ascending so numpy argmax's first-max
+    tiebreak lands on the LOWEST cell label, matching the DuckDB
+    oracle's (sim DESC, cell ASC) ordering.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cm = np.asarray(cmat, dtype=np.float64)
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    labels = np.asarray(cell_labels, dtype=np.int64)
+    if not (np.diff(labels) > 0).all():
+        raise ValueError("cell_labels must be strictly ascending")
+    bc = base.sparkSession.sparkContext.broadcast((cm, labels))
 
     def kernel(batches):
-        pm = bc.value
+        pm, lab = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -496,7 +522,7 @@ def ivf_assign(
                 pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)).values
             )
             block /= np.linalg.norm(block, axis=1, keepdims=True)
-            cells = (block @ pm.T).argmax(axis=1) + 1
+            cells = lab[(block @ pm.T).argmax(axis=1)]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -505,10 +531,157 @@ def ivf_assign(
                 }
             )
 
-    assigned = base.mapInPandas(
+    return base.mapInPandas(
         kernel, f"{id_col} long, __v array<double>, cell int"
     )
-    return assigned, pivot_vecs
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[list[float]]]:
+    """Spherical k-means training for IVF centroids (Lloyd's
+    algorithm): initialize from the ``n_cells`` lowest-id vectors,
+    then ``n_iters`` rounds of argmax-cosine assignment + per-cell
+    elementwise mean. Returns (cell_labels, centroids) — labels keep
+    their initial ids, and cells that lose every member drop out.
+
+    Determinism across engines: each centroid component is ROUNDED
+    to 6 dp after the mean — float summation order differs between
+    Spark's partial aggregation and any oracle replaying the
+    training, and rounding collapses that eps before it can flip an
+    argmax at the next assignment. (A tie at exactly equal rounded
+    similarity still resolves to the lowest cell on both sides.)
+
+    Scale shape per iteration: one zero-shuffle GEMM assignment pass
+    + one posexplode/groupBy(cell, pos) mean — shuffle carries
+    (cell, pos, partial sums), i.e. n_cells·dim accumulators, not
+    vectors; the collected centroid table is n_cells rows (the same
+    acceptable-collect class as the pivot seed).
+    """
+    import numpy as np
+
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    seed = [
+        list(r["__v"]) for r in base.orderBy(id_col).limit(n_cells).collect()
+    ]
+    labels = list(range(1, len(seed) + 1))
+    cmat = np.asarray(seed, dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = _assign_to_centroids(base, cmat, labels, id_col)
+        rows = (
+            assigned.select(
+                "cell", F.posexplode("__v").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cval"))
+                ).alias("pairs")
+            )
+            .select(
+                "cell",
+                F.transform("pairs", lambda s: s["cval"]).alias("cv"),
+            )
+            .orderBy("cell")
+            .collect()
+        )
+        labels = [int(r["cell"]) for r in rows]
+        cmat = np.asarray([list(r["cv"]) for r in rows], dtype=np.float64)
+    return labels, [list(c) for c in cmat]
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat top-k over k-means-TRAINED centroids — the production
+    posture of :func:`ivf_topk` (which probes untrained lowest-id
+    pivots): train with :func:`ivf_train`, assign, probe each query's
+    ``n_probe`` nearest centroids, exact-rescore candidates. On
+    clustered corpora trained centroids sit on the data's modes and
+    lift recall at equal ``n_probe``; on the near-uniform synthetic
+    corpus recall is comparable to the pivot variant (measured 43-45
+    vs 44-47 of 50) — pytest asserts the recall floor, not dominance.
+    """
+    import numpy as np
+
+    labels, centroids = ivf_train(
+        embeddings,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign_to_centroids(base, centroids, labels, id_col)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    lab = np.asarray(labels, dtype=np.int64)
+    qrows = base.filter(F.col(id_col).isin(query_ids or [])).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__v"], dtype=np.float64)
+        sims = cmat @ (qv / np.linalg.norm(qv))
+        for idx in np.argsort(-sims, kind="stable")[:n_probe]:
+            probe_rows.append((r[id_col], int(lab[idx])))
+    spark = embeddings.sparkSession
+    probed = spark.createDataFrame(
+        probe_rows or [], "query_id long, cell int"
+    )
+    qside = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__q"),
+    ).filter(F.col("query_id").isin(query_ids or []))
+    cands = (
+        F.broadcast(probed)
+        .join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__v").alias("__c"),
+                "cell",
+            ),
+            "cell",
+        )
+        .join(F.broadcast(qside), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    dim = len(centroids[0]) if centroids else None
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__q", "__c", dim).alias("__sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("sim"),
+            "rank",
+        )
+    )
 
 
 def ivf_topk(

@@ -285,3 +285,36 @@ def test_ivf_selective_probe_recall_floor_on_testdata(spark, sf_dir):
     # true pairwise cosine (rescore is exact), but the candidate set
     # is a strict subset of the corpus per query
     assert len(approx) == len(exact)
+
+
+def test_ivf_kmeans_trained_recall_floor(spark, sf_dir):
+    # trained-centroid IVF at the registered config (32 cells / 4
+    # probes / 2 Lloyd iterations): recall floor vs brute force, and
+    # training invariants — ascending surviving labels, 6-dp-rounded
+    # centroids (the cross-engine determinism contract)
+    from etl_gcp_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk_trained,
+        ivf_train,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels, centroids = ivf_train(emb, n_cells=32, n_iters=2)
+    assert labels == sorted(labels)
+    assert all(1 <= c <= 32 for c in labels)
+    for cv in centroids:
+        assert all(abs(x - round(x, 6)) < 1e-12 for x in cv)
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_trained(
+            emb, query_ids=qids, k=5, n_cells=32, n_probe=4, n_iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"recall {recall:.2f} below floor"
