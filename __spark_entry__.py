@@ -1542,6 +1542,23 @@ def _q_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import pq_topk
+
+    # product quantization + asymmetric-distance scoring: the corpus
+    # side is 8 one-byte codes per vector (32x compression of the
+    # serving store); the oracle replays codebook build, encoding,
+    # and the LUT-sum ranking (deterministic: codewords rounded 6 dp,
+    # rank on rounded score with id tiebreak).
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_subspaces=8,
+        n_codes=16,
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import (
         blocked_exact_near_dup_pairs,
@@ -1741,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
         "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        "pq_adc_topk": _q_pq_adc_topk,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -3642,6 +3660,71 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+                   CAST(rnk AS INTEGER) AS rank
+            FROM ranked WHERE rnk <= 5
+        """,
+        # PQ-ADC: the oracle replays the whole index — codebook =
+        # 6-dp-rounded subvectors of the 16 lowest-id unit vectors,
+        # per-subspace L2-argmin encoding (ties -> lowest code), score
+        # = sum of per-subspace <query_subvector, codeword> lookups,
+        # ranked on the 6-dp-rounded score with id tiebreak
+        "pq_adc_topk": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nrm AS (
+                SELECT vec_id,
+                       list_transform(
+                           v, x -> x / sqrt(list_inner_product(v, v))
+                       ) AS nv
+                FROM base
+            ), subsp AS (
+                SELECT unnest(range(1, 9)) AS s
+            ), cb AS (
+                SELECT subsp.s, seed.code,
+                       list_transform(
+                           list_slice(seed.nv, (subsp.s-1)*8 + 1, subsp.s*8),
+                           x -> round(x, 6)
+                       ) AS cw
+                FROM (
+                    SELECT row_number() OVER (ORDER BY vec_id) AS code, nv
+                    FROM (SELECT vec_id, nv FROM nrm ORDER BY vec_id
+                          LIMIT 16)
+                ) seed CROSS JOIN subsp
+            ), codes AS (
+                SELECT vec_id, s, code FROM (
+                    SELECT n.vec_id, cb.s, cb.code,
+                           row_number() OVER (
+                               PARTITION BY n.vec_id, cb.s
+                               ORDER BY list_distance(
+                                   list_slice(n.nv, (cb.s-1)*8 + 1, cb.s*8),
+                                   cb.cw
+                               ) ASC, cb.code
+                           ) AS rnk
+                    FROM nrm n CROSS JOIN cb
+                ) WHERE rnk = 1
+            ), qlut AS (
+                SELECT q.vec_id AS query_id, cb.s, cb.code,
+                       list_inner_product(
+                           list_slice(q.nv, (cb.s-1)*8 + 1, cb.s*8), cb.cw
+                       ) AS val
+                FROM nrm q CROSS JOIN cb
+                WHERE q.vec_id < 10
+            ), scored AS (
+                SELECT l.query_id, c.vec_id AS neighbor_id,
+                       round(sum(l.val), 6) AS approx_sim
+                FROM codes c
+                JOIN qlut l ON c.s = l.s AND c.code = l.code
+                WHERE c.vec_id <> l.query_id
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT query_id, neighbor_id, approx_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY approx_sim DESC, neighbor_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, approx_sim,
                    CAST(rnk AS INTEGER) AS rank
             FROM ranked WHERE rnk <= 5
         """,

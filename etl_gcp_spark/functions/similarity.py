@@ -985,3 +985,166 @@ def blocked_exact_near_dup_pairs(
     return pairs.mapInPandas(
         kernel, f"id1 {id_type}, id2 {id_type}, sim double"
     )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    *,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook: ``codebook[s][j]`` is the j-th
+    codeword of subspace ``s`` — the s-th slice of the j-th lowest-id
+    vector after unit-normalization, components ROUNDED to 6 dp.
+
+    Deterministic and model-free, the same seeding posture as
+    :func:`ivf_assign`'s pivots (production systems train per-subspace
+    k-means offline; the search structure — codes, ADC lookup — is
+    identical, only codeword quality differs). Rounding pins the
+    codebook bit-identically across engines so the DuckDB oracle can
+    replay encoding and scoring (same contract as ivf_train).
+    """
+    import numpy as np
+
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    rows = base.orderBy(id_col).limit(n_codes).collect()
+    mat = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = np.round(mat, 6)
+    dim = mat.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    d = dim // n_subspaces
+    return [
+        [list(mat[j, s * d : (s + 1) * d]) for j in range(len(mat))]
+        for s in range(n_subspaces)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``n_subspaces`` code ids (1-based):
+    per subspace, the L2-nearest codeword of the unit-normalized
+    subvector (ties → lowest code). One Arrow-batched kernel, zero
+    shuffle: each row costs S small GEMMs against the broadcast
+    codebook — the 32×-compression write path of a PQ index
+    (8 codes ≈ 8 B vs 64 float64 ≈ 512 B).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    n_sub = len(cb)
+    d = cb[0].shape[1]
+    bc = embeddings.sparkSession.sparkContext.broadcast(cb)
+
+    def kernel(batches):
+        books = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(
+                pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)).values
+            )
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            codes = np.empty((len(block), n_sub), dtype=np.int64)
+            for s, book in enumerate(books):
+                xs = block[:, s * d : (s + 1) * d]
+                # ||x - c||^2 = |x|^2 - 2<x,c> + |c|^2; argmin over c
+                dist = (
+                    -2.0 * (xs @ book.T)
+                    + (book * book).sum(axis=1)[None, :]
+                )
+                codes[:, s] = dist.argmin(axis=1) + 1
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(kernel, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries stay exact, the
+    corpus is its PQ codes, and the approximate cosine is the sum of
+    per-subspace lookup-table entries  Σ_s <q_s, codeword(x, s)>.
+
+    Scale shape: the corpus side carries ONLY (id, S small ints);
+    the per-query lookup table (|Q|·S·n_codes doubles) broadcasts;
+    scoring is posexplode codes → broadcast-join the table on
+    (subspace, code) → sum — one shuffle of |Q|·n·S narrow rows, all
+    codegen. Ranking uses the 6-dp-rounded score with id tiebreak
+    (cross-engine stable); at serving scale ADC ranks a shortlist
+    that exact rescoring then reorders — here the ADC rank IS the
+    contract so the oracle can replay it.
+    """
+    import numpy as np
+
+    codebook = pq_codebook(
+        embeddings,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes = pq_encode(
+        embeddings, codebook, id_col=id_col, vec_col=vec_col
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    qrows = base.filter(F.col(id_col).isin(query_ids or [])).collect()
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    d = cb[0].shape[1]
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r["__v"], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        for s, book in enumerate(cb):
+            vals = book @ qv[s * d : (s + 1) * d]
+            for j, val in enumerate(vals):
+                lut_rows.append((r[id_col], s + 1, j + 1, float(val)))
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows or [], "query_id long, s int, code int, val double"
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("s0", "code"),
+    ).select(
+        "neighbor_id", (F.col("s0") + 1).alias("s"), "code"
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exploded.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("val"), 6).alias("approx_sim"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_sim", "rank")
+    )

@@ -318,3 +318,33 @@ def test_ivf_kmeans_trained_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.75, f"recall {recall:.2f} below floor"
+
+
+def test_pq_encode_and_adc_contract(spark):
+    from etl_gcp_spark.functions.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j) % 5) + 0.1 for j in range(8)])
+        for i in range(20)
+    ]
+    # vec 21 duplicates vec 1 exactly
+    rows.append(Row(vec_id=21, embedding=rows[1].embedding))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(emb, n_subspaces=4, n_codes=8)
+    assert len(cb) == 4 and all(len(c) == 8 for c in cb)
+    # codewords carry the 6-dp determinism contract
+    for sub in cb:
+        for cw in sub:
+            assert all(abs(x - round(x, 6)) < 1e-12 for x in cw)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    assert all(len(c) == 4 for c in codes.values())
+    assert all(1 <= x <= 8 for c in codes.values() for x in c)
+    # identical vectors encode identically
+    assert codes[1] == codes[21]
+    # ADC ranks the exact duplicate (same codes -> max LUT sum) first
+    top = pq_topk(emb, query_ids=[1], k=3, n_subspaces=4, n_codes=8).collect()
+    assert top[0].neighbor_id == 21 or codes[top[0].neighbor_id] == codes[1]
