@@ -1542,6 +1542,31 @@ def _q_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def _q_leakage_safe_split_counts(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import leakage_safe_split
+
+    # near-dup clusters assigned to train/test ATOMICALLY (Lehmer
+    # hash of cluster id) — per-doc splits leak paraphrases into the
+    # test set; aggregated to per-split counts + checksum so the
+    # oracle pins every assignment without a 5K-row diff
+    split = leakage_safe_split(
+        _t(spark, sf_dir, "documents"), test_fraction=0.1
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+def _q_cluster_keeper_dedup(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import cluster_keeper_dedup
+
+    # quality-aware near-dup removal: keep the HIGHEST-quality doc
+    # per cluster (ties -> lowest id), not the lowest id
+    return cluster_keeper_dedup(_t(spark, sf_dir, "documents"))
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -1759,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
         "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "pq_adc_topk": _q_pq_adc_topk,
+        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
+        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -2791,6 +2818,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM comp
+        """,
+        # leakage-safe split: replay the cluster CTE, hash the CLUSTER
+        # id with the Lehmer step, aggregate per split
+        "leakage_safe_split_counts": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id1, id2 FROM ({_JACCARD_PAIRS})
+            ), sym AS (
+                SELECT id1 AS u, id2 AS v FROM pairs
+                UNION ALL
+                SELECT id2 AS u, id1 AS v FROM pairs
+            ), reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+            ), comp AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            ), labeled AS (
+                SELECT doc_id, cluster_id,
+                       CASE WHEN ((cluster_id * 48271) % 2147483647)
+                                 % 10000 < 1000
+                            THEN 'test' ELSE 'train' END AS split
+                FROM comp
+            )
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM labeled GROUP BY split
+        """,
+        # quality-aware keeper: cluster CTE + the text_quality score
+        # formula, rank per cluster on (score DESC NULLS LAST, id)
+        "cluster_keeper_dedup": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id1, id2 FROM ({_JACCARD_PAIRS})
+            ), sym AS (
+                SELECT id1 AS u, id2 AS v FROM pairs
+                UNION ALL
+                SELECT id2 AS u, id1 AS v FROM pairs
+            ), reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+            ), comp AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            ), q AS (
+                SELECT doc_id,
+                       round(1.0
+                             - least(1.0,
+                                     length(regexp_replace(text,
+                                            '[a-z ]', '', 'g'))
+                                     / length(text) * 4.0)
+                             - least(0.5,
+                                     len(list_filter(
+                                         regexp_split_to_array(
+                                             trim(text), '\\s+'),
+                                         t -> t = 'the' OR t = 'a'))
+                                     / len(regexp_split_to_array(
+                                           trim(text), '\\s+'))),
+                             4) AS quality_score
+                FROM documents
+            ), ranked AS (
+                SELECT c.doc_id, c.cluster_id, q.quality_score,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY q.quality_score DESC NULLS LAST,
+                                    c.doc_id
+                       ) AS rn
+                FROM comp c LEFT JOIN q USING (doc_id)
+            )
+            SELECT doc_id, cluster_id, quality_score
+            FROM ranked WHERE rn = 1
         """,
         "near_dup_dedup": f"""
             SELECT doc_id, text FROM documents

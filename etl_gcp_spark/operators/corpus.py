@@ -357,3 +357,97 @@ def mixture_sample(
         )
         .drop("__rate")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    *,
+    test_fraction: float = 0.1,
+    threshold: float = 0.8,
+    buckets: int = 10_000,
+    pair_source: str = "lsh",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test assignment that cannot leak near-duplicates across
+    the boundary: documents are clustered first
+    (:func:`~etl_gcp_spark.operators.graph.dedup_clusters`), then the
+    WHOLE cluster is assigned by the deterministic Lehmer hash of its
+    cluster id — a doc and its paraphrases always land on the same
+    side. A per-document split (train_test_split) silently puts
+    near-copies of training text into the test set, the classic
+    eval-contamination failure.
+
+    Output: (doc_id, cluster_id, split). Deterministic and
+    engine-portable — the same exact-arithmetic hash as
+    operators/sampling.py, so an oracle can replay the split.
+    """
+    from etl_gcp_spark.operators.graph import dedup_clusters
+    from etl_gcp_spark.operators.sampling import hash_bucket
+
+    clusters = dedup_clusters(
+        documents,
+        threshold=threshold,
+        pair_source=pair_source,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    cut = int(round(test_fraction * buckets))
+    return clusters.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.when(
+            hash_bucket(F.col("cluster_id"), buckets) < cut, "test"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def cluster_keeper_dedup(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.8,
+    pair_source: str = "lsh",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup removal that keeps the HIGHEST-QUALITY representative
+    of each cluster (ties → lowest id) instead of the lowest-id one —
+    what a curation run actually wants: when a crawl holds five
+    mutated copies, keep the cleanest, not the first-seen.
+
+    Output: one row per cluster — (doc_id, cluster_id,
+    quality_score) of the kept document. Composes two verified
+    pieces (cluster labels + quality features); the extra cost over
+    plain dedup is one narrow join and a per-cluster window.
+    """
+    from etl_gcp_spark.functions.text import quality_score
+    from etl_gcp_spark.operators.graph import dedup_clusters
+
+    docs = (
+        documents.withColumnRenamed(id_col, "doc_id")
+        if id_col != "doc_id"
+        else documents
+    )
+    clusters = dedup_clusters(
+        docs,
+        threshold=threshold,
+        pair_source=pair_source,
+        text_col=text_col,
+        id_col="doc_id",
+    )
+    q = quality_score(docs, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc_nulls_last(), F.col("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("doc_id").alias(id_col), "cluster_id", "quality_score"
+        )
+    )

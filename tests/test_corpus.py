@@ -258,3 +258,63 @@ def test_quality_filter_custom_id_col(spark):
     got = {r.my_id: (r.keep, r.reason) for r in out.collect()}
     assert got[1] == (True, None)
     assert got[2] == (False, "too_short")
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import leakage_safe_split
+
+    base = "the quick brown fox jumps over a lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),                      # near-dup of 1
+            Row(doc_id=3, text=base + " extra token"),     # near-dup of 1
+            Row(doc_id=4, text="completely different words about spark"),
+        ],
+        "doc_id int, text string",
+    )
+    out = leakage_safe_split(
+        docs, test_fraction=0.5, threshold=0.8, pair_source="exact"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 4
+    # the whole near-dup cluster shares one cluster id and one split
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id
+    assert rows[1].split == rows[2].split == rows[3].split
+    # determinism: re-running produces the identical assignment
+    again = {r.doc_id: r.split for r in leakage_safe_split(
+        docs, test_fraction=0.5, threshold=0.8, pair_source="exact"
+    ).collect()}
+    assert again == {k: v.split for k, v in rows.items()}
+
+
+def test_cluster_keeper_picks_highest_quality(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.text import quality_score
+    from etl_gcp_spark.operators.corpus import cluster_keeper_dedup
+
+    clean = "the quick brown fox jumps over a lazy dog near the river bank"
+    junky = clean + " !!! ### $$$"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=junky),   # lower quality, LOWER id
+            Row(doc_id=2, text=clean),   # higher quality
+            Row(doc_id=3, text="unrelated single doc standing alone here"),
+        ],
+        "doc_id int, text string",
+    )
+    # pair_source="exact": the unit test pins keeper SELECTION; LSH
+    # recall at low thresholds is covered by its own tests/oracle
+    out = {r.cluster_id: r for r in cluster_keeper_dedup(
+        docs, threshold=0.5, pair_source="exact").collect()}
+    q = {r.doc_id: r.quality_score for r in quality_score(docs).collect()}
+    assert q[2] > q[1]
+    # cluster {1,2}: keeper is doc 2 (higher quality), NOT min-id 1
+    cluster_of_12 = [c for c, r in out.items() if r.doc_id in (1, 2)]
+    assert len(cluster_of_12) == 1
+    assert out[cluster_of_12[0]].doc_id == 2
+    # singleton keeps itself
+    assert any(r.doc_id == 3 for r in out.values())
