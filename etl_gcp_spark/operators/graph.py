@@ -64,11 +64,15 @@ def connected_components(
             sym.join(labels, sym["u"] == labels["node"])
             .select(F.col("v").alias("node"), F.col("lbl"))
         )
+        # lazy checkpoint: the convergence aggregate below is the
+        # action that materializes it, so each round runs ONE job
+        # (join+groupBy+checkpoint+agg) instead of two (the eager
+        # form's separate materialization job)
         labels = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_total = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))
