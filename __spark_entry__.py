@@ -1584,6 +1584,17 @@ def _q_pq_adc_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_dedup_clusters(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import embedding_dedup_clusters
+
+    # SemDeDup-style: semantic near-dup clusters in EMBEDDING space,
+    # pairs from the exact blocked GEMM (no recall caveat), closed by
+    # connected components
+    return embedding_dedup_clusters(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import (
         blocked_exact_near_dup_pairs,
@@ -1825,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_dedup_exact": _q_near_dup_dedup_exact,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "cosine_topk": _q_cosine_topk,
         "quantized_cosine_topk": _q_quantized_topk,
         "events_json_extract": _q_json_extract,
@@ -3603,6 +3615,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        """,
+        # SemDeDup clusters: brute-force cosine pairs closed by the
+        # same recursive-CTE component construction as dedup_clusters
+        "embedding_dedup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id1, b.vec_id AS id2
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          a.embedding::DOUBLE[],
+                          b.embedding::DOUBLE[]), 6) >= 0.45
+            ), sym AS (
+                SELECT id1 AS u, id2 AS v FROM pairs
+                UNION ALL
+                SELECT id2 AS u, id1 AS v FROM pairs
+            ), reach(node, lbl) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+            ), comp AS (
+                SELECT node AS vec_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT vec_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
         """,
         "embedding_near_dup_exact": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,

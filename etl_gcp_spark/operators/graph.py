@@ -250,3 +250,61 @@ def connected_components_star(
         membership.select(id_col), id_col, "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("component"))
     return membership.unionByName(singletons)
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.45,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup clusters over an EMBEDDING column (SemDeDup
+    lineage — Abbas et al. 2023, public methodology: near-duplicate
+    semantics live in embedding space, not token space): close the
+    cosine-similar pair graph into components and label every vector
+    with its canonical (minimum) cluster id.
+
+    Pair generation is the distributed blocked GEMM
+    (:func:`~etl_gcp_spark.functions.similarity
+    .blocked_exact_near_dup_pairs`) — exact at any corpus size, no
+    driver collect — so unlike the LSH route there is no recall
+    caveat; swap in the SRP-LSH generator at high thresholds where
+    banding prunes. Same output contract as :func:`dedup_clusters`:
+    (id, cluster_id, cluster_size), singletons keep themselves;
+    keep-one-per-cluster dedup is ``filter(id == cluster_id)``.
+    """
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+    )
+
+    pairs = blocked_exact_near_dup_pairs(
+        embeddings,
+        threshold=threshold,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).persist()
+    edge_verts = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .dropDuplicates()
+    )
+    comp = connected_components(
+        edge_verts, pairs, id_col=id_col, src_col="id1", dst_col="id2"
+    ).select(F.col(id_col), F.col("component").alias("cluster_id"))
+    sizes = F.count("*").over(Window.partitionBy("cluster_id"))
+    clustered = comp.select(
+        id_col, "cluster_id", sizes.cast("bigint").alias("cluster_size")
+    )
+    singles = embeddings.join(edge_verts, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    # long-lived sessions: release the edge pin with
+    # etl_gcp_spark.caching.unpersist_pinned(result) after materializing
+    return tag_pinned(clustered.unionByName(singles), pairs)

@@ -139,3 +139,26 @@ def test_star_contraction_matches_propagation(spark):
         for r in connected_components_star(verts, e).collect()
     }
     assert prop == star
+
+
+def test_embedding_dedup_clusters_transitive(spark):
+    # a-b and b-c similar, a-c not: one cluster {a,b,c} labeled min id;
+    # the orthogonal vector stays a singleton
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.graph import embedding_dedup_clusters
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.4359, 0.0]),   # cos(1,2)~0.9
+            Row(vec_id=3, embedding=[0.62, 0.785, 0.0]),   # cos(2,3)~0.9, cos(1,3)~0.62
+            Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_dedup_clusters(
+        emb, threshold=0.85, n_blocks=3).collect()}
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].cluster_size == 3
+    assert out[4].cluster_id == 4 and out[4].cluster_size == 1

@@ -327,3 +327,78 @@ def test_jdbc_partitioned_read_plans_range_scan(spark):
     plan = _plan(filtered)
     # the relation is a JDBC scan and the filter is pushed to it
     assert "JDBCRelation" in plan and "PushedFilters" in plan
+
+
+def test_fuzzy_d2_plans_equi_join_and_narrow_dedup(spark, sf_dir):
+    """The deletion-neighborhood join must be an equi-join on the key
+    (never a cartesian/nested-loop), and the pair dedup must be a
+    bare (id1, id2) distinct — no first() buffers, no text columns
+    riding the exchange."""
+    import re
+
+    from etl_gcp_spark.operators.linkage import fuzzy_pairs
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    plan = _plan_formatted(
+        fuzzy_pairs(cust, "c_custkey", "c_name", max_distance=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if not b.startswith("Exchange"):
+            continue
+        input_line = next(
+            ln for ln in b.splitlines() if ln.startswith("Input")
+        )
+        assert "first" not in input_line
+        # the candidate-dedup exchange carries ids only, never c_name
+        if "hashpartitioning(id1" in b:
+            assert "c_name" not in input_line and "__t" not in input_line
+
+
+def test_pq_scoring_exchange_carries_codes_not_vectors(spark, sf_dir):
+    """PQ-ADC's scoring join: the corpus side of every exchange must
+    carry (id, subspace, code) narrow rows — the embedding vectors
+    never cross an exchange after encoding."""
+    import re
+
+    from etl_gcp_spark.functions.similarity import pq_topk
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan_formatted(pq_topk(emb, query_ids=list(range(10)), k=5))
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    exchanges = [b for b in blocks if b.startswith("Exchange")]
+    assert exchanges
+    for b in exchanges:
+        input_line = next(
+            ln for ln in b.splitlines() if ln.startswith("Input")
+        )
+        assert "embedding" not in input_line and "__v" not in input_line
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """One Lloyd assignment pass must plan as scan → MapInPandas with
+    no exchange at all — the centroid matrix travels by broadcast
+    variable, not join."""
+    import numpy as np
+
+    from etl_gcp_spark.functions.similarity import (
+        _as_double,
+        _assign_to_centroids,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("__v")
+    )
+    rows = base.orderBy("vec_id").limit(4).collect()
+    cmat = np.asarray([list(r["__v"]) for r in rows])
+    plan = _plan_formatted(
+        _assign_to_centroids(base, cmat, [1, 2, 3, 4], "vec_id")
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
