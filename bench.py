@@ -44,6 +44,12 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         1
     ).collect()
+    # ...and the Python/Arrow worker pool: the first mapInPandas in a
+    # session spawns the daemon workers (~3-5 s on local[32]) — spawn
+    # them here so the first Arrow-kernel query isn't charged for it
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # best-of-N per query: the first execution pays whole-stage-codegen
     # compilation and Python plan construction; the min is the
