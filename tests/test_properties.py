@@ -101,3 +101,112 @@ def test_normalize_columns_idempotent(spark, names):
     df = spark.createDataFrame([tuple(range(len(cols)))], cols)
     once = normalize_columns(df)
     assert normalize_columns(once).columns == once.columns
+
+
+# ------------------------------------------- round-3 kernel invariants
+
+
+@_slow
+@given(
+    st.lists(
+        st.text(alphabet="abc1", min_size=0, max_size=7),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_fuzzy_d2_complete_and_sound_vs_naive(spark, names):
+    # deletion-neighborhood blocking == naive quadratic levenshtein<=2
+    # on arbitrary short strings (indels, empties, duplicates-by-value)
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.linkage import fuzzy_pairs_deletes
+
+    df = spark.createDataFrame(
+        [Row(id=i, name=n) for i, n in enumerate(names)]
+    )
+    got = sorted(
+        (r.id1, r.id2, r.distance)
+        for r in fuzzy_pairs_deletes(df, "id", "name").collect()
+    )
+    naive = sorted(
+        (r.id1, r.id2, r.d)
+        for r in df.alias("a")
+        .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").cast("int").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    )
+    assert got == naive
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_blocked_gemm_equals_broadcast_on_random_vectors(spark, vecs):
+    # the distributed blocked GEMM must agree with the broadcast
+    # baseline pair-for-pair on arbitrary (non-degenerate) vectors,
+    # at a block count that forces cross-block pairs
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+        exact_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id1, r.id2, r.sim)
+        for r in exact_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        (r.id1, r.id2, r.sim)
+        for r in blocked_exact_near_dup_pairs(
+            emb, threshold=0.3, n_blocks=3
+        ).collect()
+    }
+    assert blocked == exact
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, allow_infinity=False),
+            min_size=8,
+            max_size=8,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_pq_codes_valid_and_identical_vectors_share_codes(spark, vecs):
+    from etl_gcp_spark.functions.similarity import pq_codebook, pq_encode
+
+    # duplicate the first vector at the end: same codes guaranteed
+    vecs = vecs + [vecs[0]]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    n_codes = min(4, len(vecs))
+    cb = pq_codebook(emb, n_subspaces=2, n_codes=n_codes)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    assert set(codes) == set(range(len(vecs)))
+    for c in codes.values():
+        assert len(c) == 2 and all(1 <= x <= n_codes for x in c)
+    assert codes[0] == codes[len(vecs) - 1]
