@@ -546,6 +546,12 @@ def _q_unigram_surprisal(spark, sf_dir):
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def _q_bigram_surprisal(spark, sf_dir):
+    from etl_gcp_spark.functions.text import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def _q_bucketed_join_totals(spark, sf_dir):
     """The co-located fact-fact join: orders and lineitem persisted
     bucketed on the join key with matching bucket counts, then joined
@@ -1826,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_rates": _q_source_mixture,
         "mixture_sample_counts": _q_mixture_sample_counts,
         "unigram_surprisal": _q_unigram_surprisal,
+        "bigram_surprisal": _q_bigram_surprisal,
         "bucketed_join_totals": _q_bucketed_join_totals,
         "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
@@ -2405,6 +2412,47 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(c / total)), 4) AS mean_surprisal
             FROM posting JOIN freqs USING (tok) CROSS JOIN total
             GROUP BY doc_id
+        """,
+        # bigram Jelinek-Mercer surprisal: (1.0 - 0.7) is written as
+        # the SUBTRACTION on both engines, so the interpolation weight
+        # is the identical IEEE double (0.3 as a literal parses to a
+        # different bit pattern than 1.0-0.7 evaluates to)
+        "bigram_surprisal": """
+            WITH posting AS (
+                SELECT doc_id,
+                       generate_subscripts(toks, 1) AS pos,
+                       unnest(toks) AS tok
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+')
+                                 AS toks
+                      FROM documents)
+            ), bg AS (
+                SELECT doc_id, prev, cur FROM (
+                    SELECT doc_id,
+                           lag(tok) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                           ) AS prev,
+                           tok AS cur
+                    FROM posting
+                ) WHERE prev IS NOT NULL
+            ), c2 AS (
+                SELECT prev, cur, count(*) AS c2
+                FROM bg GROUP BY prev, cur
+            ), c1 AS (
+                SELECT tok, count(*) AS c1 FROM posting GROUP BY tok
+            ), tot AS (
+                SELECT sum(c1) AS total FROM c1
+            )
+            SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(-ln(0.7 * c2.c2 / cp.c1
+                                 + (1.0 - 0.7) * cc.c1 / tot.total)), 4)
+                       AS mean_surprisal
+            FROM bg
+            JOIN c2 ON c2.prev = bg.prev AND c2.cur = bg.cur
+            JOIN c1 cp ON cp.tok = bg.prev
+            JOIN c1 cc ON cc.tok = bg.cur
+            CROSS JOIN tot
+            GROUP BY bg.doc_id
         """,
         "bucketed_join_totals": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,

@@ -538,3 +538,64 @@ def unigram_surprisal(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
     )
+
+
+def bigram_surprisal(
+    documents: DataFrame,
+    text_col: str = "text",
+    *,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Corpus-trained BIGRAM LM surprisal per document — the stronger
+    sibling of :func:`unigram_surprisal` (Wenzek et al. 2020 "CCNet"
+    lineage: LM surprisal as the quality signal; a bigram model
+    penalizes scrambled word order that unigram statistics cannot
+    see).
+
+    Jelinek–Mercer interpolation, fixed-order and engine-portable:
+    P(cur | prev) = lam * c2(prev, cur) / c1(prev)
+                  + (1 - lam) * c1(cur) / N.
+    score(d) = mean over bigram positions of −ln P; documents with
+    fewer than 2 tokens emit no row. Output: (doc_id, n_bigrams,
+    mean_surprisal).
+
+    Scale shape: one posexplode token stream, bigrams from a lag
+    window partitioned by doc (no self-join), two map-side-combined
+    frequency aggregations ((prev, cur) and unigram — 8-byte-ish
+    keys), two shuffle joins of the bigram stream against them, one
+    per-doc mean. The scalar N broadcasts. No driver collect at any
+    size — the same plan at web-corpus vocabulary.
+    """
+    posting = documents.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = posting.select(
+        "doc_id",
+        F.lag("tok").over(w).alias("prev"),
+        F.col("tok").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    c2 = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = c1.agg(F.sum("c1").alias("total"))
+    scored = (
+        bigrams.join(c2, ["prev", "cur"])
+        .join(c1.select(F.col("tok").alias("prev"), F.col("c1").alias("cp")), "prev")
+        .join(c1.select(F.col("tok").alias("cur"), F.col("c1").alias("cc")), "cur")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(lam) * F.col("c2") / F.col("cp")
+                    + F.lit(1.0 - lam) * F.col("cc") / F.col("total")
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
+    )

@@ -138,3 +138,32 @@ def test_unigram_surprisal_ignores_null_text_docs(spark):
     # values identical to the no-NULL corpus: total is still 8
     assert got[1].mean_surprisal == round(math.log(2), 4)
     assert got[2].mean_surprisal == round(math.log(8), 4)
+
+
+def test_bigram_surprisal_penalizes_scrambled_order(spark):
+    # two docs, same unigram bag, different order: the one reusing
+    # the corpus's dominant bigrams scores LOWER surprisal; unigram
+    # surprisal cannot separate them (identical bags)
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.text import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b a b"),
+            Row(doc_id=2, text="a a b b a a b b"),   # same bag, rarer bigrams
+            Row(doc_id=3, text="a"),                 # 1 token: no bigram row
+            Row(doc_id=4, text=None),                # NULL: no row
+        ],
+        "doc_id int, text string",
+    )
+    uni = {r.doc_id: r.mean_surprisal
+           for r in unigram_surprisal(docs).collect()}
+    assert uni[1] == uni[2]
+    bi = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert set(bi) == {1, 2}
+    assert bi[1].n_bigrams == 7 and bi[2].n_bigrams == 7
+    assert bi[1].mean_surprisal < bi[2].mean_surprisal
