@@ -124,9 +124,16 @@ def write_parquet(out_dir: str, scale: int) -> None:
 def bench(out_dir: str, scale: int) -> dict:
     from etl_gcp_spark.functions.similarity import (
         blocked_exact_near_dup_pairs,
+        pq_topk,
     )
-    from etl_gcp_spark.operators.corpus import curation_funnel
-    from etl_gcp_spark.operators.graph import dedup_clusters
+    from etl_gcp_spark.operators.corpus import (
+        cluster_keeper_dedup,
+        curation_funnel,
+    )
+    from etl_gcp_spark.operators.graph import (
+        dedup_clusters,
+        embedding_dedup_clusters,
+    )
     from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
     from etl_gcp_spark.session import get_spark
 
@@ -148,6 +155,13 @@ def bench(out_dir: str, scale: int) -> dict:
         ),
         "dedup_clusters": lambda m: dedup_clusters(docs(m), threshold=0.8),
         "curation_funnel": lambda m: curation_funnel(docs(m)),
+        "embedding_dedup_clusters": lambda m: embedding_dedup_clusters(
+            vecs(m), threshold=0.8, n_blocks=4 * m
+        ),
+        "pq_adc_topk": lambda m: pq_topk(
+            vecs(m), query_ids=list(range(10)), k=5
+        ),
+        "cluster_keeper_dedup": lambda m: cluster_keeper_dedup(docs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't
