@@ -1453,6 +1453,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import dedup_clusters
+
+    # the O(log^2 n)-round large-star/small-star closure, end-to-end:
+    # identical min-id labeling as propagation, so the same
+    # recursive-CTE oracle attaches — the long-chain-safe path gets
+    # its own hash-checked row instead of pytest-only coverage
+    return dedup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.8, cc_engine="star"
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
 
@@ -1838,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "near_dup_dedup": _q_near_dup_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "minhash_lsh_pairs": _q_minhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "near_dup_dedup_exact": _q_near_dup_dedup_exact,
@@ -2950,6 +2963,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, cluster_id, quality_score
             FROM ranked WHERE rn = 1
+        """,
+        # star-contraction closure: identical min-id labeling ->
+        # identical oracle as dedup_clusters
+        "dedup_clusters_star": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id1, id2 FROM ({_JACCARD_PAIRS})
+            ), sym AS (
+                SELECT id1 AS u, id2 AS v FROM pairs
+                UNION ALL
+                SELECT id2 AS u, id1 AS v FROM pairs
+            ), reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+            ), comp AS (
+                SELECT node AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
         """,
         "near_dup_dedup": f"""
             SELECT doc_id, text FROM documents

@@ -95,6 +95,7 @@ def dedup_clusters(
     threshold: float = 0.8,
     n: int = 3,
     pair_source: str = "lsh",
+    cc_engine: str = "propagation",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -108,6 +109,12 @@ def dedup_clusters(
     the oracle baseline. Cluster output is identical wherever LSH
     recall is 1 (verified pairwise-identical at sf0.001/sf0.01, so
     the recursive-CTE DuckDB oracle applies to both at those scales).
+
+    ``cc_engine`` picks the closure algorithm: ``"propagation"``
+    (default, O(diameter) rounds — near-clique dedup graphs close in
+    2-3) or ``"star"`` (alternating large-star/small-star, O(log² n)
+    rounds — the long-chain-safe path). Both produce the identical
+    (min-reachable-id) labeling, so the same oracle attaches.
 
     Output: (doc_id, cluster_id, cluster_size). Singleton documents —
     no similar partner, or too short to shingle — keep themselves as
@@ -139,7 +146,11 @@ def dedup_clusters(
         .union(pairs.select(F.col("id2").alias(id_col)))
         .dropDuplicates()
     )
-    comp = connected_components(
+    cc_fn = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }[cc_engine]
+    comp = cc_fn(
         edge_verts,
         pairs,
         id_col=id_col,

@@ -162,3 +162,18 @@ def test_embedding_dedup_clusters_transitive(spark):
     assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
     assert out[1].cluster_size == 3
     assert out[4].cluster_id == 4 and out[4].cluster_size == 1
+
+
+def test_dedup_clusters_star_engine_matches_propagation(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import dedup_clusters
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prop = sorted(map(tuple, dedup_clusters(docs, threshold=0.8).collect()))
+    star = sorted(
+        map(
+            tuple,
+            dedup_clusters(docs, threshold=0.8, cc_engine="star").collect(),
+        )
+    )
+    assert prop == star and prop
