@@ -552,6 +552,20 @@ def _q_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def _q_pack_offsets(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import pack_offsets
+
+    return pack_offsets(_t(spark, sf_dir, "documents"))
+
+
+def _q_curriculum_buckets(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import curriculum_buckets
+
+    # decile assignment via broadcast exact-percentile boundaries —
+    # no global sort / single-partition ntile
+    return curriculum_buckets(_t(spark, sf_dir, "documents"))
+
+
 def _q_bucketed_join_totals(spark, sf_dir):
     """The co-located fact-fact join: orders and lineitem persisted
     bucketed on the join key with matching bucket counts, then joined
@@ -1908,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_counts": _q_salted_counts,
         "gap_fill_hourly": _q_gap_fill,
         "pack_documents": _q_pack_documents,
+        "pack_offsets": _q_pack_offsets,
+        "curriculum_buckets": _q_curriculum_buckets,
         "contamination_overlap": _q_contamination,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
@@ -2466,6 +2482,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN c1 cc ON cc.tok = bg.cur
             CROSS JOIN tot
             GROUP BY bg.doc_id
+        """,
+        "pack_offsets": """
+            SELECT doc_id, shard,
+                   CAST(floor(prefix / 512) AS BIGINT) AS pack_id,
+                   CAST(prefix % 512 AS BIGINT) AS start_offset,
+                   n_tokens
+            FROM (
+                SELECT doc_id, source AS shard, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens AS prefix
+                FROM (
+                    SELECT doc_id, source,
+                           CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                                AS BIGINT) AS n_tokens
+                    FROM documents
+                )
+            )
+        """,
+        # decile boundaries via interpolating quantile_cont (same
+        # formula as Spark percentile — see exact_median_prices),
+        # rounded 6 dp; ties at a boundary fall to the LOWER bucket
+        "curriculum_buckets": """
+            WITH q AS (
+                SELECT doc_id,
+                       round(1.0
+                             - least(1.0, length(regexp_replace(text,
+                                          '[a-z ]', '', 'g'))
+                                          / length(text) * 4.0)
+                             - least(0.5, len(list_filter(
+                                          regexp_split_to_array(
+                                              trim(text), '\\s+'),
+                                          t -> t = 'the' OR t = 'a'))
+                                          / len(regexp_split_to_array(
+                                                trim(text), '\\s+'))),
+                             4) AS quality_score
+                FROM documents
+            ), b AS (
+                SELECT list_transform(
+                           quantile_cont(quality_score,
+                               [0.1, 0.2, 0.3, 0.4, 0.5,
+                                0.6, 0.7, 0.8, 0.9]),
+                           x -> round(x, 6)) AS bnds
+                FROM q
+            )
+            SELECT doc_id, quality_score,
+                   CAST(len(list_filter(b.bnds,
+                            x -> q.quality_score > x)) + 1
+                        AS INTEGER) AS bucket
+            FROM q CROSS JOIN b
         """,
         "bucketed_join_totals": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,

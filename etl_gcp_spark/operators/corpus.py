@@ -451,3 +451,99 @@ def cluster_keeper_dedup(
             F.col("doc_id").alias(id_col), "cluster_id", "quality_score"
         )
     )
+
+
+def pack_offsets(
+    documents: DataFrame,
+    *,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Token-offset layout for :func:`pack_documents`: where each
+    document's tokens START inside its pack — what the data loader
+    actually needs to slice packed sequences back apart.
+
+    A document joins the pack where its exclusive prefix sum lands
+    (the streaming fill rule), so ``start_offset`` < budget always,
+    and the LAST document of a pack may run past the budget (packs
+    are closed by arrival, not truncation — truncation belongs to the
+    tokenizer stage). Output: (doc_id, shard, pack_id, start_offset,
+    n_tokens), one shuffle on the shard key.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    cum_excl = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        documents.select(
+            F.col(id_col), F.col(shard_col).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("__prefix", cum_excl)
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("__prefix") / budget).alias("pack_id"),
+            (F.col("__prefix") % budget).alias("start_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def curriculum_buckets(
+    documents: DataFrame,
+    *,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum bucketing: assign every document a quality DECILE
+    (1 = lowest) — the sampling knob for quality-weighted or
+    curriculum-ordered training.
+
+    Scale posture: a global ``ntile`` would funnel the corpus through
+    ONE partition for a total sort. Instead the n−1 exact decile
+    BOUNDARIES are computed as one interpolating-percentile aggregate
+    (rounded to 6 dp — the cross-engine determinism contract), then
+    broadcast; assignment is a per-row comparison count against the
+    tiny boundary array. Ties at a boundary land in the lower bucket
+    on both engines. Output: (doc_id, quality_score, bucket).
+    """
+    from etl_gcp_spark.functions.text import quality_score
+
+    docs = (
+        documents.withColumnRenamed(id_col, "doc_id")
+        if id_col != "doc_id"
+        else documents
+    )
+    q = quality_score(docs, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = q.agg(
+        F.transform(
+            F.percentile("quality_score", F.array(*[F.lit(f) for f in fracs])),
+            lambda b: F.round(b, 6),
+        ).alias("__bnds")
+    )
+    return (
+        q.join(F.broadcast(bnds))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "quality_score",
+            (
+                F.size(
+                    F.filter(
+                        F.col("__bnds"),
+                        lambda b: F.col("quality_score") > b,
+                    )
+                )
+                + 1
+            ).cast("int").alias("bucket"),
+        )
+    )

@@ -318,3 +318,55 @@ def test_cluster_keeper_picks_highest_quality(spark):
     assert out[cluster_of_12[0]].doc_id == 2
     # singleton keeps itself
     assert any(r.doc_id == 3 for r in out.values())
+
+
+def test_pack_offsets_layout_invariants(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import pack_offsets
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, source="s", text=" ".join(["w"] * n))
+            for i, n in enumerate([5, 4, 3, 6, 2])
+        ],
+        "doc_id int, source string, text string",
+    )
+    rows = sorted(
+        pack_offsets(docs, budget=8).collect(), key=lambda r: r.doc_id
+    )
+    # fill rule: 5 | 4,3 would overflow -> doc1 starts pack0 offset 5
+    # (packs close by arrival: last doc may run past the budget)
+    assert [(r.pack_id, r.start_offset) for r in rows] == [
+        (0, 0), (0, 5), (1, 1), (1, 4), (2, 2),
+    ]
+    # start_offset is always inside the budget
+    assert all(0 <= r.start_offset < 8 for r in rows)
+
+
+def test_curriculum_buckets_monotone_in_quality(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.corpus import curriculum_buckets
+
+    clean = "the quick brown fox jumps over a lazy dog by the river"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=clean),
+            Row(doc_id=2, text=clean + " !!!"),
+            Row(doc_id=3, text=clean + " !!! ### $$$"),
+            Row(doc_id=4, text=clean + " !!! ### $$$ %%% ^^^"),
+        ],
+        "doc_id int, text string",
+    )
+    out = sorted(
+        curriculum_buckets(docs, n_buckets=4).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # bucket ordering follows quality ordering (1 = lowest quality)
+    by_quality = sorted(out, key=lambda r: r.quality_score)
+    assert [r.bucket for r in by_quality] == sorted(
+        r.bucket for r in out
+    )
+    assert out[0].bucket == max(r.bucket for r in out)   # cleanest doc
+    assert 1 <= min(r.bucket for r in out)
