@@ -59,8 +59,14 @@ def frame_digest(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+    json_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle_check")
 
     con = duckdb.connect()
@@ -82,11 +88,13 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark query raised")
             traceback.print_exc(limit=5)
+            results[name] = {"status": "fail", "detail": "spark raised"}
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -96,6 +104,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: oracle raised")
             traceback.print_exc(limit=3)
+            results[name] = {"status": "fail", "detail": "oracle raised"}
             n_fail += 1
             continue
         problems = []
@@ -121,11 +130,18 @@ def main() -> int:
                     print(f"        duck-only:  {d}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results[name] = {"status": "fail", "detail": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"ok    {name}: {len(srows)} rows")
+            results[name] = {"status": "ok", "rows": len(srows)}
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(results, f, indent=1)
     return 1 if n_fail else 0
 
 
