@@ -1599,6 +1599,43 @@ def _q_cluster_keeper_dedup(spark, sf_dir):
     return cluster_keeper_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _q_boilerplate_strip(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import boilerplate_strip
+
+    # CCNet-style boilerplate removal: sentences repeated across >=
+    # min_docs docs are stripped and each doc reassembled in original
+    # order. The synthetic corpus has no '. ' separators below sf0.1,
+    # so at driver scale this doubles as a split->reassemble
+    # round-trip fidelity check (trim/order/concat parity).
+    return boilerplate_strip(_t(spark, sf_dir, "documents"), min_docs=2)
+
+
+def _q_dup_ngram_fraction(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import dup_ngram_fraction
+
+    # Lee et al. 2022 duplicated-n-gram signal: share of each doc's
+    # distinct trigrams occurring in at least one OTHER doc; both
+    # exchanges key on the 8-byte gram hash, never the gram text
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"))
+
+
+def _q_dsir_weights(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import dsir_weights
+
+    # DSIR importance weights: mean token log-likelihood ratio under
+    # smoothed unigram models of target domain (src0) vs the rest
+    return dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+def _q_bpe_merges(spark, sf_dir):
+    from etl_gcp_spark.functions.text import bpe_merges
+
+    # first BPE training iteration: top-20 adjacent character pairs
+    # over the corpus word distribution (pair counts weighted by word
+    # frequency, computed over DISTINCT word forms)
+    return bpe_merges(_t(spark, sf_dir, "documents"))
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -1829,6 +1866,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "leakage_safe_split_counts": _q_leakage_safe_split_counts,
         "cluster_keeper_dedup": _q_cluster_keeper_dedup,
+        # --- new late in round 3 (past the 50-entry driver window;
+        # oracle-verified locally, queued for the round-4 window) ---
+        "boilerplate_strip": _q_boilerplate_strip,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "dsir_weights": _q_dsir_weights,
+        "bpe_merges": _q_bpe_merges,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -2985,6 +3028,107 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
                    CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM labeled GROUP BY split
+        """,
+        # split -> flag -> reassemble round trip; boilerplate set =
+        # sentences (>= min_len chars) repeated across >= 2 docs
+        "boilerplate_strip": r"""
+            WITH sent AS (
+                SELECT doc_id, g.i AS pos, trim(parts[g.i]) AS sentence
+                FROM (SELECT doc_id, str_split_regex(text, '\. ') AS parts
+                      FROM documents)
+                CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(parts)+1)) AS i) g
+            ), boiler AS (
+                SELECT sentence FROM sent WHERE length(sentence) >= 20
+                GROUP BY sentence HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(sentence, '. ' ORDER BY pos)
+                            FILTER (WHERE sentence NOT IN
+                                    (SELECT sentence FROM boiler)), '')
+                       AS clean_text,
+                   CAST(count(*) FILTER (WHERE sentence NOT IN
+                        (SELECT sentence FROM boiler)) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE sentence IN
+                        (SELECT sentence FROM boiler)) AS BIGINT) AS n_removed
+            FROM sent GROUP BY doc_id
+        """,
+        # the Spark side keys both exchanges on xxhash64(gram); the
+        # oracle uses the gram text — identical results barring a
+        # 64-bit collision within one corpus (same posture as
+        # dup_count_lineitem's digest grouping)
+        "dup_ngram_fraction": r"""
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+                WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+                           AS g
+                FROM toked CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+            ), cnt AS (
+                SELECT g, count(DISTINCT doc_id) AS n_docs
+                FROM grams GROUP BY g
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS dup_fraction
+            FROM grams JOIN cnt USING (g)
+            GROUP BY doc_id
+        """,
+        # smoothed unigram LLR replay: target = src0, raw = rest,
+        # add-1 smoothing over the shared vocabulary, 6-dp rounding
+        "dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tgt AS (
+                SELECT tok, count(*) AS c_t FROM toks
+                WHERE source = 'src0' GROUP BY tok
+            ), raw AS (
+                SELECT tok, count(*) AS c_r FROM toks
+                WHERE source <> 'src0' GROUP BY tok
+            ), vocab AS (
+                SELECT coalesce(tgt.tok, raw.tok) AS tok,
+                       coalesce(c_t, 0) AS c_t, coalesce(c_r, 0) AS c_r
+                FROM tgt FULL OUTER JOIN raw ON tgt.tok = raw.tok
+            ), tot AS (
+                SELECT sum(c_t) AS tt, sum(c_r) AS tr, count(*) AS v
+                FROM vocab
+            ), ratio AS (
+                SELECT tok,
+                       ln((c_t + 1.0) / (tt + 1.0 * v))
+                       - ln((c_r + 1.0) / (tr + 1.0 * v)) AS llr
+                FROM vocab CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(llr), 6) AS dsir_logweight
+            FROM toks JOIN ratio USING (tok)
+            WHERE source <> 'src0'
+            GROUP BY doc_id
+        """,
+        # pair counts over DISTINCT word forms weighted by word
+        # frequency; ties break on the pair string
+        "bpe_merges": r"""
+            WITH words AS (
+                SELECT word, count(*) AS wc FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(lower(text)), '\s+')) AS word
+                    FROM documents
+                ) WHERE regexp_matches(word, '^[a-z][a-z]+$')
+                GROUP BY word
+            ), pairs AS (
+                SELECT substr(word, g.i, 2) AS pair, wc
+                FROM words CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, length(word))) AS i) g
+            )
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS merge_count
+            FROM pairs GROUP BY pair
+            ORDER BY merge_count DESC, pair LIMIT 20
         """,
         # quality-aware keeper: cluster CTE + the text_quality score
         # formula, rank per cluster on (score DESC NULLS LAST, id)

@@ -599,3 +599,44 @@ def bigram_surprisal(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
     )
+
+
+def bpe_merges(
+    documents: DataFrame,
+    *,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """First BPE training iteration (Sennrich et al. 2016, public
+    methodology): the ``top_k`` most frequent ADJACENT character pairs
+    over the corpus word distribution — the merge candidates a BPE
+    vocabulary build would fuse first.  Restricted to purely
+    alphabetic lowercase word forms so the symbol alphabet is stable
+    across engines.  Ties break on the pair string for determinism.
+
+    Scale shape: word frequencies first (one map-side-combined
+    aggregation — the pair explosion then runs over DISTINCT words
+    weighted by count, not over every token occurrence, which is the
+    standard BPE trick and cuts the explode by the corpus's
+    type-token ratio); pair counting is a second combined aggregation;
+    the final top-k is a ``TakeOrderedAndProject``, no global sort.
+    """
+    words = (
+        documents.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z][a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - F.lit(1)),
+        lambda i: F.col("word").substr(i.cast("int"), F.lit(2)),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), "__wc")
+        .groupBy("pair")
+        .agg(F.sum("__wc").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(top_k)
+    )

@@ -547,3 +547,131 @@ def curriculum_buckets(
             ).cast("int").alias("bucket"),
         )
     )
+
+
+def boilerplate_strip(
+    documents: DataFrame,
+    *,
+    min_docs: int = 3,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every sentence that
+    ``boilerplate_sentences`` flags (repeated across ≥ ``min_docs``
+    docs) and reassemble each document from its surviving sentences in
+    original order.  Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: the corpus is sentence-exploded ONCE; the flagged
+    set is the output of a corpus-wide aggregation and is small by
+    construction (only cross-doc repeats survive), so the membership
+    probe is a broadcast left join on the sentence text — the big side
+    never shuffles.  Reassembly is a groupBy on the document id
+    carrying (pos, sentence) structs; order is restored with
+    ``array_sort`` on pos, not a window, so there is exactly one
+    exchange after the explode.  No reference analog (the reference
+    stops at row-level cleaning, data_loader.py:296-384).
+    """
+    boiler = boilerplate_sentences(
+        documents,
+        min_docs=min_docs,
+        min_len=min_len,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(F.col("sentence"), F.lit(True).alias("__boiler"))
+    sent = (
+        documents.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\. ")).alias(
+                "pos", "__raw"
+            ),
+        )
+        .select(F.col(id_col), "pos", F.trim("__raw").alias("sentence"))
+    )
+    flagged = sent.join(F.broadcast(boiler), "sentence", "left").select(
+        F.col(id_col),
+        "pos",
+        "sentence",
+        F.coalesce("__boiler", F.lit(False)).alias("__drop"),
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct("pos", "sentence", "__drop"))
+    )
+    kept = F.filter(packed, lambda s: ~s["__drop"])
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            ". ", F.transform(kept, lambda s: s["sentence"])
+        ).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    *,
+    target_source: str = "src0",
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public
+    methodology): score every NON-target document by the mean
+    log-likelihood ratio of its tokens under smoothed unigram models
+    of the target domain vs the rest of the corpus —
+    ``mean_t log( p_target(t) / p_raw(t) )`` with add-``alpha``
+    smoothing over the SHARED vocabulary.  High scores = "looks like
+    the target domain"; downstream, ``mixture_sample`` can resample on
+    the sigmoid of this weight.
+
+    Scale shape: two corpus-wide token-frequency aggregations (one
+    per model) combined with a full-outer join on the token — both
+    map-side-combined, shuffling one row per distinct token.  The
+    per-document scoring joins the exploded corpus against that
+    (small, vocabulary-sized) ratio table; at web scale the vocab
+    table still fits executor memory and is broadcast.  Rounding to
+    6 dp makes the score hash-stable for the oracle.  Output:
+    (id, n_tokens, dsir_logweight), non-target docs only.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    tgt = (
+        toks.filter(F.col(source_col) == target_source)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    raw = (
+        toks.filter(F.col(source_col) != target_source)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_r"))
+    )
+    vocab = tgt.join(raw, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        F.coalesce("c_r", F.lit(0)).alias("c_r"),
+    )
+    totals = vocab.agg(
+        F.sum("c_t").alias("__tt"),
+        F.sum("c_r").alias("__tr"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    ratio = vocab.join(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("c_t") + alpha) / (F.col("__tt") + alpha * F.col("__v")))
+            - F.log((F.col("c_r") + alpha) / (F.col("__tr") + alpha * F.col("__v")))
+        ).alias("__llr"),
+    )
+    return (
+        toks.filter(F.col(source_col) != target_source)
+        .join(F.broadcast(ratio), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__llr"), 6).alias("dsir_logweight"),
+        )
+    )

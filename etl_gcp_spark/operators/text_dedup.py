@@ -462,3 +462,49 @@ def near_dup_dedup(
     return documents.join(losers, id_col, "left_anti").select(
         id_col, text_col
     )
+
+
+def dup_ngram_fraction(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (the Lee et al. 2022
+    "Deduplicating Training Data" substring-dup signal, at n-gram
+    granularity): the share of a document's DISTINCT n-grams that also
+    occur in at least one OTHER document.  Docs scoring high are
+    near-copies or heavy quoters even when no single pair-level match
+    fires.  Output: (id, n_ngrams, dup_fraction) for all docs with
+    ≥ n tokens, dup_fraction rounded to 6 dp.
+
+    Scale shape: shingles explode once; the corpus-wide gram →
+    distinct-doc-count aggregation and the join back both key on the
+    8-byte ``xxhash64`` of the gram, so neither exchange carries gram
+    text (same digest-exchange trick as ``dup_count``; a 64-bit
+    collision would need two distinct grams hashing equal within one
+    corpus — negligible, and the oracle hash-match would surface it).
+    """
+    grams = (
+        with_shingles(documents, text_col, id_col, n)
+        .select(
+            F.col(id_col), F.explode("shingles").alias("__g")
+        )
+        .select(F.col(id_col), F.xxhash64("__g").alias("__h"))
+    )
+    counts = grams.groupBy("__h").agg(
+        F.count_distinct(id_col).alias("__docs")
+    )
+    return (
+        grams.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(
+                F.sum((F.col("__docs") > 1).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

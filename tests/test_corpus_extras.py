@@ -1,0 +1,137 @@
+"""boilerplate_strip, dup_ngram_fraction, dsir_weights, bpe_merges."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_boilerplate_strip_removes_repeated_sentence(spark):
+    from etl_gcp_spark.operators.corpus import boilerplate_strip
+
+    banner = "this cookie banner sentence repeats"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}. unique alpha content here"),
+            (2, f"{banner}. unique beta content here"),
+            (3, "totally original text without banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha content here"
+    assert out[1]["n_removed"] == 1 and out[1]["n_kept"] == 1
+    assert out[2]["clean_text"] == "unique beta content here"
+    # untouched doc round-trips byte-identically
+    assert out[3]["clean_text"] == "totally original text without banner"
+    assert out[3]["n_removed"] == 0
+
+
+def test_boilerplate_strip_is_identity_without_repeats(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import boilerplate_strip
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    joined = (
+        boilerplate_strip(docs, min_docs=3)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .collect()
+    )
+    # the synthetic corpus has no '. ' separators: reassembly must
+    # reproduce the trimmed original exactly (split/concat fidelity)
+    assert len(joined) == 40
+    for r in joined:
+        assert r["clean_text"] == r["text"].strip()
+        assert r["n_removed"] == 0
+
+
+def test_dup_ngram_fraction_flags_the_copy(spark):
+    from etl_gcp_spark.operators.text_dedup import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),  # exact copy: every trigram shared
+            (3, "x y z w q"),  # disjoint: nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dup_ngram_fraction(docs).collect()
+    }
+    assert out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["dup_fraction"] == 0.0
+    assert out[1]["n_ngrams"] == 3  # distinct trigrams of 5 tokens
+
+
+def test_dup_ngram_fraction_counts_distinct_grams(spark):
+    from etl_gcp_spark.operators.text_dedup import dup_ngram_fraction
+
+    # "a b a b a b" has trigrams {aba, bab} x2 occurrences each, but
+    # distinct grams are counted once; no other doc shares them
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    (row,) = dup_ngram_fraction(docs).collect()
+    assert row["n_ngrams"] == 2
+    assert row["dup_fraction"] == 0.0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from etl_gcp_spark.operators.corpus import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "wiki wiki science article", "tgt"),
+            (2, "wiki science article text", "raw"),  # target-like
+            (3, "spam spam click here now", "raw"),  # not target-like
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_weights(docs, target_source="tgt").collect()
+    }
+    assert set(out) == {2, 3}  # target shard itself is excluded
+    assert out[2] > out[3]
+
+
+def test_dsir_weights_exact_single_token(spark):
+    from etl_gcp_spark.operators.corpus import dsir_weights
+
+    # one-token corpus: tgt has {a}, raw has {a}; vocab={a}, V=1
+    # llr(a) = ln((1+1)/(1+1)) - ln((1+1)/(1+1)) = 0
+    docs = spark.createDataFrame(
+        [(1, "a", "tgt"), (2, "a", "raw")],
+        "doc_id long, text string, source string",
+    )
+    (row,) = dsir_weights(docs, target_source="tgt").collect()
+    assert row["doc_id"] == 2
+    assert row["n_tokens"] == 1
+    assert math.isclose(row["dsir_logweight"], 0.0, abs_tol=1e-9)
+
+
+def test_bpe_merges_counts_weighted_pairs(spark):
+    from etl_gcp_spark.functions.text import bpe_merges
+
+    # "abab" contributes pairs ab, ba, ab; appears twice -> ab:4 ba:2
+    # "cd" (once) -> cd:1; "x" and "A9" filtered by the [a-z]{2,} gate
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd x A9")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["merge_count"] for r in bpe_merges(docs).collect()}
+    assert out == {"ab": 4, "ba": 2, "cd": 1}
+
+
+def test_bpe_merges_deterministic_tiebreak(spark):
+    from etl_gcp_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "zz aa zz aa")], "doc_id long, text string"
+    )
+    rows = bpe_merges(docs, top_k=1).collect()
+    # aa and zz tie at 2 -> lexicographically smaller pair wins
+    assert rows[0]["pair"] == "aa"
