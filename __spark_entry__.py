@@ -1636,6 +1636,75 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_merges(_t(spark, sf_dir, "documents"))
 
 
+def _q_event_pagerank(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import event_transition_pagerank
+
+    # PageRank over the event-type transition graph: the edge build
+    # is one window pass over the full event log; 3 fixed power
+    # iterations with 8-dp per-round rounding so the oracle replays
+    # them as chained CTEs
+    return event_transition_pagerank(_t(spark, sf_dir, "events"))
+
+
+def _q_source_overlap_matrix(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import source_overlap_matrix
+
+    # pairwise cross-source shingle-set Jaccard — which shards
+    # overlap BEFORE doc-level dedup; exchanges carry gram hashes
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+def _q_embedding_outliers(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import embedding_outliers
+
+    # per-label centroid cosine, z-scored within label: the
+    # embedding-space audit pass for mislabeled/junk vectors
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_zorder_layout(spark, sf_dir):
+    from etl_gcp_spark.operators.layout import zorder_layout_stats
+
+    # Z-order (Morton) clustering over (custkey, totalprice):
+    # per-bucket min/max = the parquet footer stats a scan prunes on;
+    # pure integer shift/mask columns, replayed verbatim by the oracle
+    return zorder_layout_stats(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"]
+    )
+
+
+def _q_ingest_binaryfile(spark, sf_dir):
+    """Opaque-binary ingest via Spark's built-in ``binaryFile``
+    source (the multimodal payload on-ramp): 40 deterministic .bin
+    fixtures (document text bytes — a guarded driver-side fixture
+    writer, same posture as sources/pyds.py), read back as binary
+    and fingerprinted JVM-side; the oracle recomputes length + md5
+    from the documents table directly."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_bin_{os.path.basename(sf_dir)}",
+    )
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.substring_index("path", "/", -1).alias("fname"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+    )
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -1872,6 +1941,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_fraction": _q_dup_ngram_fraction,
         "dsir_weights": _q_dsir_weights,
         "bpe_merges": _q_bpe_merges,
+        "event_pagerank": _q_event_pagerank,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "embedding_outliers": _q_embedding_outliers,
+        "zorder_layout": _q_zorder_layout,
+        "ingest_binaryfile": _q_ingest_binaryfile,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -2028,6 +2102,14 @@ _JACCARD_PAIRS_TEMPLATE = """
 """
 
 _JACCARD_PAIRS = _jaccard_pairs_over("documents")
+
+# Morton interleave replay for the zorder_layout oracle: bit b of the
+# scaled custkey (sc) lands at curve position 2b, price (sp) at 2b+1 —
+# mirrors operators/layout.py::zorder_key's shift/mask loop exactly
+_ZORDER_BITS = " + ".join(
+    f"(((sc >> {b}) & 1) << {2 * b}) + (((sp >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
 
 # quality_filter verdict: feature SQL mirrors the text_quality and
 # repetition_signals oracles (same 4-dp rounding), CASE order mirrors
@@ -3129,6 +3211,153 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, CAST(sum(wc) AS BIGINT) AS merge_count
             FROM pairs GROUP BY pair
             ORDER BY merge_count DESC, pair LIMIT 20
+        """,
+        # edge build + 3 chained power iterations, 8-dp per-round
+        # rounding (same replay convention as the k-means IVF oracle)
+        "event_pagerank": """
+            WITH seq AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst
+                FROM events
+            ), edges AS (
+                SELECT src, dst, count(*) AS w FROM seq
+                WHERE dst IS NOT NULL GROUP BY 1, 2
+            ), nodes AS (
+                SELECT DISTINCT event_type AS node FROM events
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+            frac AS (
+                SELECT e.src, e.dst, e.w / o.ow AS f
+                FROM edges e JOIN ow o USING (src)
+            ),
+            r0 AS (SELECT node, round(1.0 / n, 8) AS r
+                   FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT f.dst, sum(f.f * r.r) AS c FROM frac f
+                   JOIN r0 r ON r.node = f.src GROUP BY f.dst),
+            r1 AS (SELECT node, round((1-0.85)/n + 0.85*coalesce(c, 0), 8)
+                       AS r
+                   FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = node),
+            c2 AS (SELECT f.dst, sum(f.f * r.r) AS c FROM frac f
+                   JOIN r1 r ON r.node = f.src GROUP BY f.dst),
+            r2 AS (SELECT node, round((1-0.85)/n + 0.85*coalesce(c, 0), 8)
+                       AS r
+                   FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = node),
+            c3 AS (SELECT f.dst, sum(f.f * r.r) AS c FROM frac f
+                   JOIN r2 r ON r.node = f.src GROUP BY f.dst),
+            r3 AS (SELECT node, round((1-0.85)/n + 0.85*coalesce(c, 0), 8)
+                       AS r
+                   FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = node)
+            SELECT node, round(r, 6) AS pagerank FROM r3
+        """,
+        # distinct (source, gram) sets; Spark side joins on the gram
+        # hash, oracle on gram text (dup_count collision posture)
+        "source_overlap_matrix": r"""
+            WITH toked AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+                WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+            ), grams AS (
+                SELECT DISTINCT source AS src,
+                       toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+                           AS g
+                FROM toked CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+            ), sizes AS (
+                SELECT src, count(*) AS sz FROM grams GROUP BY src
+            ), shared AS (
+                SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+                FROM grams a JOIN grams b ON a.g = b.g AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+                   round(n_shared::DOUBLE / (sa.sz + sb.sz - n_shared), 6)
+                       AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.src = src_a
+            JOIN sizes sb ON sb.src = src_b
+        """,
+        # 6-dp centroids -> 6-dp cosine -> explicit population-std z;
+        # every stage chains the identical arithmetic
+        "embedding_outliers": """
+            WITH expl AS (
+                SELECT label, g.i AS pos, embedding[g.i+1]::DOUBLE AS v
+                FROM embeddings CROSS JOIN LATERAL
+                    (SELECT unnest(range(0, len(embedding))) AS i) g
+            ), cent AS (
+                SELECT label, pos, round(avg(v), 6) AS c
+                FROM expl GROUP BY 1, 2
+            ), cent_arr AS (
+                SELECT label, list(c ORDER BY pos) AS cv
+                FROM cent GROUP BY label
+            ), scored AS (
+                SELECT vec_id, e.label,
+                       round(list_sum(list_transform(
+                                 range(1, len(embedding)+1),
+                                 i -> embedding[i]::DOUBLE * cv[i]))
+                             / (sqrt(list_sum(list_transform(
+                                 range(1, len(embedding)+1),
+                                 i -> embedding[i]::DOUBLE
+                                      * embedding[i]::DOUBLE)))
+                                * sqrt(list_sum(list_transform(
+                                 range(1, len(cv)+1),
+                                 i -> cv[i] * cv[i])))), 6) AS cos_centroid
+                FROM embeddings e JOIN cent_arr USING (label)
+            ), stats AS (
+                SELECT label, avg(cos_centroid) AS m,
+                       sqrt(avg(cos_centroid*cos_centroid)
+                            - avg(cos_centroid)*avg(cos_centroid)) AS s
+                FROM scored GROUP BY label
+            )
+            SELECT vec_id, label, cos_centroid,
+                   CASE WHEN s = 0 THEN 0.0
+                        ELSE round((cos_centroid - m)/s, 4) END AS z,
+                   CASE WHEN s = 0 THEN FALSE
+                        ELSE round((cos_centroid - m)/s, 4) < -2.0 END
+                       AS is_outlier
+            FROM scored JOIN stats USING (label)
+        """,
+        # min/max-normalize to 8 bits, Morton-interleave, bucket =
+        # top 6 curve bits; per-bucket footer stats
+        "zorder_layout": f"""
+            WITH stats AS (
+                SELECT CAST(min(o_custkey) AS DOUBLE) AS min_c,
+                       CAST(max(o_custkey) AS DOUBLE) AS max_c,
+                       CAST(min(o_totalprice) AS DOUBLE) AS min_p,
+                       CAST(max(o_totalprice) AS DOUBLE) AS max_p
+                FROM orders
+            ), scaled AS (
+                SELECT o_custkey, o_totalprice,
+                    CASE WHEN max_c - min_c = 0 THEN 0
+                         ELSE CAST(floor((CAST(o_custkey AS DOUBLE) - min_c)
+                              / (max_c - min_c) * 255) AS BIGINT) END AS sc,
+                    CASE WHEN max_p - min_p = 0 THEN 0
+                         ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - min_p)
+                              / (max_p - min_p) * 255) AS BIGINT) END AS sp
+                FROM orders CROSS JOIN stats
+            ), z AS (
+                SELECT o_custkey, o_totalprice,
+                       ({_ZORDER_BITS}) AS zkey
+                FROM scaled
+            )
+            SELECT zkey >> 10 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(o_custkey) AS min_o_custkey,
+                   max(o_custkey) AS max_o_custkey,
+                   min(o_totalprice) AS min_o_totalprice,
+                   max(o_totalprice) AS max_o_totalprice
+            FROM z GROUP BY bucket
+        """,
+        # fixture bytes are the document text utf-8 encoded, so the
+        # oracle fingerprints the documents table directly (the
+        # corpus is ASCII: byte length == char length)
+        "ingest_binaryfile": """
+            SELECT 'doc_' || doc_id || '.bin' AS fname,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents WHERE doc_id < 40
         """,
         # quality-aware keeper: cluster CTE + the text_quality score
         # formula, rank per cluster on (score DESC NULLS LAST, id)

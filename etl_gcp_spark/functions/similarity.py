@@ -1148,3 +1148,81 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_sim", "rank")
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    *,
+    z_cut: float = -2.0,
+    dim: int | None = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding outlier scores: cosine of every vector to
+    its label centroid, z-scored within the label.  Vectors far below
+    their class's typical self-similarity (``z < z_cut``) are
+    mislabeled or junk rows — the standard embedding-space data-audit
+    pass before a training run.
+
+    Scale shape: centroids come from one ``posexplode`` aggregation
+    (shuffle carries (label, pos, partial-sum) — map-side combined,
+    so the exchange is |labels|·dim rows per map task, independent of
+    corpus size) and are rounded to 6 dp, making them replayable; the
+    centroid table is broadcast back (|labels|·dim doubles — tiny).
+    The per-label mean/variance of the rounded cosine is a second
+    combined aggregation, also broadcast back; the z formula uses the
+    explicit sqrt(E[x²]−E[x]²) population form so the oracle can
+    chain the identical arithmetic.  Cosine itself is the unrolled
+    codegen expression when ``dim`` is known.
+    """
+    cent = (
+        embeddings.select(
+            F.col(label_col), F.posexplode(vec_col).alias("pos", "v")
+        )
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("__cent")
+        )
+    )
+    # string-name route into cosine_similarity: the unrolled dim-wide
+    # expression is parsed in ONE py4j call (see cosine_similarity's
+    # plan-build-latency note)
+    scored = (
+        embeddings.join(F.broadcast(cent), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            _as_double(F.col(vec_col)).alias("__v"),
+            F.col("__cent"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(
+                cosine_similarity("__v", "__cent", dim), 6
+            ).alias("cos_centroid"),
+        )
+    )
+    stats = scored.groupBy(label_col).agg(
+        F.avg("cos_centroid").alias("__m"),
+        F.sqrt(
+            F.avg(F.col("cos_centroid") * F.col("cos_centroid"))
+            - F.avg("cos_centroid") * F.avg("cos_centroid")
+        ).alias("__s"),
+    )
+    z = F.when(F.col("__s") == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("cos_centroid") - F.col("__m")) / F.col("__s"), 4)
+    )
+    return scored.join(F.broadcast(stats), label_col).select(
+        id_col,
+        label_col,
+        "cos_centroid",
+        z.alias("z"),
+        (z < z_cut).alias("is_outlier"),
+    )

@@ -675,3 +675,70 @@ def dsir_weights(
             F.round(F.avg("__llr"), 6).alias("dsir_logweight"),
         )
     )
+
+
+def source_overlap_matrix(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise cross-SOURCE contamination matrix: for every ordered
+    source pair (a < b) sharing at least one distinct n-gram, the
+    shared-shingle count and the shingle-set Jaccard.  The corpus
+    curator's view of which shards overlap (mirror sites, syndicated
+    feeds, scrape-twice accidents) BEFORE any doc-level dedup runs.
+
+    Scale shape: shingles dedup to (source, gram-hash) pairs first —
+    the self-join then runs over per-gram source lists, and since the
+    number of SOURCES is small (hundreds at web scale, vs billions of
+    docs), the per-gram fanout is bounded by sources-per-gram, not
+    docs-per-gram.  Exchanges carry the 8-byte gram hash, never gram
+    text (same collision posture as ``dup_count``).
+    """
+    grams = (
+        with_shingles(documents, text_col, id_col, n)
+        .join(
+            documents.select(F.col(id_col), F.col(source_col)), id_col
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode("shingles").alias("__g"),
+        )
+        .select("src", F.xxhash64("__g").alias("__h"))
+        .dropDuplicates()
+    )
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("src", "src_a")), "src_a"
+        )
+        .withColumnRenamed("__sz", "__sa")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("src", "src_b")), "src_b"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__sa") + F.col("__sz") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

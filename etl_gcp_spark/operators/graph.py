@@ -319,3 +319,102 @@ def embedding_dedup_clusters(
     # long-lived sessions: release the edge pin with
     # etl_gcp_spark.caching.unpersist_pinned(result) after materializing
     return tag_pinned(clustered.unionByName(singles), pairs)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count (Page et al.
+    1999, public methodology) — fixed rounds + per-round 8-dp
+    rounding make every intermediate replayable, so a SQL oracle can
+    chain the same power iterations and hash-match the result.
+
+    Per round: one join of the rank frame onto the edge list keyed by
+    source, one map-side-combined sum per destination, one left join
+    back onto the node universe for the teleport base — the rank and
+    node frames are proportional to |V| (tiny next to the data that
+    BUILT the edges), so at scale both sides of every join broadcast.
+    Dangling mass is NOT redistributed (documented convention; ranks
+    then sum to < 1 when sinks exist).  Output: (node, pagerank)
+    rounded to 6 dp.
+    """
+    n = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    out_w = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__ow"))
+    frac = edges.join(out_w, src_col).select(
+        F.col(src_col),
+        F.col(dst_col),
+        (F.col(weight_col).cast("double") / F.col("__ow")).alias("__f"),
+    )
+    ranks = nodes.join(F.broadcast(n)).select(
+        F.col(node_col),
+        F.round(F.lit(1.0) / F.col("__n"), 8).alias("__r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            frac.join(
+                F.broadcast(ranks), frac[src_col] == ranks[node_col]
+            )
+            .groupBy(dst_col)
+            .agg(F.sum(F.col("__f") * F.col("__r")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(contrib),
+                nodes[node_col] == contrib[dst_col],
+                "left",
+            )
+            .join(F.broadcast(n))
+            .select(
+                F.col(node_col),
+                F.round(
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce("__c", F.lit(0.0)),
+                    8,
+                ).alias("__r"),
+            )
+        )
+    return ranks.select(
+        F.col(node_col), F.round("__r", 6).alias("pagerank")
+    )
+
+
+def event_transition_pagerank(
+    events: DataFrame,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the event-type TRANSITION graph: edge (a → b)
+    weighted by how often an event of type ``b`` directly follows one
+    of type ``a`` within the same user's stream (ordered by ts, then
+    event_id for determinism).  The heavy lifting is the edge build —
+    one window pass over the full event log (partitioned by user, so
+    it parallelizes and never materializes a global sort) plus one
+    combined aggregation; the rank iterations then run on the tiny
+    type graph.  Centrality over billions of raw events for the cost
+    of one shuffle: the 100 TB shape.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = events.select(
+        F.col("event_type").alias("node")
+    ).dropDuplicates()
+    return pagerank(
+        edges, nodes, iterations=iterations, damping=damping
+    )
