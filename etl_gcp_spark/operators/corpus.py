@@ -572,13 +572,8 @@ def boilerplate_strip(
     exchange after the explode.  No reference analog (the reference
     stops at row-level cleaning, data_loader.py:296-384).
     """
-    boiler = boilerplate_sentences(
-        documents,
-        min_docs=min_docs,
-        min_len=min_len,
-        text_col=text_col,
-        id_col=id_col,
-    ).select(F.col("sentence"), F.lit(True).alias("__boiler"))
+    from etl_gcp_spark.caching import tag_pinned
+
     sent = (
         documents.select(
             F.col(id_col),
@@ -587,6 +582,19 @@ def boilerplate_strip(
             ),
         )
         .select(F.col(id_col), "pos", F.trim("__raw").alias("sentence"))
+        # pinned: the flagged-set aggregation below and the reassembly
+        # join both read the exploded sentences; release with
+        # etl_gcp_spark.caching.unpersist_pinned(result)
+        .persist()
+    )
+    # same flagging rule as boilerplate_sentences, derived from the
+    # shared exploded frame instead of a second corpus explode
+    boiler = (
+        sent.filter(F.length("sentence") >= min_len)
+        .groupBy("sentence")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("sentence", F.lit(True).alias("__boiler"))
     )
     flagged = sent.join(F.broadcast(boiler), "sentence", "left").select(
         F.col(id_col),
@@ -598,13 +606,14 @@ def boilerplate_strip(
         F.collect_list(F.struct("pos", "sentence", "__drop"))
     )
     kept = F.filter(packed, lambda s: ~s["__drop"])
-    return flagged.groupBy(id_col).agg(
+    out = flagged.groupBy(id_col).agg(
         F.concat_ws(
             ". ", F.transform(kept, lambda s: s["sentence"])
         ).alias("clean_text"),
         F.size(kept).cast("long").alias("n_kept"),
         (F.count(F.lit(1)) - F.size(kept)).cast("long").alias("n_removed"),
     )
+    return tag_pinned(out, sent)
 
 
 def dsir_weights(
@@ -638,7 +647,10 @@ def dsir_weights(
         F.col(id_col),
         F.col(source_col),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
+        # pinned: both frequency models and the final scoring pass read
+        # the exploded tokens; release with
+        # etl_gcp_spark.caching.unpersist_pinned(result)
+    ).persist()
     tgt = (
         toks.filter(F.col(source_col) == target_source)
         .groupBy("tok")
@@ -666,7 +678,9 @@ def dsir_weights(
             - F.log((F.col("c_r") + alpha) / (F.col("__tr") + alpha * F.col("__v")))
         ).alias("__llr"),
     )
-    return (
+    from etl_gcp_spark.caching import tag_pinned
+
+    out = (
         toks.filter(F.col(source_col) != target_source)
         .join(F.broadcast(ratio), "tok")
         .groupBy(id_col)
@@ -675,6 +689,7 @@ def dsir_weights(
             F.round(F.avg("__llr"), 6).alias("dsir_logweight"),
         )
     )
+    return tag_pinned(out, toks)
 
 
 def source_overlap_matrix(
@@ -698,6 +713,8 @@ def source_overlap_matrix(
     docs-per-gram.  Exchanges carry the 8-byte gram hash, never gram
     text (same collision posture as ``dup_count``).
     """
+    from etl_gcp_spark.caching import tag_pinned
+
     grams = (
         with_shingles(documents, text_col, id_col, n)
         .join(
@@ -709,6 +726,10 @@ def source_overlap_matrix(
         )
         .select("src", F.xxhash64("__g").alias("__h"))
         .dropDuplicates()
+        # pinned: three subtrees (both self-join sides + sizes) would
+        # otherwise re-run the corpus explode; release with
+        # etl_gcp_spark.caching.unpersist_pinned(result)
+        .persist()
     )
     sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("__sz"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -723,7 +744,7 @@ def source_overlap_matrix(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return (
+    out = (
         shared.join(
             F.broadcast(sizes.withColumnRenamed("src", "src_a")), "src_a"
         )
@@ -742,3 +763,4 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+    return tag_pinned(out, grams)

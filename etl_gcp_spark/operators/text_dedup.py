@@ -486,17 +486,23 @@ def dup_ngram_fraction(
     collision would need two distinct grams hashing equal within one
     corpus — negligible, and the oracle hash-match would surface it).
     """
+    from etl_gcp_spark.caching import tag_pinned
+
     grams = (
         with_shingles(documents, text_col, id_col, n)
         .select(
             F.col(id_col), F.explode("shingles").alias("__g")
         )
         .select(F.col(id_col), F.xxhash64("__g").alias("__h"))
+        # pinned: both the count aggregation and the join-back side
+        # reference the exploded grams; release with
+        # etl_gcp_spark.caching.unpersist_pinned(result)
+        .persist()
     )
     counts = grams.groupBy("__h").agg(
         F.count_distinct(id_col).alias("__docs")
     )
-    return (
+    out = (
         grams.join(counts, "__h")
         .groupBy(id_col)
         .agg(
@@ -508,3 +514,4 @@ def dup_ngram_fraction(
             ).alias("dup_fraction"),
         )
     )
+    return tag_pinned(out, grams)
