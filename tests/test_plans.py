@@ -402,3 +402,52 @@ def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_zorder_key_stays_jvm_and_codegen(spark, sf_dir):
+    from etl_gcp_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = zorder_key(orders, ["o_custkey", "o_totalprice"])
+    plan = _plan(df)
+    # pure Column arithmetic: no Python stage, the 1-row stats frame
+    # joins by broadcast, and the interleave is flat shift/mask
+    # expressions in the projection (codegen-compiled at runtime)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "shiftleft" in plan and "shiftright" in plan
+
+
+def test_dup_ngram_exchanges_carry_hash_not_text(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import dup_ngram_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan_formatted(dup_ngram_fraction(docs))
+    # every Exchange below the gram explode keys on the 8-byte hash;
+    # the gram text (__g) must not survive into any exchange
+    for chunk in plan.split("Exchange")[1:]:
+        args = chunk.splitlines()[0]
+        assert "__g" not in args
+    assert "xxhash64" in plan
+
+
+def test_boilerplate_strip_broadcasts_flagged_set(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import boilerplate_strip
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(boilerplate_strip(docs, min_docs=2))
+    # membership probe is a broadcast join (the flagged set is the
+    # output of a corpus-wide aggregation, small by construction)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_pagerank_rank_frames_broadcast(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import event_transition_pagerank
+
+    events = load_table(spark, sf_dir, "events")
+    plan = _plan(event_transition_pagerank(events))
+    # the rank/contribution joins all broadcast the |V|-sized side;
+    # the only big shuffles are the window pass and the edge groupBy
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
