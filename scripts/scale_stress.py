@@ -134,7 +134,17 @@ def bench(out_dir: str, scale: int) -> dict:
         dedup_clusters,
         embedding_dedup_clusters,
     )
-    from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
+    from etl_gcp_spark.functions.similarity import (
+        embedding_outliers as _outliers,
+    )
+    from etl_gcp_spark.operators.corpus import (
+        dsir_weights as _dsir,
+        source_overlap_matrix as _overlap,
+    )
+    from etl_gcp_spark.operators.text_dedup import (
+        dup_ngram_fraction as _dup_ngram,
+        minhash_lsh_pairs,
+    )
     from etl_gcp_spark.session import get_spark
 
     spark = get_spark("scale_stress")
@@ -162,6 +172,10 @@ def bench(out_dir: str, scale: int) -> dict:
             vecs(m), query_ids=list(range(10)), k=5
         ),
         "cluster_keeper_dedup": lambda m: cluster_keeper_dedup(docs(m)),
+        "dup_ngram_fraction": lambda m: _dup_ngram(docs(m)),
+        "source_overlap_matrix": lambda m: _overlap(docs(m)),
+        "dsir_weights": lambda m: _dsir(docs(m)),
+        "embedding_outliers": lambda m: _outliers(vecs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't
