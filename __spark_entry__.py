@@ -1705,6 +1705,44 @@ def _q_ingest_binaryfile(spark, sf_dir):
     )
 
 
+def _q_incremental_near_dup(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import incremental_near_dup_pairs
+
+    # daily-ingest dedup: batch (doc_id % 10 == 0) LSH-banded against
+    # the existing corpus only — no corpus x corpus candidates. The
+    # exact cross-set Jaccard oracle attaches because banding recall
+    # is 1 at driver scales (pytest-locked for the same 16x4 config).
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_near_dup_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def _q_winsorize_prices(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import winsorize
+
+    # clamp l_extendedprice at its exact [p01, p99]; summary carries
+    # the clamp counts and a decimal-exact post-clamp total
+    w = winsorize(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return w.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") < F.col("l_extendedprice_w")).cast(
+                "long"
+            )
+        ).alias("n_clamped_low"),
+        F.sum(
+            (F.col("l_extendedprice") > F.col("l_extendedprice_w")).cast(
+                "long"
+            )
+        ).alias("n_clamped_high"),
+        F.round(
+            F.sum(F.col("l_extendedprice_w").cast("decimal(28,8)")), 2
+        ).cast("double").alias("sum_winsorized"),
+    )
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -1946,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "zorder_layout": _q_zorder_layout,
         "ingest_binaryfile": _q_ingest_binaryfile,
+        "incremental_near_dup": _q_incremental_near_dup,
+        "winsorize_prices": _q_winsorize_prices,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -3211,6 +3251,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, CAST(sum(wc) AS BIGINT) AS merge_count
             FROM pairs GROUP BY pair
             ORDER BY merge_count DESC, pair LIMIT 20
+        """,
+        # cross-set exact Jaccard: batch = doc_id % 10 == 0, corpus =
+        # the rest; same shingle CTEs as _JACCARD_PAIRS_TEMPLATE but
+        # restricted to batch x corpus pairs
+        "incremental_near_dup": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                               toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL
+                        (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                GROUP BY 1, 2
+            )
+            SELECT batch_id, corpus_id,
+                   round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4)
+                       AS jaccard
+            FROM pairs
+            JOIN cnt c1 ON c1.doc_id = batch_id
+            JOIN cnt c2 ON c2.doc_id = corpus_id
+            WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= 0.8
+        """,
+        # exact interpolated percentiles rounded 4 dp, clamp, decimal
+        # sum (order-independent) rounded 2 dp
+        "winsorize_prices": """
+            WITH b AS (
+                SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+                       round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+                FROM lineitem
+            ), w AS (
+                SELECT l_extendedprice,
+                       least(greatest(l_extendedprice, lo), hi) AS wv
+                FROM lineitem CROSS JOIN b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_extendedprice < wv
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+                   CAST(sum(CASE WHEN l_extendedprice > wv
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+                   CAST(round(sum(CAST(wv AS DECIMAL(28,8))), 2) AS DOUBLE)
+                       AS sum_winsorized
+            FROM w
         """,
         # edge build + 3 chained power iterations, 8-dp per-round
         # rounding (same replay convention as the k-means IVF oracle)

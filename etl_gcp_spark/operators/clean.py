@@ -120,3 +120,38 @@ def trim_strings(df: DataFrame) -> DataFrame:
             for f in df.schema.fields
         ]
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Robust outlier clamp: append ``col + suffix`` = ``col`` clipped
+    to its exact [``lower``, ``upper``] percentile bounds (rounded to
+    4 dp so the bound itself is replayable).  The data-cleaning step
+    between "drop the row" (loses signal) and "trust the sensor"
+    (poisons every mean downstream).
+
+    One exact-percentile aggregation (single 1-row frame — at corpus
+    scale swap in ``approx_percentile`` at the call site if the exact
+    sort-based percentile's per-group memory matters), broadcast back,
+    clamp via ``least/greatest`` — codegen end to end, no second
+    pass.  Reference analog: none (its validator only FLAGS
+    out-of-range rows, data_validator.py:104-118; this is the repair).
+    """
+    bounds = df.agg(
+        F.round(F.percentile(col, F.lit(lower)), 4).alias("__lo"),
+        F.round(F.percentile(col, F.lit(upper)), 4).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            col + suffix,
+            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -721,8 +721,10 @@ def source_overlap_matrix(
             documents.select(F.col(id_col), F.col(source_col)), id_col
         )
         .select(
+            # explode_outer: same interpreted-transform re-evaluation
+            # trap as ngram_jaccard_pairs / dup_ngram_fraction
             F.col(source_col).alias("src"),
-            F.explode("shingles").alias("__g"),
+            F.explode_outer("shingles").alias("__g"),
         )
         .select("src", F.xxhash64("__g").alias("__h"))
         .dropDuplicates()

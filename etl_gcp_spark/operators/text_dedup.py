@@ -236,6 +236,34 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    documents: DataFrame,
+    *,
+    num_perm: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, bkey) — one row per LSH band per document; band key
+    = one flat xxhash64 over the band's signature slice."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(
+        documents, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     *,
@@ -260,21 +288,13 @@ def minhash_lsh_pairs(
     that LSH recalled — recall at j=0.99 with 4×4 bands ≈ 1−(1−.96)⁴
     ≈ 1.0). Tune ``num_perm``/``bands`` to the target threshold.
     """
-    rows = num_perm // bands
-    sigs = minhash_signatures(
-        documents, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
-    )
-    # band key = one flat xxhash64 over the band's signature slice
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
+    banded = _banded(
+        documents,
+        num_perm=num_perm,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
     )
     a = banded.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id1"))
     b = banded.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id2"))
@@ -491,7 +511,11 @@ def dup_ngram_fraction(
     grams = (
         with_shingles(documents, text_col, id_col, n)
         .select(
-            F.col(id_col), F.explode("shingles").alias("__g")
+            # explode_outer, NOT explode: explode's implicit size>0
+            # filter pushes below the projection and re-evaluates the
+            # interpreted shingle transform per row (measured 58 s ->
+            # 5 s at the 50K-doc stress size)
+            F.col(id_col), F.explode_outer("shingles").alias("__g")
         )
         .select(F.col(id_col), F.xxhash64("__g").alias("__h"))
         # pinned: both the count aggregation and the join-back side
@@ -515,3 +539,65 @@ def dup_ngram_fraction(
         )
     )
     return tag_pinned(out, grams)
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs of a NEW BATCH against an EXISTING corpus —
+    the daily-ingest shape: band keys are built for both sides, but
+    the bucket join runs batch × corpus only, so yesterday's corpus
+    is never compared against itself.  At 100 TB this is the
+    difference between O(|batch| + candidates) per day and re-running
+    the full-corpus pair job; the corpus side's banded frame is
+    exactly what a persisted LSH INDEX table would hold, so in
+    production it is computed once and appended to.
+
+    Output: (batch_id, corpus_id, jaccard) for exact-verified
+    candidates ≥ ``threshold`` (same verification arithmetic and
+    4-dp rounding as :func:`minhash_lsh_pairs`).
+    """
+    kw = dict(
+        num_perm=num_perm, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
+    )
+    b_banded = _banded(batch, **kw).select(
+        "band", "bkey", F.col(id_col).alias("batch_id")
+    )
+    c_banded = _banded(corpus, **kw).select(
+        "band", "bkey", F.col(id_col).alias("corpus_id")
+    )
+    candidates = (
+        b_banded.join(c_banded, ["band", "bkey"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates()
+    )
+    sh_b = with_shingles(batch, text_col, id_col, n).select(
+        F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh1")
+    )
+    sh_c = with_shingles(corpus, text_col, id_col, n).select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh2")
+    )
+    return (
+        candidates.join(sh_b, "batch_id")
+        .join(sh_c, "corpus_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

@@ -135,3 +135,44 @@ def test_bpe_merges_deterministic_tiebreak(spark):
     rows = bpe_merges(docs, top_k=1).collect()
     # aa and zz tie at 2 -> lexicographically smaller pair wins
     assert rows[0]["pair"] == "aa"
+
+
+def test_incremental_near_dup_matches_exact_cross_pairs(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import (
+        incremental_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    got = {
+        (r["batch_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_near_dup_pairs(corpus, batch).collect()
+    }
+    # exact cross-set pairs = full exact pair set restricted to
+    # one-side-in-batch; LSH banding must recall ALL of them here
+    want = set()
+    for r in ngram_jaccard_pairs(docs, threshold=0.8).collect():
+        in1, in2 = r["id1"] % 10 == 0, r["id2"] % 10 == 0
+        if in1 != in2:
+            b, c = (r["id1"], r["id2"]) if in1 else (r["id2"], r["id1"])
+            want.add((b, c, r["jaccard"]))
+    assert got == want
+    # and strictly no corpus-side self pairs
+    for b, c, _ in got:
+        assert b % 10 == 0 and c % 10 != 0
+
+
+def test_winsorize_clamps_at_rounded_percentiles(spark):
+    from etl_gcp_spark.operators.clean import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, v double"
+    )
+    out = {r["id"]: r["v_w"] for r in winsorize(df, "v").collect()}
+    # exact p01 of 1..100 = 1.99, p99 = 99.01 (linear interpolation)
+    assert out[1] == 1.99
+    assert out[100] == 99.01
+    assert out[50] == 50.0  # interior values untouched
