@@ -1743,6 +1743,18 @@ def _q_winsorize_prices(spark, sf_dir):
     )
 
 
+def _q_streaming_near_dup_dedup(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_minhash_dedup
+
+    # incremental LSH dedup as a foreachBatch stream: 4 id-range
+    # microbatches, each checked batch x index only; id-ordered
+    # arrival makes the survivor set equal the greedy batch rule, so
+    # the near_dup_dedup value-hash oracle attaches
+    return run_streaming_minhash_dedup(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -1986,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_binaryfile": _q_ingest_binaryfile,
         "incremental_near_dup": _q_incremental_near_dup,
         "winsorize_prices": _q_winsorize_prices,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -3525,6 +3538,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))
         """,
         "near_dup_dedup_exact": f"""
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))
+        """,
+        # incremental streaming execution, identical survivor set to
+        # the batch greedy rule (id-ordered arrival; see
+        # run_streaming_minhash_dedup)
+        "streaming_near_dup_dedup": f"""
             SELECT doc_id, text FROM documents
             WHERE doc_id NOT IN (SELECT id2 FROM ({_JACCARD_PAIRS}))
         """,

@@ -425,3 +425,106 @@ def run_streaming_enrich(
         .alias("value_total"),
     )
     return _run_to_memory(agg, output_mode="complete")
+
+
+def run_streaming_minhash_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    *,
+    n_batches: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Continuous corpus dedup: each microbatch of documents is
+    MinHash-LSH-checked against the index of EVERYTHING SEEN SO FAR
+    plus itself, keep-first-arrival — the streaming form of
+    :func:`~etl_gcp_spark.operators.text_dedup.incremental_near_dup_pairs`.
+
+    Batches are staged as id-RANGE files consumed one per trigger
+    (written sequentially so (modTime, path) ordering replays them in
+    id order); arrival order therefore equals id order and the
+    survivor set is EXACTLY the greedy batch rule "drop any doc with
+    a lower-id near-dup" — so the batch ``near_dup_dedup`` oracle
+    attaches to a genuinely incremental execution.
+
+    Per batch: one LSH band join batch × index (never index × index),
+    one batch-internal pair pass, exact-Jaccard verification of
+    candidates only. The index parquet accumulates ALL seen docs
+    (dropped docs still block later copies of themselves — same
+    semantics as the batch greedy rule). In production the banded
+    frame would be persisted alongside and appended per batch instead
+    of recomputed; at driver scale the recompute keeps the harness
+    simple and the semantics identical.
+    """
+    from etl_gcp_spark.operators.text_dedup import (
+        incremental_near_dup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_sdedup_{uuid.uuid4().hex}"
+    )
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    staged = os.path.join(root, "in")
+    # sequential per-range writes: file k holds id-range k and gets a
+    # strictly later modification time than file k-1
+    bounds = docs.approxQuantile(
+        "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+    )
+    lo = None
+    for k in range(n_batches):
+        hi = bounds[k] if k < len(bounds) else None
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") <= hi)
+        part.coalesce(1).write.parquet(os.path.join(staged, f"b{k:02d}"))
+        lo = hi
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(staged, "*"))
+    )
+
+    state = {"index": None}
+    out_dir = os.path.join(root, "kept")
+
+    def merge(batch_df, _batch_id):
+        sess = batch_df.sparkSession
+        batch = batch_df.persist()
+        internal = minhash_lsh_pairs(batch, threshold=threshold).select(
+            F.col("id2").alias("doc_id")
+        )
+        if state["index"] is None:
+            dropped = internal
+        else:
+            index = sess.read.parquet(state["index"])
+            cross = incremental_near_dup_pairs(
+                index, batch, threshold=threshold
+            ).select(F.col("batch_id").alias("doc_id"))
+            dropped = internal.union(cross)
+        batch.join(
+            dropped.dropDuplicates(), "doc_id", "left_anti"
+        ).write.mode("append").parquet(out_dir)
+        # ALL seen docs enter the index (dropped docs still block
+        # later copies), matching the batch greedy rule
+        new_index = os.path.join(root, f"idx_{_batch_id}")
+        if state["index"] is None:
+            batch.write.parquet(new_index)
+        else:
+            batch.unionByName(
+                sess.read.parquet(state["index"])
+            ).write.parquet(new_index)
+        state["index"] = new_index
+        batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -176,3 +176,26 @@ def test_winsorize_clamps_at_rounded_percentiles(spark):
     assert out[1] == 1.99
     assert out[100] == 99.01
     assert out[50] == 50.0  # interior values untouched
+
+
+def test_streaming_minhash_dedup_equals_batch_greedy(spark, sf_dir):
+    import os
+
+    from etl_gcp_spark.operators.text_dedup import near_dup_dedup
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_id"], r["text"])
+        for r in near_dup_dedup(docs).collect()
+    }
+    got = {
+        (r["doc_id"], r["text"])
+        for r in run_streaming_minhash_dedup(
+            spark, os.path.join(sf_dir, "documents.parquet")
+        ).collect()
+    }
+    # 4 incremental microbatches reproduce the batch greedy rule
+    # exactly (id-ordered arrival)
+    assert got == want
