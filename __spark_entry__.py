@@ -3416,8 +3416,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e JOIN cent_arr USING (label)
             ), stats AS (
                 SELECT label, avg(cos_centroid) AS m,
-                       sqrt(avg(cos_centroid*cos_centroid)
-                            - avg(cos_centroid)*avg(cos_centroid)) AS s
+                       sqrt(greatest(avg(cos_centroid*cos_centroid)
+                            - avg(cos_centroid)*avg(cos_centroid), 0)) AS s
                 FROM scored GROUP BY label
             )
             SELECT vec_id, label, cos_centroid,

@@ -1211,9 +1211,14 @@ def embedding_outliers(
     )
     stats = scored.groupBy(label_col).agg(
         F.avg("cos_centroid").alias("__m"),
+        # variance clamped at 0: identical-cosine labels can float
+        # E[x^2] - E[x]^2 microscopically negative -> NaN std
         F.sqrt(
-            F.avg(F.col("cos_centroid") * F.col("cos_centroid"))
-            - F.avg("cos_centroid") * F.avg("cos_centroid")
+            F.greatest(
+                F.avg(F.col("cos_centroid") * F.col("cos_centroid"))
+                - F.avg("cos_centroid") * F.avg("cos_centroid"),
+                F.lit(0.0),
+            )
         ).alias("__s"),
     )
     z = F.when(F.col("__s") == 0, F.lit(0.0)).otherwise(

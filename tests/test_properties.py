@@ -210,3 +210,131 @@ def test_pq_codes_valid_and_identical_vectors_share_codes(spark, vecs):
     for c in codes.values():
         assert len(c) == 2 and all(1 <= x <= n_codes for x in c)
     assert codes[0] == codes[len(vecs) - 1]
+
+
+# ------------------------------------------- round-3 late additions
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_zorder_key_matches_python_morton(spark, pts):
+    from etl_gcp_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+    got = {r["id"]: r["zkey"] for r in zorder_key(df, ["x", "y"]).collect()}
+
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+
+    def scale(v, lo, hi):
+        return 0 if hi == lo else int((v - lo) / (hi - lo) * 255)
+
+    def morton(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for i, (x, y) in enumerate(pts):
+        want = morton(
+            scale(x, min(xs), max(xs)), scale(y, min(ys), max(ys))
+        )
+        assert got[i] == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bpe_merges_matches_counter(spark, words):
+    from collections import Counter
+
+    from etl_gcp_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: r["merge_count"]
+        for r in bpe_merges(docs, top_k=1000).collect()
+    }
+    want = Counter()
+    for w in words:
+        if len(w) >= 2:  # single chars fail the [a-z]{2,} gate
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    assert got == dict(want)
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=3, max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dup_ngram_fraction_matches_naive_sets(spark, docs_tokens):
+    from etl_gcp_spark.operators.text_dedup import dup_ngram_fraction
+
+    texts = [" ".join(t) for t in docs_tokens]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_fraction"])
+        for r in dup_ngram_fraction(df).collect()
+    }
+    sets = {
+        i: {
+            " ".join(t[j : j + 3])
+            for j in range(len(t) - 2)
+        }
+        for i, t in enumerate(docs_tokens)
+    }
+    for i, s in sets.items():
+        others = set().union(
+            *(s2 for j, s2 in sets.items() if j != i), set()
+        )
+        dup = sum(1 for g in s if g in others)
+        assert got[i][0] == len(s)
+        assert abs(got[i][1] - round(dup / len(s), 6)) < 1e-9
+
+
+@_slow
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_winsorize_bounds_and_interior(spark, vals):
+    from etl_gcp_spark.operators.clean import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    rows = winsorize(df, "v").collect()
+    lo = min(r["v_w"] for r in rows)
+    hi = max(r["v_w"] for r in rows)
+    for r in rows:
+        # clamped into [lo, hi]; interior values pass through
+        assert lo <= r["v_w"] <= hi
+        if lo < r["v"] < hi:
+            assert r["v_w"] == r["v"]
+        # clamping only ever moves values INWARD
+        assert abs(r["v_w"] - r["v"]) <= abs(max(vals) - min(vals))
