@@ -1755,6 +1755,34 @@ def _q_streaming_near_dup_dedup(spark, sf_dir):
     )
 
 
+def _q_contamination_bloom(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import contamination_bloom
+
+    # bloom-prefiltered decontamination: the benchmark shingle set
+    # folds into a ~128 KB bitset (pure DataFrame aggregates) probed
+    # map-side before the exact verify join — same exact output as
+    # contamination_overlap, KB-scale broadcast instead of GB-scale
+    return contamination_bloom(
+        _t(spark, sf_dir, "documents"), benchmark_source="src0", min_shared=3
+    )
+
+
+def _q_knn_graph(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import knn_graph
+
+    # exact cosine k-NN graph via distributed blocked GEMM: per-task
+    # local top-k bounds the post-kernel exchange at n*B*k rows
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _q_standardize_embeddings(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import standardize_embeddings
+
+    # per-dimension z-norm: dim-row stats table broadcast as one
+    # struct array, vectors rescaled in place (no explode round trip)
+    return standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -1999,6 +2027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": _q_incremental_near_dup,
         "winsorize_prices": _q_winsorize_prices,
         "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        # --- added after the r03 window froze (locally verified;
+        # rotation candidates for the next round's window) ---
+        "contamination_bloom": _q_contamination_bloom,
+        "knn_graph": _q_knn_graph,
+        "standardize_embeddings": _q_standardize_embeddings,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -4080,6 +4113,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE source <> 'src0'
             GROUP BY doc_id
             HAVING count(*) >= 5
+        """,
+        # bloom prefilter is exact (no false negatives; false
+        # positives die in the verify join) — oracle is the plain
+        # n-gram overlap screen at the bloom entry's threshold
+        "contamination_bloom": r"""
+            WITH docs AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, source, shingle FROM (
+                    SELECT doc_id, source,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh JOIN bench USING (shingle)
+            WHERE source <> 'src0'
+            GROUP BY doc_id
+            HAVING count(*) >= 3
+        """,
+        "knn_graph": """
+            WITH norm AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE /
+                           sqrt(list_sum(list_transform(embedding,
+                               y -> y::DOUBLE * y::DOUBLE)))) AS v
+                FROM embeddings
+            ), sims AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                       round(list_sum(list_transform(
+                           range(1, len(a.v)+1),
+                           i -> a.v[i] * b.v[i])), 6) AS sim
+                FROM norm a JOIN norm b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT vec_id, nbr_id, sim,
+                       CAST(row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, nbr_id) AS INT) AS rank
+                FROM sims
+            )
+            SELECT vec_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5
+        """,
+        "standardize_embeddings": """
+            WITH e AS (
+                SELECT g.i AS pos, embedding[g.i+1]::DOUBLE AS v
+                FROM embeddings CROSS JOIN LATERAL
+                    (SELECT unnest(range(0, len(embedding))) AS i) g
+            ), stats AS (
+                SELECT pos, round(avg(v), 6) AS m,
+                       round(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0)), 6)
+                           AS s
+                FROM e GROUP BY 1
+            ), st AS (
+                SELECT list(m ORDER BY pos) AS ms,
+                       list(s ORDER BY pos) AS ss
+                FROM stats
+            )
+            SELECT vec_id, list_transform(range(1, len(embedding)+1),
+                       i -> CASE WHEN ss[i] = 0 THEN 0.0
+                            ELSE round((embedding[i]::DOUBLE - ms[i])/ss[i], 6)
+                            END) AS z_embedding
+            FROM embeddings, st
         """,
         "rolling_weekly_spend": """
             SELECT o_custkey, o_orderkey,

@@ -1231,3 +1231,166 @@ def embedding_outliers(
         z.alias("z"),
         (z < z_cut).alias("is_outlier"),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine k-NN graph — every vector's top-``k`` neighbors —
+    via the same distributed blocked GEMM as
+    :func:`blocked_exact_near_dup_pairs` (no driver collect, no
+    broadcast-fit requirement).
+
+    The SemDeDup / semantic-clustering input at corpus scale: rather
+    than materializing the O(n²) similarity matrix, each block-pair
+    task keeps only its LOCAL top-``k`` per row (a ``partition`` +
+    slice on the in-task numpy matrix), so the exchange after the
+    kernel carries at most n·B·k candidate rows; one window pass then
+    reduces per-row candidates to the global top-``k``. Work is still
+    O(n²·dim) — exact k-NN is — but memory and shuffle stay linear.
+
+    Ties break on (higher sim, lower neighbor id) with sims ROUNDED
+    to 6 dp before ranking, the family-wide convention that keeps the
+    output replayable by the SQL oracle.
+
+    Reference has no similarity search (nearest analog is full-table
+    scans, `data_extractor.py:58-66`); extension per the brief.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    packed = base.groupBy(
+        F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).alias("blk")
+    ).agg(F.collect_list(F.struct("__id", "__v")).alias("items"))
+    pairs = (
+        packed.select(
+            F.col("blk").alias("xblk"), F.col("items").alias("xitems")
+        )
+        .join(
+            packed.select(
+                F.col("blk").alias("yblk"), F.col("items").alias("yitems")
+            ),
+            F.col("xblk") <= F.col("yblk"),
+        )
+        .repartition(F.col("xblk"), F.col("yblk"))
+    )
+
+    def _rowwise_topk(qids, nids, sims):
+        """Per-row local top-k of one dense block: argpartition then
+        slice — O(n·m) instead of a full sort's O(n·m log m)."""
+        m = sims.shape[1]
+        kk = min(k, m)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "qid": qids[rows],
+                "nid": nids[cols],
+                "sim": sims[rows, cols],
+            }
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_x = np.asarray([it["__id"] for it in row.xitems])
+                ids_y = np.asarray([it["__id"] for it in row.yitems])
+                mx = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.xitems]
+                )
+                my = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.yitems]
+                )
+                mx /= np.linalg.norm(mx, axis=1, keepdims=True)
+                my /= np.linalg.norm(my, axis=1, keepdims=True)
+                sims = np.round(mx @ my.T, 6)
+                if row.xblk == row.yblk:
+                    np.fill_diagonal(sims, -np.inf)  # no self-neighbor
+                    yield _rowwise_topk(ids_x, ids_y, sims)
+                else:
+                    yield _rowwise_topk(ids_x, ids_y, sims)
+                    yield _rowwise_topk(ids_y, ids_x, sims.T)
+
+    cand = pairs.mapInPandas(
+        kernel, f"qid {id_type}, nid {id_type}, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("nbr_id"),
+            F.col("rank"),
+            F.col("sim"),
+        )
+    )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION z-normalization of an embedding column — the
+    feature-scaling step before distance-based curation (k-means,
+    outlier screens) when dimensions carry different scales.
+
+    Distributed two-pass: (1) ``posexplode`` → per-position mean and
+    population-std aggregates (one shuffle keyed on the ≤dim-row
+    position — a map-side-combining agg whose reduce side is tiny at
+    any corpus size); (2) the dim-row stats table packs into ONE
+    sorted struct array broadcast to every task, and the vectors are
+    rescaled in place with a ``transform`` lambda — no explode →
+    reassemble round trip for the data pass, so the wide path touches
+    each vector exactly once.
+
+    Stats are ROUNDED to 6 dp before use and std is computed as
+    sqrt(E[v²]−E[v]²) on BOTH sides (same convention as the
+    embedding-outlier screen), making the output bit-replayable by
+    the SQL oracle. Zero-variance dimensions standardize to 0.0.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    expl = base.select(F.posexplode("__v").alias("pos", "v"))
+    stats = expl.groupBy("pos").agg(
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.avg(F.col("v") * F.col("v"))
+                    - F.avg("v") * F.avg("v"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("s"),
+    )
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m", "s"))).alias("__st")
+    )
+
+    def _z(x: F.Column, i: F.Column) -> F.Column:
+        st = F.element_at(F.col("__st"), (i + 1).cast("int"))
+        return F.when(st["s"] == 0, F.lit(0.0)).otherwise(
+            F.round((x - st["m"]) / st["s"], 6)
+        )
+
+    return (
+        base.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.transform("__v", _z).alias("z_embedding"))
+    )

@@ -766,3 +766,111 @@ def source_overlap_matrix(
         )
     )
     return tag_pinned(out, grams)
+
+
+def contamination_bloom(
+    documents: DataFrame,
+    *,
+    benchmark_source: str = "src0",
+    min_shared: int = 3,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """:func:`contamination_overlap` with a BLOOM-FILTER prefilter —
+    the 100 TB decontamination posture.
+
+    The exact screen broadcasts the full benchmark shingle-hash set
+    into a join; at web-corpus scale that set is GBs and every corpus
+    shingle rides the join. Here the benchmark set is first folded
+    into an ``m_bits`` bloom bitset built WITH DATAFRAME AGGREGATES
+    (no driver collect, no private Spark APIs — ``bloom_filter_agg``
+    is not a public routine in this build):
+
+      bit positions  = pmod(xxhash64(h, j), m)  for j < n_hashes
+      64-bit words   = explode → groupBy(word) → bit_or(mask)
+      bitset         = map_from_entries(sorted (word, bits) pairs)
+
+    The sparse word-map (≤ m/64 entries ≈ 128 KB at m=2^20) broadcasts
+    to every task and each corpus shingle probes it with two
+    ``element_at`` + bitwiseAND expressions inside whole-stage codegen
+    — survivors only then enter the exact broadcast verify join, so
+    the RESULT IS EXACT (blooms have no false negatives; false
+    positives are removed by the verify join) while the join input
+    shrinks by the bloom's rejection rate. Same logical output as
+    :func:`contamination_overlap`; physical plan trades a GB-scale
+    broadcast for a KB-scale one probed map-side.
+
+    Reference has no decontamination analog (its dedup stops at
+    full-row duplicates, `data_loader.py:296-311`); this follows the
+    open-sourced benchmark-decontamination methodology (n-gram overlap
+    screens described in public LLM reports).
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    sh = with_shingles(documents, text_col, id_col, n)
+    ids = documents.select(F.col(id_col), F.col(source_col))
+    posting = (
+        sh.join(ids, id_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.xxhash64("shingle").alias("__h"),
+        )
+    )
+    bench = (
+        posting.filter(F.col(source_col) == benchmark_source)
+        .select("__h")
+        .dropDuplicates()
+    )
+
+    def _bitpos(j: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.col("__h"), F.lit(j)), F.lit(m_bits))
+
+    words = (
+        bench.select(
+            F.explode(F.array(*[_bitpos(j) for j in range(n_hashes)])).alias(
+                "__p"
+            )
+        )
+        .select(
+            (F.col("__p") / 64).cast("long").alias("__w"),
+            # shiftleft's bit count must be a Column-free literal in the
+            # Python API — the SQL form takes an expression
+            F.expr("shiftleft(1L, cast(__p % 64 AS int))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits")))
+        ).alias("__bf")
+    )
+
+    corpus = posting.filter(F.col(source_col) != benchmark_source)
+    probe = corpus.crossJoin(F.broadcast(bloom))
+    hit = None
+    for j in range(n_hashes):
+        p = f"pmod(xxhash64(__h, {j}), {m_bits}L)"
+        bit = F.expr(
+            f"coalesce(element_at(__bf, cast(({p}) / 64 AS long)), 0L)"
+            f" & shiftleft(1L, cast(({p}) % 64 AS int)) != 0"
+        )
+        hit = bit if hit is None else (hit & bit)
+    candidates = probe.filter(hit).drop("__bf")
+
+    return (
+        candidates.join(F.broadcast(bench), "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -199,3 +199,51 @@ def test_streaming_minhash_dedup_equals_batch_greedy(spark, sf_dir):
     # 4 incremental microbatches reproduce the batch greedy rule
     # exactly (id-ordered arrival)
     assert got == want
+
+
+def test_contamination_bloom_equals_exact_screen(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import (
+        contamination_bloom,
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_id, r.n_shared)
+        for r in contamination_overlap(
+            docs, benchmark_source="src0", min_shared=3
+        ).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_shared)
+        for r in contamination_bloom(
+            docs, benchmark_source="src0", min_shared=3
+        ).collect()
+    }
+    # bloom prefilter has no false negatives and the verify join
+    # removes false positives → exactly the exact screen's output
+    assert bloom == exact and len(bloom) > 0
+
+
+def test_contamination_bloom_tiny_filter_still_exact(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import (
+        contamination_bloom,
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # pathologically small bitset → high FP rate → the verify join is
+    # doing real work; output must STILL be exact
+    bloom = {
+        (r.doc_id, r.n_shared)
+        for r in contamination_bloom(
+            docs, benchmark_source="src0", min_shared=3, m_bits=512
+        ).collect()
+    }
+    exact = {
+        (r.doc_id, r.n_shared)
+        for r in contamination_overlap(
+            docs, benchmark_source="src0", min_shared=3
+        ).collect()
+    }
+    assert bloom == exact

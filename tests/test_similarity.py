@@ -348,3 +348,64 @@ def test_pq_encode_and_adc_contract(spark):
     # ADC ranks the exact duplicate (same codes -> max LUT sum) first
     top = pq_topk(emb, query_ids=[1], k=3, n_subspaces=4, n_codes=8).collect()
     assert top[0].neighbor_id == 21 or codes[top[0].neighbor_id] == codes[1]
+
+
+def test_knn_graph_matches_brute_force(spark):
+    from etl_gcp_spark.functions.similarity import knn_graph
+
+    out = knn_graph(_emb(spark), k=2, n_blocks=2).collect()
+    got = {(r.vec_id, r.rank): (r.nbr_id, r.sim) for r in out}
+    # every vector gets exactly k neighbors (n=5 > k=2)
+    assert len(out) == 5 * 2
+    for vid, vec in VECS.items():
+        sims = sorted(
+            (
+                (round(_cos(vec, VECS[o]), 6), -o)
+                for o in VECS
+                if o != vid
+            ),
+            reverse=True,
+        )
+        for rank, (s, nego) in enumerate(sims[:2], 1):
+            assert got[(vid, rank)] == (-nego, s), (vid, rank)
+
+
+def test_knn_graph_no_self_and_dense_ranks(spark):
+    from etl_gcp_spark.functions.similarity import knn_graph
+
+    out = knn_graph(_emb(spark), k=3, n_blocks=3).collect()
+    assert all(r.vec_id != r.nbr_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.vec_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_standardize_embeddings_zero_mean_unit_var(spark):
+    import math as _math
+
+    from etl_gcp_spark.functions.similarity import standardize_embeddings
+
+    out = standardize_embeddings(_emb(spark)).collect()
+    assert len(out) == 5
+    cols = list(zip(*[r.z_embedding for r in out]))
+    for dim_vals in cols:
+        m = sum(dim_vals) / len(dim_vals)
+        var = sum(v * v for v in dim_vals) / len(dim_vals) - m * m
+        assert abs(m) < 1e-4
+        # population-std standardization → unit variance (0 for
+        # zero-variance dims)
+        assert abs(var - 1.0) < 1e-3 or abs(var) < 1e-9
+
+
+def test_standardize_embeddings_constant_dim_is_zero(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.similarity import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [_Row(vec_id=i, embedding=[1.0, float(i)]) for i in range(4)]
+    )
+    out = {r.vec_id: r.z_embedding for r in standardize_embeddings(df).collect()}
+    assert all(z[0] == 0.0 for z in out.values())
+    assert out[0][1] < 0 < out[3][1]
