@@ -1783,6 +1783,50 @@ def _q_standardize_embeddings(spark, sf_dir):
     return standardize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_psi_drift(spark, sf_dir):
+    from etl_gcp_spark.operators.drift import psi_report
+
+    # snapshot drift: the benchmark shard vs the rest of the corpus —
+    # numeric bins against the REFERENCE deciles, categorical over the
+    # union of observed categories; add-1/2 smoothing, 6-dp terms
+    docs = _t(spark, sf_dir, "documents")
+    return psi_report(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        numeric_cols=("n_chars",),
+        cat_cols=("lang",),
+    )
+
+
+def _q_impute_orders(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import impute_group_mean
+
+    # deterministic NULL injection (orders ships NULL-free): every
+    # 97th key loses o_totalprice, then repairs to its PRIORITY's mean
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return impute_group_mean(
+        orders, "o_totalprice", group_col="o_orderpriority"
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice_f")
+
+
+def _q_mad_outliers(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import mad_outliers
+
+    # robust per-returnflag outlier summary — MAD survives the
+    # contamination that inflates zscore_outliers' own sigma
+    return mad_outliers(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_col="l_returnflag",
+    )
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -2032,6 +2076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": _q_contamination_bloom,
         "knn_graph": _q_knn_graph,
         "standardize_embeddings": _q_standardize_embeddings,
+        "psi_drift": _q_psi_drift,
+        "impute_orders": _q_impute_orders,
+        "mad_outliers": _q_mad_outliers,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -4181,6 +4228,113 @@ def oracle_sql() -> dict[str, str]:
                             ELSE round((embedding[i]::DOUBLE - ms[i])/ss[i], 6)
                             END) AS z_embedding
             FROM embeddings, st
+        """,
+        # PSI replay: ref deciles (4 dp) -> strict-greater bin counts
+        # -> add-1/2-smoothed shares -> 6-dp terms; categorical over
+        # the full-join category union
+        "psi_drift": """
+            WITH ref AS (SELECT * FROM documents WHERE source = 'src0'),
+                 cur AS (SELECT * FROM documents WHERE source <> 'src0'),
+                 es AS (
+                     SELECT list_transform(
+                         quantile_cont(n_chars::DOUBLE,
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                         e -> round(e, 4)) AS edges
+                     FROM ref
+                 ),
+                 rb AS (
+                     SELECT len(list_filter(edges,
+                                e -> n_chars::DOUBLE > e)) AS bin
+                     FROM ref, es
+                 ),
+                 cb AS (
+                     SELECT len(list_filter(edges,
+                                e -> n_chars::DOUBLE > e)) AS bin
+                     FROM cur, es
+                 ),
+                 rc AS (SELECT bin, count(*) AS rn FROM rb GROUP BY 1),
+                 cc AS (SELECT bin, count(*) AS cn FROM cb GROUP BY 1),
+                 bins AS (SELECT unnest(range(0, 10)) AS bin),
+                 j AS (
+                     SELECT bin, coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+                     FROM bins LEFT JOIN rc USING (bin)
+                               LEFT JOIN cc USING (bin)
+                 ),
+                 t AS (
+                     SELECT round(
+                         ((cn+0.5)/(sum(cn+0.5) OVER ())
+                          - (rn+0.5)/(sum(rn+0.5) OVER ()))
+                         * ln(((cn+0.5)/(sum(cn+0.5) OVER ()))
+                              /((rn+0.5)/(sum(rn+0.5) OVER ()))), 6) AS term
+                     FROM j
+                 ),
+                 num AS (
+                     SELECT 'n_chars' AS col_name,
+                            round(sum(term), 6) AS psi FROM t
+                 ),
+                 rl AS (SELECT lang AS cat, count(*) AS rn
+                        FROM ref GROUP BY 1),
+                 cl AS (SELECT lang AS cat, count(*) AS cn
+                        FROM cur GROUP BY 1),
+                 jl AS (
+                     SELECT coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+                     FROM rl FULL JOIN cl USING (cat)
+                 ),
+                 tl AS (
+                     SELECT round(
+                         ((cn+0.5)/(sum(cn+0.5) OVER ())
+                          - (rn+0.5)/(sum(rn+0.5) OVER ()))
+                         * ln(((cn+0.5)/(sum(cn+0.5) OVER ()))
+                              /((rn+0.5)/(sum(rn+0.5) OVER ()))), 6) AS term
+                     FROM jl
+                 ),
+                 cat AS (
+                     SELECT 'lang' AS col_name,
+                            round(sum(term), 6) AS psi FROM tl
+                 )
+            SELECT col_name, psi, psi > 0.2 AS drifted FROM num
+            UNION ALL
+            SELECT col_name, psi, psi > 0.2 AS drifted FROM cat
+        """,
+        "impute_orders": """
+            WITH src AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                            ELSE o_totalprice END AS v
+                FROM orders
+            ),
+            gm AS (
+                SELECT o_orderpriority, round(avg(v), 4) AS g
+                FROM src GROUP BY 1
+            ),
+            gl AS (SELECT round(avg(v), 4) AS m FROM src)
+            SELECT o_orderkey, o_orderpriority,
+                   coalesce(v, g, m) AS o_totalprice_f
+            FROM src JOIN gm USING (o_orderpriority), gl
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT l_returnflag,
+                       round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+                FROM lineitem GROUP BY 1
+            ),
+            dev AS (
+                SELECT l.l_returnflag, med,
+                       abs(l_extendedprice - med) AS ad
+                FROM lineitem l JOIN med USING (l_returnflag)
+            ),
+            mad AS (
+                SELECT l_returnflag,
+                       round(quantile_cont(ad, 0.5), 4) AS mad
+                FROM dev GROUP BY 1
+            )
+            SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   d.med, m.mad,
+                   CAST(sum(CASE WHEN ad > 3.0 * 1.4826 * mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM dev d JOIN mad m USING (l_returnflag)
+            GROUP BY d.l_returnflag, d.med, m.mad
         """,
         "rolling_weekly_spend": """
             SELECT o_custkey, o_orderkey,

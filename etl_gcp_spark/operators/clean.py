@@ -155,3 +155,79 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    col: str,
+    *,
+    group_col: str,
+    suffix: str = "_f",
+) -> DataFrame:
+    """NULL repair one step smarter than the reference's global
+    fill-0 (`data_loader.py:330-336` fills every numeric NULL with 0,
+    which poisons group means): fill with the GROUP's mean (rounded
+    4 dp), falling back to the global mean for all-NULL groups.
+
+    Group means reduce map-side to one row per group; the small stats
+    frame broadcasts back — no shuffle of the data side, one pass.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.round(F.avg(col), 4).alias("__gm")
+    )
+    glob = df.agg(F.round(F.avg(col), 4).alias("__m"))
+    return (
+        df.join(F.broadcast(stats), group_col, "left")
+        .join(F.broadcast(glob))
+        .withColumn(
+            col + suffix,
+            F.coalesce(F.col(col), F.col("__gm"), F.col("__m")),
+        )
+        .drop("__gm", "__m")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    *,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier summary via the Median Absolute
+    Deviation: (group, n, median, mad, n_outliers) where a row is an
+    outlier when |x − median| > k · 1.4826 · MAD.
+
+    The z-score screen (see ``zscore_outliers``) breaks down exactly
+    when it matters — outliers inflate the very σ they are measured
+    against. MAD's 50% breakdown point survives heavy contamination;
+    1.4826 rescales it to σ-equivalents under normality (standard
+    robust-statistics constant).
+
+    Two exact-percentile passes over group-keyed aggregates (the
+    medians), one counting pass — each a map-side-combining shuffle
+    on the group key. Medians/MAD round to 4 dp so the flag threshold
+    is replayable.
+    """
+    med = df.groupBy(group_col).agg(
+        F.round(F.percentile(col, F.lit(0.5)), 4).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__ad", F.abs(F.col(col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.percentile("__ad", F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("__ad") > F.lit(k) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(group_col, "n", "med", "mad", "n_outliers")
+    )
