@@ -1827,6 +1827,26 @@ def _q_mad_outliers(spark, sf_dir):
     )
 
 
+def _q_key_skew_report(spark, sf_dir):
+    from etl_gcp_spark.operators.skew import key_skew_report
+
+    # join-key skew diagnostics for the events fact's user_id — the
+    # measurement half of the salted_join/salted_count toolkit
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+def _q_normalize_text(spark, sf_dir):
+    from etl_gcp_spark.functions.text import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"))
+
+
+def _q_perplexity_filter(spark, sf_dir):
+    from etl_gcp_spark.functions.text import perplexity_filter
+
+    return perplexity_filter(_t(spark, sf_dir, "documents"))
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -2079,6 +2099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "impute_orders": _q_impute_orders,
         "mad_outliers": _q_mad_outliers,
+        "key_skew_report": _q_key_skew_report,
+        "normalize_text": _q_normalize_text,
+        "perplexity_filter": _q_perplexity_filter,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -2305,7 +2328,7 @@ _QUALITY_VERDICT = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -4312,6 +4335,44 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(v, g, m) AS o_totalprice_f
             FROM src JOIN gm USING (o_orderpriority), gl
         """,
+        "key_skew_report": """
+            WITH counts AS (
+                SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(cnt) AS BIGINT) AS n_rows,
+                       round(avg(cnt), 4) AS mean_cnt,
+                       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+                       max(cnt) AS max_cnt
+                FROM counts
+            ),
+            top AS (
+                SELECT key, cnt,
+                       CAST(row_number() OVER (
+                           ORDER BY cnt DESC, key) AS INT) AS rank
+                FROM counts
+                ORDER BY cnt DESC, key
+                LIMIT 10
+            )
+            SELECT rank, key, cnt,
+                   round(CAST(cnt AS DOUBLE)/n_rows, 6) AS share,
+                   n_keys, mean_cnt, p99_cnt,
+                   round(max_cnt/mean_cnt, 4) AS skew_ratio
+            FROM top, stats
+        """,
+        "normalize_text": r"""
+            SELECT doc_id, text_norm, text_norm <> text AS changed
+            FROM (
+                SELECT doc_id, text,
+                       trim(regexp_replace(regexp_replace(
+                           nfc_normalize(text),
+                           '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                           '\s+', ' ', 'g')) AS text_norm
+                FROM documents WHERE text IS NOT NULL
+            )
+        """,
         "mad_outliers": """
             WITH med AS (
                 SELECT l_returnflag,
@@ -4859,3 +4920,25 @@ def oracle_sql() -> dict[str, str]:
         #   winnow_fingerprints, hll_distinct_stats, simhash_fingerprints,
         #   simhash_pairs, ann_lsh_topk, frame_samples, streaming_sessions
     }
+    # perplexity_filter layers corpus z-scoring over the bigram LM —
+    # its oracle REUSES the bigram replay as a CTE so the two stay in
+    # lockstep if the LM replay ever changes
+    sql["perplexity_filter"] = f"""
+        WITH base AS ({sql['bigram_surprisal']}),
+        stats AS (
+            SELECT round(avg(mean_surprisal), 6) AS m,
+                   round(sqrt(greatest(
+                       avg(mean_surprisal*mean_surprisal)
+                       - avg(mean_surprisal)*avg(mean_surprisal), 0)), 6)
+                       AS sd
+            FROM base
+        )
+        SELECT doc_id, n_bigrams, mean_surprisal,
+               CASE WHEN sd = 0 THEN 0.0
+                    ELSE round((mean_surprisal - m)/sd, 4) END AS z,
+               CASE WHEN sd = 0 THEN 0.0
+                    ELSE round((mean_surprisal - m)/sd, 4) END <= 2.0
+                   AS keep
+        FROM base, stats
+    """
+    return sql

@@ -640,3 +640,103 @@ def bpe_merges(
         .orderBy(F.desc("merge_count"), "pair")
         .limit(top_k)
     )
+
+
+def normalize_text(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode + whitespace canonicalization — the normalization pass
+    BEFORE hashing/dedup so that byte-different renderings of the
+    same text (decomposed accents, stray control bytes, ragged
+    spacing) collapse to one form:
+
+      1. Unicode NFC composition,
+      2. strip C0/DEL control characters (tab and newline survive as
+         whitespace and are collapsed by step 3),
+      3. collapse runs of whitespace to one space, trim.
+
+    Zero-shuffle Arrow kernel (``mapInPandas``): NFC has no Spark
+    built-in, and one vectorized pass is cheaper than stacking three
+    ``regexp_replace`` JVM round trips anyway. Steps 2-3 mirror the
+    DuckDB oracle's ``nfc_normalize`` + regex replays exactly.
+
+    Output: (id, text_norm, changed). Reference analog: lowercase +
+    trim only (`data_loader.py:354-360`); NFC is the part that makes
+    exact-hash dedup honest on real multilingual corpora.
+    """
+    import re as _re
+
+    src_cols = [id_col, text_col]
+
+    def kernel(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        ctrl = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+        # ASCII \s, matching the oracle's RE2 semantics — Python's
+        # Unicode \s would additionally eat NBSP etc. and diverge
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids, norm, changed = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                t = unicodedata.normalize("NFC", text)
+                t = ctrl.sub("", t)
+                t = ws.sub(" ", t).strip()
+                ids.append(doc_id)
+                norm.append(t)
+                changed.append(t != text)
+            yield pd.DataFrame(
+                {id_col: ids, "text_norm": norm, "changed": changed}
+            )
+
+    id_type = documents.schema[id_col].dataType.simpleString()
+    return documents.select(*src_cols).mapInPandas(
+        kernel, f"{id_col} {id_type}, text_norm string, changed boolean"
+    )
+
+
+def perplexity_filter(
+    documents: DataFrame,
+    *,
+    z_cutoff: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity screen, closed into a VERDICT: flag
+    documents whose bigram-LM surprisal sits more than ``z_cutoff``
+    standard deviations above the corpus mean.
+
+    :func:`bigram_surprisal` produces the signal; this normalizes it
+    against the corpus's own distribution (one 1-row aggregate,
+    broadcast back) so the cutoff is scale-free — the same 2.0 works
+    whether the corpus is clean prose or web scrape. Stats round to
+    6 dp, z to 4 dp; σ = 0 (degenerate corpus) keeps everything.
+
+    Output: (doc_id, n_bigrams, mean_surprisal, z, keep).
+    """
+    s = bigram_surprisal(documents, text_col)
+    ms = F.col("mean_surprisal")
+    stats = s.agg(
+        F.round(F.avg(ms), 6).alias("__m"),
+        F.round(
+            F.sqrt(F.greatest(F.avg(ms * ms) - F.avg(ms) * F.avg(ms), F.lit(0.0))),
+            6,
+        ).alias("__sd"),
+    )
+    z = F.when(F.col("__sd") == 0, F.lit(0.0)).otherwise(
+        F.round((ms - F.col("__m")) / F.col("__sd"), 4)
+    )
+    return (
+        s.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "mean_surprisal",
+            z.alias("z"),
+            (z <= F.lit(z_cutoff)).alias("keep"),
+        )
+    )

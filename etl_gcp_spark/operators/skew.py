@@ -15,7 +15,7 @@ one straggler task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,3 +62,58 @@ def salted_count(df: DataFrame, key: str, *, salt: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
+
+
+def key_skew_report(
+    df: DataFrame, key: str, *, top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostics BEFORE the expensive shuffle:
+    the ``top_n`` heaviest keys with their share of all rows,
+    alongside corpus-level skew stats (key count, max/mean ratio,
+    4-dp p99 of per-key counts) repeated on each row.
+
+    This is the measurement half of the salting toolkit: a
+    ``skew_ratio`` near 1 says hash partitioning will balance; a hot
+    key with share ≫ 1/shuffle-partitions names exactly which key
+    needs :func:`salted_join`/:func:`salted_count` or AQE skew
+    handling. One map-side-combining count per key, then two
+    aggregates over the (small) per-key frame — the input data is
+    never shuffled, only its key histogram.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("mean_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "mean_cnt",
+        "p99_cnt",
+        F.round(F.col("max_cnt") / F.col("mean_cnt"), 4).alias(
+            "skew_ratio"
+        ),
+    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (distributed
+    # per-partition heaps), NOT a global row_number window — a key
+    # histogram can itself be huge at 100 TB. Ranks attach afterwards
+    # on the ≤top_n-row result.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    return top.join(F.broadcast(stats)).select(
+        "rank",
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+        "n_keys",
+        "mean_cnt",
+        "p99_cnt",
+        "skew_ratio",
+    )

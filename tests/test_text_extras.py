@@ -104,3 +104,61 @@ def test_chunk_builtin_stays_jvm_side(spark, sf_dir):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
         assert marker not in plan
+
+
+def test_normalize_text_nfc_ctrl_ws(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.text import normalize_text
+
+    rows = [
+        _Row(doc_id=1, text="café  has\tspaces "),   # NFD e + accent
+        _Row(doc_id=2, text="clean text"),
+        _Row(doc_id=3, text="ctrl\x00chars\x1fhere"),
+        _Row(doc_id=4, text=None),
+    ]
+    out = {
+        r.doc_id: (r.text_norm, r.changed)
+        for r in normalize_text(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1] == ("café has spaces", True)  # composed é
+    assert out[2] == ("clean text", False)
+    assert out[3] == ("ctrlcharshere", True)
+    assert 4 not in out  # NULL text dropped, same as the oracle
+
+
+def test_perplexity_filter_flags_scrambled_doc(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.text import perplexity_filter
+
+    # many fluent repeats of the same bigram pattern + one scrambled
+    # doc built from rare transitions -> only the scrambled doc is cut
+    fluent = [
+        _Row(doc_id=i, text="the cat sat on the mat " * 5) for i in range(20)
+    ]
+    odd = [_Row(doc_id=99, text="mat the on cat zzz sat qqq the")]
+    out = {
+        r.doc_id: r.keep
+        for r in perplexity_filter(
+            spark.createDataFrame(fluent + odd)
+        ).collect()
+    }
+    assert out[99] is False
+    assert all(out[i] for i in range(20))
+
+
+def test_key_skew_report_hand_computed(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.operators.skew import key_skew_report
+
+    rows = [_Row(k=1)] * 70 + [_Row(k=2)] * 20 + [_Row(k=3)] * 10
+    out = key_skew_report(spark.createDataFrame(rows), "k", top_n=2).collect()
+    assert len(out) == 2
+    first = next(r for r in out if r.rank == 1)
+    assert first.key == 1 and first.cnt == 70 and first.share == 0.7
+    assert first.n_keys == 3
+    # mean = 100/3 -> 33.3333; skew = 70/33.3333
+    assert first.mean_cnt == 33.3333
+    assert abs(first.skew_ratio - round(70 / 33.3333, 4)) < 1e-9
