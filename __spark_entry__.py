@@ -1847,6 +1847,20 @@ def _q_perplexity_filter(spark, sf_dir):
     return perplexity_filter(_t(spark, sf_dir, "documents"))
 
 
+def _q_containment_pairs(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import containment_pairs
+
+    # asymmetric containment: catches a short doc embedded in a long
+    # one, which Jaccard structurally misses; DF-capped posting index
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _q_char_entropy(spark, sf_dir):
+    from etl_gcp_spark.functions.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -2102,6 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew_report,
         "normalize_text": _q_normalize_text,
         "perplexity_filter": _q_perplexity_filter,
+        "containment_pairs": _q_containment_pairs,
+        "char_entropy": _q_char_entropy,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -4361,6 +4377,61 @@ def oracle_sql() -> dict[str, str]:
                    n_keys, mean_cnt, p99_cnt,
                    round(max_cnt/mean_cnt, 4) AS skew_ratio
             FROM top, stats
+        """,
+        # containment over the DF-capped distinct-shingle sets — the
+        # cap (df <= 50) is part of the operator semantics; shingle
+        # TEXT join here == Spark's xxhash64 join absent collisions
+        "containment_pairs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                               toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL
+                        (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), capped AS (
+                SELECT shingle FROM sh
+                GROUP BY shingle HAVING count(*) <= 50
+            ), posting AS (
+                SELECT doc_id, shingle FROM sh JOIN capped USING (shingle)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM posting GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM posting a JOIN posting b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id1, id2, n_shared,
+                   round(n_shared / least(sa.sz, sb.sz), 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id1
+            JOIN sizes sb ON sb.doc_id = id2
+            WHERE round(n_shared / least(sa.sz, sb.sz), 6) >= 0.8
+        """,
+        "char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, substr(text, g.i, 1) AS ch
+                FROM documents
+                CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(text) + 1)) AS i) g
+                WHERE text IS NOT NULL AND len(text) > 0
+            ), cnt AS (
+                SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_chars_measured,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                   round(ln(sum(c)) - sum(c * ln(c))/sum(c), 4) AS entropy
+            FROM cnt GROUP BY doc_id
         """,
         "normalize_text": r"""
             SELECT doc_id, text_norm, text_norm <> text AS changed

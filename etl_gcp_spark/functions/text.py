@@ -740,3 +740,58 @@ def perplexity_filter(
             (z <= F.lit(z_cutoff)).alias("keep"),
         )
     )
+
+
+def char_entropy(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    cheapest gibberish/compression-artifact signal: base64 blobs and
+    key-mash score high, repeated-char padding scores near 0, natural
+    language sits in a narrow band.
+
+    Zero-shuffle Arrow kernel, one ``Counter`` pass per document.
+    Computed as ln(n) − Σ c·ln(c)/n (algebraically −Σ p·ln p, but
+    with one division instead of one per distinct char), terms summed
+    in SORTED character order so the float accumulation is
+    deterministic; result rounds to 4 dp, matching the DuckDB
+    replay's grouped form. NULL text drops, same as the oracle.
+
+    Output: (id, n_chars_measured, n_distinct_chars, entropy).
+    """
+
+    def kernel(batches):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, ds, hs = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                c = Counter(text)
+                n = len(text)
+                s = sum(v * math.log(v) for _, v in sorted(c.items()))
+                ids.append(doc_id)
+                ns.append(n)
+                ds.append(len(c))
+                hs.append(math.floor((math.log(n) - s / n) * 10000.0 + 0.5) / 10000.0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_chars_measured": ns,
+                    "n_distinct_chars": ds,
+                    "entropy": hs,
+                }
+            )
+
+    id_type = documents.schema[id_col].dataType.simpleString()
+    return documents.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_type}, n_chars_measured long, "
+        "n_distinct_chars long, entropy double",
+    )

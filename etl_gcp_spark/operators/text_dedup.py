@@ -601,3 +601,78 @@ def incremental_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.8,
+    max_df: int = 50,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram CONTAINMENT:
+    ``|A∩B| / min(|A|, |B|)`` ≥ ``threshold`` — the signal Jaccard
+    structurally misses: a short document wholly embedded in a long
+    one (quote farms, boilerplate wrappers, page-in-page scrapes) has
+    tiny Jaccard but containment ≈ 1.
+
+    Candidate generation is a shingle posting join with a DOCUMENT-
+    FREQUENCY CAP: shingles occurring in more than ``max_df``
+    documents are dropped from the index before the self-join (the
+    standard inverted-index guard — ubiquitous shingles contribute
+    candidates quadratically in their posting length while carrying
+    no discriminative signal). The cap is part of the operator's
+    SEMANTICS, not an approximation: intersection counts and set
+    sizes both count only sub-``max_df`` shingles, and the DuckDB
+    oracle applies the identical cap, so the output stays exactly
+    replayable. Jaccard's prefix filter has no containment analog
+    (containment admits no length-ratio pruning — a 10-shingle doc
+    can be fully contained in a 10⁶-shingle one), which makes the DF
+    cap THE scale lever here.
+
+    Output: (id1, id2, n_shared, containment) with id1 < id2,
+    containment rounded 6 dp.
+    """
+    sh = with_shingles(documents, text_col, id_col, n).select(
+        F.col(id_col),
+        F.explode_outer("shingles").alias("__s"),
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    df_cap = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__h")
+    )
+    posting = sh.join(df_cap, "__h").persist()
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = posting.select(F.col("__h"), F.col(id_col).alias("id1"))
+    b = posting.select(F.col("__h"), F.col(id_col).alias("id2"))
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # sizes is one row PER DOCUMENT — never broadcast it (billions of
+    # rows at corpus scale); these are shuffle joins on the pair ids,
+    # and AQE will still broadcast at small scales on its own
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id1"), "id1")
+        .withColumnRenamed("__sz", "__sa")
+        .join(sizes.withColumnRenamed(id_col, "id2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("__sa"), F.col("__sz")),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, posting)

@@ -135,3 +135,44 @@ def test_near_dup_dedup_warns_below_banding_midpoint(spark):
         near_dup_dedup(docs, threshold=0.8)  # default regime: silent
         near_dup_dedup(docs, threshold=0.5, use_lsh=False)  # exact: silent
         assert not caught
+
+
+def test_containment_catches_embedded_doc(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.operators.text_dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    short_doc = " ".join(f"w{i}" for i in range(40, 60))  # embedded slice
+    other = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [
+            _Row(doc_id=1, text=long_doc),
+            _Row(doc_id=2, text=short_doc),
+            _Row(doc_id=3, text=other),
+        ]
+    )
+    out = containment_pairs(df, threshold=0.9).collect()
+    assert [(r.id1, r.id2) for r in out] == [(1, 2)]
+    assert out[0].containment == 1.0  # fully contained
+    # Jaccard of the same pair is tiny: 18/(98+18-18) -> would never
+    # clear a 0.9 Jaccard bar; containment is the signal that sees it
+
+
+def test_containment_df_cap_drops_ubiquitous_shingles(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.operators.text_dedup import containment_pairs
+
+    # every doc shares one ubiquitous phrase; with max_df below the
+    # corpus size the phrase is dropped and no pair survives
+    rows = [
+        _Row(doc_id=i, text=f"the same header everywhere u{i} v{i} w{i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    # shared shingles: "the same header", "same header everywhere" —
+    # 2 of each doc's 5; containment with the cap ON is 0 (no shared
+    # sub-cap shingle), with the cap lifted it's 2/5 = 0.4
+    assert containment_pairs(df, threshold=0.3, max_df=5).count() == 0
+    assert containment_pairs(df, threshold=0.3, max_df=100).count() > 0

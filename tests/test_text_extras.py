@@ -162,3 +162,24 @@ def test_key_skew_report_hand_computed(spark):
     # mean = 100/3 -> 33.3333; skew = 70/33.3333
     assert first.mean_cnt == 33.3333
     assert abs(first.skew_ratio - round(70 / 33.3333, 4)) < 1e-9
+
+
+def test_char_entropy_extremes(spark):
+    import math as _math
+
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.text import char_entropy
+
+    rows = [
+        _Row(doc_id=1, text="aaaaaaaa"),        # zero entropy
+        _Row(doc_id=2, text="abcdefgh"),        # ln(8), maximal
+        _Row(doc_id=3, text="aabb"),            # ln(2)
+        _Row(doc_id=4, text=None),
+        _Row(doc_id=5, text=""),
+    ]
+    out = {r.doc_id: r for r in char_entropy(spark.createDataFrame(rows)).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].entropy == round(_math.log(8), 4)
+    assert out[3].entropy == round(_math.log(2), 4)
+    assert 4 not in out and 5 not in out  # NULL/empty drop
