@@ -1861,6 +1861,20 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _q_embedding_pca(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import embedding_pca1
+
+    # fixed-step power iteration with per-step 6-dp rounding — the
+    # whole training replays in the SQL oracle (k-means-IVF posture)
+    return embedding_pca1(_t(spark, sf_dir, "embeddings"), n_iter=3)
+
+
+def _q_embedding_dim_audit(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import embedding_dim_audit
+
+    return embedding_dim_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_pq_adc_topk(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import pq_topk
 
@@ -2118,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": _q_perplexity_filter,
         "containment_pairs": _q_containment_pairs,
         "char_entropy": _q_char_entropy,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_dim_audit": _q_embedding_dim_audit,
         # --- driver-green in r01/r02 (rotated out of the window) ---
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
@@ -4433,6 +4449,26 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(sum(c)) - sum(c * ln(c))/sum(c), 4) AS entropy
             FROM cnt GROUP BY doc_id
         """,
+        "embedding_dim_audit": """
+            WITH e AS (
+                SELECT g.i AS pos, embedding[g.i+1]::DOUBLE AS v
+                FROM embeddings CROSS JOIN LATERAL
+                    (SELECT unnest(range(0, len(embedding))) AS i) g
+            ),
+            s AS (
+                SELECT pos, round(avg(v), 6) AS mean,
+                       round(greatest(avg(v*v) - avg(v)*avg(v), 0), 6)
+                           AS var
+                FROM e GROUP BY 1
+            ),
+            t AS (SELECT sum(var) AS tot FROM s)
+            SELECT pos, mean, var,
+                   round(var/tot, 6) AS share,
+                   var <= 0.000000001 AS is_dead,
+                   CAST(row_number() OVER (ORDER BY var DESC, pos)
+                        AS INT) AS rank
+            FROM s, t
+        """,
         "normalize_text": r"""
             SELECT doc_id, text_norm, text_norm <> text AS changed
             FROM (
@@ -4994,6 +5030,52 @@ def oracle_sql() -> dict[str, str]:
     # perplexity_filter layers corpus z-scoring over the bigram LM —
     # its oracle REUSES the bigram replay as a CTE so the two stay in
     # lockstep if the LM replay ever changes
+    # embedding_pca replay: mean → covariance (6 dp) → n_iter power
+    # steps as chained CTEs (matvec 6 dp, renorm 6 dp) → projection.
+    # Generated so the CTE chain can never drift from the registered
+    # n_iter=3
+    _pca_iters = ""
+    _prev = "w0"
+    for _k in (1, 2, 3):
+        _pca_iters += f"""
+        u{_k} AS (
+            SELECT i, sum(c * w) AS u
+            FROM cov JOIN {_prev} ON {_prev}.j = cov.j GROUP BY i
+        ),
+        n{_k} AS (SELECT sqrt(sum(u*u)) AS nrm FROM u{_k}),
+        w{_k} AS (SELECT i AS j, round(u/nrm, 6) AS w FROM u{_k}, n{_k}),"""
+        _prev = f"w{_k}"
+    sql["embedding_pca"] = f"""
+        WITH e AS (
+            SELECT vec_id, g.i AS pos, embedding[g.i+1]::DOUBLE AS v
+            FROM embeddings CROSS JOIN LATERAL
+                (SELECT unnest(range(0, len(embedding))) AS i) g
+        ),
+        m AS (SELECT pos, round(avg(v), 6) AS m FROM e GROUP BY 1),
+        s2 AS (
+            SELECT gi.i AS i, gj.j AS j,
+                   avg(embedding[gi.i+1]::DOUBLE
+                       * embedding[gj.j+1]::DOUBLE) AS s
+            FROM embeddings
+            CROSS JOIN LATERAL
+                (SELECT unnest(range(0, len(embedding))) AS i) gi
+            CROSS JOIN LATERAL
+                (SELECT unnest(range(0, len(embedding))) AS j) gj
+            GROUP BY 1, 2
+        ),
+        cov AS (
+            SELECT i, j, round(s - mi.m * mj.m, 6) AS c
+            FROM s2 JOIN m mi ON mi.pos = s2.i JOIN m mj ON mj.pos = s2.j
+        ),
+        d AS (SELECT count(*) AS d FROM m),
+        w0 AS (SELECT pos AS j, round(1.0/sqrt(d), 6) AS w FROM m, d),
+        {_pca_iters.strip().rstrip(',')}
+        SELECT vec_id,
+               round(sum((v - m.m) * {_prev}.w), 6) AS pc1
+        FROM e JOIN m ON m.pos = e.pos
+               JOIN {_prev} ON {_prev}.j = e.pos
+        GROUP BY vec_id
+    """
     sql["perplexity_filter"] = f"""
         WITH base AS ({sql['bigram_surprisal']}),
         stats AS (

@@ -1394,3 +1394,181 @@ def standardize_embeddings(
         base.crossJoin(F.broadcast(packed))
         .select(F.col(id_col), F.transform("__v", _z).alias("z_embedding"))
     )
+
+
+def embedding_pca1(
+    embeddings: DataFrame,
+    *,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First principal component of the embedding cloud by DISTRIBUTED
+    power iteration, plus every vector's projection onto it — the
+    embedding-space audit axis (dominant direction of variance flags
+    batch effects / collapsed encoders) and the 1-D curriculum /
+    sharding key.
+
+    All heavy phases are data-parallel DataFrame aggregations:
+
+    - per-dim means: ``posexplode`` → dim-row agg (6 dp);
+    - covariance: chained double ``posexplode`` generates the n·d²
+      (i, j, vᵢ·vⱼ) stream WITHOUT a self-join, and the groupBy's
+      map-side combine collapses it to d² rows per partition before
+      the exchange — shuffle volume is d²·partitions regardless of n.
+      C = round(E[vᵢvⱼ] − mᵢmⱼ, 6);
+    - ``n_iter`` fixed power steps on the d²-row C: matvec =
+      broadcast-join C with the d-row w, groupBy(row) sum,
+      renormalize, and round ONLY the normalized iterate to 6 dp.
+      Fixed iteration count + per-step rounding makes the training
+      REPLAYABLE in SQL (k-means-IVF posture). The single rounding
+      point is deliberate: C and w are 6-dp decimals, so raw matvec
+      sums land EXACTLY on decimal tie boundaries where last-ulp
+      summation-order wobble flips HALF_UP — dividing by the
+      irrational √Σu² first moves the value off the decimal grid,
+      making the round tie-free on both engines. w₀ = 1/√d · 𝟙
+      (deterministic sign).
+
+    Output: (id, pc1) with pc1 = round((x − m)·w, 6). At d where n·d²
+    generation dominates, swap the covariance phase for an
+    Arrow-kernel partial-GEMM per partition — same d² exchange.
+
+    Convergence caveat (honest contract): power iteration converges
+    at rate (λ₂/λ₁)^k, so after ``n_iter`` steps the output is the
+    ITERATE's projection, which equals true PC1 only when a dominant
+    direction exists. On a near-isotropic cloud (the synthetic
+    corpus: λ₂/λ₁ ≈ 0.99) no direction dominates and the finding IS
+    the isotropy — audit dimension health with
+    :func:`embedding_dim_audit`, which is spectrum-independent.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    expl = base.select("__id", "__v", F.posexplode("__v").alias("i", "vi"))
+    means = (
+        expl.groupBy(F.col("i").alias("pos"))
+        .agg(F.round(F.avg("vi"), 6).alias("m"))
+    )
+    second = (
+        expl.select("i", "vi", F.posexplode("__v").alias("j", "vj"))
+        .groupBy("i", "j")
+        .agg(F.avg(F.col("vi") * F.col("vj")).alias("s"))
+    )
+    mi = means.select(F.col("pos").alias("i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("pos").alias("j"), F.col("m").alias("mj"))
+    cov = (
+        second.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i", "j",
+            F.round(F.col("s") - F.col("mi") * F.col("mj"), 6).alias("c"),
+        )
+        # d² rows; pinned so each power step reuses it instead of
+        # re-running the n·d² generation (release: unpersist_pinned)
+        .persist()
+    )
+    dim_df = means.agg(F.count(F.lit(1)).alias("d"))
+    w = (
+        means.join(F.broadcast(dim_df))
+        .select(
+            F.col("pos").alias("j"),
+            F.round(F.lit(1.0) / F.sqrt(F.col("d")), 6).alias("w"),
+        )
+    )
+    for _ in range(n_iter):
+        u = (
+            cov.join(F.broadcast(w), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("w")).alias("u"))
+        )
+        nrm = u.agg(
+            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm")
+        )
+        w = (
+            u.join(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("u") / F.col("nrm"), 6).alias("w"),
+            )
+        )
+    model = (
+        means.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("__m")
+        )
+        .crossJoin(
+            w.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "w"))),
+                    lambda x: x["w"],
+                ).alias("__w")
+            )
+        )
+    )
+    out = base.crossJoin(F.broadcast(model)).select(
+        F.col("__id").alias(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        "__v", "__m", lambda v, m: v - m
+                    ),
+                    "__w",
+                    lambda cvd, wv: cvd * wv,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("pc1"),
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, cov)
+
+
+def embedding_dim_audit(
+    embeddings: DataFrame,
+    *,
+    dead_eps: float = 1e-9,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION health check of an embedding column: mean,
+    variance, share of total variance, variance rank, and a dead-dim
+    flag — the screen that catches collapsed encoder dimensions and
+    scale imbalance before they poison every cosine downstream.
+
+    One ``posexplode`` → dim-row aggregate (map-side combining; the
+    exchange is ≤ dim rows per partition at any corpus size). The
+    final rank window runs single-partition over the dim-row frame —
+    bounded by MODEL dimension, not data size, so it holds at 100 TB.
+    Variances round to 6 dp (population form, E[v²]−E[v]²).
+    """
+    expl = embeddings.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v")
+    )
+    stats = expl.groupBy("pos").agg(
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(
+            F.greatest(
+                F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("var"),
+    )
+    tot = stats.agg(F.sum("var").alias("__tot"))
+    w = Window.orderBy(F.col("var").desc(), F.col("pos").asc())
+    return (
+        stats.join(F.broadcast(tot))
+        .select(
+            "pos",
+            "mean",
+            "var",
+            F.round(F.col("var") / F.col("__tot"), 6).alias("share"),
+            (F.col("var") <= dead_eps).alias("is_dead"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )

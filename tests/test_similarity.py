@@ -409,3 +409,56 @@ def test_standardize_embeddings_constant_dim_is_zero(spark):
     out = {r.vec_id: r.z_embedding for r in standardize_embeddings(df).collect()}
     assert all(z[0] == 0.0 for z in out.values())
     assert out[0][1] < 0 < out[3][1]
+
+
+def test_embedding_pca_recovers_planted_direction(spark):
+    import numpy as np
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.similarity import embedding_pca1
+
+    # planted dominant axis: x_i = t_i * d + small deterministic noise
+    # -> with a real eigengap, 3 power steps align with the plant and
+    # the projections order by t
+    rng = np.random.RandomState(7)
+    d = rng.randn(8); d /= np.linalg.norm(d)
+    rows = []
+    ts = np.linspace(-3, 3, 40)
+    for i, t in enumerate(ts):
+        noise = 0.05 * rng.randn(8)
+        rows.append(_Row(vec_id=i, embedding=[float(x) for x in t * d + noise]))
+    out = embedding_pca1(spark.createDataFrame(rows), n_iter=3).collect()
+    got = np.array([r.pc1 for r in sorted(out, key=lambda r: r.vec_id)])
+    corr = abs(np.corrcoef(got, ts)[0, 1])
+    assert corr > 0.99, corr
+
+
+def test_embedding_pca_deterministic(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.similarity import embedding_pca1
+
+    df = spark.createDataFrame(
+        [_Row(vec_id=i, embedding=[float(i), float(i % 3), 1.0]) for i in range(20)]
+    )
+    a = {r.vec_id: r.pc1 for r in embedding_pca1(df, n_iter=2).collect()}
+    b = {r.vec_id: r.pc1 for r in embedding_pca1(df, n_iter=2).collect()}
+    assert a == b
+
+
+def test_embedding_dim_audit_flags_dead_dim(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.similarity import embedding_dim_audit
+
+    # dim 0 varies a lot, dim 1 a little, dim 2 is constant (dead)
+    df = spark.createDataFrame(
+        [
+            _Row(vec_id=i, embedding=[float(10 * i), float(i % 2), 7.0])
+            for i in range(10)
+        ]
+    )
+    out = {r.pos: r for r in embedding_dim_audit(df).collect()}
+    assert out[2].is_dead and out[2].var == 0.0 and out[2].share == 0.0
+    assert out[0].rank == 1 and out[1].rank == 2 and out[2].rank == 3
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
