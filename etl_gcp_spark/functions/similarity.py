@@ -1292,11 +1292,16 @@ def knn_graph(
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = np.repeat(np.arange(sims.shape[0]), kk)
         cols = part.ravel()
+        s = sims[rows, cols]
+        # a 1-vector diagonal block's only candidate is the -inf
+        # self-entry — drop masked entries so they can never surface
+        # as neighbors downstream
+        keep = np.isfinite(s)
         return pd.DataFrame(
             {
-                "qid": qids[rows],
-                "nid": nids[cols],
-                "sim": sims[rows, cols],
+                "qid": qids[rows][keep],
+                "nid": nids[cols][keep],
+                "sim": s[keep],
             }
         )
 

@@ -31,7 +31,7 @@ PSI_DRIFT_BAR = 0.2
 
 
 def _binned_counts(
-    df: DataFrame, col: str, edges: DataFrame, n_bins: int
+    df: DataFrame, col: str, edges: DataFrame
 ) -> DataFrame:
     """(bin, cnt) for one side: bin = #edges strictly below the value."""
     return (
@@ -64,10 +64,10 @@ def psi_numeric(
     )
     spark = ref.sparkSession
     bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    r = _binned_counts(ref, col, edges, n_bins).withColumnRenamed(
+    r = _binned_counts(ref, col, edges).withColumnRenamed(
         "cnt", "ref_cnt"
     )
-    c = _binned_counts(cur, col, edges, n_bins).withColumnRenamed(
+    c = _binned_counts(cur, col, edges).withColumnRenamed(
         "cnt", "cur_cnt"
     )
     joined = (

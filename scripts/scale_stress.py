@@ -141,7 +141,13 @@ def bench(out_dir: str, scale: int) -> dict:
         dsir_weights as _dsir,
         source_overlap_matrix as _overlap,
     )
+    from etl_gcp_spark.functions.similarity import (
+        embedding_pca1 as _pca,
+        knn_graph as _knn,
+    )
+    from etl_gcp_spark.operators.corpus import contamination_bloom as _bloom
     from etl_gcp_spark.operators.text_dedup import (
+        containment_pairs as _containment,
         dup_ngram_fraction as _dup_ngram,
         minhash_lsh_pairs,
     )
@@ -176,6 +182,12 @@ def bench(out_dir: str, scale: int) -> dict:
         "source_overlap_matrix": lambda m: _overlap(docs(m)),
         "dsir_weights": lambda m: _dsir(docs(m)),
         "embedding_outliers": lambda m: _outliers(vecs(m)),
+        "contamination_bloom": lambda m: _bloom(
+            docs(m), benchmark_source="src0", min_shared=3
+        ),
+        "knn_graph": lambda m: _knn(vecs(m), k=5, n_blocks=4 * m),
+        "containment_pairs": lambda m: _containment(docs(m), threshold=0.8),
+        "embedding_pca": lambda m: _pca(vecs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't

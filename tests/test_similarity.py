@@ -462,3 +462,22 @@ def test_embedding_dim_audit_flags_dead_dim(spark):
     assert out[2].is_dead and out[2].var == 0.0 and out[2].share == 0.0
     assert out[0].rank == 1 and out[1].rank == 2 and out[2].rank == 3
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
+
+
+def test_knn_graph_tiny_corpus_no_phantom_neighbors(spark):
+    from pyspark.sql import Row as _Row
+
+    from etl_gcp_spark.functions.similarity import knn_graph
+
+    # 2 vectors scattered over 8 blocks: most blocks are singletons or
+    # empty; the masked -inf self-entries must never surface
+    df = spark.createDataFrame(
+        [
+            _Row(vec_id=1, embedding=[1.0, 0.0]),
+            _Row(vec_id=2, embedding=[0.5, 0.5]),
+        ]
+    )
+    out = knn_graph(df, k=3, n_blocks=8).collect()
+    assert len(out) == 2
+    assert all(r.vec_id != r.nbr_id for r in out)
+    assert all(r.sim == r.sim and abs(r.sim) != float("inf") for r in out)
