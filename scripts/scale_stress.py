@@ -51,8 +51,18 @@ VEC_DUP_FRAC = 0.01      # planted high-cosine embedding neighbors
 
 
 def gen_documents(n: int, rng: np.random.Generator):
-    """(doc_id, text, lang, source, n_chars) rows with planted dups."""
-    vocab = np.array(VOCAB)
+    """(doc_id, text, lang, source, n_chars) rows with planted dups.
+
+    Vocabulary SCALES with the corpus (real corpora grow vocabulary
+    roughly with size): a fixed 30-word vocab at 10× would push every
+    shingle's document frequency 10× too — a density no web corpus
+    has — which both voids DF-capped operators (0 candidates) and
+    makes posting joins artificially quadratic. Suffixed copies of
+    the base vocab keep token-length/shape identical at both sizes.
+    """
+    vocab = np.array(
+        [f"{w}{k}" if k else w for k in range(max(1, n // 5000)) for w in VOCAB]
+    )
     langs = np.array(["en", "de", "es", "fr", "zh"])
     texts: list[str] = []
     n_base = n - int(n * EXACT_DUP_FRAC) - int(n * NEAR_DUP_FRAC)
@@ -186,6 +196,9 @@ def bench(out_dir: str, scale: int) -> dict:
             docs(m), benchmark_source="src0", min_shared=3
         ),
         "knn_graph": lambda m: _knn(vecs(m), k=5, n_blocks=4 * m),
+        # FIXED max_df: the cap is containment's linearity guarantee —
+        # candidates ≤ max_df · Σdf. (Scaling the cap with the corpus
+        # was measured at exponent 1.976/330 s: Σdf² blows up.)
         "containment_pairs": lambda m: _containment(docs(m), threshold=0.8),
         "embedding_pca": lambda m: _pca(vecs(m)),
     }
