@@ -1861,6 +1861,46 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _q_benford_check(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import benford_check
+
+    # fabricated-data screen on order totals; expected shares are
+    # precomputed literals so no engine evaluates log10
+    return benford_check(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _q_ks_drift(spark, sf_dir):
+    from etl_gcp_spark.operators.drift import ks_numeric
+
+    # nonparametric drift: src0 docs vs the rest of the corpus on
+    # document length — integer-exact argmax, one final division
+    docs = _t(spark, sf_dir, "documents")
+    return ks_numeric(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "n_chars",
+    )
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from etl_gcp_spark.functions.text import bm25_topk
+
+    # lexical retrieval over the corpus; log-free rational idf +
+    # decimal term-score sum keep the ranking bit-replayable
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "vector", "stream"], k=10
+    )
+
+
+def _q_shingle_cosine_pairs(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import shingle_cosine_pairs
+
+    # multiset (frequency-weighted) lexical similarity — integer dot
+    # products, so the oracle hash attaches with no float-reduction
+    # caveat
+    return shingle_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _q_embedding_pca(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import embedding_pca1
 
@@ -2131,6 +2171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "perplexity_filter": _q_perplexity_filter,
         "containment_pairs": _q_containment_pairs,
+        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
+        "bm25_topk": _q_bm25_topk,
+        "benford_check": _q_benford_check,
+        "ks_drift": _q_ks_drift,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -4397,6 +4441,135 @@ def oracle_sql() -> dict[str, str]:
         # containment over the DF-capped distinct-shingle sets — the
         # cap (df <= 50) is part of the operator semantics; shingle
         # TEXT join here == Spark's xxhash64 join absent collisions
+        "benford_check": """
+            WITH src AS (
+                SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                           AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+            ), counts AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM src GROUP BY digit
+            ), total AS (
+                SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
+            ), expected(digit, exp_share) AS (
+                VALUES (1, 0.30103), (2, 0.176091), (3, 0.124939),
+                       (4, 0.09691), (5, 0.079181), (6, 0.066947),
+                       (7, 0.057992), (8, 0.051153), (9, 0.045757)
+            )
+            SELECT c.digit, c.n,
+                   round(c.n / CAST(t AS DOUBLE), 6) AS obs_share,
+                   CAST(e.exp_share AS DOUBLE) AS exp_share,
+                   round(abs(round(c.n / CAST(t AS DOUBLE), 6)
+                             - CAST(e.exp_share AS DOUBLE)), 6) AS abs_dev
+            FROM counts c CROSS JOIN total JOIN expected e
+                 ON e.digit = c.digit
+            ORDER BY c.digit
+        """,
+        "ks_drift": """
+            WITH a AS (
+                SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+                FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL
+                GROUP BY 1
+            ), b AS (
+                SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cb
+                FROM documents WHERE source <> 'src0' AND n_chars IS NOT NULL
+                GROUP BY 1
+            ), merged AS (
+                SELECT COALESCE(a.v, b.v) AS v,
+                       COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                FROM a FULL OUTER JOIN b ON a.v = b.v
+            ), cum AS (
+                SELECT v,
+                       CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                       CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+                FROM merged
+            ), totals AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_ref,
+                       CAST(sum(cb) AS BIGINT) AS n_cur FROM merged
+            )
+            SELECT n_ref, n_cur, v AS at_value,
+                   round(abs(cum_a * n_cur - cum_b * n_ref)
+                         / CAST(n_ref * n_cur AS DOUBLE), 6) AS ks_stat
+            FROM cum CROSS JOIN totals
+            ORDER BY abs(cum_a * n_cur - cum_b * n_ref) DESC, v
+            LIMIT 1
+        """,
+        "bm25_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM toks GROUP BY 1
+            ), stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+            ), tf AS (
+                SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks
+                WHERE t IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+            ), dfq AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), scored AS (
+                SELECT tf.doc_id,
+                       CAST(round(
+                         ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5))
+                         * (CAST(tf AS DOUBLE) * 2.2)
+                         / (CAST(tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                / (CAST(total_dl AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)))))
+                       , 6) AS DECIMAL(18,6)) AS ts
+                FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id)
+                CROSS JOIN stats
+            )
+            SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 10
+        """,
+        "shingle_cosine_pairs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                               toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL
+                        (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+                GROUP BY doc_id, shingle
+            ), capped AS (
+                SELECT shingle FROM sh
+                GROUP BY shingle HAVING count(*) <= 50
+            ), posting AS (
+                SELECT sh.* FROM sh JOIN capped USING (shingle)
+            ), norms AS (
+                SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS ss
+                FROM posting GROUP BY 1
+            ), dots AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                FROM posting a JOIN posting b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id1, id2, dot,
+                   round(dot / sqrt(CAST(sa.ss * sb.ss AS DOUBLE)), 6)
+                       AS cosine
+            FROM dots
+            JOIN norms sa ON sa.doc_id = id1
+            JOIN norms sb ON sb.doc_id = id2
+            WHERE round(dot / sqrt(CAST(sa.ss * sb.ss AS DOUBLE)), 6)
+                  >= 0.5
+        """,
         "containment_pairs": r"""
             WITH docs AS (
                 SELECT doc_id,

@@ -795,3 +795,77 @@ def char_entropy(
         f"{id_col} {id_type}, n_chars_measured long, "
         "n_distinct_chars long, entropy double",
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25
+    (Robertson & Walker's Okapi ranking — the standard lexical
+    retrieval scorer; Spark ships no retrieval ranking at all).
+
+    IDF uses the log-free rational form ``(N − df + 0.5)/(df + 0.5)``
+    — the argument of BM25's log, without the log — for the same
+    reason ``tfidf_top_terms`` does: ln() is not correctly rounded in
+    either engine's libm, while +,−,×,÷ are, so a fixed arithmetic
+    expression tree evaluates BIT-IDENTICALLY in the JVM and the
+    DuckDB oracle. Per-term scores round to 6 dp and sum as
+    DECIMAL(18,6): a float reduction's order is engine-dependent, a
+    decimal sum is exact and order-free — the one place a multi-term
+    score could otherwise diverge.
+
+    Scale shape: the token stream filters to the query's terms BEFORE
+    any aggregation (codegen isin over a literal list — the inverted-
+    index probe), so the tf aggregation touches only matching
+    postings; doc lengths reduce map-side; N/avgdl is a 1-row
+    broadcast; df is |query| rows. Top-k is orderBy+limit →
+    TakeOrderedAndProject, never a global window.
+
+    Output: (doc_id, bm25) — the k highest-scoring docs, ties broken
+    by id.
+    """
+    toks = documents.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__total_dl"),
+    )
+    tf = (
+        toks.filter(F.col("__t").isin(query_terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_d = F.col("__n_docs").cast("double")
+    idf = ((F.col("__n_docs") - F.col("__df")).cast("double") + F.lit(0.5)) / (
+        F.col("__df").cast("double") + F.lit(0.5)
+    )
+    avgdl = F.col("__total_dl").cast("double") / n_d
+    tf_d = F.col("__tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("__dl").cast("double") / avgdl)
+    )
+    term_score = F.round((idf * (tf_d * F.lit(k1 + 1.0))) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(term_score).alias("__s"))
+    )
+    return (
+        scored.select(F.col(id_col), F.col("__s").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -140,3 +140,83 @@ def psi_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ks_numeric(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between a reference and
+    a current snapshot of an integer-valued column: the max absolute
+    gap between the two empirical CDFs — PSI's nonparametric sibling
+    (PSI needs bins and smoothing; KS sees ANY distributional change,
+    with a distribution-free null).
+
+    Exactness posture: the CDF gap at value v is
+    |cumA·nB − cumB·nA| / (nA·nB); the numerator is pure BIGINT
+    arithmetic, so the argmax is decided on exact integers and the
+    single final division is the only float op — bit-identical in the
+    DuckDB oracle. Ties on the max gap break toward the smallest
+    value.
+
+    Scale shape: each side collapses to (value, count) map-side
+    FIRST, so the ordered cumulative window runs over DISTINCT VALUES
+    — bounded by the column's domain, not the row count (for a
+    continuous column, quantize/bin before calling; the statistic then
+    bounds the binned CDF gap). The single-partition window over the
+    domain-sized frame is the deliberate trade; totals join as a
+    broadcast single row. Output: 1 row
+    (n_ref, n_cur, at_value, ks_stat).
+    """
+    from pyspark.sql import Window
+
+    a = (
+        ref.select(F.col(col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        cur.select(F.col(col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("n_ref"), F.sum("cb").alias("n_cur")
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_cur") - F.col("cum_b") * F.col("n_ref")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_ref",
+            "n_cur",
+            F.col("v").alias("at_value"),
+            gap.alias("__gap"),
+        )
+        .orderBy(F.col("__gap").desc(), F.col("at_value"))
+        .limit(1)
+        .select(
+            "n_ref",
+            "n_cur",
+            "at_value",
+            F.round(
+                F.col("__gap")
+                / (F.col("n_ref") * F.col("n_cur")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

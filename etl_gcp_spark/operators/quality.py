@@ -223,3 +223,56 @@ def k_anonymity_suppress(
         df.join(F.broadcast(sizes.filter(F.col("__gsize") >= k)), quasi_cols)
         .drop("__gsize")
     )
+
+
+# round(log10(1 + 1/d), 6) for d = 1..9, precomputed as literals: the
+# expected Benford shares are CONSTANTS, so baking them in keeps log10
+# (not correctly rounded in libm) out of both engines entirely.
+BENFORD_SHARES = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_check(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution of a numeric column vs
+    Benford's law — the classic screen for fabricated or truncated
+    numeric data (amounts entered by humans, capped sensors, synthetic
+    rows injected into a feed all bend the leading-digit curve).
+
+    The leading digit is taken from the integer part's decimal string
+    (values in [0, 1) and NULLs are excluded — they have no leading
+    digit in Benford's sense); one map-side 9-group aggregation, a
+    broadcast single-row total, expected shares joined from a 9-row
+    literal map. Every float step is a single correctly-rounded IEEE
+    op on exact integer inputs, so the DuckDB oracle replays
+    bit-for-bit.
+
+    Output: (digit, n, obs_share, exp_share, abs_dev) — 9 rows; a
+    gate thresholds max(abs_dev) or feeds the counts to a chi-square.
+    """
+    digit = F.substring(
+        F.floor(F.abs(F.col(col))).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 1))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in BENFORD_SHARES.items() for x in kv]
+    )
+    obs = F.round(F.col("n") / F.col("__total"), 6)
+    exp = F.element_at(exp_map, F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            obs.alias("obs_share"),
+            exp.alias("exp_share"),
+            F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

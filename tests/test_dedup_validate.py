@@ -143,3 +143,30 @@ def test_k_anonymity_suppresses_small_groups(spark):
     got = sorted(r["uid"] for r in kept.collect())
     assert got == [0, 1, 2, 3, 4, 11, 12]  # the (B,40) singleton is gone
     assert "__gsize" not in kept.columns
+
+
+def test_benford_uniform_data_deviates(spark):
+    from etl_gcp_spark.operators.quality import benford_check
+
+    # leading digits uniform over 1..9 (shares = 1/9): digit 1 is
+    # heavily under Benford's .301, digit 9 over its .0458
+    df = spark.createDataFrame(
+        [(float(d) * 100.0,) for d in range(1, 10) for _ in range(10)],
+        "amount double",
+    )
+    rows = {r.digit: r for r in benford_check(df, "amount").collect()}
+    assert len(rows) == 9
+    assert all(abs(rows[d].obs_share - 1 / 9) < 1e-6 for d in rows)
+    assert rows[1].abs_dev > 0.18
+    assert rows[9].abs_dev < 0.07
+
+
+def test_benford_excludes_sub_one_and_null(spark):
+    from etl_gcp_spark.operators.quality import benford_check
+
+    df = spark.createDataFrame(
+        [(0.5,), (None,), (123.0,), (0.0,)], "amount double"
+    )
+    rows = benford_check(df, "amount").collect()
+    assert len(rows) == 1
+    assert rows[0].digit == 1 and rows[0].n == 1 and rows[0].obs_share == 1.0

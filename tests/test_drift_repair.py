@@ -80,3 +80,39 @@ def test_mad_zero_for_constant_group(spark):
     rows = [Row(g="c", v=5.0)] * 10
     (r,) = mad_outliers(spark.createDataFrame(rows), "v", group_col="g").collect()
     assert r.mad == 0.0 and r.n_outliers == 0
+
+
+def test_ks_identical_distributions_zero(spark):
+    from etl_gcp_spark.operators.drift import ks_numeric
+
+    df = spark.createDataFrame(
+        [(v,) for v in [10, 20, 20, 30, 40, 40, 50]], "x long"
+    )
+    row = ks_numeric(df, df, "x").collect()[0]
+    assert row.ks_stat == 0.0
+    assert row.n_ref == row.n_cur == 7
+
+
+def test_ks_disjoint_distributions_one(spark):
+    from etl_gcp_spark.operators.drift import ks_numeric
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3]], "x long")
+    b = spark.createDataFrame([(v,) for v in [10, 11, 12]], "x long")
+    row = ks_numeric(a, b, "x").collect()[0]
+    # CDFs fully separate: gap hits 1 at the end of the ref support
+    assert row.ks_stat == 1.0
+    assert row.at_value == 3
+
+
+def test_ks_hand_computed(spark):
+    from etl_gcp_spark.operators.drift import ks_numeric
+
+    # ref: {1,1,2,3}; cur: {2,3,3,4}
+    # at v=1: |2/4 - 0/4| = .5  <- max, smallest value wins ties
+    # at v=2: |3/4 - 1/4| = .5
+    # at v=3: |4/4 - 3/4| = .25 ; v=4: 0
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (3,), (3,), (4,)], "x long")
+    row = ks_numeric(a, b, "x").collect()[0]
+    assert row.ks_stat == 0.5
+    assert row.at_value == 1

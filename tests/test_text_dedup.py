@@ -176,3 +176,38 @@ def test_containment_df_cap_drops_ubiquitous_shingles(spark):
     # sub-cap shingle), with the cap lifted it's 2/5 = 0.4
     assert containment_pairs(df, threshold=0.3, max_df=5).count() == 0
     assert containment_pairs(df, threshold=0.3, max_df=100).count() > 0
+
+
+def test_shingle_cosine_weighs_repeats(spark):
+    from etl_gcp_spark.operators.text_dedup import shingle_cosine_pairs
+
+    # doc 1 and doc 2 share their full shingle SET, but doc 2 repeats
+    # the phrase 3x -> multiset cosine < 1 while Jaccard would be 1;
+    # doc 3 is an exact copy of doc 1 -> cosine == 1.
+    phrase = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, phrase), (2, " ".join([phrase] * 3)), (3, phrase)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.id1, r.id2): r.cosine
+        for r in shingle_cosine_pairs(
+            docs, threshold=0.1, max_df=10
+        ).collect()
+    }
+    assert rows[(1, 3)] == 1.0
+    assert 0.1 < rows[(1, 2)] < 1.0
+    assert rows[(1, 2)] == rows[(2, 3)]
+
+
+def test_shingle_cosine_df_cap_is_semantics(spark):
+    from etl_gcp_spark.operators.text_dedup import shingle_cosine_pairs
+
+    # a shingle present in every doc is dropped by the cap, taking the
+    # only overlap with it: no pairs survive
+    docs = spark.createDataFrame(
+        [(i, f"common one two uniq{i} x{i} y{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = shingle_cosine_pairs(docs, threshold=0.01, max_df=4)
+    assert out.count() == 0

@@ -183,3 +183,33 @@ def test_char_entropy_extremes(spark):
     assert out[2].entropy == round(_math.log(8), 4)
     assert out[3].entropy == round(_math.log(2), 4)
     assert 4 not in out and 5 not in out  # NULL/empty drop
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    from etl_gcp_spark.functions.text import bm25_topk
+
+    # 'rare' appears in one doc, 'common' in all: the rare-term doc
+    # must outrank docs matching only the common term
+    docs = spark.createDataFrame(
+        [
+            (1, "common common filler filler"),
+            (2, "common rare filler filler"),
+            (3, "common filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["common", "rare"], k=3).collect()
+    assert rows[0].doc_id == 2
+    assert rows[0].bm25 > rows[1].bm25
+
+
+def test_bm25_length_normalization(spark):
+    from etl_gcp_spark.functions.text import bm25_topk
+
+    # same tf, shorter doc scores higher under b > 0
+    docs = spark.createDataFrame(
+        [(1, "hit pad"), (2, "hit " + " ".join(["pad"] * 20))],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["hit"], k=2).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
