@@ -1861,6 +1861,89 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _q_quality_logreg(spark, sf_dir):
+    from etl_gcp_spark.operators.classifier import logreg_quality_report
+
+    # distributed GD with algebraic sigmoid + decimal gradient sums:
+    # the ENTIRE 5-step training loop replays in the SQL oracle
+    return logreg_quality_report(_t(spark, sf_dir, "documents"))
+
+
+def _logreg_oracle_sql(n_steps: int = 5, lr: float = 0.5) -> str:
+    """Unrolled SQL replay of logreg_quality_report: one (scored,
+    grads, weights) CTE triple per GD step, every float literal cast
+    to DOUBLE (DuckDB bare decimals are DECIMAL), gradient sums in
+    DECIMAL(18,6) exactly as the Spark plan."""
+    d = "CAST({} AS DOUBLE)".format
+    z = "((((w1 * x1) + (w2 * x2)) + (w3 * x3)) + b)"
+    p = f"({d('0.5')} + {z} / ({d('2.0')} * ({d('1.0')} + abs({z}))))"
+    gsum = (
+        "CAST(sum(CAST(round(err * {x}, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+    ).format
+    steps = []
+    for k in range(1, n_steps + 1):
+        steps.append(
+            f"""s{k} AS (
+                SELECT f.*, b, w1, w2, w3, {p} - y AS err
+                FROM feats f CROSS JOIN w{k - 1}
+            ), g{k} AS (
+                SELECT {gsum(x=d('1.0'))} AS g0, {gsum(x='x1')} AS g1,
+                       {gsum(x='x2')} AS g2, {gsum(x='x3')} AS g3,
+                       CAST(count(*) AS BIGINT) AS n,
+                       min(b) AS b, min(w1) AS w1,
+                       min(w2) AS w2, min(w3) AS w3
+                FROM s{k}
+            ), w{k} AS (
+                SELECT
+                  round(b - {d(lr)} * (g0 / CAST(n AS DOUBLE)), 6) AS b,
+                  round(w1 - {d(lr)} * (g1 / CAST(n AS DOUBLE)), 6) AS w1,
+                  round(w2 - {d(lr)} * (g2 / CAST(n AS DOUBLE)), 6) AS w2,
+                  round(w3 - {d(lr)} * (g3 / CAST(n AS DOUBLE)), 6) AS w3
+                FROM g{k}
+            )"""
+        )
+    chain = ",\n".join(steps)
+    return rf"""
+        WITH feats AS (
+            SELECT s.doc_id,
+                   CASE WHEN d.lang = 'en' THEN {d('1.0')}
+                        ELSE {d('0.0')} END AS y,
+                   CAST(n AS DOUBLE) / {d('100.0')} AS x1,
+                   CAST(dd AS DOUBLE) / CAST(n AS DOUBLE) AS x2,
+                   (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+                       / {d('10.0')} AS x3
+            FROM (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT tok) AS BIGINT) AS dd,
+                       CAST(sum(length(tok)) AS BIGINT) AS sl
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text),
+                                  '\s+')) AS tok
+                    FROM documents
+                )
+                GROUP BY doc_id
+            ) s JOIN documents d USING (doc_id)
+        ), w0 AS (
+            SELECT {d('0.0')} AS b, {d('0.0')} AS w1,
+                   {d('0.0')} AS w2, {d('0.0')} AS w3
+        ),
+        {chain},
+        scored AS (
+            SELECT f.*, b, w1, w2, w3, {p} AS p
+            FROM feats f CROSS JOIN w{n_steps}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               min(b) AS w_bias, min(w1) AS w_len,
+               min(w2) AS w_ttr, min(w3) AS w_wlen,
+               round(CAST(sum(CASE WHEN (p >= {d('0.5')})
+                                        = (y >= {d('0.5')})
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS train_acc
+        FROM scored
+    """
+
+
 def _q_benford_check(spark, sf_dir):
     from etl_gcp_spark.operators.quality import benford_check
 
@@ -2175,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "benford_check": _q_benford_check,
         "ks_drift": _q_ks_drift,
+        "quality_logreg": _q_quality_logreg,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -4441,6 +4525,7 @@ def oracle_sql() -> dict[str, str]:
         # containment over the DF-capped distinct-shingle sets — the
         # cap (df <= 50) is part of the operator semantics; shingle
         # TEXT join here == Spark's xxhash64 join absent collisions
+        "quality_logreg": _logreg_oracle_sql(),
         "benford_check": """
             WITH src AS (
                 SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))

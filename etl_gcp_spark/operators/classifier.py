@@ -1,0 +1,199 @@
+"""Trainable quality classifier: distributed logistic regression over
+document surface statistics — the fastText-style quality-classifier
+leg of a training-data curation pipeline (GPT-3/LLaMA lineage: a
+linear model scores "quality" and gates or re-weights documents;
+public methodology, e.g. Brown et al. 2020 §A, Touvron et al. 2023).
+
+The reference has no model training at all (its quality gates are
+static thresholds, data_validator.py:70-118); this module supplies
+the trainable counterpart while keeping the engine's exact-replay
+discipline:
+
+- **Algebraic sigmoid.** σ(z) is replaced by the fast sigmoid
+  ``0.5 + z / (2·(1 + |z|))`` — same range, same monotonicity, same
+  0.5-at-0 decision boundary, but built ONLY from +,−,×,÷,|·| —
+  operations IEEE requires correctly rounded, so a fixed expression
+  tree evaluates bit-identically in the JVM and the DuckDB oracle.
+  exp() carries no such guarantee in either libm.
+- **Order-free gradient reduction.** Per-row gradient contributions
+  round to 6 dp and sum as DECIMAL(18,6): float summation order is
+  engine- and partition-dependent; decimal summation is exact and
+  associative, so the gradient — and therefore every subsequent
+  weight — is independent of partitioning. Weights round to 6 dp
+  once per step (the single rounding point, as in the PCA power
+  iteration in functions/similarity.py).
+- **Scale shape.** One token-stream aggregation builds the feature
+  table (map-side combined), which is persisted and re-scanned once
+  per step; each step is a single crossJoin(broadcast 1-row weights)
+  + one aggregation — no driver-side data movement, weights never
+  leave the plan. T steps = T scans of the cached features, the
+  textbook distributed-GD layout.
+
+On the synthetic test corpus the label carries no real signal — the
+registered entry verifies TRAINING MECHANICS (descent, replayability),
+not model quality; the unit tests train on a separable corpus and
+assert the model actually learns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.functions.text import tokens
+
+
+def _fast_sigmoid(z: Column) -> Column:
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def doc_feature_table(
+    documents: DataFrame,
+    *,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, y, x1, x2, x3): length/100, type-token ratio, mean
+    token length/10 — cheap surface statistics with every division a
+    single correctly-rounded op on exact integer aggregates."""
+    toks = documents.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    stats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__tok").alias("__d"),
+        F.sum(F.length("__tok")).alias("__len"),
+    )
+    n_d = F.col("__n").cast("double")
+    return documents.select(F.col(id_col), label.alias("y")).join(
+        stats, id_col
+    ).select(
+        id_col,
+        "y",
+        (n_d / F.lit(100.0)).alias("x1"),
+        (F.col("__d").cast("double") / n_d).alias("x2"),
+        ((F.col("__len").cast("double") / n_d) / F.lit(10.0)).alias("x3"),
+    )
+
+
+def _z(w_prefix: str = "") -> Column:
+    p = w_prefix
+    return (
+        (
+            F.col(p + "w1") * F.col("x1")
+            + F.col(p + "w2") * F.col("x2")
+        )
+        + F.col(p + "w3") * F.col("x3")
+    ) + F.col(p + "b")
+
+
+def train_logreg(
+    feats: DataFrame,
+    *,
+    n_steps: int = 5,
+    lr: float = 0.5,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Batch gradient descent; returns the 1-row weight DataFrame
+    (b, w1, w2, w3) after ``n_steps`` exact-replayable steps.
+
+    The previous step's weights are carried THROUGH the gradient
+    aggregation (``min`` over the constant broadcast columns) rather
+    than re-joined afterwards: referencing ``w`` twice per step would
+    double the logical plan each iteration — exponential analysis
+    cost (observed: driver heap OOM at 25 steps). With the carry the
+    plan grows linearly, and a ``localCheckpoint`` of the 1-row
+    weight frame every ``checkpoint_every`` steps truncates even that
+    (same lineage discipline as the label-propagation loop in
+    operators/graph.py)."""
+    spark = feats.sparkSession
+    w = spark.sql("SELECT 0.0 b, 0.0 w1, 0.0 w2, 0.0 w3")
+    n_dbl = F.col("__n").cast("double")
+    for step in range(1, n_steps + 1):
+        p = _fast_sigmoid(_z())
+        err = p - F.col("y")
+        grads = feats.crossJoin(F.broadcast(w)).agg(
+            F.sum(F.round(err * F.lit(1.0), 6).cast("decimal(18,6)"))
+            .alias("__g0"),
+            F.sum(F.round(err * F.col("x1"), 6).cast("decimal(18,6)"))
+            .alias("__g1"),
+            F.sum(F.round(err * F.col("x2"), 6).cast("decimal(18,6)"))
+            .alias("__g2"),
+            F.sum(F.round(err * F.col("x3"), 6).cast("decimal(18,6)"))
+            .alias("__g3"),
+            F.count(F.lit(1)).alias("__n"),
+            F.min("b").alias("b"),
+            F.min("w1").alias("w1"),
+            F.min("w2").alias("w2"),
+            F.min("w3").alias("w3"),
+        )
+        w = grads.select(
+            *[
+                F.round(
+                    F.col(wc)
+                    - F.lit(lr)
+                    * (F.col(gc).cast("double") / n_dbl),
+                    6,
+                ).alias(wc)
+                for wc, gc in (
+                    ("b", "__g0"),
+                    ("w1", "__g1"),
+                    ("w2", "__g2"),
+                    ("w3", "__g3"),
+                )
+            ]
+        )
+        if step % checkpoint_every == 0 and step < n_steps:
+            w = w.localCheckpoint()
+    return w
+
+
+def logreg_quality_report(
+    documents: DataFrame,
+    *,
+    label: Column | None = None,
+    n_steps: int = 5,
+    lr: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train and evaluate in one lazy plan. Output: 1 row —
+    (n_docs, w_bias, w_len, w_ttr, w_wlen, train_acc)."""
+    if label is None:
+        label = (F.col("lang") == "en").cast("double")
+    feats = doc_feature_table(
+        documents, label=label, text_col=text_col, id_col=id_col
+    ).persist()
+    w = train_logreg(feats, n_steps=n_steps, lr=lr)
+    p = _fast_sigmoid(_z())
+    correct = (
+        ((p >= F.lit(0.5)) == (F.col("y") >= F.lit(0.5)))
+        .cast("long")
+    )
+    out = (
+        feats.crossJoin(F.broadcast(w))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("b").alias("w_bias"),
+            F.min("w1").alias("w_len"),
+            F.min("w2").alias("w_ttr"),
+            F.min("w3").alias("w_wlen"),
+            F.sum(correct).alias("__c"),
+        )
+        .select(
+            "n_docs",
+            "w_bias",
+            "w_len",
+            "w_ttr",
+            "w_wlen",
+            F.round(
+                F.col("__c").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("train_acc"),
+        )
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, feats)
