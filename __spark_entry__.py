@@ -1861,6 +1861,25 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _q_per_source_cap(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import per_source_cap
+
+    # C4-style domain cap: at most 20 docs per source, smallest ids
+    return per_source_cap(_t(spark, sf_dir, "documents"), cap=20)
+
+
+def _q_cms_event_counts(spark, sf_dir):
+    from etl_gcp_spark.functions.sketches import cms_point_queries
+
+    # count-min sketch point queries vs exact truth; 2000 is a key
+    # with no events (truth 0, estimate = pure collision mass)
+    return cms_point_queries(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        [0, 17, 41, 89, 149, 2000],
+    )
+
+
 def _q_quality_logreg(spark, sf_dir):
     from etl_gcp_spark.operators.classifier import logreg_quality_report
 
@@ -2259,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_check": _q_benford_check,
         "ks_drift": _q_ks_drift,
         "quality_logreg": _q_quality_logreg,
+        "per_source_cap": _q_per_source_cap,
+        "cms_event_counts": _q_cms_event_counts,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -4526,6 +4547,49 @@ def oracle_sql() -> dict[str, str]:
         # cap (df <= 50) is part of the operator semantics; shingle
         # TEXT join here == Spark's xxhash64 join absent collisions
         "quality_logreg": _logreg_oracle_sql(),
+        "per_source_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "cms_event_counts": """
+            WITH seeds(r, a, b) AS (
+                VALUES (0, CAST(1103515245 AS BIGINT), CAST(12345 AS BIGINT)),
+                       (1, CAST(976369 AS BIGINT), CAST(17 AS BIGINT)),
+                       (2, CAST(105943 AS BIGINT), CAST(29 AS BIGINT)),
+                       (3, CAST(611953 AS BIGINT), CAST(7919 AS BIGINT))
+            ), sketch AS (
+                SELECT r, ((a * (CAST(user_id AS BIGINT) % 2147483647) + b)
+                           % 2147483647) % 256 AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events CROSS JOIN seeds
+                GROUP BY 1, 2
+            ), q(key) AS (
+                VALUES (CAST(0 AS BIGINT)), (CAST(17 AS BIGINT)),
+                       (CAST(41 AS BIGINT)), (CAST(89 AS BIGINT)),
+                       (CAST(149 AS BIGINT)), (CAST(2000 AS BIGINT))
+            ), probes AS (
+                SELECT key, r, ((a * (key % 2147483647) + b)
+                                % 2147483647) % 256 AS bucket
+                FROM q CROSS JOIN seeds
+            ), est AS (
+                SELECT key,
+                       CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+                FROM probes LEFT JOIN sketch USING (r, bucket)
+                GROUP BY key
+            ), truth AS (
+                SELECT user_id AS key, CAST(count(*) AS BIGINT) AS tc
+                FROM events WHERE user_id IN (0, 17, 41, 89, 149, 2000)
+                GROUP BY 1
+            )
+            SELECT CAST(key AS BIGINT) AS key, est_count,
+                   COALESCE(tc, 0) AS true_count
+            FROM est LEFT JOIN truth USING (key)
+            ORDER BY key
+        """,
         "benford_check": """
             WITH src AS (
                 SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))

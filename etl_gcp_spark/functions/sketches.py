@@ -1,0 +1,99 @@
+"""Count-min sketch: sublinear-memory frequency estimation
+(Cormode & Muthukrishnan 2005) for heavy-hitter / frequency queries
+over key domains too large to count exactly.
+
+``key_skew_report`` (operators/skew.py) is the EXACT heavy-hitter
+path — right whenever the distinct-key count fits a shuffle. The CMS
+is the posture for when it does not: the sketch is ``depth × width``
+counters REGARDLESS of domain size (here 4×256 = 8 KB), built in one
+map-side-combined aggregation and mergeable across partitions/days by
+plain counter addition — the property that makes it a streaming/
+pre-aggregation primitive.
+
+Engine-portable hashing: universal hashes
+``((a·(x mod p) + b) mod p) mod width`` with p = 2^31 − 1, so every
+intermediate fits int64 EXACTLY in both the JVM and DuckDB (no
+wrap-around semantics in play — DuckDB raises on bigint overflow
+where the JVM wraps silently, so staying under 2^62 is what makes the
+sketch replayable in the SQL oracle). xxhash64 would be cheaper but
+exists in only one engine.
+
+Estimates are biased UP (point query returns the min over d
+counters, each inflated only by collisions) — the classic CMS
+guarantee est ≥ true, est ≤ true + εN w.h.p.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+# fixed (a, b) per hash row — any 1 ≤ a < p, 0 ≤ b < p gives a
+# universal family member; literals so both engines replay them
+CMS_SEEDS = ((1103515245, 12345), (976369, 17), (105943, 29), (611953, 7919))
+
+
+def _bucket(key_col, a: int, b: int, width: int):
+    p = F.lit(CMS_PRIME)
+    return (
+        (F.lit(a) * (key_col.cast("long") % p) + F.lit(b)) % p
+    ) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame, key: str, *, width: int = 256
+) -> DataFrame:
+    """(row, bucket, cnt) counters — ≤ depth·width rows total."""
+    hashes = F.array(
+        *[
+            _bucket(F.col(key), a, b, width)
+            for a, b in CMS_SEEDS
+        ]
+    )
+    return (
+        df.select(F.posexplode(hashes).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_queries(
+    df: DataFrame, key: str, query_keys: list[int], *, width: int = 256
+) -> DataFrame:
+    """Estimate vs truth for a fixed key list. Output:
+    (key, est_count, true_count) — est ≥ true always.
+
+    The sketch side joins on (row, bucket) — ≤ depth·|queries| probe
+    rows against ≤ depth·width counters, both broadcastable at any
+    data scale; the exact side is a filtered aggregation over only
+    the queried keys (predicate pushed to the scan).
+    """
+    spark = df.sparkSession
+    q = spark.createDataFrame([(int(k),) for k in query_keys], "key long")
+    hashes = F.array(
+        *[_bucket(F.col("key"), a, b, width) for a, b in CMS_SEEDS]
+    )
+    probes = q.select(
+        "key", F.posexplode(hashes).alias("row", "bucket")
+    )
+    sketch = cms_build(df, key, width=width)
+    est = (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+    true = (
+        df.filter(F.col(key).isin([int(k) for k in query_keys]))
+        .groupBy(F.col(key).cast("long").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(true, "key", "left")
+        .select(
+            "key",
+            "est_count",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+        )
+        .orderBy("key")
+    )

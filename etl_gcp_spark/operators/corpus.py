@@ -874,3 +874,33 @@ def contamination_bloom(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def per_source_cap(
+    documents: DataFrame,
+    *,
+    cap: int = 20,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain/source caps: keep at most ``cap`` documents per source
+    — the C4/web-corpus guard against a single domain dominating the
+    mixture (public methodology: Raffel et al. 2020 cap pages per
+    domain; Gopher/MassiveText cap by subdomain). Deterministic
+    keeper: the ``cap`` smallest ids per source.
+
+    One ranked window partitioned BY SOURCE — parallel across
+    sources, sort-bounded within one. At web scale a handful of mega
+    domains make those partitions the stragglers; the standard remedy
+    once a domain exceeds executor memory is a two-phase cap (salted
+    partial rank, then re-rank the ≤ salt·cap survivors), which this
+    op's output contract (exact smallest-``cap`` ids) keeps honest.
+    Output: (doc_id, source) of survivors.
+    """
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col))
+    return (
+        documents.select(F.col(id_col), F.col(source_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

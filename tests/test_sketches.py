@@ -1,0 +1,72 @@
+"""Count-min sketch guarantees and per-source cap semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _events(spark):
+    # skewed: key 7 hot (50x), keys 0..99 cold (1x each)
+    rows = [(7,)] * 50 + [(k,) for k in range(100)]
+    return spark.createDataFrame(rows, "user_id long")
+
+
+def test_cms_never_underestimates(spark):
+    from etl_gcp_spark.functions.sketches import cms_point_queries
+
+    out = cms_point_queries(
+        _events(spark), "user_id", list(range(0, 100, 7)) + [7, 424242]
+    ).collect()
+    assert all(r.est_count >= r.true_count for r in out)
+    hot = [r for r in out if r.key == 7][0]
+    assert hot.true_count == 51
+    # width 256 vs 101 keys: the hot key's min-counter is near-exact
+    assert hot.est_count <= hot.true_count + 5
+
+
+def test_cms_absent_key_truth_zero(spark):
+    from etl_gcp_spark.functions.sketches import cms_point_queries
+
+    out = {
+        r.key: r
+        for r in cms_point_queries(
+            _events(spark), "user_id", [424242]
+        ).collect()
+    }
+    assert out[424242].true_count == 0
+    assert out[424242].est_count >= 0
+
+
+def test_cms_counters_merge_by_addition(spark):
+    from etl_gcp_spark.functions.sketches import cms_build
+
+    # sketch(A ∪ B) == sketch(A) + sketch(B), counter-wise — the
+    # property that makes CMS a partition/day-mergeable pre-aggregate
+    a = spark.createDataFrame([(k,) for k in range(50)], "user_id long")
+    b = spark.createDataFrame([(k,) for k in range(50, 100)], "user_id long")
+    merged = (
+        cms_build(a, "user_id")
+        .unionByName(cms_build(b, "user_id"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    exact = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(a.unionByName(b), "user_id").collect()
+    }
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert exact == got
+
+
+def test_per_source_cap(spark):
+    from etl_gcp_spark.operators.corpus import per_source_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(10)], "doc_id long, source string"
+    )
+    out = per_source_cap(docs, cap=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert sorted(by_src["s0"]) == [0, 2, 4]
+    assert sorted(by_src["s1"]) == [1, 3, 5]
