@@ -1861,6 +1861,13 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import ngram_novelty
+
+    # prefix-coverage data-selection signal; linear, no pairwise join
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
 def _q_per_source_cap(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import per_source_cap
 
@@ -2279,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "quality_logreg": _q_quality_logreg,
         "per_source_cap": _q_per_source_cap,
+        "ngram_novelty": _q_ngram_novelty,
         "cms_event_counts": _q_cms_event_counts,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
@@ -4547,6 +4555,35 @@ def oracle_sql() -> dict[str, str]:
         # cap (df <= 50) is part of the operator semantics; shingle
         # TEXT join here == Spark's xxhash64 join absent collisions
         "quality_logreg": _logreg_oracle_sql(),
+        "ngram_novelty": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                               toks[g.i+2] AS shingle
+                    FROM docs
+                    CROSS JOIN LATERAL
+                        (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                    WHERE len(toks) >= 3
+                )
+            ), first_seen AS (
+                SELECT shingle, min(doc_id) AS first_id
+                FROM sh GROUP BY shingle
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN first_id = doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN first_id = doc_id
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM sh JOIN first_seen USING (shingle)
+            GROUP BY doc_id
+        """,
         "per_source_cap": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -274,6 +274,49 @@ def _banded(
     )
 
 
+def verify_candidates(
+    candidates: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    *,
+    threshold: float,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: join the two
+    shingle-set tables on the pair ids, intersect, 4-dp round, filter.
+    The single verification arithmetic shared by every LSH entry
+    point (batch, incremental, indexed, streaming) — one definition,
+    one rounding convention, one oracle contract."""
+    return (
+        candidates.join(
+            sh_left.select(
+                F.col(sh_left.columns[0]).alias(left_col),
+                F.col("shingles").alias("sh1"),
+            ),
+            left_col,
+        )
+        .join(
+            sh_right.select(
+                F.col(sh_right.columns[0]).alias(right_col),
+                F.col("shingles").alias("sh2"),
+            ),
+            right_col,
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_col, right_col, "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     *,
@@ -315,26 +358,13 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     shingle_sets = with_shingles(documents, text_col, id_col, n)
-    sh1 = shingle_sets.select(
-        F.col(id_col).alias("id1"), F.col("shingles").alias("sh1")
-    )
-    sh2 = shingle_sets.select(
-        F.col(id_col).alias("id2"), F.col("shingles").alias("sh2")
-    )
-    return (
-        candidates.join(sh1, "id1")
-        .join(sh2, "id2")
-        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+    return verify_candidates(
+        candidates,
+        shingle_sets,
+        shingle_sets,
+        threshold=threshold,
+        left_col="id1",
+        right_col="id2",
     )
 
 
@@ -590,26 +620,64 @@ def incremental_near_dup_pairs(
         .select("batch_id", "corpus_id")
         .dropDuplicates()
     )
-    sh_b = with_shingles(batch, text_col, id_col, n).select(
-        F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh1")
+    return verify_candidates(
+        candidates,
+        with_shingles(batch, text_col, id_col, n),
+        with_shingles(corpus, text_col, id_col, n),
+        threshold=threshold,
+        left_col="batch_id",
+        right_col="corpus_id",
     )
-    sh_c = with_shingles(corpus, text_col, id_col, n).select(
-        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh2")
-    )
-    return (
-        candidates.join(sh_b, "batch_id")
-        .join(sh_c, "corpus_id")
-        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
-                4,
+
+
+def incremental_near_dup_pairs_indexed(
+    corpus_banded: DataFrame,
+    corpus_docs: DataFrame,
+    batch: DataFrame,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`incremental_near_dup_pairs` against a PERSISTED LSH
+    index: ``corpus_banded`` is the stored (band, bkey, doc_id) table
+    (appended to per ingest, never recomputed) and ``corpus_docs``
+    holds (doc_id, text) for verification. Two O(corpus)-per-batch
+    costs disappear versus the self-contained form: the corpus is
+    neither re-MinHashed (the index IS its signatures) nor
+    re-shingled — verification shingles are computed AFTER the
+    candidate semi-join, so only candidate corpus docs ever
+    tokenize. Same verification arithmetic and rounding, so outputs
+    are identical.
+    """
+    b_banded = _banded(
+        batch, num_perm=num_perm, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
+    ).select("band", "bkey", F.col(id_col).alias("batch_id"))
+    candidates = (
+        b_banded.join(
+            corpus_banded.select(
+                "band", "bkey", F.col(id_col).alias("corpus_id")
             ),
+            ["band", "bkey"],
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("batch_id", "corpus_id", "jaccard")
+        .select("batch_id", "corpus_id")
+        .dropDuplicates()
+    )
+    cand_corpus = corpus_docs.join(
+        candidates.select(F.col("corpus_id").alias(id_col)).dropDuplicates(),
+        id_col,
+    )
+    return verify_candidates(
+        candidates,
+        with_shingles(batch, text_col, id_col, n),
+        with_shingles(cand_corpus, text_col, id_col, n),
+        threshold=threshold,
+        left_col="batch_id",
+        right_col="corpus_id",
     )
 
 
@@ -686,6 +754,54 @@ def containment_pairs(
     from etl_gcp_spark.caching import tag_pinned
 
     return tag_pinned(out, posting)
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct
+    n-grams not seen in any earlier document (earlier = smaller id —
+    ingestion order made deterministic). The greedy data-selection
+    signal: a doc whose shingles are all already covered adds nothing
+    to a training mix even if it is no one's near-duplicate, and the
+    pairwise family (Jaccard/containment/cosine) cannot see that —
+    coverage is a property against the WHOLE prefix, not any single
+    partner.
+
+    Two shuffles over the (8-byte hashed) shingle stream: min-id per
+    shingle (map-side combined), then a join of the stream back to
+    its first-seen table on the same key — both linear, no pairwise
+    anything. Output: (doc_id, n_shingles, n_novel, novelty 6 dp);
+    docs shorter than ``n`` tokens emit no row.
+    """
+    sh = (
+        with_shingles(documents, text_col, id_col, n)
+        .select(F.col(id_col), F.explode("shingles").alias("__s"))
+        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    )
+    first_seen = sh.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    return (
+        sh.join(first_seen, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("__first") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
 
 
 def shingle_cosine_pairs(

@@ -448,16 +448,21 @@ def run_streaming_minhash_dedup(
 
     Per batch: one LSH band join batch × index (never index × index),
     one batch-internal pair pass, exact-Jaccard verification of
-    candidates only. The index parquet accumulates ALL seen docs
-    (dropped docs still block later copies of themselves — same
-    semantics as the batch greedy rule). In production the banded
-    frame would be persisted alongside and appended per batch instead
-    of recomputed; at driver scale the recompute keeps the harness
-    simple and the semantics identical.
+    candidates only. TWO index tables accumulate append-only: the
+    banded (band, bkey, doc_id) signature index and the (doc_id,
+    text) doc store — so the corpus is never re-MinHashed and only
+    CANDIDATE corpus docs are ever re-shingled
+    (:func:`~etl_gcp_spark.operators.text_dedup.incremental_near_dup_pairs_indexed`).
+    Per-trigger work is O(batch + candidates) regardless of how much
+    corpus has accumulated — the property that keeps day-N of a
+    continuous ingest as cheap as day-1. All seen docs enter the
+    index (dropped docs still block later copies of themselves —
+    same semantics as the batch greedy rule).
     """
     from etl_gcp_spark.operators.text_dedup import (
-        incremental_near_dup_pairs,
-        minhash_lsh_pairs,
+        _banded,
+        verify_candidates,
+        with_shingles,
     )
 
     root = os.path.join(
@@ -488,43 +493,91 @@ def run_streaming_minhash_dedup(
         .load(os.path.join(staged, "*"))
     )
 
-    state = {"index": None}
+    state = {"has_index": False}
     out_dir = os.path.join(root, "kept")
+    docs_dir = os.path.join(root, "index_docs")
+    banded_dir = os.path.join(root, "index_banded")
 
     def merge(batch_df, _batch_id):
+        # the batch is banded and shingled ONCE and pinned; internal
+        # pairs, cross-index candidates, and the index append all
+        # reuse the same two frames (the first cut banded 3x and
+        # shingled 3x per trigger — pure re-analysis/re-compute waste)
         sess = batch_df.sparkSession
         batch = batch_df.persist()
-        internal = minhash_lsh_pairs(batch, threshold=threshold).select(
-            F.col("id2").alias("doc_id")
+        bb = _banded(
+            batch, num_perm=16, bands=4, n=3,
+            text_col="text", id_col="doc_id",
+        ).persist()
+        sh_b = with_shingles(batch, "text", "doc_id", 3).persist()
+        internal_cand = (
+            bb.select("band", "bkey", F.col("doc_id").alias("id1"))
+            .join(
+                bb.select("band", "bkey", F.col("doc_id").alias("id2")),
+                ["band", "bkey"],
+            )
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .dropDuplicates()
         )
-        if state["index"] is None:
+        internal = verify_candidates(
+            internal_cand, sh_b, sh_b,
+            threshold=threshold, left_col="id1", right_col="id2",
+        ).select(F.col("id2").alias("doc_id"))
+        if not state["has_index"]:
             dropped = internal
         else:
-            index = sess.read.parquet(state["index"])
-            cross = incremental_near_dup_pairs(
-                index, batch, threshold=threshold
+            cand = (
+                bb.select("band", "bkey", F.col("doc_id").alias("batch_id"))
+                .join(
+                    sess.read.parquet(banded_dir).select(
+                        "band", "bkey", F.col("doc_id").alias("corpus_id")
+                    ),
+                    ["band", "bkey"],
+                )
+                .select("batch_id", "corpus_id")
+                .dropDuplicates()
+            )
+            cand_corpus = sess.read.parquet(docs_dir).join(
+                cand.select(F.col("corpus_id").alias("doc_id"))
+                .dropDuplicates(),
+                "doc_id",
+            )
+            cross = verify_candidates(
+                cand, sh_b, with_shingles(cand_corpus, "text", "doc_id", 3),
+                threshold=threshold,
+                left_col="batch_id", right_col="corpus_id",
             ).select(F.col("batch_id").alias("doc_id"))
             dropped = internal.union(cross)
+        # the survivor write is the ACTION that fully consumes the
+        # lazy index reads above — only then is the batch appended
         batch.join(
             dropped.dropDuplicates(), "doc_id", "left_anti"
         ).write.mode("append").parquet(out_dir)
-        # ALL seen docs enter the index (dropped docs still block
-        # later copies), matching the batch greedy rule
-        new_index = os.path.join(root, f"idx_{_batch_id}")
-        if state["index"] is None:
-            batch.write.parquet(new_index)
-        else:
-            batch.unionByName(
-                sess.read.parquet(state["index"])
-            ).write.parquet(new_index)
-        state["index"] = new_index
+        # append-only index maintenance: O(batch) per trigger.
+        # Rewriting index ∪ batch (the first cut) was O(corpus) I/O
+        # per batch — quadratic across a day of triggers.
+        batch.write.mode("append").parquet(docs_dir)
+        bb.write.mode("append").parquet(banded_dir)
+        state["has_index"] = True
+        sh_b.unpersist()
+        bb.unpersist()
         batch.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same state-partition discipline as _run_to_memory: each
+    # microbatch's LSH band join shuffles a ~corpus/n_batches slice,
+    # and 32-partition task overhead dominates it (see the measured
+    # cliff documented on _run_to_memory)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)

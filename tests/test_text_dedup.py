@@ -211,3 +211,23 @@ def test_shingle_cosine_df_cap_is_semantics(spark):
     )
     out = shingle_cosine_pairs(docs, threshold=0.01, max_df=4)
     assert out.count() == 0
+
+
+def test_ngram_novelty_prefix_coverage(spark):
+    from etl_gcp_spark.operators.text_dedup import ngram_novelty
+
+    # doc 1 all-novel; doc 2 = copy of doc 1 (novelty 0);
+    # doc 3 = half doc-1 material, half fresh
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "a b c x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    # doc 3: shingles {abc, bcx, cxy, xyz, yzw}; only 'a b c' seen
+    assert out[3].n_shingles == 5 and out[3].n_novel == 4
