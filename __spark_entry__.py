@@ -1861,6 +1861,20 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _q_temporal_split(spark, sf_dir):
+    from etl_gcp_spark.operators.sampling import temporal_split
+
+    # purged time split on order dates: 90-day embargo after the
+    # cutoff is dropped from both sides (label-window leakage guard)
+    return temporal_split(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        cutoff="1999-12-31",
+        embargo_days=90,
+        id_col="o_orderkey",
+    )
+
+
 def _q_ngram_novelty(spark, sf_dir):
     from etl_gcp_spark.operators.text_dedup import ngram_novelty
 
@@ -1883,6 +1897,19 @@ def _q_cms_event_counts(spark, sf_dir):
     return cms_point_queries(
         _t(spark, sf_dir, "events"),
         "user_id",
+        [0, 17, 41, 89, 149, 2000],
+    )
+
+
+def _q_streaming_cms(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_cms
+
+    # CMS folded over 4 microbatches; merge-by-addition makes the
+    # streamed sketch EQUAL the batch sketch, so the batch oracle
+    # attaches with a full value hash
+    return run_streaming_cms(
+        spark,
+        _t(spark, sf_dir, "events"),
         [0, 17, 41, 89, 149, 2000],
     )
 
@@ -2287,7 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logreg": _q_quality_logreg,
         "per_source_cap": _q_per_source_cap,
         "ngram_novelty": _q_ngram_novelty,
+        "temporal_split": _q_temporal_split,
         "cms_event_counts": _q_cms_event_counts,
+        "streaming_cms": _q_streaming_cms,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -4555,6 +4584,18 @@ def oracle_sql() -> dict[str, str]:
         # cap (df <= 50) is part of the operator semantics; shingle
         # TEXT join here == Spark's xxhash64 join absent collisions
         "quality_logreg": _logreg_oracle_sql(),
+        "temporal_split": """
+            SELECT o_orderkey, o_orderdate,
+                   CASE
+                     WHEN o_orderdate <= TIMESTAMP '1999-12-31'
+                       THEN 'train'
+                     WHEN o_orderdate <= TIMESTAMP '1999-12-31'
+                                         + INTERVAL 90 DAY
+                       THEN 'embargo'
+                     ELSE 'test'
+                   END AS split
+            FROM orders
+        """,
         "ngram_novelty": r"""
             WITH docs AS (
                 SELECT doc_id,
@@ -5453,4 +5494,7 @@ def oracle_sql() -> dict[str, str]:
                    AS keep
         FROM base, stats
     """
+    # the streamed CMS is counter-wise EQUAL to the batch CMS
+    # (merge-by-addition), so the two entries share one oracle
+    sql["streaming_cms"] = sql["cms_event_counts"]
     return sql

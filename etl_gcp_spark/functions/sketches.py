@@ -59,7 +59,12 @@ def cms_build(
 
 
 def cms_point_queries(
-    df: DataFrame, key: str, query_keys: list[int], *, width: int = 256
+    df: DataFrame,
+    key: str,
+    query_keys: list[int],
+    *,
+    width: int = 256,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Estimate vs truth for a fixed key list. Output:
     (key, est_count, true_count) — est ≥ true always.
@@ -67,7 +72,9 @@ def cms_point_queries(
     The sketch side joins on (row, bucket) — ≤ depth·|queries| probe
     rows against ≤ depth·width counters, both broadcastable at any
     data scale; the exact side is a filtered aggregation over only
-    the queried keys (predicate pushed to the scan).
+    the queried keys (predicate pushed to the scan). Pass ``sketch``
+    to probe a prebuilt/merged counter table (e.g. one accumulated
+    across streaming microbatches) instead of building from ``df``.
     """
     spark = df.sparkSession
     q = spark.createDataFrame([(int(k),) for k in query_keys], "key long")
@@ -77,7 +84,8 @@ def cms_point_queries(
     probes = q.select(
         "key", F.posexplode(hashes).alias("row", "bucket")
     )
-    sketch = cms_build(df, key, width=width)
+    if sketch is None:
+        sketch = cms_build(df, key, width=width)
     est = (
         probes.join(sketch, ["row", "bucket"], "left")
         .groupBy("key")

@@ -128,3 +128,43 @@ def train_test_split(
             "train"
         ),
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    time_col: str,
+    *,
+    cutoff: str,
+    embargo_days: int = 0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Time-ordered train/test assignment with an EMBARGO gap:
+    rows at or before ``cutoff`` train; rows inside the following
+    ``embargo_days`` are dropped from both sides; later rows test.
+    The leakage guard for anything with temporal autocorrelation —
+    a random split lets the model see (nearly) the future, and rows
+    adjacent to the boundary leak through label/feature windows that
+    straddle it; the embargo removes exactly that shoulder (purged
+    splits — de Prado 2018, public methodology). The near-dup
+    counterpart is ``leakage_safe_split`` (similarity leakage);
+    this one kills temporal leakage.
+
+    Pure codegen row classification — no shuffle, no window; the
+    cutoff comparison pushes to the scan when ``time_col`` is a
+    partition or sort key (date-partitioned tables prune whole
+    partitions).
+
+    Output: (id?, time_col, split ∈ {train, embargo, test}).
+    Filtering ``split != 'embargo'`` is the caller's choice so the
+    dropped count stays auditable.
+    """
+    t = F.col(time_col)
+    cut = F.to_timestamp(F.lit(cutoff))
+    emb_end = cut + F.make_dt_interval(F.lit(embargo_days))
+    split = (
+        F.when(t <= cut, "train")
+        .when(t <= emb_end, "embargo")
+        .otherwise("test")
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, t.alias(time_col), split.alias("split"))

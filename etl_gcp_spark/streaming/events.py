@@ -581,3 +581,88 @@ def run_streaming_minhash_dedup(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    events: DataFrame,
+    query_keys: list[int],
+    *,
+    key_col: str = "user_id",
+    n_batches: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch maintained OVER A STREAM: each microbatch
+    builds its own 4×``width`` counter table and appends it; the live
+    sketch is the counter-wise SUM of everything appended — CMS's
+    merge-by-addition property doing the work (the same property that
+    merges per-executor partial sketches in a batch job, so stream
+    and batch agree EXACTLY, not approximately). Point-query output
+    is therefore bit-identical to the batch
+    :func:`~etl_gcp_spark.functions.sketches.cms_point_queries`, and
+    the batch SQL oracle attaches to a genuinely streaming execution
+    — no recall/timing caveat.
+
+    Per trigger: one map-side-combined aggregation to ≤ depth·width
+    rows and an O(KB) append — state never grows with the stream, the
+    whole point of sketching a stream. Truth side comes from the
+    static table (exact, for the est ≥ true audit columns).
+    """
+    from etl_gcp_spark.functions.sketches import (
+        cms_build,
+        cms_point_queries,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_scms_{uuid.uuid4().hex}"
+    )
+    staged = os.path.join(root, "in")
+    keys = events.select(F.col(key_col).cast("long").alias(key_col))
+    bounds = keys.approxQuantile(
+        key_col, [i / n_batches for i in range(1, n_batches)], 0.0
+    )
+    lo = None
+    for k in range(n_batches):
+        hi = bounds[k] if k < len(bounds) else None
+        part = keys
+        if lo is not None:
+            part = part.filter(F.col(key_col) > lo)
+        if hi is not None:
+            part = part.filter(F.col(key_col) <= hi)
+        part.coalesce(1).write.parquet(os.path.join(staged, f"b{k:02d}"))
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(f"{key_col} long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(staged, "*"))
+    )
+    sketch_dir = os.path.join(root, "sketch")
+
+    def fold(batch_df, _batch_id):
+        cms_build(batch_df, key_col, width=width).write.mode(
+            "append"
+        ).parquet(sketch_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    merged = (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_point_queries(
+        events, key_col, query_keys, width=width, sketch=merged
+    )

@@ -100,3 +100,25 @@ def test_train_test_split_partitions_all_rows_by_key(spark):
     # stable across recomputation
     again = train_test_split(df, "o_orderkey", test_fraction=0.2)
     assert out.filter("split = 'test'").count() == again.filter("split = 'test'").count()
+
+
+def test_temporal_split_embargo_bounds(spark):
+    from etl_gcp_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01"),
+            (2, "2020-06-30"),
+            (3, "2020-07-05"),
+            (4, "2020-08-15"),
+        ],
+        "id long, d string",
+    ).select("id", F.to_timestamp("d").alias("d"))
+    out = {
+        r.id: r.split
+        for r in temporal_split(
+            df, "d", cutoff="2020-06-30", embargo_days=30, id_col="id"
+        ).collect()
+    }
+    # cutoff day itself trains; inside the 30-day shoulder -> embargo
+    assert out == {1: "train", 2: "train", 3: "embargo", 4: "test"}

@@ -70,3 +70,22 @@ def test_per_source_cap(spark):
         by_src.setdefault(r.source, []).append(r.doc_id)
     assert sorted(by_src["s0"]) == [0, 2, 4]
     assert sorted(by_src["s1"]) == [1, 3, 5]
+
+
+def test_streaming_cms_equals_batch(spark):
+    from etl_gcp_spark.functions.sketches import cms_point_queries
+    from etl_gcp_spark.streaming.events import run_streaming_cms
+
+    df = _events(spark)
+    keys = [0, 7, 50, 999]
+    batch = {
+        r.key: (r.est_count, r.true_count)
+        for r in cms_point_queries(df, "user_id", keys).collect()
+    }
+    streamed = {
+        r.key: (r.est_count, r.true_count)
+        for r in run_streaming_cms(
+            spark, df, keys, n_batches=3
+        ).collect()
+    }
+    assert batch == streamed
