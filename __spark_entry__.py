@@ -1901,6 +1901,18 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_dedup_triangles(spark, sf_dir):
+    from etl_gcp_spark.operators.graph import triangle_participation
+    from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
+
+    # transitivity audit of the near-dup graph; LSH pairs == exact
+    # pairs at driver scales (recall locked in pytest), so the exact
+    # oracle attaches — same posture as dedup_clusters
+    return triangle_participation(
+        minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    )
+
+
 def _q_streaming_cms(spark, sf_dir):
     from etl_gcp_spark.streaming.events import run_streaming_cms
 
@@ -2317,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": _q_temporal_split,
         "cms_event_counts": _q_cms_event_counts,
         "streaming_cms": _q_streaming_cms,
+        "dedup_triangles": _q_dedup_triangles,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5497,4 +5510,21 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS is counter-wise EQUAL to the batch CMS
     # (merge-by-addition), so the two entries share one oracle
     sql["streaming_cms"] = sql["cms_event_counts"]
+    # triangles over the exact-Jaccard pair graph (== LSH pairs at
+    # driver scales): orient low→high, close (a→b, b→c) with (a→c)
+    sql["dedup_triangles"] = f"""
+        WITH edges AS ({_jaccard_pairs_over('documents')}),
+        e AS (SELECT id1 AS u, id2 AS v FROM edges),
+        tri AS (
+            SELECT p.a, p.b, p.c FROM (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+            ) p JOIN e e3 ON e3.u = p.a AND e3.v = p.c
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY doc_id
+    """
     return sql

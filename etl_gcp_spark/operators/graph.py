@@ -418,3 +418,55 @@ def event_transition_pagerank(
     return pagerank(
         edges, nodes, iterations=iterations, damping=damping
     )
+
+
+def triangle_participation(
+    edges: DataFrame,
+    *,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list — the
+    transitivity audit for near-dup graphs: a dedup cluster whose
+    members are pairwise-similar is triangle-dense, while a
+    low-triangle component is a CHAIN (a~b~c with a,c dissimilar) —
+    exactly where single-threshold pair dedup over- or under-merges
+    and where LSH recall gaps hide. Classic MapReduce formulation
+    (Suri & Vassilvitskii, WWW'11): orient every edge low→high id, so
+    each triangle {a<b<c} is counted exactly once as the path
+    (a→b, b→c) closed by (a→c).
+
+    Two self-joins of the oriented edge list — the first keyed on the
+    shared middle vertex, the second verifying the closing edge; both
+    equi-joins, map-side combinable counting after. Near-dup graphs
+    bound triangle fan-out by cluster size; for general graphs the
+    standard high-degree mitigation (degree-ordered orientation) is
+    the same join shape keyed on (degree, id) order.
+
+    Output: (doc_id, n_triangles) for every vertex in ≥1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .dropDuplicates()
+    )
+    path = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(
+            e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b"
+        )
+    )
+    tri = path.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+    )
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -160,6 +160,12 @@ def bench(out_dir: str, scale: int) -> dict:
         containment_pairs as _containment,
         dup_ngram_fraction as _dup_ngram,
         minhash_lsh_pairs,
+        ngram_novelty as _novelty,
+        shingle_cosine_pairs as _shingle_cos,
+    )
+    from etl_gcp_spark.functions.text import bm25_topk as _bm25
+    from etl_gcp_spark.operators.classifier import (
+        logreg_quality_report as _logreg,
     )
     from etl_gcp_spark.session import get_spark
 
@@ -201,6 +207,14 @@ def bench(out_dir: str, scale: int) -> dict:
         # was measured at exponent 1.976/330 s: Σdf² blows up.)
         "containment_pairs": lambda m: _containment(docs(m), threshold=0.8),
         "embedding_pca": lambda m: _pca(vecs(m)),
+        "shingle_cosine_pairs": lambda m: _shingle_cos(
+            docs(m), threshold=0.5
+        ),
+        "bm25_topk": lambda m: _bm25(
+            docs(m), ["spark", "vector", "stream"], k=10
+        ),
+        "quality_logreg": lambda m: _logreg(docs(m)),
+        "ngram_novelty": lambda m: _novelty(docs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't

@@ -177,3 +177,29 @@ def test_dedup_clusters_star_engine_matches_propagation(spark, sf_dir):
         )
     )
     assert prop == star and prop
+
+
+def test_triangle_participation_counts(spark):
+    from etl_gcp_spark.operators.graph import triangle_participation
+
+    # K4 on {1,2,3,4}: 4 triangles, each vertex in C(3,2)=3 of them;
+    # pendant edge 4-5 adds no triangle; edges arrive unordered/dup'd
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (3, 2),  # duplicate, reversed
+            (4, 5),  # pendant
+        ],
+        "id1 long, id2 long",
+    )
+    out = {r.doc_id: r.n_triangles for r in triangle_participation(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_participation_chain_has_none(spark):
+    from etl_gcp_spark.operators.graph import triangle_participation
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id1 long, id2 long"
+    )
+    assert triangle_participation(chain).count() == 0
