@@ -778,9 +778,15 @@ def ngram_novelty(
     anything. Output: (doc_id, n_shingles, n_novel, novelty 6 dp);
     docs shorter than ``n`` tokens emit no row.
     """
+    # explode_outer, not explode: explode's implicit size>0 filter is
+    # pushed below the projection and re-evaluates the interpreted
+    # shingle lambda per row (measured 8.5 s vs 1.6 s for this stream
+    # at sf0.1 — same trap documented on minhash_signatures); arrays
+    # are non-empty by with_shingles' length filter, so the outer
+    # form is value-identical.
     sh = (
         with_shingles(documents, text_col, id_col, n)
-        .select(F.col(id_col), F.explode("shingles").alias("__s"))
+        .select(F.col(id_col), F.explode_outer("shingles").alias("__s"))
         .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
     )
     first_seen = sh.groupBy("__h").agg(F.min(id_col).alias("__first"))
@@ -842,9 +848,11 @@ def shingle_cosine_pairs(
 
     Output: (id1, id2, dot, cosine) with id1 < id2, cosine 6 dp.
     """
+    # explode_outer for the same re-evaluation reason documented on
+    # minhash_signatures / ngram_novelty; arrays are non-empty
     sh = (
         with_shingles(documents, text_col, id_col, n, distinct=False)
-        .select(F.col(id_col), F.explode("shingles").alias("__s"))
+        .select(F.col(id_col), F.explode_outer("shingles").alias("__s"))
         .groupBy(id_col, F.xxhash64("__s").alias("__h"))
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
