@@ -1901,6 +1901,23 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_seq_length_histogram(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import seq_length_histogram
+
+    # padding-waste audit over power-of-two length buckets
+    return seq_length_histogram(_t(spark, sf_dir, "documents"))
+
+
+def _q_entity_clusters(spark, sf_dir):
+    from etl_gcp_spark.operators.linkage import entity_clusters
+
+    # end-to-end record linkage: blocked fuzzy pairs closed into
+    # canonical entities; recursive-CTE oracle replays the closure
+    return entity_clusters(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
 def _q_dedup_triangles(spark, sf_dir):
     from etl_gcp_spark.operators.graph import triangle_participation
     from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
@@ -2330,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_counts": _q_cms_event_counts,
         "streaming_cms": _q_streaming_cms,
         "dedup_triangles": _q_dedup_triangles,
+        "entity_clusters": _q_entity_clusters,
+        "seq_length_histogram": _q_seq_length_histogram,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5510,6 +5529,56 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS is counter-wise EQUAL to the batch CMS
     # (merge-by-addition), so the two entries share one oracle
     sql["streaming_cms"] = sql["cms_event_counts"]
+    sql["seq_length_histogram"] = r"""
+        WITH lens AS (
+            SELECT len(regexp_split_to_array(trim(text), '\s+'))
+                       AS n
+            FROM documents
+        ), bucketed AS (
+            SELECT CASE
+                     WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                     WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                     WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                     WHEN n <= 1024 THEN 1024 ELSE 2048
+                   END AS bucket, n
+            FROM lens
+        ), grouped AS (
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens
+            FROM bucketed GROUP BY 1
+        )
+        SELECT bucket, n_docs, total_tokens,
+               bucket * n_docs - total_tokens AS pad_waste,
+               round((bucket * n_docs - total_tokens)
+                     / CAST(bucket * n_docs AS DOUBLE), 6) AS waste_share
+        FROM grouped ORDER BY bucket
+    """
+    # entity resolution closure over the levenshtein pair graph —
+    # same recursive-reach shape as the dedup_clusters oracle
+    sql["entity_clusters"] = """
+        WITH RECURSIVE fpairs AS (
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND length(a.c_name) = length(b.c_name)
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ), sym AS (
+            SELECT id1 AS u, id2 AS v FROM fpairs
+            UNION ALL
+            SELECT id2 AS u, id1 AS v FROM fpairs
+        ), reach(node, lbl) AS (
+            SELECT c_custkey, c_custkey FROM customer
+            UNION
+            SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+        ), comp AS (
+            SELECT node AS c_custkey, min(lbl) AS entity_id
+            FROM reach GROUP BY node
+        )
+        SELECT c_custkey, entity_id,
+               count(*) OVER (PARTITION BY entity_id) AS entity_size
+        FROM comp
+    """
     # triangles over the exact-Jaccard pair graph (== LSH pairs at
     # driver scales): orient low→high, close (a→b, b→c) with (a→c)
     sql["dedup_triangles"] = f"""

@@ -904,3 +904,54 @@ def per_source_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+# power-of-two sequence-length buckets: fixed literal edges so neither
+# engine computes log2 (not correctly rounded in libm)
+SEQ_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def seq_length_histogram(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length distribution over power-of-two buckets, with
+    the padding waste each bucket would incur if its docs were padded
+    to the bucket edge — the audit that drives packing/padding
+    configuration (choose max_seq_len and decide pad-vs-pack by
+    looking at exactly this table; :func:`pack_documents` is the
+    remedy, this is the diagnosis).
+
+    bucket(n) = smallest edge ≥ n (top edge catches the tail). One
+    map-side-combined aggregation over a when-chain bucket id — no
+    shuffle wider than the ≤9-row result.
+
+    Output per bucket: (bucket, n_docs, total_tokens, pad_waste,
+    waste_share 6 dp) where pad_waste = bucket·n_docs − total_tokens.
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    bucket = F.lit(SEQ_BUCKETS[-1])
+    for edge in reversed(SEQ_BUCKETS):
+        bucket = F.when(n_tok <= edge, edge).otherwise(bucket)
+    grouped = (
+        documents.select(
+            bucket.cast("bigint").alias("bucket"),
+            n_tok.cast("bigint").alias("__n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+        )
+    )
+    waste = F.col("bucket") * F.col("n_docs") - F.col("total_tokens")
+    return grouped.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        waste.alias("pad_waste"),
+        F.round(
+            waste / (F.col("bucket") * F.col("n_docs")).cast("double"), 6
+        ).alias("waste_share"),
+    ).orderBy("bucket")

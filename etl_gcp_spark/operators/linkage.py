@@ -236,3 +236,59 @@ def fuzzy_pairs_deletes(
         .select("id1", "id2", "distance"),
         keyed,
     )
+
+
+def entity_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 1,
+) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-match pairs → transitive
+    closure → one canonical entity id per group. The record-linkage
+    composition a master-data/dedup pipeline actually runs — pairwise
+    matching alone leaves a~b, b~c as two facts; the entity is the
+    component {a,b,c}, labeled by its minimum member id.
+
+    Composes two verified pieces: the mask-key blocked
+    :func:`fuzzy_pairs` (linear candidate generation) and
+    :func:`~etl_gcp_spark.operators.graph.connected_components`
+    (min-label propagation over EDGE VERTICES only — unmatched
+    records rejoin as singletons through one anti-join, never
+    dragging the full table through the iteration; same discipline
+    as dedup_clusters).
+
+    Output: (id, entity_id, entity_size) for every input row.
+    """
+    from pyspark.sql import Window
+
+    from etl_gcp_spark.operators.graph import connected_components
+
+    pairs = fuzzy_pairs(
+        df, id_col, text_col, max_distance=max_distance
+    ).persist()
+    verts = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .dropDuplicates()
+    )
+    comp = connected_components(
+        verts, pairs, id_col=id_col, src_col="id1", dst_col="id2"
+    ).select(F.col(id_col), F.col("component").alias("entity_id"))
+    matched = comp.select(
+        id_col,
+        "entity_id",
+        F.count("*")
+        .over(Window.partitionBy("entity_id"))
+        .cast("bigint")
+        .alias("entity_size"),
+    )
+    singles = df.join(verts, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("entity_id"),
+        F.lit(1).cast("bigint").alias("entity_size"),
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(matched.unionByName(singles), pairs)

@@ -247,3 +247,23 @@ def test_contamination_bloom_tiny_filter_still_exact(spark, sf_dir):
         ).collect()
     }
     assert bloom == exact
+
+
+def test_seq_length_histogram_buckets_and_waste(spark):
+    from etl_gcp_spark.operators.corpus import seq_length_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["t"] * 10)),   # -> 16
+            (2, " ".join(["t"] * 16)),   # boundary -> 16
+            (3, " ".join(["t"] * 17)),   # -> 32
+            (4, " ".join(["t"] * 5000)),  # tail -> 2048
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.bucket: r for r in seq_length_histogram(docs).collect()}
+    assert out[16].n_docs == 2 and out[16].pad_waste == 32 - 26
+    assert out[32].n_docs == 1 and out[32].pad_waste == 15
+    # tail doc overflows the top edge: waste goes negative, flagging
+    # that 2048 truncates rather than pads
+    assert out[2048].pad_waste == 2048 - 5000

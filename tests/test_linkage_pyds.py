@@ -137,3 +137,18 @@ def test_fuzzy_pairs_d2_matches_naive_quadratic(spark):
     assert (0, 4, 1) in got   # pure-insertion pair found
     assert (3, 4, 2) in got   # delete+insert pair found
     assert (7, 8, 1) in got   # short strings survive the guards
+
+
+def test_entity_clusters_transitive_closure(spark):
+    from etl_gcp_spark.operators.linkage import entity_clusters
+
+    # abc ~ abd ~ abe chain (pairwise d=1 via the same masked slot)
+    # closes into ONE entity; zzz stays a singleton
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abe"), (9, "zzz")],
+        "id long, name string",
+    )
+    out = {r.id: (r.entity_id, r.entity_size) for r in
+           entity_clusters(df, "id", "name").collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[9] == (9, 1)
