@@ -1901,6 +1901,21 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_robust_scale_embeddings(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import robust_scale_embeddings
+
+    # median/IQR per-dimension scaling — the outlier-proof sibling of
+    # standardize_embeddings
+    return robust_scale_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_lang_confusion(spark, sf_dir):
+    from etl_gcp_spark.functions.text import lang_confusion
+
+    # evaluation half of lang-id: per-language recall matrix
+    return lang_confusion(_t(spark, sf_dir, "documents"))
+
+
 def _q_seq_length_histogram(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import seq_length_histogram
 
@@ -2349,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_triangles": _q_dedup_triangles,
         "entity_clusters": _q_entity_clusters,
         "seq_length_histogram": _q_seq_length_histogram,
+        "lang_confusion": _q_lang_confusion,
+        "robust_scale_embeddings": _q_robust_scale_embeddings,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5529,6 +5546,57 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS is counter-wise EQUAL to the batch CMS
     # (merge-by-addition), so the two entries share one oracle
     sql["streaming_cms"] = sql["cms_event_counts"]
+    sql["robust_scale_embeddings"] = """
+        WITH e AS (
+            SELECT g.i AS pos, embedding[g.i+1]::DOUBLE AS v
+            FROM embeddings CROSS JOIN LATERAL
+                (SELECT unnest(range(0, len(embedding))) AS i) g
+        ), stats AS (
+            SELECT pos,
+                   round(quantile_cont(v, 0.5), 6) AS med,
+                   round(quantile_cont(v, 0.75), 6)
+                       - round(quantile_cont(v, 0.25), 6) AS iqr
+            FROM e GROUP BY 1
+        ), st AS (
+            SELECT list(med ORDER BY pos) AS meds,
+                   list(iqr ORDER BY pos) AS iqrs
+            FROM stats
+        )
+        SELECT vec_id, list_transform(range(1, len(embedding)+1),
+                   i -> CASE WHEN iqrs[i] = 0 THEN 0.0
+                        ELSE round((embedding[i]::DOUBLE - meds[i])
+                                   / iqrs[i], 6)
+                        END) AS r_embedding
+        FROM embeddings, st
+    """
+    sql["lang_confusion"] = f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN score_de = greatest(score_de, score_en,
+                          score_es, score_fr, score_zh) THEN 'de'
+                     WHEN score_en = greatest(score_de, score_en,
+                          score_es, score_fr, score_zh) THEN 'en'
+                     WHEN score_es = greatest(score_de, score_en,
+                          score_es, score_fr, score_zh) THEN 'es'
+                     WHEN score_fr = greatest(score_de, score_en,
+                          score_es, score_fr, score_zh) THEN 'fr'
+                     ELSE 'zh'
+                   END AS predicted_lang
+            FROM ({_LANG_SCORES.format(toks=_TOKS)})
+        ), cells AS (
+            SELECT d.lang AS gold_lang, s.predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM scored s JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT gold_lang, CAST(sum(n) AS BIGINT) AS t
+            FROM cells GROUP BY 1
+        )
+        SELECT gold_lang, predicted_lang, n,
+               round(n / CAST(t AS DOUBLE), 6) AS recall_share
+        FROM cells JOIN tot USING (gold_lang)
+    """
     sql["seq_length_histogram"] = r"""
         WITH lens AS (
             SELECT len(regexp_split_to_array(trim(text), '\s+'))

@@ -1577,3 +1577,59 @@ def embedding_dim_audit(
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def robust_scale_embeddings(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension ROBUST scaling: (x − median) / IQR — the
+    outlier-proof sibling of :func:`standardize_embeddings` (a single
+    corrupt batch of vectors drags mean/σ arbitrarily; the median and
+    interquartile range have positive breakdown points — the same
+    rationale as ``mad_outliers`` vs ``zscore_outliers``, applied to
+    the preprocessing side).
+
+    Same two-pass shape as standardize_embeddings: one posexplode →
+    per-position aggregation (a single ARRAY-percentile buffer per
+    dimension, not three scalar ones — see winsorize's measured 2×),
+    stats packed into one sorted struct array broadcast everywhere,
+    vectors rescaled in place by a ``transform`` lambda. Percentiles
+    round to 6 dp, IQR is the exact difference of the rounded
+    quartiles, outputs round to 6 dp — replayable via quantile_cont
+    (the same interpolation as Spark's exact percentile).
+    Zero-IQR dimensions scale to 0.0.
+    """
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    expl = base.select(F.posexplode("__v").alias("pos", "v"))
+    stats = expl.groupBy("pos").agg(
+        F.percentile(
+            "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("__q")
+    ).select(
+        "pos",
+        F.round(F.element_at("__q", 2), 6).alias("med"),
+        (
+            F.round(F.element_at("__q", 3), 6)
+            - F.round(F.element_at("__q", 1), 6)
+        ).alias("iqr"),
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "med", "iqr"))
+        ).alias("__st")
+    )
+
+    def _r(x: F.Column, i: F.Column) -> F.Column:
+        st = F.element_at(F.col("__st"), (i + 1).cast("int"))
+        return F.when(st["iqr"] == 0, F.lit(0.0)).otherwise(
+            F.round((x - st["med"]) / st["iqr"], 6)
+        )
+
+    return base.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), F.transform("__v", _r).alias("r_embedding")
+    )

@@ -869,3 +869,44 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def lang_confusion(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    gold_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of :func:`lang_id` predictions against a gold
+    label column — the evaluation half of the language-ID pipeline
+    (per-language recall shares are what decide whether the
+    lexicon-overlap heuristic is good enough for mixture routing or
+    needs escalation to a trained model).
+
+    The matrix is ≤ |langs|² rows: one prediction pass (pure Column
+    expressions), one map-side-combined cell count, one broadcast
+    join of per-gold-language totals. Output: (gold_lang,
+    predicted_lang, n, recall_share 6 dp).
+    """
+    pred = lang_id(documents, text_col).select("doc_id", "predicted_lang")
+    gold = documents.select(
+        "doc_id", F.col(gold_col).alias("gold_lang")
+    )
+    cells = (
+        pred.join(gold, "doc_id")
+        .groupBy("gold_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("gold_lang").agg(F.sum("n").alias("__t"))
+    return (
+        cells.join(F.broadcast(totals), "gold_lang")
+        .select(
+            "gold_lang",
+            "predicted_lang",
+            "n",
+            F.round(
+                F.col("n") / F.col("__t").cast("double"), 6
+            ).alias("recall_share"),
+        )
+        .orderBy("gold_lang", "predicted_lang")
+    )

@@ -481,3 +481,21 @@ def test_knn_graph_tiny_corpus_no_phantom_neighbors(spark):
     assert len(out) == 2
     assert all(r.vec_id != r.nbr_id for r in out)
     assert all(r.sim == r.sim and abs(r.sim) != float("inf") for r in out)
+
+
+def test_robust_scale_ignores_outlier(spark):
+    from etl_gcp_spark.functions.similarity import robust_scale_embeddings
+
+    # one wild vector cannot move the median/IQR of the others much,
+    # while it would wreck mean/sigma; dim1 is constant -> scales to 0
+    rows = [(i, [float(i % 5), 7.0]) for i in range(20)] + [
+        (99, [1e6, 7.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.r_embedding for r in
+           robust_scale_embeddings(df).collect()}
+    # dim0 over the 21 values: p25=1, med=2, p75=3 -> IQR=2
+    assert out[0][0] == -1.0
+    assert all(v[1] == 0.0 for v in out.values())
+    # the outlier lands far outside [-1, 1] -- visible, not absorbed
+    assert out[99][0] > 1000

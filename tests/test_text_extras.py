@@ -213,3 +213,20 @@ def test_bm25_length_normalization(spark):
     )
     rows = bm25_topk(docs, ["hit"], k=2).collect()
     assert [r.doc_id for r in rows] == [1, 2]
+
+
+def test_lang_confusion_diagonal_on_marker_docs(spark):
+    from etl_gcp_spark.functions.text import lang_confusion
+
+    # docs made purely of each language's markers: perfect diagonal
+    docs = spark.createDataFrame(
+        [
+            (1, "the a fast slow row", "en"),
+            (2, "table agg key merge vector", "de"),
+            (3, "customer order group sort filter", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = lang_confusion(docs).collect()
+    assert all(r.gold_lang == r.predicted_lang for r in out)
+    assert all(r.recall_share == 1.0 for r in out)
