@@ -1901,6 +1901,13 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_source_quality_report(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import source_quality_report
+
+    # the per-source dataset-card row driving mixture decisions
+    return source_quality_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_robust_scale_embeddings(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import robust_scale_embeddings
 
@@ -2366,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_length_histogram": _q_seq_length_histogram,
         "lang_confusion": _q_lang_confusion,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
+        "source_quality_report": _q_source_quality_report,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5546,6 +5554,32 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS is counter-wise EQUAL to the batch CMS
     # (merge-by-addition), so the two entries share one oracle
     sql["streaming_cms"] = sql["cms_event_counts"]
+    # dataset card reuses the registered text_quality replay verbatim
+    sql["source_quality_report"] = f"""
+        WITH q AS ({sql["text_quality"]}),
+        base AS (
+            SELECT d.doc_id, d.source, d.lang,
+                   md5(lower(trim(d.text))) AS fp,
+                   q.n_tokens, q.quality_score
+            FROM documents d JOIN q ON q.doc_id = d.doc_id
+        ),
+        per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CAST(quality_score AS DECIMAL(18,4)))
+                        AS DOUBLE) AS qs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS nd
+            FROM base GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens,
+               round(qs / CAST(n_docs AS DOUBLE), 4) AS mean_quality,
+               n_langs,
+               round((n_docs - nd) / CAST(n_docs AS DOUBLE), 6)
+                   AS dup_share
+        FROM per ORDER BY source
+    """
     sql["robust_scale_embeddings"] = """
         WITH e AS (
             SELECT g.i AS pos, embedding[g.i+1]::DOUBLE AS v

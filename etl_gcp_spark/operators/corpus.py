@@ -955,3 +955,65 @@ def seq_length_histogram(
             waste / (F.col("bucket") * F.col("n_docs")).cast("double"), 6
         ).alias("waste_share"),
     ).orderBy("bucket")
+
+
+def source_quality_report(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The per-source DATASET CARD row: size, token mass, mean
+    quality, language diversity, and exact-duplicate share — the
+    one-table summary a mixture decision actually reads (which
+    sources to up/down-weight, which need dedup first, which are
+    single-language). Composes the verified per-doc signals
+    (:func:`~etl_gcp_spark.functions.text.quality_score`, md5
+    fingerprints) into one grouped pass.
+
+    Mean quality sums the 4-dp scores as DECIMAL(18,4) — exact and
+    order-free, so the report is partitioning-invariant and
+    oracle-replayable (float means are neither). Everything reduces
+    map-side to |sources| rows.
+
+    Output: (source, n_docs, total_tokens, mean_quality, n_langs,
+    dup_share).
+    """
+    from etl_gcp_spark.functions.text import quality_score
+
+    q = quality_score(documents, text_col=text_col).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    base = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp"),
+    )
+    per = (
+        base.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.col("quality_score").cast("decimal(18,4)")
+            ).alias("__qs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("__fp").alias("__nd"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("__qs").cast("double") / F.col("n_docs").cast("double"),
+            4,
+        ).alias("mean_quality"),
+        "n_langs",
+        F.round(
+            (F.col("n_docs") - F.col("__nd"))
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_share"),
+    ).orderBy("source")

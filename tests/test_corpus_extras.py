@@ -267,3 +267,25 @@ def test_seq_length_histogram_buckets_and_waste(spark):
     # tail doc overflows the top edge: waste goes negative, flagging
     # that 2048 truncates rather than pads
     assert out[2048].pad_waste == 2048 - 5000
+
+
+def test_source_quality_report_dup_share_and_invariance(spark):
+    from etl_gcp_spark.operators.corpus import source_quality_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the fast row", "en", "a"),
+            (2, "the fast row", "en", "a"),   # exact dup in a
+            (3, "slow merge batch", "de", "a"),
+            (4, "unique text here", "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.source: r for r in source_quality_report(docs).collect()}
+    assert out["a"].n_docs == 3 and out["a"].dup_share == round(1 / 3, 6)
+    assert out["a"].n_langs == 2
+    assert out["b"].dup_share == 0.0
+    # decimal quality sum -> partitioning cannot change the report
+    re = {r.source: r for r in
+          source_quality_report(docs.repartition(7)).collect()}
+    assert re == out
