@@ -1901,6 +1901,14 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_embedding_kmeans(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import embedding_kmeans
+
+    # Lloyd's assignments (8 cells, 2 rounds) — training replays in
+    # the oracle exactly like ann_ivf_kmeans_topk's
+    return embedding_kmeans(_t(spark, sf_dir, "embeddings"), n_cells=8)
+
+
 def _q_source_quality_report(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import source_quality_report
 
@@ -2374,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _q_lang_confusion,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
         "source_quality_report": _q_source_quality_report,
+        "embedding_kmeans": _q_embedding_kmeans,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5554,6 +5563,65 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS is counter-wise EQUAL to the batch CMS
     # (merge-by-addition), so the two entries share one oracle
     sql["streaming_cms"] = sql["cms_event_counts"]
+    # k-means assignments: the ann_ivf_kmeans_topk training replay
+    # (8 cells, 2 rounds) ending at assignments + size window
+    sql["embedding_kmeans"] = """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+            FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)
+        ), a1 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c0 c
+            ) WHERE rnk = 1
+        ), c1 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a1
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), a2 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c1 c
+            ) WHERE rnk = 1
+        ), c2 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a2
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), af AS (
+            SELECT vec_id, cell FROM (
+                SELECT b.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c2 c
+            ) WHERE rnk = 1
+        )
+        SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+               count(*) OVER (PARTITION BY cell) AS cluster_size
+        FROM af
+    """
     # dataset card reuses the registered text_quality replay verbatim
     sql["source_quality_report"] = f"""
         WITH q AS ({sql["text_quality"]}),

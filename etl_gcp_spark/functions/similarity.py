@@ -1633,3 +1633,45 @@ def robust_scale_embeddings(
     return base.crossJoin(F.broadcast(packed)).select(
         F.col(id_col), F.transform("__v", _r).alias("r_embedding")
     )
+
+
+def embedding_kmeans(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means CLUSTERING as a first-class operator —
+    the same Lloyd's training that backs the IVF index
+    (:func:`ivf_train`), surfaced as (id, cell, cluster_size)
+    assignments: the partitioner for SemDeDup-style semantic dedup,
+    diversity-aware sampling, and per-cluster curation quotas.
+
+    Training is ``n_iters`` rounds of zero-shuffle GEMM assignment +
+    a (cell, pos)-keyed mean whose shuffle carries n_cells·dim
+    accumulators (never vectors); centroid components round to 6 dp
+    per round so the whole training replays in the SQL oracle.
+    Final assignment is one more GEMM pass; sizes come from a
+    cell-partitioned window over the n-row assignment table.
+    """
+    from pyspark.sql import Window
+
+    labels, cmat = ivf_train(
+        embeddings,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign_to_centroids(base, cmat, labels, id_col)
+    w = Window.partitionBy("cell")
+    return assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )

@@ -499,3 +499,25 @@ def test_robust_scale_ignores_outlier(spark):
     assert all(v[1] == 0.0 for v in out.values())
     # the outlier lands far outside [-1, 1] -- visible, not absorbed
     assert out[99][0] > 1000
+
+
+def test_embedding_kmeans_separates_planted_clusters(spark):
+    from etl_gcp_spark.functions.similarity import embedding_kmeans
+
+    # two antipodal directions with tiny jitter -> k=2 must split
+    # them perfectly and sizes must sum to n
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.001 * i, 0.0]))
+        rows.append((100 + i, [-1.0, 0.0, 0.001 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_kmeans(df, n_cells=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, set()).add(r.vec_id)
+        assert r.cluster_size == 20
+    cells = list(by_cell.values())
+    assert len(cells) == 2
+    assert {frozenset(c) for c in cells} == {
+        frozenset(range(20)), frozenset(range(100, 120))
+    }
