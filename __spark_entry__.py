@@ -1901,6 +1901,16 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_semdedup_prune(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import semdedup_prune
+
+    # SemDeDup: within-cell pairwise prune over the k-means cells;
+    # sigma|cell|^2 pairwise work instead of n^2
+    return semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_cells=8
+    )
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import embedding_kmeans
 
@@ -2383,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale_embeddings": _q_robust_scale_embeddings,
         "source_quality_report": _q_source_quality_report,
         "embedding_kmeans": _q_embedding_kmeans,
+        "semdedup_prune": _q_semdedup_prune,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5563,64 +5574,63 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS is counter-wise EQUAL to the batch CMS
     # (merge-by-addition), so the two entries share one oracle
     sql["streaming_cms"] = sql["cms_event_counts"]
-    # k-means assignments: the ann_ivf_kmeans_topk training replay
-    # (8 cells, 2 rounds) ending at assignments + size window
-    sql["embedding_kmeans"] = """
-        WITH base AS (
+    # shared 2-round Lloyd's replay (8 cells) ending at af(vec_id, v,
+    # cell) — used by embedding_kmeans and semdedup_prune; the 32-cell
+    # ann_ivf_kmeans_topk replay above is the same shape
+    def _kmeans_chain(n_cells: int) -> str:
+        def _assign(cfrom: str) -> str:
+            return f"""
+                SELECT vec_id, v, cell FROM (
+                    SELECT b.vec_id, b.v, c.cell,
+                           row_number() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.v, c.cv)
+                                        DESC, c.cell
+                           ) AS rnk
+                    FROM base b CROSS JOIN {cfrom} c
+                ) WHERE rnk = 1"""
+
+        def _recenter(afrom: str) -> str:
+            return f"""
+                SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                    SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                        SELECT cell, unnest(v) AS val,
+                               generate_subscripts(v, 1) AS idx
+                        FROM {afrom}
+                    ) GROUP BY cell, idx
+                ) GROUP BY cell"""
+
+        return f"""
+        base AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
-            FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)
-        ), a1 AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT b.vec_id, b.v, c.cell,
-                       row_number() OVER (
-                           PARTITION BY b.vec_id
-                           ORDER BY list_cosine_similarity(b.v, c.cv)
-                                    DESC, c.cell
-                       ) AS rnk
-                FROM base b CROSS JOIN c0 c
-            ) WHERE rnk = 1
-        ), c1 AS (
-            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
-                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
-                    SELECT cell, unnest(v) AS val,
-                           generate_subscripts(v, 1) AS idx
-                    FROM a1
-                ) GROUP BY cell, idx
-            ) GROUP BY cell
-        ), a2 AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT b.vec_id, b.v, c.cell,
-                       row_number() OVER (
-                           PARTITION BY b.vec_id
-                           ORDER BY list_cosine_similarity(b.v, c.cv)
-                                    DESC, c.cell
-                       ) AS rnk
-                FROM base b CROSS JOIN c1 c
-            ) WHERE rnk = 1
-        ), c2 AS (
-            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
-                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
-                    SELECT cell, unnest(v) AS val,
-                           generate_subscripts(v, 1) AS idx
-                    FROM a2
-                ) GROUP BY cell, idx
-            ) GROUP BY cell
-        ), af AS (
-            SELECT vec_id, cell FROM (
-                SELECT b.vec_id, c.cell,
-                       row_number() OVER (
-                           PARTITION BY b.vec_id
-                           ORDER BY list_cosine_similarity(b.v, c.cv)
-                                    DESC, c.cell
-                       ) AS rnk
-                FROM base b CROSS JOIN c2 c
-            ) WHERE rnk = 1
-        )
+            FROM (SELECT vec_id, v FROM base
+                  ORDER BY vec_id LIMIT {n_cells})
+        ), a1 AS ({_assign('c0')}
+        ), c1 AS ({_recenter('a1')}
+        ), a2 AS ({_assign('c1')}
+        ), c2 AS ({_recenter('a2')}
+        ), af AS ({_assign('c2')}
+        )"""
+
+    sql["embedding_kmeans"] = f"""
+        WITH {_kmeans_chain(8)}
         SELECT vec_id, CAST(cell AS INTEGER) AS cell,
                count(*) OVER (PARTITION BY cell) AS cluster_size
         FROM af
+    """
+    sql["semdedup_prune"] = f"""
+        WITH {_kmeans_chain(8)},
+        dropped AS (
+            SELECT DISTINCT x2.vec_id
+            FROM af x1 JOIN af x2
+              ON x1.cell = x2.cell AND x1.vec_id < x2.vec_id
+            WHERE round(list_cosine_similarity(x1.v, x2.v), 6) >= 0.45
+        )
+        SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
     """
     # dataset card reuses the registered text_quality replay verbatim
     sql["source_quality_report"] = f"""

@@ -1675,3 +1675,98 @@ def embedding_kmeans(
         F.col("cell"),
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public methodology): cluster the
+    embedding space with k-means, then prune near-duplicates ONLY
+    within each cluster — semantic dedup whose pairwise work is
+    bounded by cluster occupancy instead of n², which is the entire
+    scale argument of the paper. Greedy keep-lowest-id: a vector is
+    dropped when any lower-id member of ITS OWN cell matches at
+    ≥ ``threshold`` cosine.
+
+    Differs from :func:`embedding_dedup_clusters` (exact global
+    blocked-GEMM pairs → connected components) in contract and cost:
+    this one trades cross-cell recall for per-cell quadratic work —
+    at web scale the GEMM sweep is a full n²/B compute pass while
+    SemDeDup is Σ|cell|², and the missed cross-cell pairs are the
+    documented approximation.
+
+    Within-cell sims evaluate as sequential ``zip_with``/``aggregate``
+    dots over the two arrays — same left-to-right summation order as
+    the oracle's ``list_cosine_similarity`` loop, rounded to 6 dp.
+
+    Output: (id, cell, kept) for EVERY input vector — survivors and
+    the audit trail in one table.
+    """
+    labels, cmat = ivf_train(
+        embeddings,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign_to_centroids(base, cmat, labels, id_col).persist()
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norms = assigned.select(
+        F.col(id_col),
+        "cell",
+        F.sqrt(_dot(F.col("__v"), F.col("__v"))).alias("__n"),
+        "__v",
+    )
+    a = norms.select(
+        "cell",
+        F.col(id_col).alias("id1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+    )
+    b = norms.select(
+        "cell",
+        F.col(id_col).alias("id2"),
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
+    )
+    sim = F.round(
+        _dot(F.col("__v1"), F.col("__v2"))
+        / (F.col("__n1") * F.col("__n2")),
+        6,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("id2").alias(id_col))
+        .dropDuplicates()
+        .withColumn("__drop", F.lit(True))
+    )
+    out = (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, assigned)

@@ -521,3 +521,23 @@ def test_embedding_kmeans_separates_planted_clusters(spark):
     assert {frozenset(c) for c in cells} == {
         frozenset(range(20)), frozenset(range(100, 120))
     }
+
+
+def test_semdedup_drops_within_cell_near_dup_keeps_lowest(spark):
+    from etl_gcp_spark.functions.similarity import semdedup_prune
+
+    # 1 and 2 near-identical (same future cell); 3 antipodal
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9999, 0.001]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in
+           semdedup_prune(df, threshold=0.95, n_cells=2).collect()}
+    assert out[1].kept is True
+    assert out[2].kept is False          # higher id of the dup pair
+    assert out[3].kept is True
+    assert out[1].cell != out[3].cell    # clustering separated them
