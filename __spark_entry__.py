@@ -1901,6 +1901,13 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_quality_quota_filter(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import quality_quota_filter
+
+    # per-source quality quota: top half of each source survives
+    return quality_quota_filter(_t(spark, sf_dir, "documents"))
+
+
 def _q_semdedup_prune(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import semdedup_prune
 
@@ -2394,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": _q_source_quality_report,
         "embedding_kmeans": _q_embedding_kmeans,
         "semdedup_prune": _q_semdedup_prune,
+        "quality_quota_filter": _q_quality_quota_filter,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5631,6 +5639,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    # per-source quota over the same text_quality replay
+    sql["quality_quota_filter"] = f"""
+        WITH q AS ({sql["text_quality"]}),
+        base AS (
+            SELECT d.doc_id, d.source, q.quality_score
+            FROM documents d JOIN q ON q.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, source, quality_score,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality_score DESC, doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM base
+        )
+        SELECT doc_id, source, quality_score
+        FROM ranked WHERE rn <= ceil(n * 0.5)
     """
     # dataset card reuses the registered text_quality replay verbatim
     sql["source_quality_report"] = f"""

@@ -1017,3 +1017,43 @@ def source_quality_report(
             6,
         ).alias("dup_share"),
     ).orderBy("source")
+
+
+def quality_quota_filter(
+    documents: DataFrame,
+    *,
+    keep_fraction: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of each source BY QUALITY —
+    quota curation, the relative alternative to quality_filter's
+    absolute thresholds: absolute cutoffs collapse entire weak
+    sources (starving the mixture) and wave through everything from
+    strong ones; a per-source quota preserves source diversity while
+    still biasing toward quality within each (the reasoning behind
+    per-domain quality buckets in public curation recipes).
+
+    One ranked window per source (quality desc, id tiebreak) against
+    a broadcast per-source count; quota = ceil(fraction · n) so a
+    1-doc source always survives. Output: (doc_id, source,
+    quality_score) of survivors.
+    """
+    from etl_gcp_spark.functions.text import quality_score
+
+    q = quality_score(documents, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    base = documents.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "source")
+        .filter(
+            F.col("__rn")
+            <= F.ceil(F.col("__n") * F.lit(keep_fraction))
+        )
+        .select("doc_id", "source", "quality_score")
+    )

@@ -289,3 +289,20 @@ def test_source_quality_report_dup_share_and_invariance(spark):
     re = {r.source: r for r in
           source_quality_report(docs.repartition(7)).collect()}
     assert re == out
+
+
+def test_quality_quota_keeps_best_per_source(spark):
+    from etl_gcp_spark.operators.corpus import quality_quota_filter
+
+    # source a: clean doc + junky doc -> quota 1/2 keeps the clean;
+    # source b: single doc always survives (ceil(0.5) = 1)
+    docs = spark.createDataFrame(
+        [
+            (1, "clean readable words here", "x", "a"),
+            (2, "@@!! ## $$ %% ^^ &&", "x", "a"),
+            (3, "lonely source doc", "x", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    kept = {r.doc_id for r in quality_quota_filter(docs).collect()}
+    assert kept == {1, 3}
