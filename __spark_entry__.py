@@ -1901,6 +1901,27 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_tokenizer_fertility(spark, sf_dir):
+    from etl_gcp_spark.functions.text import tokenizer_fertility
+
+    # per-language chars/piece + pieces/word — multilingual tokenizer
+    # fairness audit; ratios of exact BIGINT sums
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+def _q_user_erasure(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import user_erasure
+
+    # right-to-be-forgotten: scrub subjects 1, 7, 42 across both fact
+    # tables; the returned audit is what the deletion request reports
+    _, _, audit = user_erasure(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "orders"),
+        [1, 7, 42],
+    )
+    return audit
+
+
 def _q_quality_quota_filter(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import quality_quota_filter
 
@@ -2402,6 +2423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "semdedup_prune": _q_semdedup_prune,
         "quality_quota_filter": _q_quality_quota_filter,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "user_erasure": _q_user_erasure,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5639,6 +5662,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["tokenizer_fertility"] = r"""
+        WITH c AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS words,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS pieces
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST(sum(pieces) AS BIGINT) AS total_pieces,
+               round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 4)
+                   AS chars_per_piece,
+               round(sum(pieces) / CAST(sum(words) AS DOUBLE), 4)
+                   AS pieces_per_word
+        FROM c GROUP BY lang ORDER BY lang
+    """
+    sql["user_erasure"] = """
+        SELECT 'events' AS table_name,
+               CAST(sum(CASE WHEN user_id IN (1, 7, 42)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN user_id IN (1, 7, 42)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_remaining
+        FROM events
+        UNION ALL
+        SELECT 'orders',
+               CAST(sum(CASE WHEN o_custkey IN (1, 7, 42)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IN (1, 7, 42)
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM orders
     """
     # per-source quota over the same text_quality replay
     sql["quality_quota_filter"] = f"""

@@ -910,3 +910,57 @@ def lang_confusion(
         )
         .orderBy("gold_lang", "predicted_lang")
     )
+
+
+def tokenizer_fertility(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer FERTILITY per language: characters per BPE piece and
+    pieces per whitespace word — the standard audit for how fairly a
+    tokenizer treats each language in a multilingual mixture (high
+    fertility = more pieces per word = that language pays more
+    compute/context per sentence; public methodology from
+    multilingual-tokenizer evaluations).
+
+    Per-group ratios are quotients of exact BIGINT sums (one map-side
+    combined aggregation), rounded once — no float accumulation
+    anywhere. Output: (lang, n_docs, total_chars, total_pieces,
+    chars_per_piece, pieces_per_word).
+    """
+    counts = bpe_token_count(documents, text_col).select(
+        "doc_id", "n_ws_tokens", "n_bpe_pieces"
+    )
+    base = documents.select(
+        "doc_id",
+        F.col(group_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+    )
+    return (
+        base.join(counts, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("n_bpe_pieces").alias("total_pieces"),
+            F.sum("n_ws_tokens").alias("__words"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_pieces",
+            F.round(
+                F.col("total_chars")
+                / F.col("total_pieces").cast("double"),
+                4,
+            ).alias("chars_per_piece"),
+            F.round(
+                F.col("total_pieces") / F.col("__words").cast("double"),
+                4,
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("lang")
+    )

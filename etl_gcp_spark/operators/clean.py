@@ -238,3 +238,43 @@ def mad_outliers(
         )
         .select(group_col, "n", "med", "mad", "n_outliers")
     )
+
+
+def user_erasure(
+    events: DataFrame,
+    orders: DataFrame,
+    user_keys: list[int],
+    *,
+    event_user_col: str = "user_id",
+    order_user_col: str = "o_custkey",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Right-to-be-forgotten propagation: remove every row belonging
+    to the given subjects across the fact tables and return (cleaned
+    events, cleaned orders, audit) — the audit is the per-table
+    removed/remaining counts a deletion request must report back.
+    Complements the prevention-side privacy ops (``pii_redact``
+    scrubs content, ``k_anonymity_suppress`` blocks re-identification;
+    this executes deletion).
+
+    The key list is a literal ``isin`` filter — pushed to the scan,
+    no join, no shuffle; at production scale the same shape runs as a
+    broadcast anti-join against a deletion-request table. Counts are
+    one aggregate per table, unioned.
+    """
+    keys = [int(k) for k in user_keys]
+    ev_clean = events.filter(~F.col(event_user_col).isin(keys))
+    ord_clean = orders.filter(~F.col(order_user_col).isin(keys))
+
+    def _audit(df: DataFrame, col: str, table: str) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.sum(F.col(col).isin(keys).cast("long")).alias("n_removed"),
+            F.sum((~F.col(col).isin(keys)).cast("long")).alias(
+                "n_remaining"
+            ),
+        )
+
+    audit = _audit(events, event_user_col, "events").unionByName(
+        _audit(orders, order_user_col, "orders")
+    )
+    return ev_clean, ord_clean, audit

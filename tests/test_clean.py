@@ -83,3 +83,22 @@ def test_clean_is_single_projection(spark):
     df = spark.createDataFrame([Row(topic="x", v=1.0, start_date="2024-01-01")])
     plan = clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_user_erasure_removes_and_audits(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.clean import user_erasure
+
+    events = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "event_id long, user_id long"
+    )
+    orders = spark.createDataFrame(
+        [(100, 10), (101, 30)], "o_orderkey long, o_custkey long"
+    )
+    ev, od, audit = user_erasure(events, orders, [10])
+    assert {r.user_id for r in ev.collect()} == {20}
+    assert {r.o_custkey for r in od.collect()} == {30}
+    a = {r.table_name: r for r in audit.collect()}
+    assert a["events"].n_removed == 2 and a["events"].n_remaining == 1
+    assert a["orders"].n_removed == 1 and a["orders"].n_remaining == 1

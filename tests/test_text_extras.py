@@ -230,3 +230,19 @@ def test_lang_confusion_diagonal_on_marker_docs(spark):
     out = lang_confusion(docs).collect()
     assert all(r.gold_lang == r.predicted_lang for r in out)
     assert all(r.recall_share == 1.0 for r in out)
+
+
+def test_tokenizer_fertility_penalizes_fragmenting_text(spark):
+    from etl_gcp_spark.functions.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain words only here", "en"),
+            (2, "a-b c.d e!f g?h", "xx"),  # punctuation fragments
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    # fragmenting text yields many more pieces per whitespace word
+    assert out["xx"].pieces_per_word > out["en"].pieces_per_word
+    assert out["en"].pieces_per_word == 1.0
