@@ -1901,6 +1901,18 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_payload_dedup(spark, sf_dir):
+    from etl_gcp_spark.functions.multimodal import (
+        attach_binary_payload,
+        payload_dedup,
+    )
+
+    # exact binary dedup per modality: shuffle carries digests only
+    return payload_dedup(
+        attach_binary_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _q_tokenizer_fertility(spark, sf_dir):
     from etl_gcp_spark.functions.text import tokenizer_fertility
 
@@ -2425,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quota_filter": _q_quality_quota_filter,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "user_erasure": _q_user_erasure,
+        "payload_dedup": _q_payload_dedup,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5662,6 +5675,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    # binary dedup: grouping by md5(payload) == grouping by the bytes
+    # themselves (payload = utf-8 of text), so the oracle groups on
+    # text directly and never needs a hash function at all
+    sql["payload_dedup"] = """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY CASE doc_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END, text
     """
     sql["tokenizer_fertility"] = r"""
         WITH c AS (

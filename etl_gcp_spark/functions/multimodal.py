@@ -349,3 +349,30 @@ def resize_media(
     return images.mapInPandas(
         kernel if fake_decode else real_kernel, schema
     )
+
+
+def payload_dedup(media: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Exact BINARY dedup: one survivor (lowest id) per distinct
+    payload within each modality — the first pass of any multimodal
+    curation run (re-crawled images/audio are byte-identical far more
+    often than text is, and hashing is the only operation that
+    doesn't need a codec).
+
+    Groups on (modality, md5(payload)): the shuffle carries a 16-byte
+    digest + modality, never the payload column — at 100 TB the blobs
+    stay in their parquet column chunks, untouched after the map-side
+    hash. Same digest-not-payload discipline as exact_text_dedup.
+
+    Output: (modality, id, n_copies) — the kept id per distinct blob
+    and how many copies it stood for.
+    """
+    return (
+        media.groupBy(
+            F.col("modality"), F.md5(F.col("payload")).alias("__d")
+        )
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("modality", id_col, "n_copies")
+    )

@@ -166,3 +166,22 @@ def test_resize_media_contract(spark):
             resize_media(mm, fake_decode=False)
     with pytest.raises(NotImplementedError):
         sample_frames(mm, fake_decode=False)
+
+
+def test_payload_dedup_per_modality(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.multimodal import payload_dedup
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"AA")),
+            (2, "image", bytearray(b"AA")),   # dup of 1
+            (3, "audio", bytearray(b"AA")),   # same bytes, other modality
+            (4, "image", bytearray(b"BB")),
+        ],
+        "doc_id long, modality string, payload binary",
+    )
+    out = {(r.modality, r.doc_id): r.n_copies
+           for r in payload_dedup(media).collect()}
+    assert out == {("image", 1): 2, ("audio", 3): 1, ("image", 4): 1}
