@@ -1901,6 +1901,18 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_join_explosion(spark, sf_dir):
+    from etl_gcp_spark.operators.skew import join_explosion_report
+
+    # exact join-output cardinality from the two key histograms only:
+    # lineitem x orders on the order key
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "k"
+    )
+    od = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    return join_explosion_report(li, od, "k")
+
+
 def _q_payload_dedup(spark, sf_dir):
     from etl_gcp_spark.functions.multimodal import (
         attach_binary_payload,
@@ -2438,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "user_erasure": _q_user_erasure,
         "payload_dedup": _q_payload_dedup,
+        "join_explosion": _q_join_explosion,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5675,6 +5688,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["join_explosion"] = """
+        WITH lc AS (
+            SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS lcnt
+            FROM lineitem GROUP BY 1
+        ), rc AS (
+            SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS rcnt
+            FROM orders GROUP BY 1
+        ), prod AS (
+            SELECT key, lcnt, rcnt, lcnt * rcnt AS out
+            FROM lc JOIN rc USING (key)
+        ), totals AS (
+            SELECT CAST(sum(out) AS BIGINT) AS total_out_rows,
+                   CAST(count(*) AS BIGINT) AS n_join_keys
+            FROM prod
+        ), top AS (
+            SELECT key, lcnt, rcnt, out,
+                   CAST(row_number() OVER (ORDER BY out DESC, key)
+                        AS BIGINT) AS rank
+            FROM prod ORDER BY out DESC, key LIMIT 10
+        )
+        SELECT rank, CAST(key AS VARCHAR) AS key, lcnt, rcnt,
+               out AS out_rows,
+               round(out / CAST(total_out_rows AS DOUBLE), 6)
+                   AS out_share,
+               total_out_rows, n_join_keys
+        FROM top CROSS JOIN totals
     """
     # binary dedup: grouping by md5(payload) == grouping by the bytes
     # themselves (payload = utf-8 of text), so the oracle groups on

@@ -117,3 +117,60 @@ def key_skew_report(
         "p99_cnt",
         "skew_ratio",
     )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight cardinality audit of an equi-join: the EXACT output
+    row count (Σ per-key count products) and the ``top_n`` keys that
+    contribute the most output — computed from the two key HISTOGRAMS
+    only, never materializing the join. The companion to
+    :func:`key_skew_report`: that one says whether a shuffle will
+    balance; this one says whether the join itself is about to
+    explode (the many-to-many fan-out that takes down a cluster run
+    long before skew does) and names the keys to pre-aggregate,
+    dedup, or salt.
+
+    Cost: two map-side-combined counts + one join of the histograms
+    (|distinct keys| rows, tiny next to the data) + one aggregate.
+    Output: top keys with (left_cnt, right_cnt, out_rows, out_share
+    6 dp) plus the join-total columns repeated on each row.
+    """
+    lc = left.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("lcnt")
+    )
+    rc = right.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("rcnt")
+    )
+    prod = lc.join(rc, "key").select(
+        "key", "lcnt", "rcnt", (F.col("lcnt") * F.col("rcnt")).alias("out")
+    )
+    totals = prod.agg(
+        F.sum("out").alias("total_out_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )
+    top = prod.orderBy(F.col("out").desc(), F.col("key").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("out").desc(), F.col("key").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(totals))
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "lcnt",
+            "rcnt",
+            F.col("out").alias("out_rows"),
+            F.round(
+                F.col("out") / F.col("total_out_rows").cast("double"), 6
+            ).alias("out_share"),
+            "total_out_rows",
+            "n_join_keys",
+        )
+    )

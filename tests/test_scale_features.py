@@ -118,3 +118,20 @@ def test_hll_sketches_merge_across_partitions(spark):
         .first()["est"]
     )
     assert abs(merged - 500) <= 25
+
+
+def test_join_explosion_exact_cardinality(spark):
+    from etl_gcp_spark.operators.skew import join_explosion_report
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 9]], "k long"
+    )
+    out = join_explosion_report(left, right, "k").collect()
+    # exact: key 1 -> 3*2=6, key 2 -> 1; key 3/9 don't join
+    assert out[0].key == "1" and out[0].out_rows == 6
+    assert out[0].total_out_rows == 7 and out[0].n_join_keys == 2
+    # equals the true join size
+    assert left.join(right, "k").count() == 7
