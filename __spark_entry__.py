@@ -1901,6 +1901,20 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_canonical_dedup_gain(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import canonical_dedup_gain
+
+    # how many exact dups only canonicalization can see
+    return canonical_dedup_gain(_t(spark, sf_dir, "documents"))
+
+
+def _q_label_centroid_drift(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import label_centroid_drift
+
+    # per-label centroid vs global centroid: batch-effect audit
+    return label_centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_join_explosion(spark, sf_dir):
     from etl_gcp_spark.operators.skew import join_explosion_report
 
@@ -2451,6 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_erasure": _q_user_erasure,
         "payload_dedup": _q_payload_dedup,
         "join_explosion": _q_join_explosion,
+        "canonical_dedup_gain": _q_canonical_dedup_gain,
+        "label_centroid_drift": _q_label_centroid_drift,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5688,6 +5704,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    # canonicalization gain reuses normalize_text's replay as a CTE
+    sql["canonical_dedup_gain"] = f"""
+        WITH norm AS ({sql["normalize_text"]})
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(d.text)) AS BIGINT)
+                   AS raw_distinct,
+               CAST(count(DISTINCT md5(n.text_norm)) AS BIGINT)
+                   AS canonical_distinct,
+               CAST(count(DISTINCT md5(d.text))
+                    - count(DISTINCT md5(n.text_norm)) AS BIGINT)
+                   AS gained_dups
+        FROM documents d JOIN norm n USING (doc_id)
+    """
+    sql["label_centroid_drift"] = """
+        WITH e AS (
+            SELECT label, g.i AS pos, embedding[g.i+1]::DOUBLE AS v
+            FROM embeddings CROSS JOIN LATERAL
+                (SELECT unnest(range(0, len(embedding))) AS i) g
+        ), per_label AS (
+            SELECT label, pos, round(avg(v), 6) AS ml
+            FROM e GROUP BY 1, 2
+        ), gcent AS (
+            SELECT pos, round(avg(v), 6) AS mg FROM e GROUP BY 1
+        ), sizes AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY 1
+        ), sums AS (
+            SELECT label,
+                   CAST(sum(CAST(ml * mg AS DECIMAL(28,12)))
+                        AS DOUBLE) AS dot,
+                   CAST(sum(CAST(ml * ml AS DECIMAL(28,12)))
+                        AS DOUBLE) AS nl,
+                   CAST(sum(CAST(mg * mg AS DECIMAL(28,12)))
+                        AS DOUBLE) AS ng
+            FROM per_label JOIN gcent USING (pos)
+            GROUP BY label
+        )
+        SELECT s.label, z.n_vecs,
+               round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global
+        FROM sums s JOIN sizes z ON z.label = s.label
+        ORDER BY s.label
     """
     sql["join_explosion"] = """
         WITH lc AS (

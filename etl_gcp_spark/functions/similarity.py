@@ -1770,3 +1770,65 @@ def semdedup_prune(
     from etl_gcp_spark.caching import tag_pinned
 
     return tag_pinned(out, assigned)
+
+
+def label_centroid_drift(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid alignment with the global centroid — the
+    batch-effect / encoder-drift audit over a labeled embedding
+    table: a label whose centroid points away from the global one
+    (low cosine) was embedded differently (different encoder
+    version, preprocessing, or a genuinely distinct subpopulation)
+    and will distort any distance-based curation done on the pooled
+    space.
+
+    Shape: one posexplode pass feeding BOTH centroid aggregations
+    ((label, pos) and (pos) — map-side combined, ≤ labels·dim rows
+    shuffled); centroid components round to 6 dp; the cosine's dot
+    and norms accumulate as DECIMAL(28,12) (each double product
+    rounds once at the cast) so the per-label reduction over
+    dimensions is exact and order-free. Output: (label, n_vecs,
+    cos_to_global 6 dp).
+    """
+    base = embeddings.select(
+        F.col(label_col).alias("label"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    expl = base.select(
+        "label", F.posexplode("__v").alias("pos", "v")
+    )
+    per_label = expl.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("ml")
+    )
+    global_c = expl.groupBy("pos").agg(
+        F.round(F.avg("v"), 6).alias("mg")
+    )
+    sizes = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dec = "decimal(28,12)"
+    joined = per_label.join(F.broadcast(global_c), "pos")
+    sums = joined.groupBy("label").agg(
+        F.sum((F.col("ml") * F.col("mg")).cast(dec)).alias("__dot"),
+        F.sum((F.col("ml") * F.col("ml")).cast(dec)).alias("__nl"),
+        F.sum((F.col("mg") * F.col("mg")).cast(dec)).alias("__ng"),
+    )
+    return (
+        sums.join(sizes, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__nl").cast("double"))
+                    * F.sqrt(F.col("__ng").cast("double"))
+                ),
+                6,
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

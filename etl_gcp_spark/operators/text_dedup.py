@@ -893,3 +893,45 @@ def shingle_cosine_pairs(
     from etl_gcp_spark.caching import tag_pinned
 
     return tag_pinned(out, posting)
+
+
+def canonical_dedup_gain(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """How much dedup does CANONICALIZATION buy? One row comparing
+    distinct counts under raw bytes vs normalized text
+    (:func:`~etl_gcp_spark.functions.text.normalize_text`): the gap is
+    exactly the duplicates that exact-hash dedup MISSES when run on
+    un-normalized text (decomposed accents, stray control bytes,
+    ragged spacing) — the number that justifies (or kills) adding the
+    normalization pass in front of the digest.
+
+    Two count-distinct aggregates over 16-byte digests in one pass —
+    the texts themselves are never shuffled. Output: (n_docs,
+    raw_distinct, canonical_distinct, gained_dups).
+    """
+    from etl_gcp_spark.functions.text import normalize_text
+
+    norm = normalize_text(documents, text_col, id_col).select(
+        id_col, "text_norm"
+    )
+    joined = documents.select(F.col(id_col), F.col(text_col)).join(
+        norm, id_col
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("raw_distinct"),
+        F.countDistinct(F.md5(F.col("text_norm"))).alias(
+            "canonical_distinct"
+        ),
+    ).select(
+        "n_docs",
+        "raw_distinct",
+        "canonical_distinct",
+        (F.col("raw_distinct") - F.col("canonical_distinct")).alias(
+            "gained_dups"
+        ),
+    )

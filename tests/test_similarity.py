@@ -541,3 +541,22 @@ def test_semdedup_drops_within_cell_near_dup_keeps_lowest(spark):
     assert out[2].kept is False          # higher id of the dup pair
     assert out[3].kept is True
     assert out[1].cell != out[3].cell    # clustering separated them
+
+
+def test_label_centroid_drift_flags_shifted_label(spark):
+    from etl_gcp_spark.functions.similarity import label_centroid_drift
+
+    # labels 0/1 aligned along +x; label 9 points along -x: its
+    # centroid must be far less aligned with the global centroid
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.1 * (i % 3)], 0))
+        rows.append((100 + i, [1.0, 0.05 * (i % 2)], 1))
+        rows.append((200 + i, [-1.0, 0.0], 9))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.label: r.cos_to_global for r in
+           label_centroid_drift(df).collect()}
+    assert out[0] > 0.9 and out[1] > 0.9
+    assert out[9] < 0

@@ -231,3 +231,22 @@ def test_ngram_novelty_prefix_coverage(spark):
     assert out[2].novelty == 0.0
     # doc 3: shingles {abc, bcx, cxy, xyz, yzw}; only 'a b c' seen
     assert out[3].n_shingles == 5 and out[3].n_novel == 4
+
+
+def test_canonical_dedup_gain_counts_normalization_dups(spark):
+    from etl_gcp_spark.operators.text_dedup import canonical_dedup_gain
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world"),   # ragged spacing
+            (2, "hello world"),    # canonical twin of 1
+            (3, "hello world"),    # raw dup of 2
+            (4, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    row = canonical_dedup_gain(docs).collect()[0]
+    assert row.n_docs == 4
+    assert row.raw_distinct == 3       # 1 vs {2,3} vs 4
+    assert row.canonical_distinct == 2
+    assert row.gained_dups == 1
