@@ -451,3 +451,59 @@ def test_pagerank_rank_frames_broadcast(spark, sf_dir):
     # the only big shuffles are the window pass and the edge groupBy
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered_and_filters_early(spark, sf_dir):
+    from etl_gcp_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(bm25_topk(docs, ["spark", "vector"], k=10))
+    # top-k must be TakeOrderedAndProject, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # the query-term probe runs as a plain Filter (codegen isin)
+    # before any aggregation -- no join against a term table
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_shingle_cosine_exchange_carries_hash_not_text(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import shingle_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan_formatted(shingle_cosine_pairs(docs, threshold=0.5))
+    # posting joins are keyed on the 8-byte xxhash64; the raw shingle
+    # string never survives into an exchange
+    assert "xxhash64" in plan
+    assert "Exchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__s" not in line
+
+
+def test_cms_sketch_plan_has_no_python_and_tiny_shuffle(spark, sf_dir):
+    from etl_gcp_spark.functions.sketches import cms_build
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(cms_build(ev, "user_id"))
+    # pure codegen arithmetic: no Arrow/Python stage anywhere
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # one partial+final aggregate pair over (row, bucket)
+    assert "HashAggregate" in plan
+
+
+def test_logreg_gradient_aggregates_map_side(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.classifier import (
+        doc_feature_table,
+        train_logreg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = doc_feature_table(
+        docs, label=(F.col("lang") == "en").cast("double")
+    )
+    plan = _plan(train_logreg(feats, n_steps=1))
+    # the gradient reduction is a partial/final HashAggregate pair --
+    # the shuffle carries 4 decimal partials + a count, never rows
+    assert "HashAggregate" in plan
+    assert "BroadcastExchange" in plan  # weights ride a broadcast
