@@ -1901,6 +1901,13 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_streaming_topk(spark, sf_dir):
+    from etl_gcp_spark.streaming.events import run_streaming_topk
+
+    # additive top-k over 4 microbatches == batch top-k exactly
+    return run_streaming_topk(spark, _t(spark, sf_dir, "events"), k=5)
+
+
 def _q_canonical_dedup_gain(spark, sf_dir):
     from etl_gcp_spark.operators.text_dedup import canonical_dedup_gain
 
@@ -2467,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_explosion": _q_join_explosion,
         "canonical_dedup_gain": _q_canonical_dedup_gain,
         "label_centroid_drift": _q_label_centroid_drift,
+        "streaming_topk": _q_streaming_topk,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5704,6 +5712,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["streaming_topk"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+        ORDER BY n_events DESC, event_type LIMIT 5
     """
     # canonicalization gain reuses normalize_text's replay as a CTE
     sql["canonical_dedup_gain"] = f"""

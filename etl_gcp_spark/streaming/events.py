@@ -666,3 +666,79 @@ def run_streaming_cms(
     return cms_point_queries(
         events, key_col, query_keys, width=width, sketch=merged
     )
+
+
+def run_streaming_topk(
+    spark: SparkSession,
+    events: DataFrame,
+    *,
+    k: int = 5,
+    key_col: str = "event_type",
+    n_batches: int = 4,
+) -> DataFrame:
+    """Continuous top-k heavy hitters over a stream: each microbatch
+    reduces to its own (key, count) partial, appended to a counter
+    store; the live answer is the top-k of the summed partials.
+    Counting is ADDITIVE, so the streamed answer equals the batch
+    answer exactly — like :func:`run_streaming_cms` this gives a
+    streaming entry a full value-hash oracle (and unlike the sketch,
+    the state here grows with |distinct keys|; when that's unbounded,
+    THE sketch is the fallback — the two entries are the two sides of
+    that trade).
+
+    Per trigger: one map-side-combined count (≤ |keys| rows) and an
+    O(KB) append; the final top-k is orderBy+limit over the merged
+    counter table.
+    """
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_stopk_{uuid.uuid4().hex}"
+    )
+    staged = os.path.join(root, "in")
+    keys = events.select(F.col("event_id"), F.col(key_col))
+    bounds = keys.approxQuantile(
+        "event_id", [i / n_batches for i in range(1, n_batches)], 0.0
+    )
+    lo = None
+    for i in range(n_batches):
+        hi = bounds[i] if i < len(bounds) else None
+        part = keys
+        if lo is not None:
+            part = part.filter(F.col("event_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("event_id") <= hi)
+        part.coalesce(1).write.parquet(os.path.join(staged, f"b{i:02d}"))
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(f"event_id long, {key_col} string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(staged, "*"))
+    )
+    counts_dir = os.path.join(root, "counts")
+
+    def fold(batch_df, _batch_id):
+        batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("append").parquet(counts_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return (
+        spark.read.parquet(counts_dir)
+        .groupBy(key_col)
+        .agg(F.sum("cnt").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col(key_col))
+        .limit(k)
+    )
