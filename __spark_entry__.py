@@ -1901,6 +1901,26 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_event_type_lift(spark, sf_dir):
+    from etl_gcp_spark.operators.events import event_type_lift
+
+    # market-basket lift between event types at user level; exact
+    # integer statistic, one final division
+    return event_type_lift(_t(spark, sf_dir, "events"))
+
+
+def _q_kfold_counts(spark, sf_dir):
+    from etl_gcp_spark.operators.sampling import kfold_assign
+
+    # grouped 5-fold by customer key; balance summary per orderstatus
+    return kfold_assign(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        k=5,
+        strat_col="o_orderstatus",
+    )
+
+
 def _q_streaming_topk(spark, sf_dir):
     from etl_gcp_spark.streaming.events import run_streaming_topk
 
@@ -2475,6 +2495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup_gain": _q_canonical_dedup_gain,
         "label_centroid_drift": _q_label_centroid_drift,
         "streaming_topk": _q_streaming_topk,
+        "event_type_lift": _q_event_type_lift,
+        "kfold_counts": _q_kfold_counts,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5712,6 +5734,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["event_type_lift"] = """
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), n AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM ut
+        ), singles AS (
+            SELECT event_type AS t, CAST(count(*) AS BIGINT) AS c
+            FROM ut GROUP BY 1
+        ), cooc AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_both,
+               round((n_both * n_users)
+                     / CAST(sa.c * sb.c AS DOUBLE), 4) AS lift
+        FROM cooc
+        JOIN singles sa ON sa.t = type_a
+        JOIN singles sb ON sb.t = type_b
+        CROSS JOIN n
+        ORDER BY type_a, type_b
+    """
+    sql["kfold_counts"] = """
+        SELECT ((o_custkey * 48271) % 2147483647) % 10000 % 5 AS fold,
+               o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     sql["streaming_topk"] = """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events

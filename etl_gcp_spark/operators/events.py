@@ -463,3 +463,59 @@ def user_value_trend(events: DataFrame) -> DataFrame:
             F.round(F.corr("y", "x"), 6).alias("corr_xy"),
         )
     )
+
+
+def event_type_lift(events: DataFrame) -> DataFrame:
+    """Market-basket LIFT between event types at the user level:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over users — >1 means the two
+    behaviors co-occur beyond chance (cross-sell / funnel-adjacency
+    signal), <1 means they repel. The log-free rational form keeps
+    the whole statistic in exact integer arithmetic until ONE final
+    division: lift = (n_both · n_users) / (n_a · n_b), all BIGINT —
+    the engine's standard no-transcendentals posture (PMI is the log
+    of this; ranking by lift IS ranking by PMI).
+
+    Shape: one distinct (user, type) projection (map-side), a
+    user-keyed self-join whose per-user fan-out is bounded by the
+    TYPE-domain squared (tiny, whatever the row count), and
+    broadcast joins of the per-type user counts. Output:
+    (type_a, type_b, n_both, lift 4 dp) for every co-occurring pair,
+    type_a < type_b.
+    """
+    ut = events.select("user_id", "event_type").dropDuplicates()
+    # scalar stays IN the plan (1-row broadcast) — no driver action
+    n_users = ut.agg(
+        F.countDistinct("user_id").alias("__n_users")
+    )
+    singles = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(singles.withColumnRenamed("t", "type_a")), "type_a"
+        )
+        .withColumnRenamed("c", "__ca")
+        .join(
+            F.broadcast(singles.withColumnRenamed("t", "type_b")), "type_b"
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("__n_users"))
+                / (F.col("__ca") * F.col("c")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

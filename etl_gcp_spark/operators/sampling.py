@@ -168,3 +168,33 @@ def temporal_split(
     )
     cols = [F.col(id_col)] if id_col else []
     return df.select(*cols, t.alias(time_col), split.alias("split"))
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 5,
+    strat_col: str | None = None,
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = Lehmer-hash(key) mod k
+    — the same exact-arithmetic hash as every sampler here, so folds
+    are reproducible across runs, engines, and partitionings, and all
+    rows sharing a key land in one fold (grouped CV: a customer's
+    orders never straddle folds — the grouped-leakage guard;
+    ``temporal_split`` and ``leakage_safe_split`` cover the time and
+    similarity axes).
+
+    Pure codegen projection plus, when ``strat_col`` is given, a
+    ≤ k·|strata|-row balance summary instead of row output — the
+    table one reads to check the folds are stratification-balanced.
+    """
+    fold = (hash_bucket(F.col(key_col), 10_000) % F.lit(k)).alias("fold")
+    if strat_col is None:
+        return df.select(F.col(key_col), fold)
+    return (
+        df.select(fold, F.col(strat_col))
+        .groupBy("fold", strat_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("fold", strat_col)
+    )

@@ -179,3 +179,19 @@ def test_corrupt_records_quarantined_not_fatal(spark, tmp_path):
     assert sorted(r["k"] for r in good.collect()) == [1, 2]
     bad = df.filter(df["_corrupt_record"].isNotNull())
     assert bad.count() == 1 and "garbage" in bad.first()["_corrupt_record"]
+
+
+def test_event_type_lift_hand_computed(spark):
+    from etl_gcp_spark.operators.events import event_type_lift
+
+    # users: 1:{a,b} 2:{a,b} 3:{a} 4:{c}
+    # lift(a,b) = (2*4)/(3*2) = 1.3333 ; (a,c)/(b,c) never co-occur
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+         (1, "a")],  # duplicate event collapses
+        "user_id long, event_type string",
+    )
+    out = {(r.type_a, r.type_b): r for r in event_type_lift(ev).collect()}
+    assert out[("a", "b")].n_both == 2
+    assert out[("a", "b")].lift == round(8 / 6, 4)
+    assert ("a", "c") not in out

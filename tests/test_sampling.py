@@ -122,3 +122,23 @@ def test_temporal_split_embargo_bounds(spark):
     }
     # cutoff day itself trains; inside the 30-day shoulder -> embargo
     assert out == {1: "train", 2: "train", 3: "embargo", 4: "test"}
+
+
+def test_kfold_assign_grouped_and_deterministic(spark):
+    from etl_gcp_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(k, f"s{k % 2}") for k in range(200) for _ in range(2)],
+        "key long, status string",
+    )
+    rows = kfold_assign(df, "key", k=5).collect()
+    folds = {}
+    for r in rows:
+        folds.setdefault(r.key, set()).add(r.fold)
+    # grouped: every key maps to exactly one fold
+    assert all(len(v) == 1 for v in folds.values())
+    assert set().union(*folds.values()) <= set(range(5))
+    # deterministic across invocations/partitionings
+    again = {r.key: r.fold for r in
+             kfold_assign(df.repartition(7), "key", k=5).collect()}
+    assert all(again[k] == next(iter(v)) for k, v in folds.items())
