@@ -1901,6 +1901,17 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_boxplot_prices(spark, sf_dir):
+    from etl_gcp_spark.operators.quality import boxplot_stats
+
+    # five-number summary + Tukey fence outliers per return flag
+    return boxplot_stats(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_col="l_returnflag",
+    )
+
+
 def _q_event_type_lift(spark, sf_dir):
     from etl_gcp_spark.operators.events import event_type_lift
 
@@ -2497,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": _q_streaming_topk,
         "event_type_lift": _q_event_type_lift,
         "kfold_counts": _q_kfold_counts,
+        "boxplot_prices": _q_boxplot_prices,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5734,6 +5746,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["boxplot_prices"] = """
+        WITH stats AS (
+            SELECT l_returnflag AS grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(l_extendedprice, 0.0), 4) AS min_v,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS q3,
+                   round(quantile_cont(l_extendedprice, 1.0), 4) AS max_v
+            FROM lineitem GROUP BY 1
+        )
+        SELECT s.grp AS l_returnflag, s.n, s.min_v, s.q1, s.median,
+               s.q3, s.max_v,
+               CAST(sum(CASE WHEN l.l_extendedprice
+                                  < s.q1 - 1.5 * (s.q3 - s.q1)
+                              OR l.l_extendedprice
+                                  > s.q3 + 1.5 * (s.q3 - s.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM lineitem l JOIN stats s ON s.grp = l.l_returnflag
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+        ORDER BY 1
     """
     sql["event_type_lift"] = """
         WITH ut AS (

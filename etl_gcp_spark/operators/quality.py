@@ -276,3 +276,57 @@ def benford_check(df: DataFrame, col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def boxplot_stats(
+    df: DataFrame, col: str, *, group_col: str, k: float = 1.5
+) -> DataFrame:
+    """Per-group five-number summary + Tukey outlier counts — the
+    boxplot table (min, q1, median, q3, max, IQR-fence outliers):
+    the at-a-glance distribution audit that profile_table's
+    moment-based row can't give (quartiles survive skew and heavy
+    tails; the k·IQR fence is the classic robust outlier rule,
+    between zscore_outliers' fragile sigma and mad_outliers' heavier
+    two-pass MAD).
+
+    ONE array-percentile aggregate per group buffers the column once
+    (the five scalar forms would buffer it five times — winsorize's
+    measured trap), then a single re-scan counts fence violations
+    against the broadcast quartile table. Quartiles round to 4 dp;
+    fences are arithmetic on the rounded values — replayable.
+    """
+    q = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.percentile(
+            col,
+            F.array(
+                F.lit(0.0), F.lit(0.25), F.lit(0.5),
+                F.lit(0.75), F.lit(1.0),
+            ),
+        ).alias("__q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = q.select(
+        "grp",
+        "n",
+        F.round(F.element_at("__q", 1), 4).alias("min_v"),
+        F.round(F.element_at("__q", 2), 4).alias("q1"),
+        F.round(F.element_at("__q", 3), 4).alias("median"),
+        F.round(F.element_at("__q", 4), 4).alias("q3"),
+        F.round(F.element_at("__q", 5), 4).alias("max_v"),
+    )
+    lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
+    out = (
+        df.select(F.col(group_col).alias("grp"), F.col(col).alias("__v"))
+        .join(F.broadcast(stats), "grp")
+        .groupBy("grp", "n", "min_v", "q1", "median", "q3", "max_v")
+        .agg(
+            F.sum(
+                ((F.col("__v") < lo) | (F.col("__v") > hi)).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n", "min_v", "q1", "median", "q3", "max_v", "n_outliers",
+    ).orderBy(group_col)

@@ -170,3 +170,19 @@ def test_benford_excludes_sub_one_and_null(spark):
     rows = benford_check(df, "amount").collect()
     assert len(rows) == 1
     assert rows[0].digit == 1 and rows[0].n == 1 and rows[0].obs_share == 1.0
+
+
+def test_boxplot_stats_hand_computed(spark):
+    from etl_gcp_spark.operators.quality import boxplot_stats
+
+    # values 1..9 plus a wild 100: q1=3.25, med=6.5? no -- with 10
+    # values quantile_cont interpolates; just assert the invariants
+    df = spark.createDataFrame(
+        [(float(v), "g") for v in range(1, 10)] + [(100.0, "g")],
+        "x double, g string",
+    )
+    r = boxplot_stats(df, "x", group_col="g").collect()[0]
+    assert r.n == 10 and r.min_v == 1.0 and r.max_v == 100.0
+    assert r.q1 < r.median < r.q3 < r.max_v
+    # 100 is far beyond q3 + 1.5 IQR -> exactly one fence outlier
+    assert r.n_outliers == 1
