@@ -1901,6 +1901,13 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_embedding_pca2(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import embedding_pca2
+
+    # two components via Hotelling deflation; full training replay
+    return embedding_pca2(_t(spark, sf_dir, "embeddings"), n_iter=3)
+
+
 def _q_boxplot_prices(spark, sf_dir):
     from etl_gcp_spark.operators.quality import boxplot_stats
 
@@ -2509,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_lift": _q_event_type_lift,
         "kfold_counts": _q_kfold_counts,
         "boxplot_prices": _q_boxplot_prices,
+        "embedding_pca2": _q_embedding_pca2,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5666,6 +5674,52 @@ def oracle_sql() -> dict[str, str]:
                round(sum((v - m.m) * {_prev}.w), 6) AS pc1
         FROM e JOIN m ON m.pos = e.pos
                JOIN {_prev} ON {_prev}.j = e.pos
+        GROUP BY vec_id
+    """
+    # pca2: same head + phase-1 iters, then Hotelling deflation
+    # (λ = Rayleigh quotient on the final iterate, C′ = C − λ·w wᵀ,
+    # both rounded 6 dp exactly as the Spark plan) and a second power
+    # chain q1..q3 on cov2 from the SAME w0 start
+    _pca2_iters = ""
+    _qprev = "w0"
+    for _k in (1, 2, 3):
+        _pca2_iters += f"""
+        qu{_k} AS (
+            SELECT i, sum(c * w) AS u
+            FROM cov2 JOIN {_qprev} ON {_qprev}.j = cov2.j GROUP BY i
+        ),
+        qn{_k} AS (SELECT sqrt(sum(u*u)) AS nrm FROM qu{_k}),
+        q{_k} AS (SELECT i AS j, round(u/nrm, 6) AS w
+                  FROM qu{_k}, qn{_k}),"""
+        _qprev = f"q{_k}"
+    _pca_head = sql["embedding_pca"].split(
+        f"SELECT vec_id,\n               round(sum((v - m.m) * {_prev}.w), 6) AS pc1"
+    )[0].strip().rstrip(",").replace("WITH e AS", "e AS")
+    sql["embedding_pca2"] = f"""
+        WITH {_pca_head},
+        uL AS (
+            SELECT i, sum(c * w) AS u
+            FROM cov JOIN {_prev} ON {_prev}.j = cov.j GROUP BY i
+        ),
+        lam AS (
+            SELECT round(sum(uL.u * wz.w), 6) AS lam
+            FROM uL JOIN {_prev} wz ON wz.j = uL.i
+        ),
+        cov2 AS (
+            SELECT cov.i AS i, cov.j AS j,
+                   round(c - lam * wi.w * wj.w, 6) AS c
+            FROM cov
+            JOIN {_prev} wi ON wi.j = cov.i
+            JOIN {_prev} wj ON wj.j = cov.j
+            CROSS JOIN lam
+        ),
+        {_pca2_iters.strip().rstrip(',')}
+        SELECT vec_id,
+               round(sum((v - m.m) * {_prev}.w), 6) AS pc1,
+               round(sum((v - m.m) * {_qprev}.w), 6) AS pc2
+        FROM e JOIN m ON m.pos = e.pos
+               JOIN {_prev} ON {_prev}.j = e.pos
+               JOIN {_qprev} ON {_qprev}.j = e.pos
         GROUP BY vec_id
     """
     sql["perplexity_filter"] = f"""

@@ -1446,6 +1446,20 @@ def embedding_pca1(
     the isotropy — audit dimension health with
     :func:`embedding_dim_audit`, which is spectrum-independent.
     """
+    base, means, cov = _pca_base_cov(embeddings, id_col, vec_col)
+    w = _pca_power(cov, _pca_w0(means), n_iter)
+    model = _pca_means_array(means).crossJoin(_pca_w_array(w, "__w"))
+    out = base.crossJoin(F.broadcast(model)).select(
+        F.col("__id").alias(id_col),
+        _pca_projection("__w").alias("pc1"),
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, cov)
+
+
+def _pca_base_cov(embeddings, id_col, vec_col):
+    """(base, 6-dp per-dim means, 6-dp covariance) — pca phase 1."""
     base = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -1472,14 +1486,30 @@ def embedding_pca1(
         # re-running the n·d² generation (release: unpersist_pinned)
         .persist()
     )
+    return base, means, cov
+
+
+def _pca_w0(means):
+    """Deterministic start iterate: 1/√d · 𝟙 (6 dp)."""
     dim_df = means.agg(F.count(F.lit(1)).alias("d"))
-    w = (
+    return (
         means.join(F.broadcast(dim_df))
         .select(
             F.col("pos").alias("j"),
             F.round(F.lit(1.0) / F.sqrt(F.col("d")), 6).alias("w"),
         )
     )
+
+
+def _pca_power(cov, w, n_iter: int):
+    """Fixed power steps; ONE tie-free 6-dp rounding per step.
+
+    Each step references the matvec ``u`` twice (directly and inside
+    the norm aggregate), doubling the logical plan per iteration —
+    fine at 3 steps, driver-OOM by 8 (same trap as the logreg
+    trainer's weight re-join). The lazy ``localCheckpoint`` on the
+    d-row iterate truncates lineage each step without adding a job.
+    """
     for _ in range(n_iter):
         u = (
             cov.join(F.broadcast(w), "j")
@@ -1495,43 +1525,112 @@ def embedding_pca1(
                 F.col("i").alias("j"),
                 F.round(F.col("u") / F.col("nrm"), 6).alias("w"),
             )
+            .localCheckpoint(eager=False)
         )
+    return w
+
+
+def _pca_means_array(means):
+    return means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda x: x["m"],
+        ).alias("__m")
+    )
+
+
+def _pca_w_array(w, name: str):
+    return w.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "w"))),
+            lambda x: x["w"],
+        ).alias(name)
+    )
+
+
+def _pca_projection(w_array_col: str):
+    """round((x − m)·w, 6) as a sequential zip/aggregate dot."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.zip_with("__v", "__m", lambda v, m: v - m),
+                w_array_col,
+                lambda cvd, wv: cvd * wv,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def embedding_pca2(
+    embeddings: DataFrame,
+    *,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-TWO principal components by power iteration + Hotelling
+    DEFLATION: after pc1's iterate w₁ converges, the covariance is
+    deflated to C′ = C − λ₁·w₁w₁ᵀ (λ₁ = w₁ᵀCw₁, the Rayleigh
+    quotient) and the same power loop runs on C′, whose dominant
+    direction is pc2. Output (id, pc1, pc2) — the 2-D embedding map
+    for visual audits, stratified sharding, and coverage checks,
+    where one axis (:func:`embedding_pca1`) flattens distinct modes
+    onto each other.
+
+    Every deflation quantity stays on the d²-row frame: λ₁ is one
+    matvec + one d-row dot (rounded 6 dp), C′ is an elementwise
+    broadcast-join update (rounded 6 dp) — so the full two-component
+    training replays in the SQL oracle exactly like pc1's. Same
+    convergence caveat as pc1 on near-isotropic clouds, squared: the
+    λ₂/λ₃ gap governs pc2.
+    """
+    base, means, cov = _pca_base_cov(embeddings, id_col, vec_col)
+    w0 = _pca_w0(means)
+    w1 = _pca_power(cov, w0, n_iter)
+    # Rayleigh quotient on the FINAL iterate: u = C·w1, λ = u·w1
+    u = (
+        cov.join(F.broadcast(w1), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("u"))
+    )
+    lam = (
+        u.join(
+            F.broadcast(w1.select(F.col("j").alias("i"), "w")), "i"
+        ).agg(F.round(F.sum(F.col("u") * F.col("w")), 6).alias("lam"))
+    )
+    wi = w1.select(F.col("j").alias("i"), F.col("w").alias("wi"))
+    wj = w1.select("j", F.col("w").alias("wj"))
+    cov2 = (
+        cov.join(F.broadcast(wi), "i")
+        .join(F.broadcast(wj), "j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i", "j",
+            F.round(
+                F.col("c")
+                - F.col("lam") * F.col("wi") * F.col("wj"),
+                6,
+            ).alias("c"),
+        )
+        .persist()
+    )
+    w2 = _pca_power(cov2, w0, n_iter)
     model = (
-        means.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda x: x["m"],
-            ).alias("__m")
-        )
-        .crossJoin(
-            w.agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "w"))),
-                    lambda x: x["w"],
-                ).alias("__w")
-            )
-        )
+        _pca_means_array(means)
+        .crossJoin(_pca_w_array(w1, "__w1"))
+        .crossJoin(_pca_w_array(w2, "__w2"))
     )
     out = base.crossJoin(F.broadcast(model)).select(
         F.col("__id").alias(id_col),
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.zip_with(
-                        "__v", "__m", lambda v, m: v - m
-                    ),
-                    "__w",
-                    lambda cvd, wv: cvd * wv,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("pc1"),
+        _pca_projection("__w1").alias("pc1"),
+        _pca_projection("__w2").alias("pc2"),
     )
     from etl_gcp_spark.caching import tag_pinned
 
-    return tag_pinned(out, cov)
+    return tag_pinned(out, cov, cov2)
 
 
 def embedding_dim_audit(

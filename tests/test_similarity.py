@@ -560,3 +560,40 @@ def test_label_centroid_drift_flags_shifted_label(spark):
            label_centroid_drift(df).collect()}
     assert out[0] > 0.9 and out[1] > 0.9
     assert out[9] < 0
+
+
+def test_pca2_recovers_planted_orthogonal_axes(spark):
+    import random
+
+    from etl_gcp_spark.functions.similarity import embedding_pca2
+
+    # variance planted on axes 0 (strong) and 1 (weaker); axis 2 is
+    # noise-free constant. pc1 must track axis 0, pc2 axis 1.
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        a = rng.gauss(0, 10.0)
+        b = rng.gauss(0, 3.0)
+        rows.append((i, [a, b, 5.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.pc1, r.pc2) for r in
+           embedding_pca2(df, n_iter=8).collect()}
+    xs = {i: rows[i][1] for i in range(120)}
+
+    def corr(proj_idx, axis):
+        import statistics
+
+        p = [got[i][proj_idx] for i in range(120)]
+        x = [xs[i][axis] for i in range(120)]
+        mp, mx = statistics.mean(p), statistics.mean(x)
+        num = sum((a - mp) * (b - mx) for a, b in zip(p, x))
+        den = (
+            sum((a - mp) ** 2 for a in p)
+            * sum((b - mx) ** 2 for b in x)
+        ) ** 0.5
+        return num / den
+
+    assert abs(corr(0, 0)) > 0.99
+    assert abs(corr(1, 1)) > 0.99
+    # and the projections are (near-)uncorrelated with the other axis
+    assert abs(corr(0, 1)) < 0.3 and abs(corr(1, 0)) < 0.3
