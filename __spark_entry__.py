@@ -1901,6 +1901,17 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_integrity_report(spark, sf_dir):
+    from etl_gcp_spark.operators.validate import integrity_report
+
+    # dbt-style unique + relationship tests over the TPC-H core
+    return integrity_report(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
 def _q_embedding_pca2(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import embedding_pca2
 
@@ -2517,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_counts": _q_kfold_counts,
         "boxplot_prices": _q_boxplot_prices,
         "embedding_pca2": _q_embedding_pca2,
+        "integrity_report": _q_integrity_report,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5800,6 +5812,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["integrity_report"] = """
+        SELECT 'unique:o_orderkey' AS rule,
+               CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS n_violations
+        FROM (SELECT count(*) AS n_rows FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'fk:lineitem.l_orderkey->orders',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'fk:orders.o_custkey->customer',
+               CAST(count(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
     """
     sql["boxplot_prices"] = """
         WITH stats AS (

@@ -96,3 +96,62 @@ def order_rule(low_col: str, high_col: str) -> Rule:
 def not_null_rule(col: str) -> Rule:
     """P13 analog: NULL in a critical column is a violation."""
     return Rule(f"{col}_null", F.col(col).isNull())
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows beyond the first per key combination — the dbt-style
+    UNIQUE test (the validator family's P11-P14 check values; this
+    checks IDENTITY). One map-side-combined count per key; output is
+    the violating key combinations with their multiplicities."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Orphaned child rows — the dbt-style RELATIONSHIP test: child
+    keys with no matching parent (a broadcast/shuffle anti-join,
+    whichever side AQE picks). Output: (orphan key, n_rows)."""
+    return (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).dropDuplicates(),
+            child_key,
+            "left_anti",
+        )
+        .groupBy(child_key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def integrity_report(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """One row per integrity rule over the TPC-H core: primary-key
+    uniqueness and both fact→dimension relationships — the schema-
+    integrity complement to the value-level validator (P11-P14).
+    Each rule is an independent aggregate; Spark runs the subtrees as
+    parallel stages. Output: (rule, n_violations) — all zeros on
+    healthy data, and the zeros are the point: this is the gate that
+    PROVES key integrity before joins assume it.
+    """
+    uniq = uniqueness_violations(orders, ["o_orderkey"]).agg(
+        F.lit("unique:o_orderkey").alias("rule"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_violations"),
+    )
+    fk_li = referential_violations(
+        lineitem, orders, "l_orderkey", "o_orderkey"
+    ).agg(
+        F.lit("fk:lineitem.l_orderkey->orders").alias("rule"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_violations"),
+    )
+    fk_cust = referential_violations(
+        orders, customer, "o_custkey", "c_custkey"
+    ).agg(
+        F.lit("fk:orders.o_custkey->customer").alias("rule"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_violations"),
+    )
+    return uniq.unionByName(fk_li).unionByName(fk_cust)

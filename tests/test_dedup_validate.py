@@ -186,3 +186,21 @@ def test_boxplot_stats_hand_computed(spark):
     assert r.q1 < r.median < r.q3 < r.max_v
     # 100 is far beyond q3 + 1.5 IQR -> exactly one fence outlier
     assert r.n_outliers == 1
+
+
+def test_integrity_report_catches_planted_violations(spark):
+    from etl_gcp_spark.operators.validate import integrity_report
+
+    orders = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 99)],  # dup orderkey; custkey 99 orphan
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(1,), (7,)], "l_orderkey long"  # 7 has no order
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    out = {r.rule: r.n_violations for r in
+           integrity_report(orders, lineitem, customer).collect()}
+    assert out["unique:o_orderkey"] == 2
+    assert out["fk:lineitem.l_orderkey->orders"] == 1
+    assert out["fk:orders.o_custkey->customer"] == 1
