@@ -219,13 +219,23 @@ def mad_outliers(
     med = df.groupBy(group_col).agg(
         F.round(F.percentile(col, F.lit(0.5)), 4).alias("med")
     )
-    dev = df.join(F.broadcast(med), group_col).withColumn(
-        "__ad", F.abs(F.col(col) - F.col("med"))
+    # pinned: BOTH the MAD aggregation and the final counting pass
+    # re-scan the deviation frame; without the pin each re-runs the
+    # scan + median broadcast join. The two sequential per-group
+    # percentile buffers still dominate (inherent to MAD — the second
+    # median's input does not exist until the first resolves); the
+    # pin trims the re-scan, ~5% at sf0.1, more when the source is
+    # remote storage rather than local parquet.
+    dev = (
+        df.select(F.col(group_col), F.col(col))
+        .join(F.broadcast(med), group_col)
+        .withColumn("__ad", F.abs(F.col(col) - F.col("med")))
+        .persist()
     )
     mad = dev.groupBy(group_col).agg(
         F.round(F.percentile("__ad", F.lit(0.5)), 4).alias("mad")
     )
-    return (
+    out = (
         dev.join(F.broadcast(mad), group_col)
         .groupBy(group_col, "med", "mad")
         .agg(
@@ -238,6 +248,9 @@ def mad_outliers(
         )
         .select(group_col, "n", "med", "mad", "n_outliers")
     )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, dev)
 
 
 def user_erasure(
