@@ -1386,6 +1386,34 @@ def _q_write_roundtrip_orc(spark, sf_dir):
     )
 
 
+def _q_write_roundtrip_csv(spark, sf_dir):
+    """S2's chunked CSV sink exercised end-to-end: 5K-row bounded
+    files via maxRecordsPerFile → schema-declared read-back →
+    aggregate equals aggregating the source (proves no row loss or
+    duplication across the file-size boundary)."""
+    from etl_gcp_spark.sinks.writers import write_chunked_csv
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_csv_{os.path.basename(sf_dir)}"
+    )
+    write_chunked_csv(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        ),
+        path,
+        rows_per_file=5_000,
+    )
+    back = (
+        spark.read.option("header", "true")
+        .schema("c_custkey bigint, c_nationkey bigint, c_acctbal double")
+        .csv(path)
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
 def _q_compact_small_files(spark, sf_dir):
     """Small-files compaction: fragment customer into ~tiny files,
     compact to one, prove row preservation + the new file count."""
@@ -2442,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
         "write_roundtrip_orc": _q_write_roundtrip_orc,
+        "write_roundtrip_csv": _q_write_roundtrip_csv,
         "compact_small_files": _q_compact_small_files,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_resize,
@@ -5812,6 +5841,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["write_roundtrip_csv"] = """
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 4) AS total_balance
+        FROM customer
+        GROUP BY c_nationkey
     """
     sql["integrity_report"] = """
         SELECT 'unique:o_orderkey' AS rule,
