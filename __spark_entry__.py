@@ -1929,6 +1929,21 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_weekly_active_users(spark, sf_dir):
+    from etl_gcp_spark.operators.events import weekly_active_users
+
+    # trailing-7-day distinct users per day — DISTINCT is not
+    # window-decomposable, hence the fan-out formulation
+    return weekly_active_users(_t(spark, sf_dir, "events"))
+
+
+def _q_cusum_change_point(spark, sf_dir):
+    from etl_gcp_spark.operators.events import cusum_change_point
+
+    # level-shift detection on the hourly rate; argmax on exact ints
+    return cusum_change_point(_t(spark, sf_dir, "events"))
+
+
 def _q_integrity_report(spark, sf_dir):
     from etl_gcp_spark.operators.validate import integrity_report
 
@@ -2558,6 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_prices": _q_boxplot_prices,
         "embedding_pca2": _q_embedding_pca2,
         "integrity_report": _q_integrity_report,
+        "weekly_active_users": _q_weekly_active_users,
+        "cusum_change_point": _q_cusum_change_point,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5841,6 +5858,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["weekly_active_users"] = """
+        WITH pairs AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events
+        ), fan AS (
+            SELECT d + g.i * INTERVAL 1 DAY AS report_day, user_id
+            FROM pairs CROSS JOIN LATERAL
+                (SELECT unnest(range(0, 7)) AS i) g
+        )
+        SELECT report_day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM fan GROUP BY 1 ORDER BY 1
+    """
+    sql["cusum_change_point"] = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ), cum AS (
+            SELECT h,
+                   CAST(sum(c) OVER (ORDER BY h) AS BIGINT) AS cum_c,
+                   CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t
+            FROM hourly
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM hourly
+        )
+        SELECT h AS change_hour, n AS n_hours,
+               round(abs(n * cum_c - t * total)
+                     / CAST(n AS DOUBLE), 6) AS cusum_stat
+        FROM cum CROSS JOIN tot
+        ORDER BY abs(n * cum_c - t * total) DESC, h
+        LIMIT 1
     """
     sql["write_roundtrip_csv"] = """
         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,

@@ -519,3 +519,97 @@ def event_type_lift(events: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def weekly_active_users(
+    events: DataFrame, *, window_days: int = 7
+) -> DataFrame:
+    """Trailing-N-day ACTIVE USERS per day (WAU when N=7) — the
+    engagement metric a sum-over-window cannot express: DISTINCT is
+    not decomposable over overlapping windows, so the rolling frame
+    trick behind ``rolling_weekly_spend`` silently overcounts users
+    active on several days.
+
+    Shape: events collapse map-side to distinct (day, user) pairs
+    FIRST; each pair then fans out to the ≤N trailing report days it
+    keeps a user active for (a sequence explode — N rows per pair,
+    the exact inclusion-set materialized), and one count-distinct per
+    report day closes it. Cost is N·|daily-active pairs| — linear in
+    activity with a fixed small constant, no self-join, no
+    quadratic day × day anything. Report days with zero trailing
+    activity simply emit no row (spine-join them if a dense calendar
+    is needed). Output: (day, n_active 6-dp-free BIGINT).
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    pairs = (
+        events.select(day.alias("d"), "user_id")
+        .dropDuplicates()
+    )
+    fan = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.make_dt_interval(F.lit(window_days - 1)),
+                F.make_dt_interval(F.lit(1)),
+            )
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        fan.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("report_day")
+    )
+
+
+def cusum_change_point(events: DataFrame) -> DataFrame:
+    """CUSUM change-point detection on the hourly event-rate series —
+    the sequential-monitoring classic (Page 1954): the cumulative sum
+    of deviations from the overall mean peaks exactly where the
+    series' level shifts, and the arg-max of |S_t| is the estimated
+    change point.
+
+    EXACT integer arithmetic throughout: with hourly counts c_i,
+    S_t = Σ_{i≤t}(c_i − c̄) is rationally scaled to
+    T_t = n·Σ_{i≤t} c_i − t·total — all BIGINT, so the arg-max is
+    decided on exact integers (ties → earliest hour) and the single
+    final division rescales for reporting. The cumulative window runs
+    over HOURS (bounded by the time span, not the row count — same
+    domain-not-rows argument as ks_drift). Output: 1 row
+    (change_hour, n_hours, cusum_stat 6 dp).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hourly.select(
+        "h",
+        F.sum("c").over(w).alias("cum_c"),
+        F.row_number().over(Window.orderBy("h")).alias("t"),
+    )
+    totals = hourly.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    t_stat = F.abs(
+        F.col("n") * F.col("cum_c") - F.col("t") * F.col("total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("h").alias("change_hour"),
+            F.col("n").alias("n_hours"),
+            t_stat.alias("__T"),
+        )
+        .orderBy(F.col("__T").desc(), F.col("change_hour"))
+        .limit(1)
+        .select(
+            "change_hour",
+            "n_hours",
+            F.round(
+                F.col("__T") / F.col("n_hours").cast("double"), 6
+            ).alias("cusum_stat"),
+        )
+    )

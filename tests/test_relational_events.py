@@ -195,3 +195,46 @@ def test_event_type_lift_hand_computed(spark):
     assert out[("a", "b")].n_both == 2
     assert out[("a", "b")].lift == round(8 / 6, 4)
     assert ("a", "c") not in out
+
+
+def test_weekly_active_users_no_overcount(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.events import weekly_active_users
+
+    # user 1 active on 2 days inside one window -> counted ONCE;
+    # user 2 active on day 1 only
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, 1, "2024-01-03 10:00:00"),
+            (3, 2, "2024-01-01 12:00:00"),
+        ],
+        "event_id long, user_id long, s string",
+    ).select("event_id", "user_id", F.to_timestamp("s").alias("ts"))
+    out = {str(r.report_day)[:10]: r.n_active
+           for r in weekly_active_users(ev).collect()}
+    assert out["2024-01-01"] == 2
+    assert out["2024-01-03"] == 2          # both still in trailing 7d
+    assert out["2024-01-07"] == 2          # day1 activity still counts
+    assert out["2024-01-08"] == 1          # day1 aged out; day3 remains
+    assert "2024-01-10" not in out         # everything aged out
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.events import cusum_change_point
+
+    # 24h at 2 events/h then 24h at 10/h: CUSUM argmax lands at the
+    # last pre-shift hour
+    ev = spark.createDataFrame(
+        [(i, h) for h in range(48) for i in range((2 if h < 24 else 10))],
+        "i long, h long",
+    ).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(F.lit(0), F.col("h"))).alias("ts")
+    )
+    row = cusum_change_point(ev).collect()[0]
+    assert str(row.change_hour) == "2024-01-01 23:00:00"
+    assert row.n_hours == 48
