@@ -1929,6 +1929,18 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_hard_negatives(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import hard_negative_mining
+
+    # top-3 cross-label neighbors for 10 queries (contrastive mining)
+    return hard_negative_mining(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=3,
+        dim=64,
+    )
+
+
 def _q_weekly_active_users(spark, sf_dir):
     from etl_gcp_spark.operators.events import weekly_active_users
 
@@ -2575,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrity_report": _q_integrity_report,
         "weekly_active_users": _q_weekly_active_users,
         "cusum_change_point": _q_cusum_change_point,
+        "hard_negatives": _q_hard_negatives,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5858,6 +5871,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["hard_negatives"] = """
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, label AS query_label, v AS qv
+            FROM base WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, q.query_label,
+                   c.vec_id AS hard_negative_id,
+                   c.label AS negative_label,
+                   list_cosine_similarity(q.qv, c.v) AS raw_sim
+            FROM base c CROSS JOIN q
+            WHERE c.label <> q.query_label
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY raw_sim DESC, hard_negative_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, query_label, hard_negative_id, negative_label,
+               round(raw_sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
     """
     sql["weekly_active_users"] = """
         WITH pairs AS (

@@ -1931,3 +1931,69 @@ def label_centroid_drift(
         )
         .orderBy("label")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard negatives for contrastive/metric training: for each query
+    vector, the ``k`` MOST SIMILAR vectors carrying a DIFFERENT label
+    — the pairs that teach an encoder the most (public methodology:
+    hard-negative mining in triplet/contrastive learning; random
+    negatives are mostly trivial at scale, the near-boundary ones
+    carry the gradient signal).
+
+    Same plan shape as :func:`cosine_topk` — broadcast query side,
+    codegen cosine when ``dim`` is given — plus the label-mismatch
+    filter BEFORE ranking, so positives never occupy top-k slots.
+    Output: (query_id, query_label, hard_negative_id, negative_label,
+    sim 6 dp, rank).
+    """
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("__l"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__l").alias("query_label"),
+        F.col("__v").alias("__q"),
+    )
+    c = base.select(
+        F.col(id_col).alias("hard_negative_id"),
+        F.col("__l").alias("negative_label"),
+        F.col("__v").alias("__c"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("negative_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "hard_negative_id",
+            "negative_label",
+            cosine_similarity("__q", "__c", dim).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("hard_negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "hard_negative_id",
+            "negative_label",
+            F.round(F.col("__sim"), 6).alias("sim"),
+            "rank",
+        )
+    )

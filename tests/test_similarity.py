@@ -597,3 +597,23 @@ def test_pca2_recovers_planted_orthogonal_axes(spark):
     assert abs(corr(1, 1)) > 0.99
     # and the projections are (near-)uncorrelated with the other axis
     assert abs(corr(0, 1)) < 0.3 and abs(corr(1, 0)) < 0.3
+
+
+def test_hard_negative_mining_crosses_labels_only(spark):
+    from etl_gcp_spark.functions.similarity import hard_negative_mining
+
+    # query 1 (label A): nearest overall is 2 (same label, excluded);
+    # hard negative must be 3 (closest different-label)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "A"),
+            (2, [0.999, 0.01], "A"),
+            (3, [0.9, 0.1], "B"),
+            (4, [-1.0, 0.0], "B"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = hard_negative_mining(df, query_ids=[1], k=2).collect()
+    assert [r.hard_negative_id for r in out] == [3, 4]
+    assert all(r.negative_label == "B" for r in out)
+    assert out[0].query_label == "A"
