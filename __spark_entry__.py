@@ -1929,6 +1929,20 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_pii_source_report(spark, sf_dir):
+    from etl_gcp_spark.functions.text import pii_source_report
+
+    # governance rollup of PII incidence per source
+    return pii_source_report(_t(spark, sf_dir, "documents"))
+
+
+def _q_jaccard_threshold_curve(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import jaccard_threshold_curve
+
+    # dedup threshold calibration: pair counts per 0.05 band >= 0.6
+    return jaccard_threshold_curve(_t(spark, sf_dir, "documents"))
+
+
 def _q_hard_negatives(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import hard_negative_mining
 
@@ -2588,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active_users": _q_weekly_active_users,
         "cusum_change_point": _q_cusum_change_point,
         "hard_negatives": _q_hard_negatives,
+        "pii_source_report": _q_pii_source_report,
+        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5871,6 +5887,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["pii_source_report"] = r"""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS e,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                        AS BIGINT) AS i
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN e + i > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_pii,
+               CAST(sum(e) AS BIGINT) AS total_emails,
+               CAST(sum(i) AS BIGINT) AS total_ips,
+               round(sum(CASE WHEN e + i > 0 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS pii_doc_share
+        FROM per_doc GROUP BY source ORDER BY source
+    """
+    # one pair run at the floor covers every band >= it
+    sql["jaccard_threshold_curve"] = f"""
+        WITH edges AS (
+            {_jaccard_pairs_over('documents').replace('>= 0.8', '>= 0.6')}
+        )
+        SELECT round(CAST(s - (s % 500) AS DOUBLE) / 10000.0, 2)
+                   AS band_lo,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM (SELECT CAST(round(jaccard * 10000, 0) AS BIGINT) AS s
+              FROM edges)
+        GROUP BY 1 ORDER BY 1 DESC
     """
     sql["hard_negatives"] = """
         WITH base AS (

@@ -964,3 +964,58 @@ def tokenizer_fertility(
         )
         .orderBy("lang")
     )
+
+
+def pii_source_report(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """PII incidence rolled up per source — the governance view over
+    :func:`pii_redact`'s per-document counts: which sources leak
+    identifiers, at what rate, and how much of each would survive a
+    zero-PII gate. Source-level rates are what decide "redact and
+    keep" vs "drop the feed".
+
+    One pass: the per-doc match counts (pure regexp Column
+    expressions) reduce map-side to |sources| rows. Output:
+    (source, n_docs, n_docs_with_pii, total_emails, total_ips,
+    pii_doc_share 6 dp).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))
+    ).cast("long")
+    n_ips = F.size(
+        F.regexp_extract_all(t, F.lit(_PII_IPV4), F.lit(0))
+    ).cast("long")
+    per_doc = documents.select(
+        F.col(source_col).alias("source"),
+        n_emails.alias("__e"),
+        n_ips.alias("__i"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("__e") + F.col("__i")) > 0).cast("long")
+            ).alias("n_docs_with_pii"),
+            F.sum("__e").alias("total_emails"),
+            F.sum("__i").alias("total_ips"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_with_pii",
+            "total_emails",
+            "total_ips",
+            F.round(
+                F.col("n_docs_with_pii")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pii_doc_share"),
+        )
+        .orderBy("source")
+    )

@@ -935,3 +935,44 @@ def canonical_dedup_gain(
             "gained_dups"
         ),
     )
+
+
+def jaccard_threshold_curve(
+    documents: DataFrame,
+    *,
+    floor: float = 0.6,
+    band_width: float = 0.05,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pair counts per Jaccard band above ``floor`` — the calibration
+    table for every threshold in the dedup family: a long flat tail
+    under the proposed θ means tightening it drops little, a spike
+    just below means the threshold is splitting a natural cluster.
+    One number (pairs at θ) can't show that; the curve can.
+
+    Reuses the prefix-filtered exact pair generator at the FLOOR
+    (one run covers every candidate θ ≥ floor — the whole point),
+    then a single ≤ bands-row aggregation over banded similarity.
+    Bands are decided on integer-scaled similarity (floor of
+    sim/width computed from the 4-dp-rounded sim — replayable).
+    Output: (band_lo 2 dp, n_pairs), descending bands.
+    """
+    pairs = ngram_jaccard_pairs(
+        documents, threshold=floor, n=n, text_col=text_col, id_col=id_col
+    )
+    # 4-dp sims scale to integers by 10000 — via round, not a bare
+    # cast: the double nearest round(x,4) can sit a hair BELOW the
+    # exact decimal, and truncation would shift boundary sims down a
+    # band
+    scaled = F.round(F.col("jaccard") * F.lit(10000.0), 0).cast("bigint")
+    step = int(round(band_width * 10000))
+    band = (scaled - (scaled % F.lit(step))).cast("double") / F.lit(
+        10000.0
+    )
+    return (
+        pairs.groupBy(F.round(band, 2).alias("band_lo"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("band_lo").desc())
+    )

@@ -250,3 +250,22 @@ def test_canonical_dedup_gain_counts_normalization_dups(spark):
     assert row.raw_distinct == 3       # 1 vs {2,3} vs 4
     assert row.canonical_distinct == 2
     assert row.gained_dups == 1
+
+
+def test_jaccard_threshold_curve_bands(spark):
+    from etl_gcp_spark.operators.text_dedup import jaccard_threshold_curve
+
+    # identical pair (jaccard 1.0) + a pair around 0.6-0.65
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),
+            (3, "a b c d e f g x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.band_lo: r.n_pairs for r in
+           jaccard_threshold_curve(docs, floor=0.3).collect()}
+    assert out[1.0] == 1
+    assert sum(out.values()) >= 2  # the near pair lands in some band
+    assert all(b >= 0.3 for b in out)
