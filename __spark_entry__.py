@@ -1929,6 +1929,20 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_zipf_fit(spark, sf_dir):
+    from etl_gcp_spark.functions.text import zipf_fit
+
+    # vocabulary-health check: slope of the log-log rank-frequency fit
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _q_soft_dedup_weights(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import soft_dedup_weights
+
+    # down-weighting alternative to hard near-dup removal
+    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
 def _q_pii_source_report(spark, sf_dir):
     from etl_gcp_spark.functions.text import pii_source_report
 
@@ -2604,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "pii_source_report": _q_pii_source_report,
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
+        "zipf_fit": _q_zipf_fit,
+        "soft_dedup_weights": _q_soft_dedup_weights,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5887,6 +5903,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["zipf_fit"] = r"""
+        WITH freqs AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS f FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS t
+                FROM documents
+            ) GROUP BY t
+        ), ranked AS (
+            SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, t)
+                           AS DOUBLE)) AS x,
+                   ln(CAST(f AS DOUBLE)) AS y
+            FROM freqs
+            QUALIFY row_number() OVER (ORDER BY f DESC, t) <= 1000
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_types_fit,
+               round(regr_slope(y, x), 4) AS slope,
+               round(regr_intercept(y, x), 4) AS intercept,
+               round(corr(y, x) * corr(y, x), 4) AS r2
+        FROM ranked
+    """
+    # soft dedup layers the weight over the clustering replay
+    sql["soft_dedup_weights"] = f"""
+        WITH clusters AS ({sql["dedup_clusters"]})
+        SELECT doc_id, cluster_id, cluster_size,
+               round(1.0 / CAST(cluster_size AS DOUBLE), 6) AS weight
+        FROM clusters
     """
     sql["pii_source_report"] = r"""
         WITH per_doc AS (

@@ -1019,3 +1019,44 @@ def pii_source_report(
         )
         .orderBy("source")
     )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    *,
+    max_rank: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: OLS slope of
+    ln(freq) against ln(rank) for the top ``max_rank`` types — the
+    corpus-linguistics health check (natural text sits near −1;
+    template/boilerplate-heavy corpora flatten, gibberish steepens
+    and breaks the line). Wired from the same regression aggregates
+    as ``user_value_trend`` (regr_slope/regr_intercept/corr — moment
+    sums combine map-side), with ln applied to exact BIGINT
+    frequencies and ranks; outputs round to 4 dp, the engine's
+    established tolerance for transcendental inputs (verified vs
+    DuckDB's regr_* family).
+
+    Output: 1 row (n_types_fit, slope, intercept, r2).
+    """
+    freqs = (
+        documents.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("t"))
+    ranked = (
+        freqs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_rank)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types_fit"),
+        F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.corr("y", "x") * F.corr("y", "x"), 4).alias("r2"),
+    )

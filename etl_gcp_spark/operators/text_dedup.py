@@ -976,3 +976,40 @@ def jaccard_threshold_curve(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.col("band_lo").desc())
     )
+
+
+def soft_dedup_weights(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.8,
+    pair_source: str = "lsh",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, weight every
+    document by 1/|its cluster| so each duplicated IDEA contributes
+    one unit of training mass however many copies exist — the
+    down-weighting alternative to hard removal (keeps provenance
+    diversity and rare-variant signal that keep-one-per-cluster
+    discards; the sampling-weight shape ``dsir_weights`` consumes).
+
+    One composition over the verified clustering: (doc, cluster,
+    size) → weight = round(1/size, 6). Singletons weigh 1.0 exactly.
+    """
+    from etl_gcp_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(
+        documents,
+        threshold=threshold,
+        pair_source=pair_source,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.round(
+            F.lit(1.0) / F.col("cluster_size").cast("double"), 6
+        ).alias("weight"),
+    )

@@ -246,3 +246,35 @@ def test_tokenizer_fertility_penalizes_fragmenting_text(spark):
     # fragmenting text yields many more pieces per whitespace word
     assert out["xx"].pieces_per_word > out["en"].pieces_per_word
     assert out["en"].pieces_per_word == 1.0
+
+
+def test_zipf_fit_slope_on_power_law(spark):
+    from etl_gcp_spark.functions.text import zipf_fit
+
+    # construct frequencies ~ 1/rank exactly: token k repeated
+    # floor(1200/k) times -> slope must sit near -1, r2 near 1
+    words = []
+    for k in range(1, 40):
+        words += [f"w{k:02d}"] * (1200 // k)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row.n_types_fit == 39
+    assert -1.1 < row.slope < -0.9
+    assert row.r2 > 0.99
+
+
+def test_soft_dedup_weights_sum_to_idea_count(spark):
+    from etl_gcp_spark.operators.text_dedup import soft_dedup_weights
+
+    # 3 copies of one doc + 1 unique: weights 1/3,1/3,1/3,1 -> total
+    # mass == number of distinct ideas (2)
+    phrase = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(i, phrase) for i in range(3)] + [(9, "other words entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = soft_dedup_weights(docs, threshold=0.8).collect()
+    assert abs(sum(r.weight for r in rows) - 2.0) < 1e-6
+    assert {r.cluster_size for r in rows} == {1, 3}
