@@ -276,5 +276,6 @@ def test_soft_dedup_weights_sum_to_idea_count(spark):
         "doc_id long, text string",
     )
     rows = soft_dedup_weights(docs, threshold=0.8).collect()
-    assert abs(sum(r.weight for r in rows) - 2.0) < 1e-6
+    # 6-dp weights: 3 x round(1/3, 6) undershoots by exactly 1e-6
+    assert abs(sum(r.weight for r in rows) - 2.0) < 1e-5
     assert {r.cluster_size for r in rows} == {1, 3}
