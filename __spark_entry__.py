@@ -1929,6 +1929,13 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_wow_growth(spark, sf_dir):
+    from etl_gcp_spark.operators.events import wow_growth
+
+    # weekly totals + lag-1 percent change (BI trend table)
+    return wow_growth(_t(spark, sf_dir, "events"))
+
+
 def _q_zipf_fit(spark, sf_dir):
     from etl_gcp_spark.functions.text import zipf_fit
 
@@ -2620,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
         "zipf_fit": _q_zipf_fit,
         "soft_dedup_weights": _q_soft_dedup_weights,
+        "wow_growth": _q_wow_growth,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5903,6 +5911,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["wow_growth"] = """
+        WITH weekly AS (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP)
+                       AS week_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(sum(CAST(COALESCE(value, 0.0)
+                        AS DECIMAL(28,8))), 4) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1
+        )
+        SELECT week_start, n_events, total_value,
+               round((n_events - lag(n_events) OVER (ORDER BY week_start))
+                     / CAST(lag(n_events) OVER (ORDER BY week_start)
+                            AS DOUBLE), 4) AS n_growth,
+               round((total_value
+                      - lag(total_value) OVER (ORDER BY week_start))
+                     / lag(total_value) OVER (ORDER BY week_start), 4)
+                   AS value_growth
+        FROM weekly ORDER BY week_start
     """
     sql["zipf_fit"] = r"""
         WITH freqs AS (

@@ -613,3 +613,41 @@ def cusum_change_point(events: DataFrame) -> DataFrame:
             ).alias("cusum_stat"),
         )
     )
+
+
+def wow_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week growth of event volume and value — the BI
+    trend table: weekly totals plus their lag-1 percent change.
+    Percent change is computed from exact integer counts and
+    decimal-exact value sums, one division each, 4 dp — replayable.
+    The lag window is a single ordered pass over WEEKS (domain-
+    bounded). Output: (week_start, n_events, total_value, n_growth,
+    value_growth) — growth NULL for the first week.
+    """
+    from pyspark.sql import Window
+
+    weekly = events.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast(
+                "decimal(28,8)"
+            )),
+            4,
+        ).cast("double").alias("total_value"),
+    )
+    w = Window.orderBy("week_start")
+    prev_n = F.lag("n_events").over(w)
+    prev_v = F.lag("total_value").over(w)
+    return weekly.select(
+        "week_start",
+        "n_events",
+        "total_value",
+        F.round(
+            (F.col("n_events") - prev_n) / prev_n.cast("double"), 4
+        ).alias("n_growth"),
+        F.round(
+            (F.col("total_value") - prev_v) / prev_v, 4
+        ).alias("value_growth"),
+    ).orderBy("week_start")
