@@ -1929,6 +1929,20 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_benchmark_coverage(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import benchmark_coverage
+
+    # reverse contamination: does training span the eval domain?
+    return benchmark_coverage(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_pctile(spark, sf_dir):
+    from etl_gcp_spark.operators.corpus import quality_percentile_by_source
+
+    # per-source rank calibration of the quality score
+    return quality_percentile_by_source(_t(spark, sf_dir, "documents"))
+
+
 def _q_wow_growth(spark, sf_dir):
     from etl_gcp_spark.operators.events import wow_growth
 
@@ -2628,6 +2642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "wow_growth": _q_wow_growth,
+        "benchmark_coverage": _q_benchmark_coverage,
+        "quality_pctile_by_source": _q_quality_pctile,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5911,6 +5927,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["benchmark_coverage"] = r"""
+        WITH docs AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, source, shingle FROM (
+                SELECT doc_id, source,
+                       toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                           toks[g.i+2] AS shingle
+                FROM docs
+                CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 3
+            )
+        ), corpus AS (
+            SELECT DISTINCT shingle FROM sh WHERE source <> 'src0'
+        ), bench AS (
+            SELECT doc_id, shingle FROM sh WHERE source = 'src0'
+        )
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN c.shingle IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               round(sum(CASE WHEN c.shingle IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS coverage
+        FROM bench b LEFT JOIN corpus c ON c.shingle = b.shingle
+        GROUP BY b.doc_id
+    """
+    sql["quality_pctile_by_source"] = f"""
+        WITH q AS ({sql["text_quality"]})
+        SELECT d.doc_id, d.source, q.quality_score,
+               round(percent_rank() OVER (
+                   PARTITION BY d.source ORDER BY q.quality_score), 6)
+                   AS quality_pctile
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
     """
     sql["wow_growth"] = """
         WITH weekly AS (

@@ -1057,3 +1057,102 @@ def quality_quota_filter(
         )
         .select("doc_id", "source", "quality_score")
     )
+
+
+def benchmark_coverage(
+    documents: DataFrame,
+    *,
+    benchmark_source: str = "src0",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The REVERSE of the contamination screen: per benchmark
+    document, what fraction of its distinct n-grams appears anywhere
+    in the training corpus. Contamination asks "did eval text leak
+    into training?"; coverage asks "does training text even span the
+    eval domain?" — near-zero coverage predicts out-of-domain eval
+    collapse, near-one (without contamination flags) says the domain
+    is represented without leakage. Same join shape with the sides
+    swapped: the CORPUS shingle set is the big one now, so it stays
+    a shuffle join on the 8-byte hash (never broadcast), and the
+    per-benchmark-doc fraction reduces map-side.
+
+    Output: (doc_id, n_shingles, n_covered, coverage 6 dp) for every
+    benchmark doc with ≥ n tokens.
+    """
+    sh = with_shingles(documents, text_col, id_col, n)
+    ids = documents.select(F.col(id_col), F.col(source_col))
+    posting = (
+        sh.join(ids, id_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.xxhash64("shingle").alias("__h"),
+        )
+    )
+    corpus = (
+        posting.filter(F.col(source_col) != benchmark_source)
+        .select("__h")
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    bench = posting.filter(F.col(source_col) == benchmark_source)
+    return (
+        bench.join(corpus, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_covered",
+            F.round(
+                F.col("n_covered") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def quality_percentile_by_source(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality scores CALIBRATED within each source: percent_rank of
+    the heuristic score per source — raw scores are not comparable
+    across sources (a clean-wiki shard's worst doc can outscore a
+    web shard's best), so a single global threshold silently keeps
+    everything from easy sources and nothing from hard ones.
+    Rank-within-source is the calibration that makes one number mean
+    the same thing everywhere; pair with ``quality_quota_filter``
+    (which cuts on exactly this rank).
+
+    One ranked window per source over the (doc, score) projection;
+    percent_rank = (rank−1)/(n−1) is exact rational per group,
+    rounded 6 dp, ties sharing a rank (deterministic id tiebreak on
+    output order only). Output: (doc_id, source, quality_score,
+    quality_pctile).
+    """
+    from etl_gcp_spark.functions.text import quality_score
+
+    q = quality_score(documents, text_col=text_col).select(
+        "doc_id", "quality_score"
+    )
+    base = documents.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("quality_score"))
+    return base.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pctile"),
+    )

@@ -306,3 +306,47 @@ def test_quality_quota_keeps_best_per_source(spark):
     )
     kept = {r.doc_id for r in quality_quota_filter(docs).collect()}
     assert kept == {1, 3}
+
+
+def test_benchmark_coverage_fractions(spark):
+    from etl_gcp_spark.operators.corpus import benchmark_coverage
+
+    # bench doc 1: shingles {a b c, b c d} -- 'a b c' also appears in
+    # corpus doc 10 -> coverage 1/2; bench doc 2 fully uncovered
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "src0"),
+            (2, "x y z w", "src0"),
+            (10, "a b c q", "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in benchmark_coverage(docs).collect()}
+    assert out[1].n_shingles == 2 and out[1].n_covered == 1
+    assert out[1].coverage == 0.5
+    assert out[2].coverage == 0.0
+
+
+def test_quality_pctile_calibrates_within_source(spark):
+    from etl_gcp_spark.operators.corpus import quality_percentile_by_source
+
+    # each source's best doc gets pctile 1.0 regardless of how its
+    # raw score compares to the OTHER source's docs
+    docs = spark.createDataFrame(
+        [
+            (1, "clean readable words here now", "x", "a"),
+            (2, "@@!! ## $$ %%", "x", "a"),
+            (3, "mostly words but some @@@@ junk", "x", "b"),
+            (4, "#### $$$$ @@@@ !!!!", "x", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in
+           quality_percentile_by_source(docs).collect()}
+    assert out[1].quality_pctile == 1.0
+    assert out[2].quality_pctile == 0.0
+    # source b's best is pctile 1.0 even though its raw score is far
+    # below source a's best
+    best_b = max((out[3], out[4]), key=lambda r: r.quality_score)
+    assert best_b.quality_pctile == 1.0
+    assert best_b.quality_score < out[1].quality_score
