@@ -1929,6 +1929,36 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_winsorize_by_group(spark, sf_dir):
+    from etl_gcp_spark.operators.clean import winsorize_by_group
+
+    # per-flag percentile clamp; summary mirrors winsorize_prices
+    w = winsorize_by_group(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_col="l_returnflag",
+    )
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    != F.col("l_extendedprice_w")
+                ).cast("long")
+            ).alias("n_clamped"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice_w").cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("sum_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _q_benchmark_coverage(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import benchmark_coverage
 
@@ -2644,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_growth": _q_wow_growth,
         "benchmark_coverage": _q_benchmark_coverage,
         "quality_pctile_by_source": _q_quality_pctile,
+        "winsorize_by_group": _q_winsorize_by_group,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5927,6 +5958,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["winsorize_by_group"] = """
+        WITH bounds AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN l_extendedprice
+                                  <> least(greatest(l_extendedprice, lo),
+                                           hi)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+               CAST(round(sum(CAST(least(greatest(l_extendedprice, lo),
+                                         hi) AS DECIMAL(28,8))), 2)
+                    AS DOUBLE) AS sum_winsorized
+        FROM lineitem l JOIN bounds b ON b.l_returnflag = l.l_returnflag
+        GROUP BY 1 ORDER BY 1
     """
     sql["benchmark_coverage"] = r"""
         WITH docs AS (

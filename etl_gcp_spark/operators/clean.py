@@ -291,3 +291,41 @@ def user_erasure(
         _audit(orders, order_user_col, "orders")
     )
     return ev_clean, ord_clean, audit
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    col: str,
+    *,
+    group_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Per-GROUP percentile clamp — :func:`winsorize` with bounds
+    computed within each group: one global envelope clamps nothing in
+    low-range groups and everything in high-range ones when ranges
+    differ by group (per-category prices, per-sensor readings).
+
+    One array-percentile aggregate PER GROUP (single buffer, same
+    measured 2x as the global form), bounds rounded 4 dp, broadcast
+    back on the group key, clamp in codegen.
+    """
+    pair = df.groupBy(F.col(group_col)).agg(
+        F.percentile(col, F.array(F.lit(lower), F.lit(upper))).alias(
+            "__p"
+        )
+    )
+    bounds = pair.select(
+        group_col,
+        F.round(F.element_at("__p", 1), 4).alias("__lo"),
+        F.round(F.element_at("__p", 2), 4).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            col + suffix,
+            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

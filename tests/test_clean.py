@@ -102,3 +102,22 @@ def test_user_erasure_removes_and_audits(spark):
     a = {r.table_name: r for r in audit.collect()}
     assert a["events"].n_removed == 2 and a["events"].n_remaining == 1
     assert a["orders"].n_removed == 1 and a["orders"].n_remaining == 1
+
+
+def test_winsorize_by_group_uses_group_bounds(spark):
+    from etl_gcp_spark.operators.clean import winsorize_by_group
+
+    # group a ranges 0..100, group b ranges 1000..1100: a global
+    # clamp would flatten one of them; per-group bounds clamp only
+    # each group's own tails
+    rows = [(float(v), "a") for v in range(101)] + [
+        (float(1000 + v), "b") for v in range(101)
+    ]
+    df = spark.createDataFrame(rows, "x double, g string")
+    out = winsorize_by_group(
+        df, "x", group_col="g", lower=0.05, upper=0.95
+    ).collect()
+    a = [r for r in out if r.g == "a"]
+    b = [r for r in out if r.g == "b"]
+    assert max(r.x_w for r in a) == 95.0 and min(r.x_w for r in a) == 5.0
+    assert max(r.x_w for r in b) == 1095.0 and min(r.x_w for r in b) == 1005.0
