@@ -4945,6 +4945,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split": """
             SELECT o_orderkey, o_orderdate,
                    CASE
+                     WHEN o_orderdate IS NULL THEN 'embargo'
                      WHEN o_orderdate <= TIMESTAMP '1999-12-31'
                        THEN 'train'
                      WHEN o_orderdate <= TIMESTAMP '1999-12-31'
@@ -6122,7 +6123,7 @@ def oracle_sql() -> dict[str, str]:
     sql["weekly_active_users"] = """
         WITH pairs AS (
             SELECT DISTINCT date_trunc('day', ts) AS d, user_id
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ), fan AS (
             SELECT d + g.i * INTERVAL 1 DAY AS report_day, user_id
             FROM pairs CROSS JOIN LATERAL
@@ -6136,7 +6137,7 @@ def oracle_sql() -> dict[str, str]:
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS h,
                    CAST(count(*) AS BIGINT) AS c
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ), cum AS (
             SELECT h,
                    CAST(sum(c) OVER (ORDER BY h) AS BIGINT) AS cum_c,

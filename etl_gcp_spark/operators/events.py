@@ -540,9 +540,14 @@ def weekly_active_users(
     activity simply emit no row (spine-join them if a dense calendar
     is needed). Output: (day, n_active 6-dp-free BIGINT).
     """
+    # NULL timestamps are excluded EXPLICITLY: Spark's explode would
+    # silently drop the NULL-day fan-out while a SQL replay groups it
+    # under a NULL report day — a cross-engine divergence this filter
+    # removes at the source (NULL-time activity dates nothing anyway)
     day = F.date_trunc("day", F.col("ts"))
     pairs = (
-        events.select(day.alias("d"), "user_id")
+        events.filter(F.col("ts").isNotNull())
+        .select(day.alias("d"), "user_id")
         .dropDuplicates()
     )
     fan = pairs.select(
@@ -580,8 +585,12 @@ def cusum_change_point(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # NULL timestamps excluded: a NULL hour group would sort NULLS
+    # FIRST in Spark's window but NULLS LAST in a SQL replay —
+    # shifting every cumulative sum against the oracle
     hourly = (
-        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)

@@ -161,8 +161,13 @@ def temporal_split(
     t = F.col(time_col)
     cut = F.to_timestamp(F.lit(cutoff))
     emb_end = cut + F.make_dt_interval(F.lit(embargo_days))
+    # NULL times classify as embargo (dropped from both sides): the
+    # when-chain would otherwise fall through to 'test' — rows with
+    # unknown time silently landing in the eval split is exactly the
+    # leakage this operator exists to prevent
     split = (
-        F.when(t <= cut, "train")
+        F.when(t.isNull(), "embargo")
+        .when(t <= cut, "train")
         .when(t <= emb_end, "embargo")
         .otherwise("test")
     )

@@ -142,3 +142,15 @@ def test_kfold_assign_grouped_and_deterministic(spark):
     again = {r.key: r.fold for r in
              kfold_assign(df.repartition(7), "key", k=5).collect()}
     assert all(again[k] == next(iter(v)) for k, v in folds.items())
+
+
+def test_temporal_split_null_time_embargoed(spark):
+    from etl_gcp_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01"), (2, None)], "id long, d string"
+    ).select("id", F.to_timestamp("d").alias("d"))
+    out = {r.id: r.split for r in temporal_split(
+        df, "d", cutoff="2020-06-30", id_col="id").collect()}
+    # unknown time must never reach the test split
+    assert out[2] == "embargo"
