@@ -6013,7 +6013,8 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS ({sql["text_quality"]})
         SELECT d.doc_id, d.source, q.quality_score,
                round(percent_rank() OVER (
-                   PARTITION BY d.source ORDER BY q.quality_score), 6)
+                   PARTITION BY d.source
+                   ORDER BY q.quality_score NULLS FIRST), 6)
                    AS quality_pctile
         FROM documents d JOIN q ON q.doc_id = d.doc_id
     """

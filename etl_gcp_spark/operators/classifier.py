@@ -161,7 +161,12 @@ def logreg_quality_report(
     """Train and evaluate in one lazy plan. Output: 1 row —
     (n_docs, w_bias, w_len, w_ttr, w_wlen, train_acc)."""
     if label is None:
-        label = (F.col("lang") == "en").cast("double")
+        # coalesce: a NULL lang must be the NEGATIVE class (0.0), not
+        # a NULL label that silently drops out of the decimal gradient
+        # sums while the SQL oracle's CASE ... ELSE 0.0 keeps it
+        label = F.coalesce(
+            (F.col("lang") == "en").cast("double"), F.lit(0.0)
+        )
     feats = doc_feature_table(
         documents, label=label, text_col=text_col, id_col=id_col
     ).persist()
