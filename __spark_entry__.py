@@ -1929,6 +1929,23 @@ def _q_cms_event_counts(spark, sf_dir):
     )
 
 
+def _q_price_reconciliation(spark, sf_dir):
+    from etl_gcp_spark.operators.validate import price_reconciliation_audit
+
+    # header-vs-detail financial reconciliation; the synthetic data
+    # is deliberately unreconciled and the audit reports it honestly
+    return price_reconciliation_audit(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_cross_doc_passage_share(spark, sf_dir):
+    from etl_gcp_spark.operators.text_dedup import cross_doc_passage_share
+
+    # passage-granular boilerplate share (8-token windows)
+    return cross_doc_passage_share(_t(spark, sf_dir, "documents"))
+
+
 def _q_winsorize_by_group(spark, sf_dir):
     from etl_gcp_spark.operators.clean import winsorize_by_group
 
@@ -2675,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_coverage": _q_benchmark_coverage,
         "quality_pctile_by_source": _q_quality_pctile,
         "winsorize_by_group": _q_winsorize_by_group,
+        "price_reconciliation": _q_price_reconciliation,
+        "cross_doc_passage_share": _q_cross_doc_passage_share,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
@@ -5959,6 +5978,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+    """
+    sql["price_reconciliation"] = """
+        WITH calc AS (
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(round(sum(CAST(round(l_extendedprice
+                        * (1.0 - l_discount) * (1.0 + l_tax), 4)
+                        AS DECIMAL(28,8))), 2) AS DOUBLE) AS calc
+            FROM lineitem GROUP BY 1
+        ), joined AS (
+            SELECT o.o_orderkey, o.o_totalprice, c.calc,
+                   round(abs(o.o_totalprice - c.calc), 2) AS diff
+            FROM orders o LEFT JOIN calc c USING (o_orderkey)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN calc IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_lines,
+               CAST(sum(CASE WHEN diff <= 0.01 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reconciled,
+               CAST(sum(CASE WHEN diff > 0.01 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mismatched,
+               max(diff) AS max_abs_diff
+        FROM joined
+    """
+    sql["cross_doc_passage_share"] = r"""
+        WITH docs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, passage FROM (
+                SELECT doc_id,
+                       toks[g.i] || ' ' || toks[g.i+1] || ' ' ||
+                       toks[g.i+2] || ' ' || toks[g.i+3] || ' ' ||
+                       toks[g.i+4] || ' ' || toks[g.i+5] || ' ' ||
+                       toks[g.i+6] || ' ' || toks[g.i+7] AS passage
+                FROM docs
+                CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(toks) - 6)) AS i) g
+                WHERE len(toks) >= 8
+            )
+        ), dfreq AS (
+            SELECT passage, count(*) AS df FROM sh GROUP BY passage
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_passages,
+               CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS shared_share
+        FROM sh JOIN dfreq USING (passage)
+        GROUP BY doc_id
     """
     sql["winsorize_by_group"] = """
         WITH bounds AS (

@@ -1013,3 +1013,50 @@ def soft_dedup_weights(
             F.lit(1.0) / F.col("cluster_size").cast("double"), 6
         ).alias("weight"),
     )
+
+
+def cross_doc_passage_share(
+    documents: DataFrame,
+    *,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document share of ``window``-token passages that ALSO
+    appear in some other document — passage-granular boilerplate
+    detection (headers, disclaimers, navigation chrome repeat across
+    a crawl at passage length long before whole documents do). The
+    window approximation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public methodology; their suffix-array finds arbitrary-length
+    repeats, fixed windows catch everything ≥ ``window`` tokens at a
+    MapReduce-friendly cost). Complements ``ngram_novelty``
+    (first-seen prefix coverage) and ``dup_ngram_fraction``
+    (WITHIN-doc repetition): this one is symmetric and cross-doc.
+
+    Two linear shuffles over the hashed window stream: distinct-doc
+    counts per window, then the stream re-joined against them.
+    Output: (doc_id, n_passages, n_shared, shared_share 6 dp).
+    """
+    sh = (
+        with_shingles(documents, text_col, id_col, window)
+        .select(F.col(id_col), F.explode_outer("shingles").alias("__s"))
+        .select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    )
+    dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_passages",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_passages").cast("double"), 6
+            ).alias("shared_share"),
+        )
+    )

@@ -155,3 +155,42 @@ def integrity_report(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_violations"),
     )
     return uniq.unionByName(fk_li).unionByName(fk_cust)
+
+
+def price_reconciliation_audit(
+    orders: DataFrame, lineitem: DataFrame, *, tolerance: float = 0.01
+) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's header
+    total equal the sum of its lines' extended charges? The audit
+    every billing/ledger pipeline runs between a rollup table and its
+    detail — and the honest report when they DON'T match (this
+    engine's synthetic data is deliberately unreconciled; the audit
+    says so rather than assuming the invariant).
+
+    Line charges round to 4 dp and sum as DECIMAL(28,8) per order
+    (exact, order-free), the order-level diff rounds to 2 dp, and the
+    verdict counts reduce to one row. Orders with no lines are
+    counted by anti-join — absent detail is a different failure from
+    mismatched detail. Output: (n_orders, n_no_lines, n_reconciled,
+    n_mismatched, max_abs_diff).
+    """
+    line_val = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        4,
+    ).cast("decimal(28,8)")
+    calc = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(F.sum(line_val), 2).cast("double").alias("__calc")
+    )
+    joined = orders.select("o_orderkey", "o_totalprice").join(
+        calc, "o_orderkey", "left"
+    )
+    diff = F.round(F.abs(F.col("o_totalprice") - F.col("__calc")), 2)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("__calc").isNull().cast("long")).alias("n_no_lines"),
+        F.sum((diff <= tolerance).cast("long")).alias("n_reconciled"),
+        F.sum((diff > tolerance).cast("long")).alias("n_mismatched"),
+        F.max(diff).alias("max_abs_diff"),
+    )

@@ -204,3 +204,23 @@ def test_integrity_report_catches_planted_violations(spark):
     assert out["unique:o_orderkey"] == 2
     assert out["fk:lineitem.l_orderkey->orders"] == 1
     assert out["fk:orders.o_custkey->customer"] == 1
+
+
+def test_price_reconciliation_audit_classifies(spark):
+    from etl_gcp_spark.operators.validate import price_reconciliation_audit
+
+    orders = spark.createDataFrame(
+        [(1, 110.0), (2, 500.0), (3, 42.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    # order 1 reconciles (100 * 1.1 = 110); order 2 off by 390;
+    # order 3 has no lines at all
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.1), (2, 100.0, 0.0, 0.1)],
+        "l_orderkey long, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    )
+    r = price_reconciliation_audit(orders, lineitem).collect()[0]
+    assert r.n_orders == 3 and r.n_no_lines == 1
+    assert r.n_reconciled == 1 and r.n_mismatched == 1
+    assert r.max_abs_diff == 390.0

@@ -269,3 +269,24 @@ def test_jaccard_threshold_curve_bands(spark):
     assert out[1.0] == 1
     assert sum(out.values()) >= 2  # the near pair lands in some band
     assert all(b >= 0.3 for b in out)
+
+
+def test_cross_doc_passage_share(spark):
+    from etl_gcp_spark.operators.text_dedup import cross_doc_passage_share
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1a unique1b"),
+            (2, shared + " other2a other2b"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           cross_doc_passage_share(docs, window=8).collect()}
+    # docs 1/2: 3 windows each, only the first (the shared passage)
+    # appears in the other doc
+    assert out[1].n_passages == 3 and out[1].n_shared == 1
+    assert out[2].n_shared == 1
+    assert out[3].n_shared == 0
