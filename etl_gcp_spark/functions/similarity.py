@@ -1791,7 +1791,13 @@ def semdedup_prune(
     bounded by cluster occupancy instead of n², which is the entire
     scale argument of the paper. Greedy keep-lowest-id: a vector is
     dropped when any lower-id member of ITS OWN cell matches at
-    ≥ ``threshold`` cosine.
+    ≥ ``threshold`` cosine — INCLUDING lower-id members that were
+    themselves dropped. So pruning is transitive through chains
+    (a~b, b~c with a≁c keeps only a), which over-prunes relative to
+    the paper's keep-one-per-duplicate-group rule; that is the
+    registered, oracle-replayed semantics here (a survivors-only
+    drop join would need an iterative pass — choose
+    :func:`embedding_dedup_clusters` for group-faithful keeps).
 
     Differs from :func:`embedding_dedup_clusters` (exact global
     blocked-GEMM pairs → connected components) in contract and cost:

@@ -403,6 +403,65 @@ def winnow_fingerprints(
     )
 
 
+def winnow_gram_hashes(
+    documents: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The positioned k-gram rolling hashes that winnowing selects
+    from — exposed so an external oracle can replay the window-min +
+    dedup selection bit-exactly from the same hash values (the
+    rolling hash is the one step a SQL engine can't recompute).
+
+    Output: (id, pos, h_flip) — ``pos`` is the 0-based k-gram
+    position and ``h_flip`` is the uint64 hash with its top bit
+    flipped, viewed as int64: an ORDER-PRESERVING uint64→int64 map,
+    so a signed MIN over h_flip picks the same gram as the kernel's
+    unsigned MIN (xor the sign bit back to recover the fingerprint
+    int64 view that :func:`winnow_fingerprints` emits).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1099511628211)  # same multiplier as the kernel above
+    flip = np.uint64(1) << np.uint64(63)
+
+    def kernel(batches):
+        np.seterr(over="ignore")
+        pw = B ** np.arange(k, dtype=np.uint64)[::-1]
+        for pdf in batches:
+            ids_out, pos_out, h_out = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                codes = np.frombuffer(
+                    txt.strip().lower().encode("utf-8"), dtype=np.uint8
+                ).astype(np.uint64)
+                n = len(codes) - k + 1
+                if n < 1:
+                    continue
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    h += codes[j : j + n] * pw[j]
+                ids_out.append(np.full(n, did, dtype=np.int64))
+                pos_out.append(np.arange(n, dtype=np.int64))
+                h_out.append((h ^ flip).astype(np.int64))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "pos": np.concatenate(pos_out),
+                        "h_flip": np.concatenate(h_out),
+                    }
+                )
+
+    return documents.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, f"{id_col} long, pos long, h_flip long"
+    )
+
+
 def tfidf_top_terms(
     documents: DataFrame,
     *,

@@ -630,12 +630,19 @@ def wow_growth(events: DataFrame) -> DataFrame:
     Percent change is computed from exact integer counts and
     decimal-exact value sums, one division each, 4 dp — replayable.
     The lag window is a single ordered pass over WEEKS (domain-
-    bounded). Output: (week_start, n_events, total_value, n_growth,
+    bounded: one row per week, so the unpartitioned window holds
+    at most a few thousand rows even over decades — the "No
+    Partition Defined" warning is expected and safe here; a lag
+    across week boundaries cannot be partitioned without breaking
+    its semantics). NULL timestamps are excluded up front: Spark
+    orders NULLS FIRST while most SQL engines order NULLS LAST, so
+    a NULL week group would shift the first real week's growth.
+    Output: (week_start, n_events, total_value, n_growth,
     value_growth) — growth NULL for the first week.
     """
     from pyspark.sql import Window
 
-    weekly = events.groupBy(
+    weekly = events.filter(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("week", F.col("ts")).alias("week_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -160,7 +160,7 @@ def join_explosion_report(
     w = Window.orderBy(F.col("out").desc(), F.col("key").asc())
     return (
         top.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(totals))
+        .crossJoin(F.broadcast(totals))
         .select(
             "rank",
             F.col("key").cast("string").alias("key"),

@@ -368,6 +368,24 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_token_hashes(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (id, xxhash64(token)) posting that SimHash votes over —
+    exposed so an external oracle can replay the vote/banding logic
+    bit-exactly from the same hash values (xxhash64 is the one step
+    a SQL engine can't recompute; everything downstream of it can).
+    One row per token OCCURRENCE (``explode_outer`` keeps empty/null
+    docs as a single NULL-token row, so every document fingerprints).
+    """
+    return documents.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+
+
 def simhash(
     documents: DataFrame,
     *,
@@ -389,9 +407,9 @@ def simhash(
     # per-bit expressions are assembled as SQL strings — the
     # Column-object route costs ~1.4 s of py4j round trips PER PLAN
     # BUILD at 64 bits (identical AST and results; construction only)
-    posting = documents.select(
-        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    posting = simhash_token_hashes(
+        documents, text_col=text_col, id_col=id_col
+    )
     votes = posting.groupBy(id_col).agg(
         *[
             F.expr(

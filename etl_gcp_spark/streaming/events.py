@@ -607,6 +607,12 @@ def run_streaming_cms(
     rows and an O(KB) append — state never grows with the stream, the
     whole point of sketching a stream. Truth side comes from the
     static table (exact, for the est ≥ true audit columns).
+
+    NULL keys are excluded BY CONVENTION on both sides: the range
+    partitioner's ``key > lo`` / ``key <= hi`` staging filters would
+    silently drop NULLs from the stream only, so we filter them
+    explicitly up front (and the truth side's ``isin`` probe never
+    matches NULL) — stream and batch see the same key universe.
     """
     from etl_gcp_spark.functions.sketches import (
         cms_build,
@@ -617,7 +623,9 @@ def run_streaming_cms(
         tempfile.gettempdir(), f"etl_gcp_spark_scms_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
-    keys = events.select(F.col(key_col).cast("long").alias(key_col))
+    keys = events.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("long").alias(key_col)
+    )
     bounds = keys.approxQuantile(
         key_col, [i / n_batches for i in range(1, n_batches)], 0.0
     )
@@ -689,12 +697,21 @@ def run_streaming_topk(
     Per trigger: one map-side-combined count (≤ |keys| rows) and an
     O(KB) append; the final top-k is orderBy+limit over the merged
     counter table.
+
+    NULL event_ids and NULL keys are excluded BY CONVENTION on both
+    sides: the range partitioner's ``event_id > lo`` / ``<= hi``
+    staging filters would silently drop NULL-id rows from the stream
+    only, so both NULL classes are filtered explicitly up front and
+    the batch oracle applies the same WHERE — stream and batch count
+    the same rows.
     """
     root = os.path.join(
         tempfile.gettempdir(), f"etl_gcp_spark_stopk_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
-    keys = events.select(F.col("event_id"), F.col(key_col))
+    keys = events.filter(
+        F.col("event_id").isNotNull() & F.col(key_col).isNotNull()
+    ).select(F.col("event_id"), F.col(key_col))
     bounds = keys.approxQuantile(
         "event_id", [i / n_batches for i in range(1, n_batches)], 0.0
     )

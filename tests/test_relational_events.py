@@ -238,3 +238,32 @@ def test_cusum_finds_planted_level_shift(spark):
     row = cusum_change_point(ev).collect()[0]
     assert str(row.change_hour) == "2024-01-01 23:00:00"
     assert row.n_hours == 48
+
+
+def test_wow_growth_ignores_null_timestamps(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.events import wow_growth
+
+    # two real weeks (2 then 3 events) plus a NULL-ts row; the NULL
+    # must not form its own group or shift the lag ordering (Spark
+    # windows order NULLS FIRST, SQL oracles NULLS LAST)
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", 1.0),
+            ("2024-01-02 10:00:00", 1.0),
+            ("2024-01-08 10:00:00", 2.0),
+            ("2024-01-09 10:00:00", 2.0),
+            ("2024-01-10 10:00:00", 2.0),
+            (None, 99.0),
+        ],
+        "s string, value double",
+    ).select(F.to_timestamp("s").alias("ts"), "value")
+    rows = wow_growth(ev).collect()
+    assert len(rows) == 2
+    wk1, wk2 = rows
+    assert str(wk1.week_start)[:10] == "2024-01-01"
+    assert (wk1.n_events, wk1.total_value) == (2, 2.0)
+    assert wk1.n_growth is None and wk1.value_growth is None
+    assert (wk2.n_events, wk2.total_value) == (3, 6.0)
+    assert wk2.n_growth == 0.5 and wk2.value_growth == 2.0
