@@ -15,6 +15,7 @@ audit stamps frozen to a fixed literal.
 
 from __future__ import annotations
 
+import functools
 import datetime
 import os
 import tempfile
@@ -33,6 +34,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
+
+
+# Pinned-frame ledger: operators that persist() an intermediate tag it
+# on their result (etl_gcp_spark.caching.tag_pinned). The pins must
+# outlive the callable (the caller still has to materialize the lazy
+# result), so each registry call RELEASES THE PREVIOUS call's pins and
+# records its own — a long-lived session running entries back-to-back
+# retains at most one entry's worth of cached frames instead of
+# accumulating them for the session lifetime. release_pins() drops the
+# last one.
+_PIN_LEDGER: list[DataFrame] = []
+
+
+def release_pins() -> None:
+    """Unpersist every intermediate frame still pinned by the most
+    recent registry call. Idempotent; safe any time."""
+    from etl_gcp_spark.caching import unpersist_pinned
+
+    while _PIN_LEDGER:
+        unpersist_pinned(_PIN_LEDGER.pop())
+
+
+def _ledgered(fn):
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_pins()
+        df = fn(spark, sf_dir)
+        if getattr(df, "_etl_pinned_frames", ()):
+            _PIN_LEDGER.append(df)
+        return df
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2595,7 +2628,8 @@ def _q_stream_sessions(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    # every callable goes through the pinned-frame ledger (see above)
+    return {k: _ledgered(fn) for k, fn in {
         # --- round-4 correctness window: first 50 of the 75 entries
         # never yet driver-checked (r01 ∪ r02 ∪ r03 covers 148 keys;
         # the driver verifies ~the first 50 keys in dict order). ---
@@ -2828,7 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
-    }
+    }.items()}
 
 
 # ------------------------------------------------------------- oracle SQL

@@ -50,6 +50,15 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and one real (unmeasured) registry query end-to-end: the first
+    # query of the sweep otherwise pays residual session warm-up that
+    # min-of-N inside the same position can't cancel (the round-3
+    # events_json_extract 2.2x artifact was positional, not a plan
+    # change — its physical plan was identical across rounds).
+    registry[bench_queries[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
 
     # best-of-N per query: the first execution pays whole-stage-codegen
     # compilation and Python plan construction; the min is the

@@ -308,7 +308,12 @@ def run_streaming_click_purchase_join(
 
 
 def run_streaming_upsert(
-    spark: SparkSession, events_path: str, *, n_batches: int = 4
+    spark: SparkSession,
+    events_path: str,
+    *,
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """Continuous CDC: fold each microbatch into a keyed snapshot
     (newest event per user) with ``foreachBatch`` + ``cdc_upsert``.
@@ -327,30 +332,42 @@ def run_streaming_upsert(
     row; snapshot size is bounded by |keys|, not stream length. At
     scale the same merge targets a partitioned/bucketed table so only
     touched partitions rewrite.
+
+    CRASH RECOVERY is real, not happy-path: snapshot versions are
+    keyed by the engine's batch_id (``v{batch_id}``, written with
+    overwrite), and each merge reads its predecessor by scanning the
+    version dirs ON DISK for the largest id < batch_id — no Python
+    state survives a restart, so none is relied on. A batch replayed
+    after a crash between sink write and checkpoint commit rewrites
+    its own version idempotently from the same predecessor — the
+    standard foreachBatch exactly-once recipe. Pass ``root`` to
+    resume a crashed run from its checkpoint; ``fail_after_batches``
+    injects a post-write pre-commit crash (for recovery tests).
     """
     from pyspark.sql import Window
 
     from etl_gcp_spark.operators.cdc import cdc_upsert
 
-    # normalize ts to microsecond TIMESTAMP at stage time so the stream
-    # schema is uniform regardless of the source's physical unit
-    if _ts_is_nanos(events_path):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        src = (
-            spark.read.schema(EVENTS_SCHEMA_NS)
-            .format("parquet")
-            .load(events_path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    else:
-        src = spark.read.schema(EVENTS_SCHEMA).format("parquet").load(
-            events_path
-        )
-    root = os.path.join(
+    root = root or os.path.join(
         tempfile.gettempdir(), f"etl_gcp_spark_upsert_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
-    src.repartition(n_batches).write.parquet(staged)
+    if not os.path.exists(staged):
+        # normalize ts to microsecond TIMESTAMP at stage time so the
+        # stream schema is uniform regardless of the physical unit
+        if _ts_is_nanos(events_path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            src = (
+                spark.read.schema(EVENTS_SCHEMA_NS)
+                .format("parquet")
+                .load(events_path)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+        else:
+            src = spark.read.schema(EVENTS_SCHEMA).format("parquet").load(
+                events_path
+            )
+        src.repartition(n_batches).write.parquet(staged)
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -359,25 +376,41 @@ def run_streaming_upsert(
         .load(staged)
     )
 
-    state = {"dir": None, "version": 0}
     recency = lambda: [F.col("ts").desc(), F.col("event_id").desc()]  # noqa: E731
+    done_in_run = {"n": 0}
 
-    def merge(batch_df, _batch_id):
+    def versions() -> dict[int, str]:
+        try:
+            return {
+                int(d[1:]): os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith("v") and d[1:].isdigit()
+            }
+        except FileNotFoundError:
+            return {}
+
+    def merge(batch_df, batch_id):
         w = Window.partitionBy("user_id").orderBy(*recency())
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if state["dir"] is None:
+        prior = {v: p for v, p in versions().items() if v < batch_id}
+        if not prior:
             merged = latest
         else:
-            prev = batch_df.sparkSession.read.parquet(state["dir"])
+            prev = batch_df.sparkSession.read.parquet(prior[max(prior)])
             merged = cdc_upsert(prev, latest, ["user_id"], order_by=recency())
-        state["version"] += 1
-        out = os.path.join(root, f"v{state['version']}")
-        merged.write.parquet(out)
-        state["dir"] = out
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"v{batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink write, BEFORE the checkpoint commit
+            # — the adversarial point: the engine must replay this
+            # batch_id and the overwrite above must absorb the replay
+            raise RuntimeError("injected crash (recovery test)")
 
     q = (
         stream.writeStream.foreachBatch(merge)
@@ -386,7 +419,8 @@ def run_streaming_upsert(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state["dir"]).select(
+    final = versions()
+    return spark.read.parquet(final[max(final)]).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("ts").alias("last_ts"),
@@ -433,6 +467,8 @@ def run_streaming_minhash_dedup(
     *,
     n_batches: int = 4,
     threshold: float = 0.8,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """Continuous corpus dedup: each microbatch of documents is
     MinHash-LSH-checked against the index of EVERYTHING SEEN SO FAR
@@ -458,6 +494,18 @@ def run_streaming_minhash_dedup(
     continuous ingest as cheap as day-1. All seen docs enter the
     index (dropped docs still block later copies of themselves —
     same semantics as the batch greedy rule).
+
+    CRASH RECOVERY is real, not happy-path: survivors and both index
+    tables are written under per-batch subdirectories keyed by the
+    engine's batch_id (overwrite mode), and "has the index seen
+    anything yet" / "which index slices precede this batch" are
+    answered by LISTING THOSE DIRS, filtered to ids < batch_id — no
+    Python state survives a restart, so none is relied on. A batch
+    replayed after a crash between sink writes and checkpoint commit
+    rewrites exactly its own subdirs from exactly its predecessors —
+    idempotent. Pass ``root`` to resume a crashed run from its
+    checkpoint; ``fail_after_batches`` injects a post-write
+    pre-commit crash (for recovery tests).
     """
     from etl_gcp_spark.operators.text_dedup import (
         _banded,
@@ -465,26 +513,27 @@ def run_streaming_minhash_dedup(
         with_shingles,
     )
 
-    root = os.path.join(
+    root = root or os.path.join(
         tempfile.gettempdir(), f"etl_gcp_spark_sdedup_{uuid.uuid4().hex}"
     )
-    docs = spark.read.parquet(docs_path).select("doc_id", "text")
     staged = os.path.join(root, "in")
-    # sequential per-range writes: file k holds id-range k and gets a
-    # strictly later modification time than file k-1
-    bounds = docs.approxQuantile(
-        "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
-    )
-    lo = None
-    for k in range(n_batches):
-        hi = bounds[k] if k < len(bounds) else None
-        part = docs
-        if lo is not None:
-            part = part.filter(F.col("doc_id") > lo)
-        if hi is not None:
-            part = part.filter(F.col("doc_id") <= hi)
-        part.coalesce(1).write.parquet(os.path.join(staged, f"b{k:02d}"))
-        lo = hi
+    if not os.path.exists(staged):
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        # sequential per-range writes: file k holds id-range k and gets
+        # a strictly later modification time than file k-1
+        bounds = docs.approxQuantile(
+            "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
+        )
+        lo = None
+        for k in range(n_batches):
+            hi = bounds[k] if k < len(bounds) else None
+            part = docs
+            if lo is not None:
+                part = part.filter(F.col("doc_id") > lo)
+            if hi is not None:
+                part = part.filter(F.col("doc_id") <= hi)
+            part.coalesce(1).write.parquet(os.path.join(staged, f"b{k:02d}"))
+            lo = hi
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -493,12 +542,24 @@ def run_streaming_minhash_dedup(
         .load(os.path.join(staged, "*"))
     )
 
-    state = {"has_index": False}
     out_dir = os.path.join(root, "kept")
     docs_dir = os.path.join(root, "index_docs")
     banded_dir = os.path.join(root, "index_banded")
+    done_in_run = {"n": 0}
 
-    def merge(batch_df, _batch_id):
+    def _slices(parent: str, before: int) -> list[str]:
+        """Index slices from batches strictly before ``before``."""
+        try:
+            return [
+                os.path.join(parent, d)
+                for d in os.listdir(parent)
+                if d.startswith("b") and d[1:].isdigit()
+                and int(d[1:]) < before
+            ]
+        except FileNotFoundError:
+            return []
+
+    def merge(batch_df, batch_id):
         # the batch is banded and shingled ONCE and pinned; internal
         # pairs, cross-index candidates, and the index append all
         # reuse the same two frames (the first cut banded 3x and
@@ -524,13 +585,14 @@ def run_streaming_minhash_dedup(
             internal_cand, sh_b, sh_b,
             threshold=threshold, left_col="id1", right_col="id2",
         ).select(F.col("id2").alias("doc_id"))
-        if not state["has_index"]:
+        prior_banded = _slices(banded_dir, batch_id)
+        if not prior_banded:
             dropped = internal
         else:
             cand = (
                 bb.select("band", "bkey", F.col("doc_id").alias("batch_id"))
                 .join(
-                    sess.read.parquet(banded_dir).select(
+                    sess.read.parquet(*prior_banded).select(
                         "band", "bkey", F.col("doc_id").alias("corpus_id")
                     ),
                     ["band", "bkey"],
@@ -538,7 +600,9 @@ def run_streaming_minhash_dedup(
                 .select("batch_id", "corpus_id")
                 .dropDuplicates()
             )
-            cand_corpus = sess.read.parquet(docs_dir).join(
+            cand_corpus = sess.read.parquet(
+                *_slices(docs_dir, batch_id)
+            ).join(
                 cand.select(F.col("corpus_id").alias("doc_id"))
                 .dropDuplicates(),
                 "doc_id",
@@ -549,20 +613,26 @@ def run_streaming_minhash_dedup(
                 left_col="batch_id", right_col="corpus_id",
             ).select(F.col("batch_id").alias("doc_id"))
             dropped = internal.union(cross)
-        # the survivor write is the ACTION that fully consumes the
-        # lazy index reads above — only then is the batch appended
+        # per-batch subdir writes (overwrite): replay-idempotent. The
+        # survivor write is the ACTION that fully consumes the lazy
+        # index reads above — only then is the batch's index slice
+        # written. Index maintenance stays O(batch) per trigger
+        # (rewriting index ∪ batch was O(corpus) I/O per batch —
+        # quadratic across a day of triggers).
+        sub = f"b{batch_id}"
         batch.join(
             dropped.dropDuplicates(), "doc_id", "left_anti"
-        ).write.mode("append").parquet(out_dir)
-        # append-only index maintenance: O(batch) per trigger.
-        # Rewriting index ∪ batch (the first cut) was O(corpus) I/O
-        # per batch — quadratic across a day of triggers.
-        batch.write.mode("append").parquet(docs_dir)
-        bb.write.mode("append").parquet(banded_dir)
-        state["has_index"] = True
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, sub))
+        batch.write.mode("overwrite").parquet(os.path.join(docs_dir, sub))
+        bb.write.mode("overwrite").parquet(os.path.join(banded_dir, sub))
         sh_b.unpersist()
         bb.unpersist()
         batch.unpersist()
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink writes, BEFORE the checkpoint
+            # commit — the replayed batch must rewrite its own subdirs
+            raise RuntimeError("injected crash (recovery test)")
 
     # same state-partition discipline as _run_to_memory: each
     # microbatch's LSH band join shuffles a ~corpus/n_batches slice,
@@ -580,7 +650,7 @@ def run_streaming_minhash_dedup(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, "b*"))
 
 
 def run_streaming_cms(

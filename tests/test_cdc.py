@@ -161,3 +161,43 @@ def test_merge_agg_delta_equals_full_recompute(spark, sf_dir):
     }
     # decimal sums are exact: delta-merged aggregate == full recompute
     assert merged == full
+
+
+def test_streaming_upsert_recovers_from_mid_stream_crash(
+    spark, sf_dir, tmp_path
+):
+    """Kill the upsert after trigger 2 of 4 (post-write, pre-commit),
+    resume from the checkpoint, and require the final snapshot to
+    equal the batch oracle EXACTLY — the property a 100-TB continuous
+    ingest actually depends on (round-3 verdict item 6)."""
+    import os
+
+    import pytest
+    from pyspark.sql import Window
+
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_upsert
+
+    root = str(tmp_path / "upsert_recovery")
+    path = os.path.join(sf_dir, "events.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_upsert(
+            spark, path, n_batches=4, root=root, fail_after_batches=2
+        )
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_ts"])
+        for r in run_streaming_upsert(
+            spark, path, n_batches=4, root=root
+        ).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["ts"])
+        for r in events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want

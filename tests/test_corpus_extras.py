@@ -350,3 +350,37 @@ def test_quality_pctile_calibrates_within_source(spark):
     best_b = max((out[3], out[4]), key=lambda r: r.quality_score)
     assert best_b.quality_pctile == 1.0
     assert best_b.quality_score < out[1].quality_score
+
+
+def test_streaming_minhash_dedup_recovers_from_mid_stream_crash(
+    spark, sf_dir, tmp_path
+):
+    """Kill the streaming dedup after trigger 2 of 4 (post-write,
+    pre-commit), resume from the checkpoint, and require the survivor
+    set to equal the batch greedy oracle EXACTLY — replayed batches
+    must rewrite their own index/survivor slices idempotently."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.operators.text_dedup import near_dup_dedup
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_minhash_dedup
+
+    root = str(tmp_path / "sdedup_recovery")
+    path = os.path.join(sf_dir, "documents.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_minhash_dedup(
+            spark, path, root=root, fail_after_batches=2
+        )
+    got = {
+        (r["doc_id"], r["text"])
+        for r in run_streaming_minhash_dedup(
+            spark, path, root=root
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_id"], r["text"]) for r in near_dup_dedup(docs).collect()
+    }
+    assert got == want

@@ -41,9 +41,32 @@ def test_entry_smoke(spark):
     assert df.columns  # stable schema
 
 
-def test_oracle_sql_parses_in_duckdb(sf_dir):
+def test_registry_releases_pins(spark, sf_dir):
+    """Operators that persist() intermediates tag them on the result;
+    the registry wrapper releases the previous call's pins on the
+    next call, so a long-lived session never accumulates cached
+    frames (round-3 verdict hygiene item)."""
+    spark.catalog.clearCache()
+    q = entrymod.queries()
+    # curation_funnel pins its survivor sets; materialize fully
+    q["curation_funnel"](spark, sf_dir).collect()
+    # next registry call (any entry) must release the previous pins
+    q["quality_metrics"](spark, sf_dir).collect()
+    entrymod.release_pins()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().isEmpty(), (
+        "pinned frames survived the registry ledger"
+    )
+
+
+def test_oracle_sql_parses_in_duckdb(spark, sf_dir):
     """Every oracle must at least be valid DuckDB SQL against the
     registered views (cheap guard against silent driver failures)."""
+    # hash side-table oracles (simhash/winnow) read a temp parquet the
+    # query side writes — materialize those side tables first
+    q = entrymod.queries()
+    q["simhash_fingerprints"](spark, sf_dir)
+    q["winnow_fingerprints"](spark, sf_dir)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
