@@ -50,7 +50,12 @@ NEAR_DUP_FRAC = 0.04     # planted ~5%-token-mutated near duplicates
 VEC_DUP_FRAC = 0.01      # planted high-cosine embedding neighbors
 
 
-def gen_documents(n: int, rng: np.random.Generator):
+BOILERPLATE = "click here now"  # tokens deliberately OUTSIDE the vocab
+
+
+def gen_documents(
+    n: int, rng: np.random.Generator, *, boilerplate_frac: float = 0.0
+):
     """(doc_id, text, lang, source, n_chars) rows with planted dups.
 
     Vocabulary SCALES with the corpus (real corpora grow vocabulary
@@ -59,6 +64,14 @@ def gen_documents(n: int, rng: np.random.Generator):
     has — which both voids DF-capped operators (0 candidates) and
     makes posting joins artificially quadratic. Suffixed copies of
     the base vocab keep token-length/shape identical at both sizes.
+
+    ``boilerplate_frac`` plants a Zipf-style HEAVY HITTER: the same
+    3-token boilerplate snippet inserted into that fraction of the
+    base docs, giving one trigram shingle a document frequency of
+    ~30% of the corpus (cookie banners / nav chrome at web scale).
+    An uncapped posting join on that shingle alone is (0.3n)² pairs —
+    the skewed pass exists to prove the DF caps and banding keep the
+    LSH/containment family sub-quadratic anyway.
     """
     vocab = np.array(
         [f"{w}{k}" if k else w for k in range(max(1, n // 5000)) for w in VOCAB]
@@ -66,8 +79,11 @@ def gen_documents(n: int, rng: np.random.Generator):
     langs = np.array(["en", "de", "es", "fr", "zh"])
     texts: list[str] = []
     n_base = n - int(n * EXACT_DUP_FRAC) - int(n * NEAR_DUP_FRAC)
-    for _ in range(n_base):
-        toks = rng.choice(vocab, size=int(rng.integers(30, 81)))
+    for i in range(n_base):
+        toks = list(rng.choice(vocab, size=int(rng.integers(30, 81))))
+        if boilerplate_frac and rng.random() < boilerplate_frac:
+            pos = int(rng.integers(0, len(toks)))
+            toks[pos:pos] = BOILERPLATE.split()
         texts.append(" ".join(toks))
     for _ in range(int(n * EXACT_DUP_FRAC)):
         texts.append(texts[int(rng.integers(0, n_base))])
@@ -115,6 +131,15 @@ def write_parquet(out_dir: str, scale: int) -> None:
         vecs = gen_embeddings(BASE_VECS * mult, rng)
         pq.write_table(
             pa.table(docs), f"{out_dir}/documents_x{mult}.parquet"
+        )
+        rng_skew = np.random.default_rng(42)
+        pq.write_table(
+            pa.table(
+                gen_documents(
+                    BASE_DOCS * mult, rng_skew, boilerplate_frac=0.3
+                )
+            ),
+            f"{out_dir}/documents_skew_x{mult}.parquet",
         )
         pq.write_table(
             pa.table(
@@ -227,8 +252,36 @@ def bench(out_dir: str, scale: int) -> dict:
     ).mode("overwrite").save()
     spark.catalog.clearCache()
 
+    # the Zipf-skew pass: same ops that ride shingle/band posting
+    # joins, re-run over the corpus with the planted 30%-DF
+    # boilerplate trigram — proves the DF caps (containment /
+    # shingle-cosine), banding (MinHash), and their downstream
+    # consumers stay sub-quadratic when one bucket is a heavy hitter
+    def docs_skew(mult: int):
+        return spark.read.parquet(
+            f"{out_dir}/documents_skew_x{mult}.parquet"
+        )
+
+    skew_ops = {
+        "skew:minhash_lsh_pairs": lambda m: minhash_lsh_pairs(
+            docs_skew(m), threshold=0.8
+        ),
+        "skew:containment_pairs": lambda m: _containment(
+            docs_skew(m), threshold=0.8
+        ),
+        "skew:shingle_cosine_pairs": lambda m: _shingle_cos(
+            docs_skew(m), threshold=0.5
+        ),
+        "skew:dup_ngram_fraction": lambda m: _dup_ngram(docs_skew(m)),
+        "skew:ngram_novelty": lambda m: _novelty(docs_skew(m)),
+        "skew:dedup_clusters": lambda m: dedup_clusters(
+            docs_skew(m), threshold=0.8
+        ),
+        "skew:curation_funnel": lambda m: curation_funnel(docs_skew(m)),
+    }
+
     results: dict[str, dict] = {}
-    for name, fn in ops.items():
+    for name, fn in {**ops, **skew_ops}.items():
         timings = {}
         for mult in (1, scale):
             t0 = time.time()

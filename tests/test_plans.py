@@ -507,3 +507,73 @@ def test_logreg_gradient_aggregates_map_side(spark, sf_dir):
     # the shuffle carries 4 decimal partials + a count, never rows
     assert "HashAggregate" in plan
     assert "BroadcastExchange" in plan  # weights ride a broadcast
+
+
+def test_zorder_point_predicate_prunes_most_files(spark, sf_dir, tmp_path):
+    """The 100x-scale payoff of the Z-order layout: a two-dimensional
+    point predicate must be skippable by per-file footer stats on BOTH
+    curve dimensions at once — fewer than 1/4 of the files may overlap
+    the predicate box (a single-column sort leaves the second
+    dimension's per-file range spanning the whole domain, pruning
+    nothing). Also asserts Spark pushes both predicates to the scan,
+    so the footer stats are actually consulted at runtime."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_gcp_spark.operators.layout import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zorders")
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], n_files=16)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) >= 12  # layout actually fanned out
+
+    # point predicate: one real row's custkey plus a tight price band
+    probe = orders.orderBy("o_orderkey").first()
+    ck = probe["o_custkey"]
+    lo, hi = probe["o_totalprice"] - 1.0, probe["o_totalprice"] + 1.0
+
+    def overlaps(f: str) -> bool:
+        meta = pq.ParquetFile(f).metadata
+        cols = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        ck_min = min(
+            meta.row_group(g).column(cols["o_custkey"]).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        ck_max = max(
+            meta.row_group(g).column(cols["o_custkey"]).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        p_min = min(
+            meta.row_group(g).column(cols["o_totalprice"]).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        p_max = max(
+            meta.row_group(g).column(cols["o_totalprice"]).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        return ck_min <= ck <= ck_max and not (hi < p_min or lo > p_max)
+
+    n_overlap = sum(1 for f in files if overlaps(f))
+    assert n_overlap < len(files) / 4, (
+        f"{n_overlap}/{len(files)} files overlap the point predicate — "
+        "the curve layout is not delivering multi-dimensional pruning"
+    )
+
+    # the scan side: both predicates pushed, so the runtime reader can
+    # skip those files/row-groups via exactly these footer stats
+    scan = (
+        spark.read.parquet(path)
+        .filter((F.col("o_custkey") == ck) & F.col("o_totalprice").between(lo, hi))
+        .select("o_orderkey")
+    )
+    plan = _plan(scan)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_custkey" in pushed and "o_totalprice" in pushed
