@@ -1607,11 +1607,25 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_topk(spark, sf_dir):
-    from etl_gcp_spark.functions.similarity import lsh_bucketed_topk
-
-    return lsh_bucketed_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    """SRP-LSH top-k with a full value-hash oracle: the bucket
+    assignments (deterministic xxhash64 hyperplanes — the one step a
+    SQL engine can't recompute) go to a side table; the oracle replays
+    candidate generation (bucket join), exact cosine re-scoring, and
+    ranking from those buckets bit-exactly."""
+    from etl_gcp_spark.functions.similarity import (
+        _srp_buckets_df,
+        lsh_bucketed_topk,
     )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _oracle_side_write(
+        _srp_buckets_df(
+            emb, n_planes=8, n_tables=4, dim=64,
+            id_col="vec_id", vec_col="embedding",
+        ).select("vec_id", "tbl", "bkt"),
+        "srp_buckets",
+    )
+    return lsh_bucketed_topk(emb, query_ids=list(range(10)), k=5)
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -2677,9 +2691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quota_filter": _q_quality_quota_filter,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "user_erasure": _q_user_erasure,
-        "payload_dedup": _q_payload_dedup,
-        "join_explosion": _q_join_explosion,
-        "canonical_dedup_gain": _q_canonical_dedup_gain,
         "streaming_topk": _q_streaming_topk,
         # --- converted from rows-only to value-hash oracles this
         # round (hash side-table replays) — need a fresh driver check,
@@ -2687,8 +2698,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow,
+        "ann_lsh_topk": _q_ann_topk,
+        "streaming_sessions": _q_stream_sessions,
         # --- the remaining never-driver-checked entries: next in
         # line for the round-5 window. ---
+        "payload_dedup": _q_payload_dedup,
+        "join_explosion": _q_join_explosion,
+        "canonical_dedup_gain": _q_canonical_dedup_gain,
         "label_centroid_drift": _q_label_centroid_drift,
         "event_type_lift": _q_event_type_lift,
         "kfold_counts": _q_kfold_counts,
@@ -2754,9 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": _q_stream_user_stats,
         "streaming_interval_join": _q_stream_interval_join,
         "hll_distinct_stats": _q_hll_distinct_stats,
-        "ann_lsh_topk": _q_ann_topk,
         "frame_samples": _q_frame_samples,
-        "streaming_sessions": _q_stream_sessions,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -6728,5 +6742,71 @@ def oracle_sql() -> dict[str, str]:
                xor(mflip, (-9223372036854775807::BIGINT - 1))
                    AS fingerprint
         FROM mins WHERE pos <= n - 4
+    """
+    # SRP-LSH top-k replay: candidates from the side-table buckets
+    # (xxhash64-derived hyperplanes), exact cosine + ranking in SQL —
+    # mirrors the cosine_topk conventions (raw-sim ordering,
+    # neighbor-id ties, 6-dp display rounding)
+    srp_side = os.path.join(_oracle_side_path("srp_buckets"), "*.parquet")
+    sql["ann_lsh_topk"] = f"""
+        WITH b AS (
+            SELECT vec_id, tbl, bkt FROM read_parquet('{srp_side}')
+        ), base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM b c JOIN (SELECT * FROM b WHERE vec_id < 10) q
+              ON c.tbl = q.tbl AND c.bkt = q.bkt
+            WHERE c.vec_id <> q.vec_id
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv.v, nv.v) AS raw_sim
+            FROM cand
+            JOIN base qv ON qv.vec_id = query_id
+            JOIN base nv ON nv.vec_id = neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, raw_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY raw_sim DESC, neighbor_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+               CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= 5
+    """
+    # streaming session windows: complete-mode availableNow output over
+    # F.session_window equals the batch islands formulation exactly
+    # (same lag/cumsum SQL the green session_window_stats oracle uses,
+    # minus its value column) — the stream's per-trigger state merging
+    # is precisely what the oracle equality proves
+    sql["streaming_sessions"] = """
+        WITH lagged AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM lagged
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
     """
     return sql
