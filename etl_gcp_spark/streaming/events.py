@@ -718,10 +718,15 @@ def run_streaming_cms(
     )
     sketch_dir = os.path.join(root, "sketch")
 
-    def fold(batch_df, _batch_id):
+    def fold(batch_df, batch_id):
+        # per-batch subdir keyed by batch_id, overwrite mode: a batch
+        # replayed after a crash between write and checkpoint commit
+        # rewrites ITS OWN partial instead of double-counting it —
+        # CMS merge-by-addition is only exactly-once if each batch's
+        # counters land exactly once
         cms_build(batch_df, key_col, width=width).write.mode(
-            "append"
-        ).parquet(sketch_dir)
+            "overwrite"
+        ).parquet(os.path.join(sketch_dir, f"b{batch_id}"))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -737,7 +742,7 @@ def run_streaming_cms(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     merged = (
-        spark.read.parquet(sketch_dir)
+        spark.read.parquet(os.path.join(sketch_dir, "b*"))
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -804,10 +809,14 @@ def run_streaming_topk(
     )
     counts_dir = os.path.join(root, "counts")
 
-    def fold(batch_df, _batch_id):
+    def fold(batch_df, batch_id):
+        # batch_id-keyed overwrite: replay-idempotent (see
+        # run_streaming_cms — additive merges double-count otherwise)
         batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("cnt")
-        ).write.mode("append").parquet(counts_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"b{batch_id}")
+        )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -823,7 +832,7 @@ def run_streaming_topk(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return (
-        spark.read.parquet(counts_dir)
+        spark.read.parquet(os.path.join(counts_dir, "b*"))
         .groupBy(key_col)
         .agg(F.sum("cnt").alias("n_events"))
         .orderBy(F.col("n_events").desc(), F.col(key_col))
