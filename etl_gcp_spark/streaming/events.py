@@ -420,6 +420,17 @@ def run_streaming_upsert(
     )
     q.awaitTermination()
     final = versions()
+    # retention: predecessor versions exist only for crash recovery
+    # (a replayed batch rereads version < batch_id). Once the stream
+    # COMPLETES they are dead weight — at one snapshot per trigger a
+    # continuous ingest would otherwise accumulate the full history.
+    # Never pruned mid-run, so a crash before this point keeps every
+    # version a resumed run could need.
+    import shutil
+
+    for v, p in final.items():
+        if v != max(final):
+            shutil.rmtree(p, ignore_errors=True)
     return spark.read.parquet(final[max(final)]).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
