@@ -1606,6 +1606,32 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    """Measured recall@5 of the registered 32-cell/4-probe IVF index
+    vs the exact top-5 — the audit that makes an approximate index
+    deployable (gate rollouts on recall over a probe set)."""
+    from etl_gcp_spark.functions.similarity import ann_recall_report
+
+    return ann_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=32,
+        n_probe=4,
+    )
+
+
+def _q_priority_sample(spark, sf_dir):
+    """Weighted k-sample without replacement (priority sampling) of
+    orders by o_totalprice — fixed-size, deterministic, with the
+    unbiased max(w, tau) subset-sum estimator attached."""
+    from etl_gcp_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", 64
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """SRP-LSH top-k with a full value-hash oracle: the bucket
     assignments (deterministic xxhash64 hyperplanes — the one step a
@@ -2702,6 +2728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_stream_sessions,
         # --- the remaining never-driver-checked entries: next in
         # line for the round-5 window. ---
+        # new in round 4 (past this round's window; locally verified)
+        "ann_recall_report": _q_ann_recall_report,
+        "priority_sample": _q_priority_sample,
         "payload_dedup": _q_payload_dedup,
         "join_explosion": _q_join_explosion,
         "canonical_dedup_gain": _q_canonical_dedup_gain,
@@ -6808,5 +6837,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events
         FROM numbered
         GROUP BY user_id, session_id
+    """
+    # ANN recall audit: composes the two already-proven oracles (the
+    # exhaustive top-k and the IVF algorithm replay) and measures
+    # their per-query overlap — the oracle checks the MEASUREMENT, the
+    # two sides' semantics are pinned by their own entries
+    sql["ann_recall_report"] = f"""
+        WITH exact AS ({sql["cosine_topk"]}),
+        approx AS ({sql["ann_ivf_topk"]}),
+        hits AS (
+            SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM exact e
+            JOIN approx a
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(coalesce(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+               round(coalesce(max(h.n_hits), 0)::DOUBLE / count(*), 4)
+                   AS recall
+        FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+        GROUP BY e.query_id
+    """
+    # priority sampling replay: the Park-Miller hash-uniform is exact
+    # integer arithmetic, the two divisions are IEEE exact-rounded, so
+    # the priority ranking reproduces bit-for-bit (no ln() anywhere —
+    # libm differs across engines)
+    sql["priority_sample"] = """
+        WITH pri AS (
+            SELECT o_orderkey AS key,
+                   CAST(o_totalprice AS DOUBLE) AS weight,
+                   CAST(o_totalprice AS DOUBLE)
+                     / ((((o_orderkey * 48271) % 2147483647) + 1)
+                        / 2147483647.0) AS q
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        ), top AS (
+            SELECT key, weight, q,
+                   row_number() OVER (ORDER BY q DESC, key) AS rnk
+            FROM pri
+            QUALIFY row_number() OVER (ORDER BY q DESC, key) <= 65
+        ), tau AS (
+            SELECT CASE WHEN count(*) > 64 THEN min(q) ELSE 0.0 END AS t
+            FROM top
+        )
+        SELECT key, weight,
+               round(greatest(weight, tau.t), 4) AS est_weight,
+               CAST(rnk AS INTEGER) AS rank
+        FROM top CROSS JOIN tau
+        WHERE rnk <= 64
     """
     return sql

@@ -2003,3 +2003,64 @@ def hard_negative_mining(
             "rank",
         )
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the selective IVF index against the exact top-k —
+    the ANN ladder's quality gauge as a first-class operator. An
+    approximate index without a measured recall is an unquantified
+    risk; this runs both sides (probing ``n_probe`` of ``n_cells``
+    cells vs the exhaustive scan) and reports per-query overlap, so a
+    pipeline can gate an index rollout on "recall@k ≥ X on a probe
+    set" the same way it gates row counts.
+
+    Cost: the exact side is one |queries| × n GEMM-ish scan (the probe
+    set is small by construction — this is an audit, not serving);
+    the approximate side is the production index path itself.
+    Output: (query_id, n_exact, n_hits, recall 4 dp).
+    """
+    exact = cosine_topk(
+        embeddings,
+        query_filter=F.col(id_col).isin(query_ids),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        embeddings,
+        query_ids=query_ids,
+        k=k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

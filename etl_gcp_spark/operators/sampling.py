@@ -203,3 +203,76 @@ def kfold_assign(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("fold", strat_col)
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup, JACM 2007 — public methodology): each row
+    gets priority q = w / u with u a deterministic hash-uniform in
+    (0, 1]; the sample is the k highest priorities. Against
+    independent per-row coin flips this yields a FIXED-SIZE sample
+    whose subset-sum estimator max(w, τ) (τ = the (k+1)-th priority)
+    is unbiased with near-optimal variance — the right primitive for
+    "pick k documents proportionally to quality weight" in a
+    training-mix builder.
+
+    Deterministic and replayable: u comes from the same Park–Miller
+    LCG hash the sampling family uses (integer arithmetic is exact,
+    the two divisions are IEEE-754 exact-rounded, so any engine
+    reproduces the ranking bit-for-bit — no ln(), whose libm differs
+    across engines, is involved). Rows with NULL or non-positive
+    weight are excluded (they can never be sampled).
+
+    Distributed shape: the top-(k+1) is one TakeOrderedAndProject
+    (per-partition heaps, no global sort); τ and ranks attach on the
+    ≤ k+1 surviving rows. Output: (key, weight, est_weight 4 dp,
+    rank) for the k kept rows — the raw priority stays internal: at
+    q = w/u magnitudes (u can be ~1/2³¹) a 4-dp rounding exceeds
+    double precision and engines disagree in the last ULP, while the
+    RANKING on the unrounded double is bit-reproducible.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        ((F.col(key_col).cast("bigint") * F.lit(_A)) % F.lit(_M31) + 1)
+        / F.lit(float(_M31))
+    )
+    pri = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(weight_col).cast("double").alias("weight"),
+            (F.col(weight_col).cast("double") / u).alias("__q"),
+        )
+        .orderBy(F.col("__q").desc(), F.col("key"))
+        .limit(k + 1)
+    )
+    w_all = Window.orderBy(F.col("__q").desc(), F.col("key"))
+    w_tau = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # τ = the (k+1)-th priority; when the population has ≤ k rows the
+    # whole population is kept and DLT defines τ = 0 (est = w exactly)
+    return (
+        pri.withColumn("rank", F.row_number().over(w_all))
+        .withColumn(
+            "__tau",
+            F.when(
+                F.count(F.lit(1)).over(w_tau) > k, F.min("__q").over(w_tau)
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "key",
+            "weight",
+            F.round(F.greatest(F.col("weight"), F.col("__tau")), 4).alias(
+                "est_weight"
+            ),
+            "rank",
+        )
+    )

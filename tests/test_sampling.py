@@ -154,3 +154,78 @@ def test_temporal_split_null_time_embargoed(spark):
         df, "d", cutoff="2020-06-30", id_col="id").collect()}
     # unknown time must never reach the test split
     assert out[2] == "embargo"
+
+
+def test_priority_sample_fixed_size_and_estimator(spark):
+    from etl_gcp_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k long, w double"
+    )
+    out = priority_sample(df, "k", "w", 10).collect()
+    assert len(out) == 10                      # fixed-size, not coin flips
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(
+        range(1, 11)
+    )
+    # every estimate is max(weight, tau) for ONE shared tau > 0
+    taus = {r.est_weight for r in out if r.est_weight != r.weight}
+    assert len(taus) <= 1
+    # deterministic: same frame, same sample
+    again = priority_sample(df, "k", "w", 10).collect()
+    assert {r.key for r in out} == {r.key for r in again}
+
+
+def test_priority_sample_dominant_weight_always_kept(spark):
+    from etl_gcp_spark.operators.sampling import priority_sample
+
+    # q = w/u with u >= 1/(2^31-1): a weight > (2^31)x the rest has a
+    # larger priority than any competitor can reach -> always sampled
+    rows = [(i, 1.0) for i in range(1, 50)] + [(999, 1.0e12)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept = {r.key for r in priority_sample(df, "k", "w", 3).collect()}
+    assert 999 in kept
+
+
+def test_priority_sample_small_population_kept_exactly(spark):
+    from etl_gcp_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 0.0), (4, None)], "k long, w double"
+    )
+    out = {r.key: r for r in priority_sample(df, "k", "w", 10).collect()}
+    # zero/NULL weights excluded; population <= k -> tau = 0, est == w
+    assert set(out) == {1, 2}
+    assert out[1].est_weight == 5.0 and out[2].est_weight == 7.0
+
+
+def test_ann_recall_report_matches_manual_overlap(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(5))
+    got = {
+        r.query_id: (r.n_exact, r.n_hits, r.recall)
+        for r in ann_recall_report(
+            emb, query_ids=qids, k=5, n_cells=8, n_probe=2
+        ).collect()
+    }
+    exact = cosine_topk(
+        emb, query_filter=F.col("vec_id").isin(qids), k=5
+    ).collect()
+    approx = ivf_topk(
+        emb, query_ids=qids, k=5, n_cells=8, n_probe=2
+    ).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    a = {}
+    for r in approx:
+        a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q in e:
+        hits = len(e[q] & a.get(q, set()))
+        assert got[q] == (len(e[q]), hits, round(hits / len(e[q]), 4))
+        assert 0.0 <= got[q][2] <= 1.0
