@@ -1632,6 +1632,38 @@ def _q_priority_sample(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Snapshot audit: diff orders against a deterministically mutated
+    re-delivery (keys %97 dropped, %13 price+1.5/status X'd, %101==5
+    cloned under shifted keys) — counts per change class plus
+    per-column changed counts."""
+    from etl_gcp_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0)
+    mutated = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    added = kept.filter(F.col("o_orderkey") % 101 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    new = mutated.unionByName(added)
+    return snapshot_diff(
+        orders,
+        new,
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """SRP-LSH top-k with a full value-hash oracle: the bucket
     assignments (deterministic xxhash64 hyperplanes — the one step a
@@ -2731,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (past this round's window; locally verified)
         "ann_recall_report": _q_ann_recall_report,
         "priority_sample": _q_priority_sample,
+        "snapshot_diff": _q_snapshot_diff,
         "payload_dedup": _q_payload_dedup,
         "join_explosion": _q_join_explosion,
         "canonical_dedup_gain": _q_canonical_dedup_gain,
@@ -6888,5 +6921,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(rnk AS INTEGER) AS rank
         FROM top CROSS JOIN tau
         WHERE rnk <= 64
+    """
+    # snapshot diff: replay the deterministic mutation, full-outer
+    # join on the key, conditional counts, long (metric, n) output
+    sql["snapshot_diff"] = """
+        WITH kept AS (
+            SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+        ), mutated AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN o_totalprice + 1.5 ELSE o_totalprice
+                   END AS o_totalprice,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN 'X' ELSE o_orderstatus
+                   END AS o_orderstatus,
+                   o_orderpriority
+            FROM kept
+        ), added AS (
+            SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+                   o_orderstatus, o_orderpriority
+            FROM kept WHERE o_orderkey % 101 = 5
+        ), neww AS (
+            SELECT * FROM mutated UNION ALL SELECT * FROM added
+        ), j AS (
+            SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                   CASE WHEN o.o_orderkey IS NOT NULL
+                             AND n.o_orderkey IS NOT NULL
+                             AND NOT (o.o_totalprice IS NOT DISTINCT FROM
+                                      n.o_totalprice)
+                        THEN 1 ELSE 0 END AS ch_price,
+                   CASE WHEN o.o_orderkey IS NOT NULL
+                             AND n.o_orderkey IS NOT NULL
+                             AND NOT (o.o_orderstatus IS NOT DISTINCT FROM
+                                      n.o_orderstatus)
+                        THEN 1 ELSE 0 END AS ch_status,
+                   CASE WHEN o.o_orderkey IS NOT NULL
+                             AND n.o_orderkey IS NOT NULL
+                             AND NOT (o.o_orderpriority IS NOT DISTINCT
+                                      FROM n.o_orderpriority)
+                        THEN 1 ELSE 0 END AS ch_prio
+            FROM orders o
+            FULL OUTER JOIN neww n ON o.o_orderkey = n.o_orderkey
+        ), agg AS (
+            SELECT
+              sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS n_added,
+              sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS n_removed,
+              sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                            AND ch_price + ch_status + ch_prio > 0
+                       THEN 1 ELSE 0 END) AS n_changed,
+              sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                            AND ch_price + ch_status + ch_prio = 0
+                       THEN 1 ELSE 0 END) AS n_unchanged,
+              sum(ch_price) AS c_price,
+              sum(ch_status) AS c_status,
+              sum(ch_prio) AS c_prio
+            FROM j
+        )
+        SELECT metric, CAST(n AS BIGINT) AS n FROM (
+            SELECT 'rows:added' AS metric, n_added AS n FROM agg
+            UNION ALL SELECT 'rows:removed', n_removed FROM agg
+            UNION ALL SELECT 'rows:changed', n_changed FROM agg
+            UNION ALL SELECT 'rows:unchanged', n_unchanged FROM agg
+            UNION ALL SELECT 'col:o_totalprice', c_price FROM agg
+            UNION ALL SELECT 'col:o_orderstatus', c_status FROM agg
+            UNION ALL SELECT 'col:o_orderpriority', c_prio FROM agg
+        ) ORDER BY metric
     """
     return sql

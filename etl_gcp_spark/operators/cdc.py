@@ -138,3 +138,81 @@ def merge_agg_delta(
             F.sum(count_col).alias(count_col),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two table snapshots: row counts per change class
+    (added / removed / changed / unchanged) plus, for the changed
+    rows, HOW MANY changed in each compared column — the audit a CDC
+    apply, backfill, or vendor re-delivery publishes before anyone
+    trusts the new snapshot. The companion to :func:`cdc_upsert`:
+    that one applies changes, this one quantifies them.
+
+    One full-outer shuffle join on the key (the canonical diff shape —
+    co-partitioned/bucketed snapshots make it co-located at scale) and
+    one map-side-combining aggregation; comparisons are null-safe
+    (`<=>`), all JVM. Output is a long (metric, n) table:
+    ``rows:added|removed|changed|unchanged`` then ``col:<name>`` per
+    compared column, sorted by metric for stable replay.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_o"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_n"),
+    )
+    j = o.join(n, keys, "full_outer")
+    ch = [
+        (
+            (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")))
+            & F.col("__in_o").isNotNull()
+            & F.col("__in_n").isNotNull()
+        )
+        .cast("long")
+        .alias(f"__ch_{c}")
+        for c in compare_cols
+    ]
+    flagged = j.select("__in_o", "__in_n", *ch)
+    any_change = None
+    for c in compare_cols:
+        flag = F.col(f"__ch_{c}") > 0
+        any_change = flag if any_change is None else (any_change | flag)
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    flat = flagged.select(
+        status.alias("__st"),
+        *[F.col(f"__ch_{c}") for c in compare_cols],
+    )
+    row = flat.agg(
+        *[
+            F.sum((F.col("__st") == s).cast("long")).alias(f"rows:{s}")
+            for s in ("added", "removed", "changed", "unchanged")
+        ],
+        *[
+            F.sum(f"__ch_{c}").alias(f"col:{c}")
+            for c in compare_cols
+        ],
+    )
+    metrics = [f"rows:{s}" for s in ("added", "removed", "changed", "unchanged")]
+    metrics += [f"col:{c}" for c in compare_cols]
+    stack = ", ".join(f"'{m}', `{m}`" for m in metrics)
+    return (
+        row.selectExpr(
+            f"stack({len(metrics)}, {stack}) AS (metric, n)"
+        )
+        .select("metric", F.col("n").cast("long").alias("n"))
+        .orderBy("metric")
+    )

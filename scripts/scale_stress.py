@@ -103,20 +103,40 @@ def gen_documents(
     }
 
 
-def gen_embeddings(n: int, rng: np.random.Generator):
-    """(vec_id, embedding float32[DIM], label) with planted neighbors."""
+def gen_embeddings(
+    n: int, rng: np.random.Generator, *, hub_frac: float = 0.0
+):
+    """(vec_id, embedding float32[DIM], label) with planted neighbors.
+
+    ``hub_frac`` plants a SEMANTIC HUB: that fraction of vectors drawn
+    tightly around one direction (cos ≈ 0.97 to the hub mean) — the
+    embedding-space analog of boilerplate text (near-identical
+    template pages at web scale). Cell-bucketed operators (SemDeDup,
+    k-means IVF) see one cell holding ~hub_frac of the corpus, which
+    is exactly where per-cell quadratic work would explode.
+    """
     n_dup = int(n * VEC_DUP_FRAC)
-    base = rng.standard_normal((n - n_dup, DIM))
+    n_hub = int(n * hub_frac)
+    base = rng.standard_normal((n - n_dup - n_hub, DIM))
     base /= np.linalg.norm(base, axis=1, keepdims=True)
+    parts = [base]
+    if n_hub:
+        hub_dir = rng.standard_normal(DIM)
+        hub_dir /= np.linalg.norm(hub_dir)
+        hub = hub_dir + 0.25 * rng.standard_normal((n_hub, DIM))
+        hub /= np.linalg.norm(hub, axis=1, keepdims=True)
+        parts.append(hub)
     src = base[rng.integers(0, len(base), size=n_dup)]
     # noise VECTOR norm ~ 0.06*sqrt(64) ~ 0.5 -> cos(src, noisy) ~ 0.9
     noisy = src + 0.06 * rng.standard_normal((n_dup, DIM))
     noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
-    mat = np.vstack([base, noisy]).astype(np.float32)
+    parts.append(noisy)
+    mat = np.vstack(parts).astype(np.float32)
+    n_total = len(mat)
     return {
-        "vec_id": np.arange(n, dtype=np.int64),
+        "vec_id": np.arange(n_total, dtype=np.int64),
         "embedding": list(mat),
-        "label": rng.integers(0, 10, size=n).astype(np.int32),
+        "label": rng.integers(0, 10, size=n_total).astype(np.int32),
     }
 
 
@@ -140,6 +160,21 @@ def write_parquet(out_dir: str, scale: int) -> None:
                 )
             ),
             f"{out_dir}/documents_skew_x{mult}.parquet",
+        )
+        rng_hub = np.random.default_rng(42)
+        hub = gen_embeddings(BASE_VECS * mult, rng_hub, hub_frac=0.3)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": hub["vec_id"],
+                    "embedding": pa.array(
+                        [v.tolist() for v in hub["embedding"]],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": hub["label"],
+                }
+            ),
+            f"{out_dir}/embeddings_hub_x{mult}.parquet",
         )
         pq.write_table(
             pa.table(
@@ -262,7 +297,27 @@ def bench(out_dir: str, scale: int) -> dict:
             f"{out_dir}/documents_skew_x{mult}.parquet"
         )
 
+    # embedding hub: 30% of vectors around one direction — the one
+    # k-means/SemDeDup cell that holds a third of the corpus
+    def vecs_hub(mult: int):
+        return spark.read.parquet(
+            f"{out_dir}/embeddings_hub_x{mult}.parquet"
+        )
+
+    from etl_gcp_spark.functions.similarity import (
+        ivf_topk_trained as _ivf_kmeans,
+        semdedup_prune as _semdedup,
+    )
+
     skew_ops = {
+        "hub:semdedup_prune": lambda m: _semdedup(vecs_hub(m)),
+        "hub:ivf_kmeans_topk": lambda m: _ivf_kmeans(
+            vecs_hub(m), query_ids=list(range(10)), k=5
+        ),
+        "hub:knn_graph": lambda m: _knn(vecs_hub(m), k=5, n_blocks=4 * m),
+        "hub:embedding_dedup_clusters": lambda m: embedding_dedup_clusters(
+            vecs_hub(m), threshold=0.8, n_blocks=4 * m
+        ),
         "skew:minhash_lsh_pairs": lambda m: minhash_lsh_pairs(
             docs_skew(m), threshold=0.8
         ),

@@ -201,3 +201,33 @@ def test_streaming_upsert_recovers_from_mid_stream_crash(
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_diff_hand_computed(spark):
+    from etl_gcp_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),      # unchanged
+            (2, 21.0, "B"),      # changed: v AND s
+            (3, None, "c"),      # unchanged (NULL == NULL, null-safe)
+            (5, 50.0, "e"),      # added; key 4 removed
+        ],
+        "k long, v double, s string",
+    )
+    out = {
+        r.metric: r.n
+        for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()
+    }
+    assert out == {
+        "rows:added": 1,
+        "rows:removed": 1,
+        "rows:changed": 1,
+        "rows:unchanged": 2,
+        "col:v": 1,
+        "col:s": 1,
+    }
