@@ -59,6 +59,19 @@ def frame_digest(cols, rows):
 
 
 def main() -> int:
+    # Pin the PROCESS timezone, not just the Spark session: every query
+    # already forces spark.sql.session.timeZone=UTC, but PySpark's
+    # TimestampType.fromInternal converts collected values with
+    # datetime.fromtimestamp — the PYTHON-process zone — so under e.g.
+    # TZ=America/New_York every collected timestamp shifts -5h while
+    # DuckDB returns the stored (UTC) wall time unchanged. That is a
+    # harness artifact, not engine semantics; normalize it away here.
+    import time as _time
+
+    os.environ["TZ"] = "UTC"
+    if hasattr(_time, "tzset"):
+        _time.tzset()
+
     args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
     json_path = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
