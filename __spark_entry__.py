@@ -2764,6 +2764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _q_ann_recall_report,
         "priority_sample": _q_priority_sample,
         "snapshot_diff": _q_snapshot_diff,
+        # converted to a value-hash oracle late in round 4 (ASCII
+        # substring md5 replay) — fresh driver check queued for round 5
+        "frame_samples": _q_frame_samples,
         "payload_dedup": _q_payload_dedup,
         "join_explosion": _q_join_explosion,
         "canonical_dedup_gain": _q_canonical_dedup_gain,
@@ -2832,7 +2835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats": _q_stream_user_stats,
         "streaming_interval_join": _q_stream_interval_join,
         "hll_distinct_stats": _q_hll_distinct_stats,
-        "frame_samples": _q_frame_samples,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -6921,6 +6923,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(rnk AS INTEGER) AS rank
         FROM top CROSS JOIN tau
         WHERE rnk <= 64
+    """
+    # frame_samples fake-decode replay: payload = UTF-8(text) and the
+    # kernel digests 10-byte slices; the driver's synthetic documents
+    # are pure ASCII (verified octet_length == length), so VARCHAR
+    # substring slices the same bytes and DuckDB's md5 matches the
+    # kernel digest exactly. Video modality = doc_id % 3 == 2
+    # (attach_binary_payload's mapping, same as the payload_dedup
+    # oracle).
+    sql["frame_samples"] = """
+        WITH v AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents
+            WHERE doc_id % 3 = 2 AND text IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(g.i AS BIGINT) AS frame_index,
+               md5(substring(text, CAST(g.i * 10 + 1 AS BIGINT), 10))
+                   AS frame_digest
+        FROM v
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(0, CAST(ceil(n / 10.0) AS INT))) AS i
+        ) g
     """
     # snapshot diff: replay the deterministic mutation, full-outer
     # join on the key, conditional counts, long (metric, n) output
