@@ -1632,6 +1632,28 @@ def _q_priority_sample(spark, sf_dir):
     )
 
 
+def _q_hll_replayable(spark, sf_dir):
+    """Verifiable HLL twin of hll_distinct_stats: plain-row registers
+    (side table) + harmonic estimate, replayed end-to-end by the
+    oracle — the sketch family's value-hash story (the DataSketches
+    entry stays rows-only: its serialized estimator is engine-
+    specific; this one is not)."""
+    from etl_gcp_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    regs = hll_registers(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderpriority"
+    )
+    _oracle_side_write(regs, "hll_registers")
+    return hll_estimate(regs).select(
+        F.col("grp").alias("o_orderpriority"),
+        "est_distinct",
+        "n_registers_used",
+    )
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """Snapshot audit: diff orders against a deterministically mutated
     re-delivery (keys %97 dropped, %13 price+1.5/status X'd, %101==5
@@ -2764,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _q_ann_recall_report,
         "priority_sample": _q_priority_sample,
         "snapshot_diff": _q_snapshot_diff,
+        "hll_replayable": _q_hll_replayable,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -6923,6 +6946,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(rnk AS INTEGER) AS rank
         FROM top CROSS JOIN tau
         WHERE rnk <= 64
+    """
+    # replayable-HLL: registers from the side table, harmonic estimate
+    # from literals both engines resolve to the same doubles; every
+    # 2^-M_j term is an exact power of two (4-dp rounding absorbs the
+    # sum's association order, per the repo convention)
+    hll_side = os.path.join(
+        _oracle_side_path("hll_registers"), "*.parquet"
+    )
+    sql["hll_replayable"] = f"""
+        WITH regs AS (
+            SELECT grp, idx, max(rho) AS mx
+            FROM read_parquet('{hll_side}')
+            GROUP BY grp, idx
+        ), agg AS (
+            SELECT grp, sum(pow(2.0, -mx)) AS s,
+                   count(*) AS n
+            FROM regs GROUP BY grp
+        )
+        SELECT grp AS o_orderpriority,
+               round(CASE WHEN raw <= 320.0 AND v > 0
+                          THEN 128.0 * ln(128.0 / v)
+                          ELSE raw END, 4) AS est_distinct,
+               CAST(n AS BIGINT) AS n_registers_used
+        FROM (
+            SELECT grp, n,
+                   CAST(128 - n AS DOUBLE) AS v,
+                   (0.7213 / (1.0 + 1.079 / 128.0)) * 16384.0
+                     / (s + CAST(128 - n AS DOUBLE)) AS raw
+            FROM agg
+        )
     """
     # frame_samples fake-decode replay: payload = UTF-8(text) and the
     # kernel digests 10-byte slices; the driver's synthetic documents

@@ -105,3 +105,86 @@ def cms_point_queries(
         )
         .orderBy("key")
     )
+
+
+# ------------------------------------------------------------------ HLL
+# Replayable HyperLogLog (Flajolet et al. 2007, public methodology):
+# unlike the DataSketches-backed hll_sketch_agg entry (whose serialized
+# estimator is engine-specific), these registers are plain rows any
+# engine can re-aggregate — the verifiable twin of the black-box sketch.
+
+HLL_P = 7                      # 2^7 = 128 registers per group
+HLL_M = 1 << HLL_P
+# alpha_128 = 0.7213 / (1 + 1.079/128) — both engines derive the same
+# double from these literals
+HLL_ALPHA_NUM = 0.7213
+HLL_ALPHA_DEN = 1.0 + 1.079 / 128.0
+
+
+def hll_registers(
+    df: DataFrame, key: str, group: str
+) -> DataFrame:
+    """Per-row HLL register observations: (group, idx, rho).
+
+    idx = low p bits of xxhash64(key); rho = 1 + leading-zero count of
+    the remaining 57 bits (via bin()/lpad string ops — pure integer/
+    string JVM expressions, no libm log whose last-ULP behavior varies
+    across platforms). One row per input row; groupBy(group, idx)
+    .max(rho) IS the sketch — mergeable across partitions, batches,
+    and days by construction (max is associative), which is the whole
+    point of HLL at 100 TB: per-executor partial registers combine
+    map-side, and only m=128 rows per group ever shuffle.
+    """
+    h = F.xxhash64(F.col(key))
+    rest = F.shiftrightunsigned(h, HLL_P)
+    rho = (
+        F.length(
+            F.regexp_replace(
+                F.lpad(F.bin(rest), 64 - HLL_P, "0"), "1.*$", ""
+            )
+        )
+        + 1
+    )
+    return df.select(
+        F.col(group).alias("grp"),
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        rho.cast("long").alias("rho"),
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Harmonic-mean HLL estimate per group from (grp, idx, rho) rows.
+
+    est = alpha * m^2 / (sum over all m registers of 2^-M_j), with
+    empty registers contributing 2^0 = 1, plus the paper's standard
+    small-range correction: when raw_est <= 2.5m and empty registers
+    remain, linear counting m * ln(m/V) takes over (V = empty-register
+    count). Every 2^-M_j is an exact power of two; the engine-
+    sensitive steps (sum association order, libm ln) only move the
+    last ULP of a VALUE, which the repo-wide 4-dp rounding absorbs —
+    same convention the zipf_fit oracle already relies on (ln is safe
+    in rounded values, never in rankings).
+    """
+    regs = registers.groupBy("grp", "idx").agg(F.max("rho").alias("mx"))
+    v = (F.lit(HLL_M) - F.col("__n_nonempty")).cast("double")
+    raw = (
+        F.lit(HLL_ALPHA_NUM / HLL_ALPHA_DEN)
+        * F.lit(float(HLL_M) * float(HLL_M))
+        / (F.col("__s_nonempty") + v)
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("__s_nonempty"),
+            F.count(F.lit(1)).alias("__n_nonempty"),
+        )
+        .select(
+            "grp",
+            F.round(est, 4).alias("est_distinct"),
+            F.col("__n_nonempty").cast("long").alias("n_registers_used"),
+        )
+    )

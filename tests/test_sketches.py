@@ -89,3 +89,40 @@ def test_streaming_cms_equals_batch(spark):
         ).collect()
     }
     assert batch == streamed
+
+
+def test_hll_replayable_accuracy_and_mergeability(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    regs = hll_registers(orders, "o_custkey", "o_orderpriority")
+    est = {
+        r.grp: r.est_distinct for r in hll_estimate(regs).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        rel = abs(est[g] - n) / n
+        assert rel < 0.25, f"{g}: est {est[g]} vs exact {n} ({rel:.1%})"
+
+    # mergeability: registers from two disjoint halves, unioned, give
+    # EXACTLY the whole-table estimate (max is associative — the
+    # property that lets per-day/per-executor sketches combine)
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = hll_registers(lo, "o_custkey", "o_orderpriority").union(
+        hll_registers(hi, "o_custkey", "o_orderpriority")
+    )
+    est_merged = {
+        r.grp: r.est_distinct for r in hll_estimate(merged).collect()
+    }
+    assert est_merged == est
