@@ -1654,6 +1654,33 @@ def _q_hll_replayable(spark, sf_dir):
     )
 
 
+def _q_hll_overlap(spark, sf_dir):
+    """HLL inclusion-exclusion overlap: how many distinct customers
+    place both URGENT and LOW orders — three 128-row sketches instead
+    of an exact distinct join; side-table registers let the oracle
+    replay A, B, union (register-wise max) and the subtraction."""
+    from etl_gcp_spark.functions.sketches import (
+        hll_overlap,
+        hll_registers,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = hll_registers(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        "o_custkey",
+        "o_orderpriority",
+    ).select(F.lit("a").alias("grp"), "idx", "rho")
+    b = hll_registers(
+        orders.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_custkey",
+        "o_orderpriority",
+    ).select(F.lit("b").alias("grp"), "idx", "rho")
+    _oracle_side_write(a.unionByName(b), "hll_ab_registers")
+    return hll_overlap(
+        orders, "o_custkey", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """Snapshot audit: diff orders against a deterministically mutated
     re-delivery (keys %97 dropped, %13 price+1.5/status X'd, %101==5
@@ -2787,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "snapshot_diff": _q_snapshot_diff,
         "hll_replayable": _q_hll_replayable,
+        "hll_overlap": _q_hll_overlap,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -6976,6 +7004,44 @@ def oracle_sql() -> dict[str, str]:
                      / (s + CAST(128 - n AS DOUBLE)) AS raw
             FROM agg
         )
+    """
+    # HLL overlap: replay A, B, and the register-wise-max union sketch
+    # from the same side table, then inclusion-exclusion. The estimate
+    # CASE mirrors hll_replayable's.
+    hll_ab_side = os.path.join(
+        _oracle_side_path("hll_ab_registers"), "*.parquet"
+    )
+    _hll_est_case = """
+            round(CASE WHEN raw <= 320.0 AND v > 0
+                       THEN 128.0 * ln(128.0 / v)
+                       ELSE raw END, 4)
+    """
+    sql["hll_overlap"] = f"""
+        WITH r AS (
+            SELECT grp, idx, rho FROM read_parquet('{hll_ab_side}')
+            UNION ALL
+            SELECT 'u' AS grp, idx, rho
+            FROM read_parquet('{hll_ab_side}')
+        ), regs AS (
+            SELECT grp, idx, max(rho) AS mx FROM r GROUP BY grp, idx
+        ), agg AS (
+            SELECT grp, sum(pow(2.0, -mx)) AS s, count(*) AS n
+            FROM regs GROUP BY grp
+        ), est AS (
+            SELECT grp, {_hll_est_case} AS e
+            FROM (
+                SELECT grp, n, CAST(128 - n AS DOUBLE) AS v,
+                       (0.7213 / (1.0 + 1.079 / 128.0)) * 16384.0
+                         / (s + CAST(128 - n AS DOUBLE)) AS raw
+                FROM agg
+            )
+        )
+        SELECT round(a.e, 4) AS est_a, round(b.e, 4) AS est_b,
+               round(u.e, 4) AS est_union,
+               round(a.e + b.e - u.e, 4) AS est_intersection
+        FROM (SELECT e FROM est WHERE grp = 'a') a
+        CROSS JOIN (SELECT e FROM est WHERE grp = 'b') b
+        CROSS JOIN (SELECT e FROM est WHERE grp = 'u') u
     """
     # frame_samples fake-decode replay: payload = UTF-8(text) and the
     # kernel digests 10-byte slices; the driver's synthetic documents

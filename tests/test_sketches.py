@@ -126,3 +126,34 @@ def test_hll_replayable_accuracy_and_mergeability(spark, sf_dir):
         r.grp: r.est_distinct for r in hll_estimate(merged).collect()
     }
     assert est_merged == est
+
+
+def test_hll_overlap_inclusion_exclusion_sanity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.sketches import hll_overlap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = hll_overlap(
+        orders, "o_custkey", "o_orderpriority", "1-URGENT", "5-LOW"
+    ).collect()[0]
+    a = {
+        r.o_custkey
+        for r in orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_custkey").distinct().collect()
+    }
+    b = {
+        r.o_custkey
+        for r in orders.filter(
+            F.col("o_orderpriority") == "5-LOW"
+        ).select("o_custkey").distinct().collect()
+    }
+    union = len(a | b)
+    # component and union estimates within HLL error at m=128;
+    # the intersection inherits BOTH sides' error, so its band is
+    # relative to the union size (the inclusion-exclusion magnitude)
+    assert abs(row.est_a - len(a)) / len(a) < 0.25
+    assert abs(row.est_b - len(b)) / len(b) < 0.25
+    assert abs(row.est_union - union) / union < 0.25
+    assert abs(row.est_intersection - len(a & b)) <= 0.3 * union
