@@ -1,0 +1,96 @@
+"""Plan-shape regression gate: diff two PLANS.md snapshots.
+
+The scale contract is the PLAN, not the timing: a query that silently
+gains an Exchange (one more shuffle of the fact table) or a Python
+stage (JVM hot path fell off codegen into row transfer) can pass every
+correctness check and still be a 100-TB regression. This compares the
+per-query metric rows of two generated PLANS.md files and reports:
+
+- queries whose exchange count INCREASED (the shuffle budget grew);
+- queries that gained a python stage (✓ appeared) or lost their
+  top-k heap (TakeOrderedAndProject degraded to a global sort);
+- queries whose broadcast joins DECREASED while sort-merge joins
+  increased (a dimension join fell off the broadcast path);
+- queries added/removed.
+
+Exit code 1 when any regression class is non-empty, so a round driver
+or CI can gate on it. Intentional plan changes are re-baselined simply
+by regenerating PLANS.md.
+
+Usage: python scripts/plan_diff.py OLD_PLANS.md NEW_PLANS.md
+       (e.g. OLD from `git show <rev>:PLANS.md > /tmp/old.md`)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def parse(path: str) -> dict[str, dict]:
+    rows: dict[str, dict] = {}
+    for line in open(path):
+        m = re.match(
+            r"\| (\w+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) "
+            r"\| (✓|\s*) \| (✓|\s*) \|",
+            line,
+        )
+        if not m:
+            continue
+        name, exch, bhj, smj, bnlj, pushed, heap, py = m.groups()
+        rows[name] = {
+            "exchanges": int(exch),
+            "bhj": int(bhj),
+            "smj": int(smj),
+            "bnlj": int(bnlj),
+            "pushed": int(pushed),
+            "heap": heap.strip() == "✓",
+            "python": py.strip() == "✓",
+        }
+    return rows
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old, new = parse(sys.argv[1]), parse(sys.argv[2])
+    regressions: list[str] = []
+    notes: list[str] = []
+    for q in sorted(set(old) & set(new)):
+        o, n = old[q], new[q]
+        if n["exchanges"] > o["exchanges"]:
+            regressions.append(
+                f"EXCHANGES {q}: {o['exchanges']} -> {n['exchanges']}"
+            )
+        if n["python"] and not o["python"]:
+            regressions.append(f"PYTHON-STAGE {q}: plan gained a Python stage")
+        if o["heap"] and not n["heap"]:
+            regressions.append(f"TOPK-HEAP {q}: TakeOrderedAndProject lost")
+        if n["smj"] > o["smj"] and n["bhj"] < o["bhj"]:
+            regressions.append(
+                f"BROADCAST-LOST {q}: BHJ {o['bhj']} -> {n['bhj']}, "
+                f"SMJ {o['smj']} -> {n['smj']}"
+            )
+        if n["pushed"] < o["pushed"]:
+            notes.append(
+                f"pushdown {q}: pushed-filter scans "
+                f"{o['pushed']} -> {n['pushed']}"
+            )
+    for q in sorted(set(new) - set(old)):
+        notes.append(f"added {q}")
+    for q in sorted(set(old) - set(new)):
+        notes.append(f"removed {q}")
+    for r in regressions:
+        print(r)
+    for x in notes:
+        print(f"note  {x}")
+    print(
+        f"compared {len(set(old) & set(new))} queries: "
+        f"{len(regressions)} plan regressions"
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
