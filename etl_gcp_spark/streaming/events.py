@@ -672,6 +672,8 @@ def run_streaming_cms(
     key_col: str = "user_id",
     n_batches: int = 4,
     width: int = 256,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """Count-min sketch maintained OVER A STREAM: each microbatch
     builds its own 4×``width`` counter table and appends it; the live
@@ -700,26 +702,29 @@ def run_streaming_cms(
         cms_point_queries,
     )
 
-    root = os.path.join(
+    root = root or os.path.join(
         tempfile.gettempdir(), f"etl_gcp_spark_scms_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
     keys = events.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("long").alias(key_col)
     )
-    bounds = keys.approxQuantile(
-        key_col, [i / n_batches for i in range(1, n_batches)], 0.0
-    )
-    lo = None
-    for k in range(n_batches):
-        hi = bounds[k] if k < len(bounds) else None
-        part = keys
-        if lo is not None:
-            part = part.filter(F.col(key_col) > lo)
-        if hi is not None:
-            part = part.filter(F.col(key_col) <= hi)
-        part.coalesce(1).write.parquet(os.path.join(staged, f"b{k:02d}"))
-        lo = hi
+    if not os.path.exists(staged):
+        bounds = keys.approxQuantile(
+            key_col, [i / n_batches for i in range(1, n_batches)], 0.0
+        )
+        lo = None
+        for k in range(n_batches):
+            hi = bounds[k] if k < len(bounds) else None
+            part = keys
+            if lo is not None:
+                part = part.filter(F.col(key_col) > lo)
+            if hi is not None:
+                part = part.filter(F.col(key_col) <= hi)
+            part.coalesce(1).write.parquet(
+                os.path.join(staged, f"b{k:02d}")
+            )
+            lo = hi
 
     stream = (
         spark.readStream.schema(f"{key_col} long")
@@ -728,6 +733,7 @@ def run_streaming_cms(
         .load(os.path.join(staged, "*"))
     )
     sketch_dir = os.path.join(root, "sketch")
+    done_in_run = {"n": 0}
 
     def fold(batch_df, batch_id):
         # per-batch subdir keyed by batch_id, overwrite mode: a batch
@@ -738,6 +744,9 @@ def run_streaming_cms(
         cms_build(batch_df, key_col, width=width).write.mode(
             "overwrite"
         ).parquet(os.path.join(sketch_dir, f"b{batch_id}"))
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            raise RuntimeError("injected crash (recovery test)")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -769,6 +778,8 @@ def run_streaming_topk(
     k: int = 5,
     key_col: str = "event_type",
     n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """Continuous top-k heavy hitters over a stream: each microbatch
     reduces to its own (key, count) partial, appended to a counter
@@ -791,26 +802,29 @@ def run_streaming_topk(
     the batch oracle applies the same WHERE — stream and batch count
     the same rows.
     """
-    root = os.path.join(
+    root = root or os.path.join(
         tempfile.gettempdir(), f"etl_gcp_spark_stopk_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
     keys = events.filter(
         F.col("event_id").isNotNull() & F.col(key_col).isNotNull()
     ).select(F.col("event_id"), F.col(key_col))
-    bounds = keys.approxQuantile(
-        "event_id", [i / n_batches for i in range(1, n_batches)], 0.0
-    )
-    lo = None
-    for i in range(n_batches):
-        hi = bounds[i] if i < len(bounds) else None
-        part = keys
-        if lo is not None:
-            part = part.filter(F.col("event_id") > lo)
-        if hi is not None:
-            part = part.filter(F.col("event_id") <= hi)
-        part.coalesce(1).write.parquet(os.path.join(staged, f"b{i:02d}"))
-        lo = hi
+    if not os.path.exists(staged):
+        bounds = keys.approxQuantile(
+            "event_id", [i / n_batches for i in range(1, n_batches)], 0.0
+        )
+        lo = None
+        for i in range(n_batches):
+            hi = bounds[i] if i < len(bounds) else None
+            part = keys
+            if lo is not None:
+                part = part.filter(F.col("event_id") > lo)
+            if hi is not None:
+                part = part.filter(F.col("event_id") <= hi)
+            part.coalesce(1).write.parquet(
+                os.path.join(staged, f"b{i:02d}")
+            )
+            lo = hi
 
     stream = (
         spark.readStream.schema(f"event_id long, {key_col} string")
@@ -819,6 +833,7 @@ def run_streaming_topk(
         .load(os.path.join(staged, "*"))
     )
     counts_dir = os.path.join(root, "counts")
+    done_in_run = {"n": 0}
 
     def fold(batch_df, batch_id):
         # batch_id-keyed overwrite: replay-idempotent (see
@@ -828,6 +843,9 @@ def run_streaming_topk(
         ).write.mode("overwrite").parquet(
             os.path.join(counts_dir, f"b{batch_id}")
         )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            raise RuntimeError("injected crash (recovery test)")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
