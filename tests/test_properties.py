@@ -338,3 +338,100 @@ def test_winsorize_bounds_and_interior(spark, vals):
             assert r["v_w"] == r["v"]
         # clamping only ever moves values INWARD
         assert abs(r["v_w"] - r["v"]) <= abs(max(vals) - min(vals))
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.floats(0.1, 100.0)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+def test_priority_sample_invariants(spark, rows, k):
+    from etl_gcp_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(rows, "key long, w double")
+    out = priority_sample(df, "key", "w", k).collect()
+    # fixed size min(k, population); ranks contiguous from 1
+    assert len(out) == min(k, len(rows))
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+    # every estimate >= its weight (est = max(w, tau)) and at most
+    # one distinct tau-induced estimate among the tau-clamped rows
+    assert all(r.est_weight >= round(r.weight, 4) - 1e-9 for r in out)
+    # deterministic: rerun yields the identical sample
+    again = priority_sample(df, "key", "w", k).collect()
+    assert {(r.key, r.rank) for r in out} == {
+        (r.key, r.rank) for r in again
+    }
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.sampled_from(["a", "b", None]),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_snapshot_diff_identity_and_conservation(spark, rows):
+    from etl_gcp_spark.operators.cdc import snapshot_diff
+
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    out = {
+        r.metric: r.n
+        for r in snapshot_diff(df, df, ["k"], ["v", "s"]).collect()
+    }
+    # diff(x, x): everything unchanged, nothing added/removed/changed
+    assert out["rows:unchanged"] == len(rows)
+    assert (
+        out["rows:added"] == out["rows:removed"] == out["rows:changed"]
+        == out["col:v"] == out["col:s"] == 0
+    )
+
+
+@_slow
+@given(
+    st.lists(
+        st.integers(0, 10_000), min_size=5, max_size=80
+    ),
+    st.integers(2, 5),
+)
+def test_hll_registers_merge_invariance(spark, keys, n_parts):
+    """Register tables are merge-invariant: any partition of the rows,
+    sketched separately and unioned, yields the same estimate as
+    sketching the whole — the property that makes per-day/per-executor
+    sketches combine at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(k, k % n_parts) for k in keys], "key long, part int"
+    )
+    whole = hll_estimate(
+        hll_registers(df.select("key", F.lit("g").alias("g")), "key", "g")
+    ).collect()[0]
+    parts = None
+    for p in range(n_parts):
+        r = hll_registers(
+            df.filter(F.col("part") == p).select(
+                "key", F.lit("g").alias("g")
+            ),
+            "key",
+            "g",
+        )
+        parts = r if parts is None else parts.union(r)
+    merged = hll_estimate(parts).collect()[0]
+    assert merged.est_distinct == whole.est_distinct
+    assert merged.n_registers_used == whole.n_registers_used
