@@ -134,6 +134,11 @@ def hll_registers(
     and days by construction (max is associative), which is the whole
     point of HLL at 100 TB: per-executor partial registers combine
     map-side, and only m=128 rows per group ever shuffle.
+
+    NULL keys all hash to xxhash64's seed value, so they collectively
+    register as ONE distinct — unlike COUNT(DISTINCT key), which
+    excludes NULLs entirely; filter NULLs upstream if that contract
+    is required.
     """
     h = F.xxhash64(F.col(key))
     rest = F.shiftrightunsigned(h, HLL_P)

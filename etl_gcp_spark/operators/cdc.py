@@ -160,6 +160,11 @@ def snapshot_diff(
     ``rows:added|removed|changed|unchanged`` then ``col:<name>`` per
     compared column, sorted by metric for stable replay.
     """
+    if not compare_cols:
+        raise ValueError(
+            "snapshot_diff needs at least one compare column "
+            "(with none, changed/unchanged is undefined)"
+        )
     o = old.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],

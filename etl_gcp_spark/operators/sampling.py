@@ -225,8 +225,9 @@ def priority_sample(
     LCG hash the sampling family uses (integer arithmetic is exact,
     the two divisions are IEEE-754 exact-rounded, so any engine
     reproduces the ranking bit-for-bit — no ln(), whose libm differs
-    across engines, is involved). Rows with NULL or non-positive
-    weight are excluded (they can never be sampled).
+    across engines, is involved). Rows with a NULL key or a NULL/
+    non-positive weight are excluded (a NULL key has no hash-uniform;
+    a non-positive weight can never be sampled).
 
     Distributed shape: the top-(k+1) is one TakeOrderedAndProject
     (per-partition heaps, no global sort); τ and ranks attach on the
@@ -243,7 +244,11 @@ def priority_sample(
         / F.lit(float(_M31))
     )
     pri = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
         .select(
             F.col(key_col).alias("key"),
             F.col(weight_col).cast("double").alias("weight"),
