@@ -1654,6 +1654,29 @@ def _q_hll_replayable(spark, sf_dir):
     )
 
 
+def _q_ivf_index_topk(spark, sf_dir):
+    """Persisted-index serving path: build the IVF artifact (centroids
+    + cell-partitioned vectors) once, then answer top-k with a
+    partition-pruned scan of only the probed cells. Training is
+    identical to ann_ivf_kmeans_topk, so its algorithm-replay oracle
+    attaches to the SERVED path unchanged."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_ivfidx_{os.path.basename(sf_dir)}",
+    )
+    build_ivf_index(
+        _t(spark, sf_dir, "embeddings"), path, n_cells=32, n_iters=2
+    )
+    return ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=5, n_probe=4
+    )
+
+
 def _q_hll_overlap(spark, sf_dir):
     """HLL inclusion-exclusion overlap: how many distinct customers
     place both URGENT and LOW orders — three 128-row sketches instead
@@ -2815,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "hll_replayable": _q_hll_replayable,
         "hll_overlap": _q_hll_overlap,
+        "ivf_index_topk": _q_ivf_index_topk,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7005,6 +7029,11 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         )
     """
+    # the persisted-index serving path trains identically to
+    # ann_ivf_kmeans_topk (lowest-id seeding, 2 Lloyd rounds, 6-dp
+    # centroids), so the same algorithm-replay oracle attaches to the
+    # partition-pruned served results verbatim
+    sql["ivf_index_topk"] = sql["ann_ivf_kmeans_topk"]
     # HLL overlap: replay A, B, and the register-wise-max union sketch
     # from the same side table, then inclusion-exclusion. The estimate
     # CASE mirrors hll_replayable's.

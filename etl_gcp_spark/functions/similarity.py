@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import os
+
 
 def _as_double(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -2062,5 +2064,136 @@ def ann_recall_report(
                 / F.col("n_exact").cast("double"),
                 4,
             ).alias("recall"),
+        )
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a SERVABLE ARTIFACT: k-means centroids
+    (tiny parquet) plus the corpus vectors partitioned BY CELL on
+    disk. The layout is the index: a query that probes ``n_probe`` of
+    ``n_cells`` cells reads only those partitions' files (Spark
+    partition pruning — asserted in tests/test_plans.py), so serving
+    I/O is n_probe/n_cells of the corpus without any custom reader.
+    Build once per corpus snapshot, query many times — the
+    train/serve split :func:`ivf_topk_trained` fuses into one call.
+
+    Training is identical to the registered k-means IVF (lowest-id
+    seeding, ``n_iters`` Lloyd rounds, 6-dp centroid rounding), so
+    query results replay under the same oracle.
+    """
+    labels, centroids = ivf_train(
+        embeddings,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign_to_centroids(base, centroids, labels, id_col)
+    spark = embeddings.sparkSession
+    (
+        assigned.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("__v").alias("vector"),
+            "cell",
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    spark.createDataFrame(
+        [(int(l), [float(x) for x in c]) for l, c in zip(labels, centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve top-k from a persisted :func:`build_ivf_index` artifact.
+
+    Centroids load driver-side (n_cells rows); per query the
+    ``n_probe`` nearest cells are chosen and the candidate read is
+    ``vectors.filter(cell IN probes)`` — a PARTITION-PRUNED scan of
+    exactly the probed cells' files. Exact cosine rescoring and
+    ranking mirror :func:`ivf_topk_trained`, so the same oracle
+    replay applies to the served path.
+    """
+    import numpy as np
+
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    cmat = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    lab = np.asarray([r["cell"] for r in cents], dtype=np.int64)
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    qrows = vectors.filter(F.col("vec_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["vector"], dtype=np.float64)
+        sims = cmat @ (qv / np.linalg.norm(qv))
+        for idx in np.argsort(-sims, kind="stable")[:n_probe]:
+            probe_rows.append((r["vec_id"], int(lab[idx])))
+    probed = spark.createDataFrame(
+        probe_rows or [], "query_id long, cell int"
+    )
+    probe_cells = sorted({c for _, c in probe_rows})
+    # the isin predicate on the PARTITION column is what prunes the
+    # scan to the probed cells' files
+    cand_vectors = vectors.filter(F.col("cell").isin(probe_cells))
+    qside = spark.createDataFrame(
+        [(r["vec_id"], list(r["vector"])) for r in qrows],
+        "query_id long, __q array<double>",
+    )
+    dim = int(cmat.shape[1]) if len(cents) else None
+    cands = (
+        F.broadcast(probed)
+        .join(
+            cand_vectors.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vector").alias("__c"),
+                "cell",
+            ),
+            "cell",
+        )
+        .join(F.broadcast(qside), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__q", "__c", dim).alias("__sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("sim"),
+            "rank",
         )
     )

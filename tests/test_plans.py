@@ -577,3 +577,20 @@ def test_zorder_point_predicate_prunes_most_files(spark, sf_dir, tmp_path):
     plan = _plan(scan)
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "o_custkey" in pushed and "o_totalprice" in pushed
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted IVF index's layout IS the index: a query that
+    probes n_probe of n_cells cells must plan a scan with
+    PartitionFilters on the cell directory column — serving I/O is
+    n_probe/n_cells of the corpus with no custom reader."""
+    from etl_gcp_spark.functions.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfidx")
+    build_ivf_index(emb, path, n_cells=8, n_iters=1)
+    vectors = spark.read.parquet(path + "/vectors")
+    pruned = vectors.filter(F.col("cell").isin([1, 3])).select("vec_id")
+    plan = _plan(pruned)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan

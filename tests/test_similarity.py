@@ -617,3 +617,32 @@ def test_hard_negative_mining_crosses_labels_only(spark):
     assert [r.hard_negative_id for r in out] == [3, 4]
     assert all(r.negative_label == "B" for r in out)
     assert out[0].query_label == "A"
+
+
+def test_ivf_index_serving_equals_fused_path(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_index_topk (persisted artifact,
+    partition-pruned serving) returns EXACTLY what the fused
+    ivf_topk_trained computes — the index round-trip loses nothing."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk_trained,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfidx_eq")
+    build_ivf_index(emb, path, n_cells=8, n_iters=2)
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in ivf_index_topk(
+            spark, path, query_ids=list(range(6)), k=4, n_probe=3
+        ).collect()
+    }
+    fused = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in ivf_topk_trained(
+            emb, query_ids=list(range(6)), k=4, n_cells=8,
+            n_probe=3, n_iters=2,
+        ).collect()
+    }
+    assert served == fused
