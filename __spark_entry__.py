@@ -634,10 +634,20 @@ def _q_bucketed_join_totals(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
+            # decimal-exact sum: a raw double sum is association-order
+            # dependent and flipped a 4-dp boundary at sf0.1 (the one
+            # revenue query that had skipped the repo's decimal-sum
+            # convention)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,8)")
+                ),
                 4,
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -3625,7 +3635,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_join_totals": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))), 4) AS DOUBLE)
                        AS revenue
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderstatus
