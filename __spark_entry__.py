@@ -1687,6 +1687,36 @@ def _q_ivf_index_topk(spark, sf_dir):
     )
 
 
+def _q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg fused with a dense cosine
+    leg by reciprocal-rank fusion — the standard two-tower retrieval
+    stack composed from the two already-proven rankers. doc_id and
+    vec_id share the 0..N id space in the synthetic corpus, so the
+    fusion joins them directly."""
+    from etl_gcp_spark.functions.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["spark", "vector", "stream"],
+        0,
+        depth=50,
+        k=10,
+    )
+
+
+def _q_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance diversity re-rank of vec 0's top-20
+    cosine candidates: greedy 5-pick trading relevance against max
+    similarity to already-picked items; the DuckDB oracle replays the
+    greedy chain with a recursive CTE on the same 6-dp-rounded sims."""
+    from etl_gcp_spark.functions.retrieval import mmr_select
+
+    return mmr_select(
+        _t(spark, sf_dir, "embeddings"), 0, depth=20, k=5, lam=0.5
+    )
+
+
 def _q_hll_overlap(spark, sf_dir):
     """HLL inclusion-exclusion overlap: how many distinct customers
     place both URGENT and LOW orders — three 128-row sketches instead
@@ -2849,6 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_replayable": _q_hll_replayable,
         "hll_overlap": _q_hll_overlap,
         "ivf_index_topk": _q_ivf_index_topk,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "mmr_select": _q_mmr_select,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7045,6 +7077,123 @@ def oracle_sql() -> dict[str, str]:
     # centroids), so the same algorithm-replay oracle attaches to the
     # partition-pruned served results verbatim
     sql["ivf_index_topk"] = sql["ann_ivf_kmeans_topk"]
+    # Hybrid RRF: compose the proven BM25 replay (top-50 leg) and the
+    # proven cosine replay (top-50 leg), then fuse with IEEE divisions
+    # of exact integers — bit-identical in both engines.
+    sql["hybrid_rrf_topk"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM toks GROUP BY 1
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+        ), tf AS (
+            SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks
+            WHERE t IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+        ), dfq AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                     ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5))
+                     * (CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                            / (CAST(total_dl AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE)))))
+                   , 6) AS DECIMAL(18,6)) AS ts
+            FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+        ), lex AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS lex_rank
+            FROM (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS bm25
+                  FROM scored GROUP BY doc_id
+                  ORDER BY bm25 DESC, doc_id LIMIT 50)
+        ), dense AS (
+            SELECT neighbor_id AS id, CAST(rnk AS INTEGER) AS dense_rank
+            FROM (
+                SELECT c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               q.qv, c.embedding::DOUBLE[]) DESC,
+                           c.vec_id) AS rnk
+                FROM embeddings c,
+                     (SELECT embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+                WHERE c.vec_id <> 0
+            ) WHERE rnk <= 50
+        )
+        SELECT coalesce(lex.id, dense.id) AS doc_id,
+               CAST(lex_rank AS INTEGER) AS lex_rank, dense_rank,
+               round(coalesce(1.0 / CAST(60 + lex_rank AS DOUBLE),
+                              CAST(0.0 AS DOUBLE))
+                     + coalesce(1.0 / CAST(60 + dense_rank AS DOUBLE),
+                                CAST(0.0 AS DOUBLE)), 6) AS rrf
+        FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+    # MMR: replay the greedy chain with a recursive CTE carrying the
+    # selected-set LIST; redundancy is a CASE-correlated max so the
+    # join stays inner (DuckDB can't decorrelate non-inner joins), and
+    # the base case casts red to DOUBLE so recursion doesn't unify the
+    # column to DECIMAL(2,1) and truncate every later value.
+    sql["mmr_select"] = """
+        WITH RECURSIVE cand AS (
+            SELECT neighbor_id AS cid, round(raw_sim, 6) AS rel
+            FROM (
+                SELECT c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           q.qv, c.embedding::DOUBLE[]) AS raw_sim,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                               q.qv, c.embedding::DOUBLE[]) DESC,
+                           c.vec_id) AS rnk
+                FROM embeddings c,
+                     (SELECT embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id = 0) q
+                WHERE c.vec_id <> 0
+            ) WHERE rnk <= 20
+        ), pair AS (
+            SELECT a.cid AS ca, b.cid AS cb,
+                   round(list_cosine_similarity(
+                       va.embedding::DOUBLE[],
+                       vb.embedding::DOUBLE[]), 6) AS psim
+            FROM cand a JOIN cand b ON a.cid <> b.cid
+            JOIN embeddings va ON va.vec_id = a.cid
+            JOIN embeddings vb ON vb.vec_id = b.cid
+        ), g AS (
+            (SELECT 1 AS pick, [cid] AS sel, cid, rel,
+                    CAST(0.0 AS DOUBLE) AS red
+             FROM cand ORDER BY 0.5*rel DESC, cid LIMIT 1)
+            UNION ALL
+            SELECT g.pick + 1, list_append(g.sel, x.cid),
+                   x.cid, x.rel, x.red
+            FROM g, LATERAL (
+                SELECT cid, rel, red FROM (
+                    SELECT c.cid, c.rel,
+                           coalesce(max(CASE WHEN list_contains(
+                                    g.sel, p.cb) THEN p.psim END),
+                               CAST(0.0 AS DOUBLE)) AS red
+                    FROM cand c JOIN pair p ON p.ca = c.cid
+                    WHERE NOT list_contains(g.sel, c.cid)
+                    GROUP BY c.cid, c.rel
+                )
+                ORDER BY 0.5*rel - 0.5*red DESC, cid
+                LIMIT 1
+            ) x
+            WHERE g.pick < 5
+        )
+        SELECT CAST(pick AS INT) AS pick, CAST(cid AS BIGINT) AS vec_id,
+               rel, red AS redundancy
+        FROM g ORDER BY pick
+    """
     # HLL overlap: replay A, B, and the register-wise-max union sketch
     # from the same side table, then inclusion-exclusion. The estimate
     # CASE mirrors hll_replayable's.
