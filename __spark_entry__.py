@@ -1687,6 +1687,33 @@ def _q_ivf_index_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_index_append_topk(spark, sf_dir):
+    """Index maintenance without retrain: build the IVF artifact on
+    the first 400 vectors only, append the rest against the FROZEN
+    centroids (same argmax-cosine assignment kernel, new parquet
+    files inside the existing cell partitions), then serve — the
+    oracle replays training on the <400 scope and assignment of the
+    full corpus to those centroids."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_ivfapx_{os.path.basename(sf_dir)}",
+    )
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path, n_cells=32, n_iters=2
+    )
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= 400))
+    return ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=5, n_probe=4
+    )
+
+
 def _q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical leg fused with a dense cosine
     leg by reciprocal-rank fusion — the standard two-tower retrieval
@@ -2881,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": _q_ivf_index_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "mmr_select": _q_mmr_select,
+        "ivf_index_append_topk": _q_ivf_index_append_topk,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7077,6 +7105,94 @@ def oracle_sql() -> dict[str, str]:
     # centroids), so the same algorithm-replay oracle attaches to the
     # partition-pruned served results verbatim
     sql["ivf_index_topk"] = sql["ann_ivf_kmeans_topk"]
+    # Append-to-frozen-index: identical replay chain, except training
+    # (seed + both Lloyd rounds) sees ONLY the vec_id < 400 scope; the
+    # final assignment `af` covers the FULL corpus against those
+    # frozen centroids — exactly what build-on-subset + append does.
+    sql["ivf_index_append_topk"] = """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), train AS (
+            SELECT vec_id, v FROM base WHERE vec_id < 400
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+            FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT 32)
+        ), a1 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM train b CROSS JOIN c0 c
+            ) WHERE rnk = 1
+        ), c1 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a1
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), a2 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM train b CROSS JOIN c1 c
+            ) WHERE rnk = 1
+        ), c2 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a2
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), af AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c2 c
+            ) WHERE rnk = 1
+        ), probe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, c.cv)
+                                    DESC, c.cell
+                       ) AS prnk
+                FROM base q CROSS JOIN c2 c
+                WHERE q.vec_id < 10
+            ) WHERE prnk <= 4
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_cosine_similarity(qb.v, a.v) AS raw_sim
+            FROM probe p
+            JOIN af a USING (cell)
+            JOIN base qb ON qb.vec_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, raw_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY raw_sim DESC, neighbor_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
+               CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= 5
+    """
     # Hybrid RRF: compose the proven BM25 replay (top-50 leg) and the
     # proven cosine replay (top-50 leg), then fuse with IEEE divisions
     # of exact integers — bit-identical in both engines.

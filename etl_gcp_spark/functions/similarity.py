@@ -2120,6 +2120,55 @@ def build_ivf_index(
     )
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted :func:`build_ivf_index`
+    artifact WITHOUT retraining — the index-maintenance operation a
+    continuous ingest needs: centroids stay frozen (they are the
+    index contract readers already hold), each arriving vector is
+    assigned to its argmax-cosine cell with the SAME zero-shuffle
+    GEMM kernel used at build time, and the rows land as NEW parquet
+    files inside the existing ``cell=N`` partition directories
+    (``mode("append")`` never rewrites existing files). Serving picks
+    the appended vectors up on the next scan with no reader change —
+    partition pruning still holds because the partition column is
+    unchanged.
+
+    Scale shape: append cost is O(|new|·n_cells·dim) map-side work +
+    one partitioned write of only the new rows; the existing corpus
+    is never read or rewritten. Retrain (a fresh
+    :func:`build_ivf_index`) remains the answer when drift makes the
+    frozen centroids unbalanced — the two operations are the standard
+    serve-time/maintenance split of a production IVF index.
+    """
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    labels = [int(r["cell"]) for r in cents]
+    cmat = [list(r["centroid"]) for r in cents]
+    base = new_embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign_to_centroids(base, cmat, labels, id_col)
+    (
+        assigned.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("__v").alias("vector"),
+            "cell",
+        )
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(os.path.join(path, "vectors"))
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

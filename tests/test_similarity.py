@@ -646,3 +646,55 @@ def test_ivf_index_serving_equals_fused_path(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served == fused
+
+def test_ivf_index_append_serves_new_vectors(spark, tmp_path):
+    """Append to a frozen index: appended rows are assigned to the
+    argmax-cosine cell of the PERSISTED centroids, land as new files
+    in the existing partitions, and are immediately servable — an
+    appended exact duplicate of a query vector must come back at
+    rank 1 with sim 1.0."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+
+    def vec(i):
+        # deterministic spread over 8 dims, no accidental duplicates
+        return [math.sin(0.7 * i + d) + 0.01 * i * d for d in range(8)]
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(15)]
+    )
+    new = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(15, 19)]
+        + [Row(vec_id=19, embedding=vec(3))]  # exact dup of query 3
+    )
+    path = str(tmp_path / "ivfapp")
+    build_ivf_index(base, path, n_cells=4, n_iters=1)
+    ivf_index_append(spark, path, new)
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    assert vectors.count() == 20
+    # every appended row sits in the argmax-cosine cell of the
+    # persisted (frozen) centroids
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cmat = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    labels = np.asarray([r["cell"] for r in cents])
+    for r in vectors.filter("vec_id >= 15").collect():
+        v = np.asarray(r["vector"], dtype=np.float64)
+        want = int(labels[(cmat @ (v / np.linalg.norm(v))).argmax()])
+        assert r["cell"] == want, r["vec_id"]
+
+    out = ivf_index_topk(spark, path, query_ids=[3], k=3, n_probe=2)
+    top = out.orderBy("rank").collect()[0]
+    assert top.neighbor_id == 19 and top.sim == 1.0 and top.rank == 1
