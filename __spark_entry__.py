@@ -1714,6 +1714,18 @@ def _q_ivf_index_append_topk(spark, sf_dir):
     )
 
 
+def _q_epoch_shards(spark, sf_dir):
+    """Deterministic epoch-1 shuffle of the corpus into 8 training
+    shards: Lehmer-hashed shuffle key with a quadratic mix (exact
+    int64 both engines — no RNG, no side table), shard = key mod 8,
+    position = within-shard rank."""
+    from etl_gcp_spark.operators.sampling import epoch_shards
+
+    return epoch_shards(
+        _t(spark, sf_dir, "documents"), epoch=1, n_shards=8
+    )
+
+
 def _q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical leg fused with a dense cosine
     leg by reciprocal-rank fusion — the standard two-tower retrieval
@@ -2909,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "mmr_select": _q_mmr_select,
         "ivf_index_append_topk": _q_ivf_index_append_topk,
+        "epoch_shards": _q_epoch_shards,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7192,6 +7205,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,
                CAST(rnk AS INTEGER) AS rank
         FROM ranked WHERE rnk <= 5
+    """
+    # Epoch shuffle: the double-step Lehmer + quadratic mix is exact
+    # int64 arithmetic (h2 < 2^31 so h2^2 < 2^62), so the oracle
+    # recomputes the full permutation with no side table.
+    sql["epoch_shards"] = """
+        WITH keyed AS (
+            SELECT doc_id,
+                   (h2 * h2 + h2) % 2147483647 AS shuffle_key
+            FROM (
+                SELECT doc_id,
+                       (((doc_id + 1) * 48271 % 2147483647) + 1)
+                           * 48271 % 2147483647 AS h2
+                FROM documents
+                WHERE doc_id IS NOT NULL
+            )
+        )
+        SELECT doc_id,
+               CAST(shuffle_key % 8 AS INTEGER) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shuffle_key % 8
+                   ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos,
+               shuffle_key
+        FROM keyed
     """
     # Hybrid RRF: compose the proven BM25 replay (top-50 leg) and the
     # proven cosine replay (top-50 leg), then fuse with IEEE divisions

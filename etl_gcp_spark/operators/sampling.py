@@ -281,3 +281,58 @@ def priority_sample(
             "rank",
         )
     )
+
+
+def epoch_shards(
+    documents: DataFrame,
+    *,
+    epoch: int = 0,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard plan — the step between a
+    curated corpus and tokenizer/trainer shards: every document gets
+    a pseudo-random shuffle key that changes per epoch, a shard
+    (key mod ``n_shards``), and a position within its shard. Same
+    inputs → the SAME training order on every run, any partitioning,
+    any engine; bump ``epoch`` for a fresh permutation.
+
+    The shuffle key is a double-stepped Lehmer hash with a final
+    QUADRATIC mix: ``h2 = ((((id+1)·A mod M31) + epoch)·A) mod M31``
+    then ``key = (h2² + h2) mod M31``. The quadratic step matters: a
+    purely linear map sends every id pair at distance d to keys at
+    constant distance d·c mod M31 — ids 94 apart would stay adjacent
+    in every epoch's order, a systematic training-order artifact.
+    Squaring breaks that linearity while staying exact int64
+    arithmetic (h2 < 2³¹ so h2² < 2⁶²) that both the JVM and a SQL
+    oracle evaluate identically, per this module's no-RNG
+    convention. The quadratic map is not injective — key collisions
+    tie-break on id in the within-shard ordering.
+
+    Scale shape: shard assignment is a scan-side projection; the
+    within-shard position is a window partitioned BY SHARD — one
+    shuffle carrying each row once, ~N/n_shards rows per partition,
+    which is exactly the data movement an epoch shuffle semantically
+    requires (at the 100-TB materialization this window becomes
+    ``write.partitionBy(shard)`` + ``sortWithinPartitions(key)``,
+    same movement). NULL ids are excluded (a NULL cannot be ranked
+    deterministically), matching the oracle's WHERE.
+
+    Output: (doc_id, shard, pos, shuffle_key).
+    """
+    from pyspark.sql import Window
+
+    h1 = (F.col(id_col) + 1) * _A % _M31
+    h2 = (h1 + F.lit(epoch)) * _A % _M31
+    key = (h2 * h2 + h2) % _M31
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        documents.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            (key % n_shards).cast("int").alias("shard"),
+            key.cast("long").alias("shuffle_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos", "shuffle_key")
+    )

@@ -229,3 +229,29 @@ def test_ann_recall_report_matches_manual_overlap(spark, sf_dir):
         hits = len(e[q] & a.get(q, set()))
         assert got[q] == (len(e[q]), hits, round(hits / len(e[q]), 4))
         assert 0.0 <= got[q][2] <= 1.0
+
+
+def test_epoch_shards_deterministic_permutation(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.sampling import epoch_shards
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(100)] + [Row(doc_id=None)]
+    )
+    a = epoch_shards(docs, epoch=3, n_shards=4).collect()
+    b = epoch_shards(docs, epoch=3, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # repeatable
+    assert len(a) == 100  # NULL id excluded
+    # positions are contiguous 1..n within each shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different epoch yields a different training order
+    c = epoch_shards(docs, epoch=4, n_shards=4).collect()
+    order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))]
+    order_c = [r.doc_id for r in sorted(c, key=lambda r: (r.shard, r.pos))]
+    assert order_a != order_c
+    assert sorted(order_a) == sorted(order_c) == list(range(100))
