@@ -1714,6 +1714,27 @@ def _q_ivf_index_append_topk(spark, sf_dir):
     )
 
 
+def _q_streaming_ivf_ingest(spark, sf_dir):
+    """Continuous vector ingest: stream vec_id >= 400 into the IVF
+    index trained on vec_id < 400 (4 microbatches, batch_id-keyed
+    idempotent append dirs), serve over base ∪ appends. Final state
+    is bit-identical to the batch build+append path, so that
+    operator's algorithm-replay oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_ingest
+
+    return run_streaming_ivf_ingest(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        train_max_id=400,
+        n_batches=4,
+        n_cells=32,
+        n_iters=2,
+        query_ids=list(range(10)),
+        k=5,
+        n_probe=4,
+    )
+
+
 def _q_epoch_shards(spark, sf_dir):
     """Deterministic epoch-1 shuffle of the corpus into 8 training
     shards: Lehmer-hashed shuffle key with a quadratic mix (exact
@@ -2922,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": _q_mmr_select,
         "ivf_index_append_topk": _q_ivf_index_append_topk,
         "epoch_shards": _q_epoch_shards,
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7206,6 +7228,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(rnk AS INTEGER) AS rank
         FROM ranked WHERE rnk <= 5
     """
+    # The streamed ingest's final index state equals the batch
+    # build-on-<400 + append path bit-for-bit (same frozen centroids,
+    # same assignment kernel), so the batch operator's algorithm-
+    # replay oracle attaches to the streamed result verbatim.
+    sql["streaming_ivf_ingest"] = sql["ivf_index_append_topk"]
     # Epoch shuffle: the double-step Lehmer + quadratic mix is exact
     # int64 arithmetic (h2 < 2^31 so h2^2 < 2^62), so the oracle
     # recomputes the full permutation with no side table.

@@ -2186,16 +2186,32 @@ def ivf_index_topk(
     ranking mirror :func:`ivf_topk_trained`, so the same oracle
     replay applies to the served path.
     """
-    import numpy as np
-
     cents = sorted(
         spark.read.parquet(os.path.join(path, "centroids")).collect(),
         key=lambda r: r["cell"],
     )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    return ivf_serve(spark, cents, vectors, query_ids=query_ids, k=k, n_probe=n_probe)
+
+
+def ivf_serve(
+    spark,
+    cents,
+    vectors: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe + exact-rescore against any (vec_id, vector, cell) frame
+    and the given centroid rows — the serve half of the persisted IVF
+    index, shared by :func:`ivf_index_topk` (single artifact tree)
+    and the streaming ingest (base tree ∪ append trees)."""
+    import numpy as np
+
     cmat = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     lab = np.asarray([r["cell"] for r in cents], dtype=np.int64)
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
     qrows = vectors.filter(F.col("vec_id").isin(query_ids)).collect()
     probe_rows = []
     for r in qrows:

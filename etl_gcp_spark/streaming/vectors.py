@@ -1,0 +1,159 @@
+"""Structured Streaming ingest into the persisted IVF index.
+
+The batch half of the index story is ``build_ivf_index`` (train +
+snapshot) and ``ivf_index_append`` (grow against frozen centroids,
+`functions/similarity.py`); this module is the continuous form: each
+microbatch of arriving embeddings is assigned to its argmax-cosine
+cell with the same zero-shuffle GEMM kernel and lands as new parquet
+files under an append tree — so a 100-TB vector corpus can keep
+serving while new vectors stream in, with retrain relegated to an
+offline rebuild when drift warrants it.
+
+Crash recovery follows the engine-batch_id discipline of
+``streaming/events.py`` (round-4 pattern): every batch writes its own
+``batch=<id>`` directory in overwrite mode, so a batch replayed after
+a crash between sink write and checkpoint commit rewrites itself
+idempotently; no Python state survives a restart, so none is relied
+on. Batches are mutually independent (pure appends, no cross-batch
+merge), which makes this the simplest exactly-once shape of the four
+durable-sink streaming ops.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMBEDDINGS_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def run_streaming_ivf_ingest(
+    spark: SparkSession,
+    embeddings_path: str,
+    *,
+    train_max_id: int = 400,
+    n_batches: int = 4,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_probe: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Stream vectors ``vec_id >= train_max_id`` into an IVF index
+    built on ``vec_id < train_max_id``, then serve top-k over the
+    full corpus (base tree ∪ append trees).
+
+    The final index state is IDENTICAL to the batch
+    ``build_ivf_index`` + ``ivf_index_append`` path — training scope,
+    frozen 6-dp centroids, argmax-cosine assignment, and the served
+    ranking all match bit-for-bit — so the batch operator's
+    algorithm-replay oracle attaches to the STREAMED result verbatim
+    ("stream and batch agree exactly", the contract the streaming
+    family holds throughout).
+
+    Layout: ``root/index/vectors`` is the trained base (partitioned
+    by cell); each microbatch writes
+    ``root/index/appends/batch=<batch_id>/cell=<cell>/`` in overwrite
+    mode (replay-idempotent). Serving reads base and appends with the
+    same ``cell IN probes`` partition-pruned scans — the ``batch``
+    partition level adds files, not read amplification, and an
+    offline compaction folding appends into the base tree is ordinary
+    parquet maintenance. Pass ``root`` to resume a crashed run from
+    its checkpoint; ``fail_after_batches`` injects a post-write
+    pre-commit crash (recovery tests).
+    """
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_serve,
+    )
+
+    query_ids = list(range(10)) if query_ids is None else query_ids
+    root = root or os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_ivfstream_{uuid.uuid4().hex}"
+    )
+    index = os.path.join(root, "index")
+    appends = os.path.join(index, "appends")
+    emb = spark.read.parquet(embeddings_path).select("vec_id", "embedding")
+
+    # base index: idempotent (overwrite) — a resumed run retrains to
+    # the identical 6-dp centroids, so recovery needs no special case
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < train_max_id),
+        index,
+        n_cells=n_cells,
+        n_iters=n_iters,
+    )
+
+    staged = os.path.join(root, "in")
+    if not os.path.exists(staged):
+        emb.filter(F.col("vec_id") >= train_max_id).repartition(
+            n_batches
+        ).write.parquet(staged)
+
+    cents = sorted(
+        spark.read.parquet(os.path.join(index, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    labels = [int(r["cell"]) for r in cents]
+    cmat = [list(r["centroid"]) for r in cents]
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        from etl_gcp_spark.functions.similarity import (
+            _as_double,
+            _assign_to_centroids,
+        )
+
+        base = batch_df.select(
+            "vec_id", _as_double(F.col("embedding")).alias("__v")
+        )
+        assigned = _assign_to_centroids(base, cmat, labels, "vec_id")
+        (
+            assigned.select(
+                "vec_id", F.col("__v").alias("vector"), "cell"
+            )
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(os.path.join(appends, f"batch={batch_id}"))
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink write, BEFORE the checkpoint commit
+            # — the engine must replay this batch_id and the overwrite
+            # above must absorb the replay
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    base_vecs = spark.read.parquet(os.path.join(index, "vectors"))
+    appended = (
+        spark.read.option("basePath", appends)
+        .parquet(appends)
+        .select("vec_id", "vector", "cell")
+    )
+    return ivf_serve(
+        spark,
+        cents,
+        base_vecs.select("vec_id", "vector", "cell").unionByName(appended),
+        query_ids=query_ids,
+        k=k,
+        n_probe=n_probe,
+    )

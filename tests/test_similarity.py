@@ -698,3 +698,52 @@ def test_ivf_index_append_serves_new_vectors(spark, tmp_path):
     out = ivf_index_topk(spark, path, query_ids=[3], k=3, n_probe=2)
     top = out.orderBy("rank").collect()[0]
     assert top.neighbor_id == 19 and top.sim == 1.0 and top.rank == 1
+
+
+def test_streaming_ivf_ingest_recovers_from_mid_stream_crash(
+    spark, sf_dir, tmp_path
+):
+    """Kill the vector ingest after trigger 2 of 4 (post-write,
+    pre-commit), resume from the checkpoint, and require the served
+    top-k to equal the batch build+append path EXACTLY — appended
+    batch dirs are batch_id-keyed and overwrite-mode, so the replayed
+    batch absorbs its own half-committed write."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_ingest
+
+    root = str(tmp_path / "ivf_ingest_recovery")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_ivf_ingest(
+            spark, path, n_batches=4, root=root, fail_after_batches=2,
+            n_cells=8, n_iters=1, query_ids=[0, 1, 2], k=3, n_probe=2,
+        )
+    streamed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in run_streaming_ivf_ingest(
+            spark, path, n_batches=4, root=root,
+            n_cells=8, n_iters=1, query_ids=[0, 1, 2], k=3, n_probe=2,
+        ).collect()
+    }
+    emb = spark.read.parquet(path)
+    bpath = str(tmp_path / "ivf_batch_twin")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), bpath, n_cells=8, n_iters=1
+    )
+    ivf_index_append(spark, bpath, emb.filter(F.col("vec_id") >= 400))
+    batch = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in ivf_index_topk(
+            spark, bpath, query_ids=[0, 1, 2], k=3, n_probe=2
+        ).collect()
+    }
+    assert streamed == batch
