@@ -1735,6 +1735,28 @@ def _q_streaming_ivf_ingest(spark, sf_dir):
     )
 
 
+def _q_ivf_compact_topk(spark, sf_dir):
+    """Index lifecycle close-out: stream the appends in, COMPACT the
+    batch_id-keyed append trees into the base cell partitions
+    (write-new-then-rename, never in-place), serve from the compacted
+    artifact alone. Compaction moves bytes, not semantics — the same
+    algorithm-replay oracle must stay green on the compacted serve."""
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_ingest
+
+    return run_streaming_ivf_ingest(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        train_max_id=400,
+        n_batches=4,
+        n_cells=32,
+        n_iters=2,
+        query_ids=list(range(10)),
+        k=5,
+        n_probe=4,
+        compact=True,
+    )
+
+
 def _q_epoch_shards(spark, sf_dir):
     """Deterministic epoch-1 shuffle of the corpus into 8 training
     shards: Lehmer-hashed shuffle key with a quadratic mix (exact
@@ -2944,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_append_topk": _q_ivf_index_append_topk,
         "epoch_shards": _q_epoch_shards,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        "ivf_compact_topk": _q_ivf_compact_topk,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7233,6 +7256,9 @@ def oracle_sql() -> dict[str, str]:
     # same assignment kernel), so the batch operator's algorithm-
     # replay oracle attaches to the streamed result verbatim.
     sql["streaming_ivf_ingest"] = sql["ivf_index_append_topk"]
+    # compaction moves bytes, not semantics: the compacted serve must
+    # stay green under the identical replay
+    sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
     # Epoch shuffle: the double-step Lehmer + quadratic mix is exact
     # int64 arithmetic (h2 < 2^31 so h2^2 < 2^62), so the oracle
     # recomputes the full permutation with no side table.

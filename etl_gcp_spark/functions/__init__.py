@@ -1,3 +1,3 @@
-from etl_gcp_spark.functions import multimodal, similarity, text
+from etl_gcp_spark.functions import multimodal, retrieval, similarity, text
 
 __all__ = ["multimodal", "similarity", "text"]

@@ -2169,6 +2169,42 @@ def ivf_index_append(
     )
 
 
+def ivf_index_compact(spark, path: str) -> None:
+    """Fold the streaming append trees
+    (``path/appends/batch=<id>/cell=<n>/``, written by
+    ``streaming/vectors.py``) back into the base
+    ``path/vectors/cell=<n>/`` tree — ordinary parquet maintenance
+    that bounds small-file count after a long streaming run. The
+    rewrite is write-new-then-rename (never overwrite-in-place of a
+    tree being read); an object-store deployment would commit the
+    same swap through a manifest/table format instead of a rename.
+    Serving before and after compaction returns IDENTICAL results —
+    compaction moves bytes, not semantics (asserted in tests and by
+    the shared oracle of the registry entry).
+    """
+    import shutil
+
+    vectors = os.path.join(path, "vectors")
+    appends = os.path.join(path, "appends")
+    if not os.path.isdir(appends):
+        return
+    base = spark.read.parquet(vectors).select("vec_id", "vector", "cell")
+    extra = (
+        spark.read.option("basePath", appends)
+        .parquet(appends)
+        .select("vec_id", "vector", "cell")
+    )
+    tmp = vectors + "_compacting"
+    base.unionByName(extra).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = vectors + "_old"
+    os.rename(vectors, old)
+    os.rename(tmp, vectors)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(appends, ignore_errors=True)
+
+
 def ivf_index_topk(
     spark,
     path: str,

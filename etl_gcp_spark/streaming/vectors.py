@@ -44,10 +44,14 @@ def run_streaming_ivf_ingest(
     n_probe: int = 4,
     root: str | None = None,
     fail_after_batches: int | None = None,
+    compact: bool = False,
 ) -> DataFrame:
     """Stream vectors ``vec_id >= train_max_id`` into an IVF index
     built on ``vec_id < train_max_id``, then serve top-k over the
-    full corpus (base tree ∪ append trees).
+    full corpus (base tree ∪ append trees). With ``compact=True`` the
+    append trees are folded into the base tree after the stream
+    completes (``ivf_index_compact``) and serving reads the compacted
+    artifact alone — same results, fewer files.
 
     The final index state is IDENTICAL to the batch
     ``build_ivf_index`` + ``ivf_index_append`` path — training scope,
@@ -142,6 +146,15 @@ def run_streaming_ivf_ingest(
         .start()
     )
     q.awaitTermination()
+
+    if compact:
+        from etl_gcp_spark.functions.similarity import ivf_index_compact
+
+        ivf_index_compact(spark, index)
+        vectors = spark.read.parquet(os.path.join(index, "vectors"))
+        return ivf_serve(
+            spark, cents, vectors, query_ids=query_ids, k=k, n_probe=n_probe
+        )
 
     base_vecs = spark.read.parquet(os.path.join(index, "vectors"))
     appended = (

@@ -335,7 +335,44 @@ def bench(out_dir: str, scale: int) -> dict:
         "skew:curation_funnel": lambda m: curation_funnel(docs_skew(m)),
     }
 
-    results: dict[str, dict] = {}
+    # Index-maintenance claim check: appending a FIXED-SIZE batch to
+    # the persisted IVF index must cost the same against a 1x and a
+    # {scale}x base — ivf_index_append is O(|new|) because the
+    # existing corpus is never read or rewritten. Measured separately
+    # from the generic loop (the variable here is BASE size at fixed
+    # work, so the pass criterion is exponent ~0, not sub-quadratic).
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index as _build_idx,
+        ivf_index_append as _append_idx,
+    )
+
+    append_t = {}
+    for mult in (1, scale):
+        ipath = f"{out_dir}/ivfidx_x{mult}"
+        _build_idx(vecs(mult), ipath, n_cells=32, n_iters=1)  # untimed
+        new_batch = vecs(1).withColumn(
+            "vec_id", F.col("vec_id") + 100_000_000
+        )
+        t0 = time.time()
+        _append_idx(spark, ipath, new_batch)
+        append_t[mult] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    aexp = float(np.log(append_t[scale] / append_t[1]) / np.log(scale))
+    fixed_results = {
+        "append:ivf_fixed_batch_vs_base": {
+            f"rows_x{1}": BASE_VECS,
+            f"rows_x{scale}": BASE_VECS,
+            "sec_x1": append_t[1],
+            f"sec_x{scale}": append_t[scale],
+            "exponent": round(aexp, 3),
+            # flat-in-base-size is the claim; 0.3 allows fs jitter
+            "sublinear_ok": aexp < 0.3,
+        }
+    }
+
+    results: dict[str, dict] = dict(fixed_results)
     for name, fn in {**ops, **skew_ops}.items():
         timings = {}
         for mult in (1, scale):

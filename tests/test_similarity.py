@@ -747,3 +747,37 @@ def test_streaming_ivf_ingest_recovers_from_mid_stream_crash(
         ).collect()
     }
     assert streamed == batch
+
+
+def test_ivf_compact_preserves_serving(spark, sf_dir, tmp_path):
+    """Compaction moves bytes, not semantics: serving from the
+    compacted artifact equals serving over base + append trees, the
+    appends dir is gone, and every vector survived the fold."""
+    import os
+
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_ingest
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_total = spark.read.parquet(path).count()
+    kw = dict(
+        n_batches=4, n_cells=8, n_iters=1,
+        query_ids=[0, 1, 2], k=3, n_probe=2,
+    )
+    uncompacted = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in run_streaming_ivf_ingest(
+            spark, path, root=str(tmp_path / "plain"), **kw
+        ).collect()
+    }
+    croot = str(tmp_path / "compacted")
+    compacted = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in run_streaming_ivf_ingest(
+            spark, path, root=croot, compact=True, **kw
+        ).collect()
+    }
+    assert compacted == uncompacted
+    index = os.path.join(croot, "index")
+    assert not os.path.exists(os.path.join(index, "appends"))
+    vecs = spark.read.parquet(os.path.join(index, "vectors"))
+    assert vecs.count() == n_total
