@@ -1757,6 +1757,19 @@ def _q_ivf_compact_topk(spark, sf_dir):
     )
 
 
+def _q_kcore_embedding_graph(spark, sf_dir):
+    """3-core of the mutual-5NN embedding graph: dense semantic
+    neighborhoods (template/boilerplate regions) survive the peel,
+    one-off documents don't. 16 peel rounds is the fixed contract
+    bound (observed convergence: 8); both sides no-op after the
+    fixpoint, so results agree at any bound."""
+    from etl_gcp_spark.operators.graph import kcore_embedding_graph
+
+    return kcore_embedding_graph(
+        _t(spark, sf_dir, "embeddings"), k=5, core_k=3, rounds=16
+    )
+
+
 def _q_epoch_shards(spark, sf_dir):
     """Deterministic epoch-1 shuffle of the corpus into 8 training
     shards: Lehmer-hashed shuffle key with a quadratic mix (exact
@@ -2967,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shards": _q_epoch_shards,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         "ivf_compact_topk": _q_ivf_compact_topk,
+        "kcore_embedding_graph": _q_kcore_embedding_graph,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7259,6 +7273,52 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # k-core: the proven kNN replay builds the mutual graph, then a
+    # recursive CTE peels 16 fixed rounds (window-function degrees
+    # inside the recursive term — one reference to the recursive
+    # table); rounds past the fixpoint are no-ops on both sides.
+    sql["kcore_embedding_graph"] = """
+        WITH RECURSIVE norm AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE /
+                       sqrt(list_sum(list_transform(embedding,
+                           y -> y::DOUBLE * y::DOUBLE)))) AS v
+            FROM embeddings
+        ), sims AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   round(list_sum(list_transform(
+                       range(1, len(a.v)+1),
+                       i -> a.v[i] * b.v[i])), 6) AS sim
+            FROM norm a JOIN norm b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT vec_id, nbr_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, nbr_id) AS rank
+            FROM sims
+        ), knn AS (
+            SELECT vec_id, nbr_id FROM ranked WHERE rank <= 5
+        ), mutual AS (
+            SELECT a.vec_id AS u, a.nbr_id AS v
+            FROM knn a JOIN knn b
+              ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+            WHERE a.vec_id < a.nbr_id
+        ), sym AS (
+            SELECT u, v FROM mutual
+            UNION ALL SELECT v, u FROM mutual
+        ), g AS (
+            SELECT 0 AS r, u, v FROM sym
+            UNION ALL
+            SELECT r + 1, u, v FROM (
+                SELECT e.r, e.u, e.v,
+                       count(*) OVER (PARTITION BY e.u) AS du,
+                       count(*) OVER (PARTITION BY e.v) AS dv
+                FROM g e
+            ) WHERE r < 16 AND du >= 3 AND dv >= 3
+        )
+        SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM g WHERE r = 16 GROUP BY u
+    """
     # Epoch shuffle: the double-step Lehmer + quadratic mix is exact
     # int64 arithmetic (h2 < 2^31 so h2^2 < 2^62), so the oracle
     # recomputes the full permutation with no side table.

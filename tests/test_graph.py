@@ -203,3 +203,34 @@ def test_triangle_participation_chain_has_none(spark):
         [(1, 2), (2, 3), (3, 4)], "id1 long, id2 long"
     )
     assert triangle_participation(chain).count() == 0
+
+
+def test_kcore_embedding_graph_invariants(spark, sf_dir):
+    """Every core node meets the degree floor, extra rounds past the
+    fixpoint change nothing, and a higher core_k yields a subset."""
+    from etl_gcp_spark.operators.graph import kcore_embedding_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    core3 = {
+        r.vec_id: r.core_degree
+        for r in kcore_embedding_graph(
+            emb, k=5, core_k=3, rounds=16
+        ).collect()
+    }
+    assert core3 and all(d >= 3 for d in core3.values())
+    # fixpoint: doubling the round bound is a no-op
+    core3b = {
+        r.vec_id: r.core_degree
+        for r in kcore_embedding_graph(
+            emb, k=5, core_k=3, rounds=32
+        ).collect()
+    }
+    assert core3 == core3b
+    # the 4-core (possibly empty) lives inside the 3-core
+    core4 = {
+        r.vec_id
+        for r in kcore_embedding_graph(
+            emb, k=5, core_k=4, rounds=16
+        ).collect()
+    }
+    assert core4 <= set(core3)
