@@ -594,3 +594,30 @@ def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     plan = _plan(pruned)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "cell" in part_filters, plan
+
+
+def test_ivf_append_tree_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The streaming append trees keep the same pruning contract as
+    the base tree: a probed-cell read over appends/batch=N/cell=M
+    plans PartitionFilters on cell — the batch level adds files, not
+    read amplification."""
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_ingest
+
+    root = str(tmp_path / "ivf_plan_appends")
+    run_streaming_ivf_ingest(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        n_batches=2,
+        n_cells=8,
+        n_iters=1,
+        query_ids=[0],
+        k=3,
+        n_probe=2,
+        root=root,
+    )
+    appends = f"{root}/index/appends"
+    tree = spark.read.option("basePath", appends).parquet(appends)
+    pruned = tree.filter(F.col("cell").isin([1, 3])).select("vec_id")
+    plan = _plan(pruned)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan
