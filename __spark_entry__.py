@@ -1757,6 +1757,18 @@ def _q_ivf_compact_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_sanitize(spark, sf_dir):
+    """Pre-index vector hygiene verdicts (NaN/Inf, wrong-dim,
+    zero-norm) — the screen that runs before every index build; the
+    zero-norm flag is an exact no-nonzero-component predicate, never
+    a float norm threshold, so it replays in any engine."""
+    from etl_gcp_spark.functions.similarity import embedding_sanitize
+
+    return embedding_sanitize(
+        _t(spark, sf_dir, "embeddings"), expected_dim=64
+    )
+
+
 def _q_kcore_embedding_graph(spark, sf_dir):
     """3-core of the mutual-5NN embedding graph: dense semantic
     neighborhoods (template/boilerplate regions) survive the peel,
@@ -2981,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         "ivf_compact_topk": _q_ivf_compact_topk,
         "kcore_embedding_graph": _q_kcore_embedding_graph,
+        "embedding_sanitize": _q_embedding_sanitize,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7273,6 +7286,40 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Vector hygiene: integer predicates only (component counts, not
+    # float norms), so the verdicts replay regardless of summation
+    # order; NaN/Inf comparisons use both engines' total-order rules.
+    sql["embedding_sanitize"] = """
+        SELECT vec_id,
+               CAST(CASE WHEN embedding IS NULL THEN -1
+                         ELSE len(embedding) END AS INTEGER) AS n_dims,
+               CAST(CASE WHEN embedding IS NULL THEN 0
+                         ELSE coalesce(list_sum(list_transform(
+                              embedding,
+                              x -> CASE WHEN isnan(x::DOUBLE)
+                                        OR isinf(x::DOUBLE)
+                                        THEN 1 ELSE 0 END)), 0)
+                    END AS INTEGER) AS n_nonfinite,
+               (embedding IS NOT NULL AND len(embedding) > 0
+                AND list_sum(list_transform(embedding,
+                    x -> CASE WHEN x::DOUBLE <> 0.0
+                              THEN 1 ELSE 0 END)) = 0)
+                   AS is_zero_norm,
+               CASE WHEN embedding IS NULL THEN 'drop_null'
+                    WHEN len(embedding) <> 64 THEN 'drop_wrong_dim'
+                    WHEN list_sum(list_transform(embedding,
+                         x -> CASE WHEN isnan(x::DOUBLE)
+                                   OR isinf(x::DOUBLE)
+                                   THEN 1 ELSE 0 END)) > 0
+                        THEN 'drop_nonfinite'
+                    WHEN len(embedding) > 0
+                     AND list_sum(list_transform(embedding,
+                         x -> CASE WHEN x::DOUBLE <> 0.0
+                                   THEN 1 ELSE 0 END)) = 0
+                        THEN 'drop_zero_norm'
+                    ELSE 'ok' END AS verdict
+        FROM embeddings
+    """
     # k-core: the proven kNN replay builds the mutual graph, then a
     # recursive CTE peels 16 fixed rounds (window-function degrees
     # inside the recursive term — one reference to the recursive

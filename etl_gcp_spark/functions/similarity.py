@@ -2298,3 +2298,87 @@ def ivf_serve(
             "rank",
         )
     )
+
+
+def embedding_sanitize(
+    embeddings: DataFrame,
+    *,
+    expected_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pre-index vector hygiene — the screen every production index
+    build runs before :func:`build_ivf_index` / the ANN ladder:
+    failed encoders emit NaN/Inf components, truncated writes emit
+    wrong-length vectors, padding rows emit all-zero vectors (cosine
+    undefined), and any of them silently poisons centroids and
+    rankings downstream.
+
+    Per vector: dimensionality, non-finite component count, and a
+    zero-norm flag computed as "no nonzero component" — an exact
+    integer predicate, deliberately NOT a float norm threshold, so
+    the verdict replays bit-identically in any engine regardless of
+    summation order. Verdict precedence: null → wrong_dim →
+    nonfinite → zero_norm → ok. NaN/Inf comparisons agree across
+    engines here because both Spark and the oracle use total-order
+    semantics for NaN equality and Inf compares finitely.
+
+    Zero-shuffle: one projection pass, every expression a codegen
+    higher-order function over the array column — at 100 TB this is
+    scan-speed. Output: (id, n_dims, n_nonfinite, is_zero_norm,
+    verdict); feed ``filter(verdict = 'ok')`` to the index build and
+    route the rest to quarantine.
+    """
+    v = F.col(vec_col)
+    null_v = v.isNull()
+    xd = lambda x: x.cast("double")  # noqa: E731
+    n_dims = F.when(null_v, F.lit(-1)).otherwise(F.size(v)).cast("int")
+    n_nonfinite = (
+        F.when(null_v, F.lit(0))
+        .otherwise(
+            F.aggregate(
+                F.transform(
+                    v,
+                    lambda x: F.when(
+                        F.isnan(xd(x))
+                        | (F.abs(xd(x)) == F.lit(float("inf"))),
+                        F.lit(1),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, b: acc + b,
+            )
+        )
+        .cast("int")
+    )
+    n_nonzero = (
+        F.when(null_v, F.lit(0))
+        .otherwise(
+            F.aggregate(
+                F.transform(
+                    v,
+                    lambda x: F.when(xd(x) != F.lit(0.0), F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                ),
+                F.lit(0),
+                lambda acc, b: acc + b,
+            )
+        )
+        .cast("int")
+    )
+    is_zero = (~null_v) & (n_nonzero == 0) & (F.size(v) > 0)
+    verdict = (
+        F.when(null_v, F.lit("drop_null"))
+        .when(n_dims != expected_dim, F.lit("drop_wrong_dim"))
+        .when(n_nonfinite > 0, F.lit("drop_nonfinite"))
+        .when(is_zero, F.lit("drop_zero_norm"))
+        .otherwise(F.lit("ok"))
+    )
+    return embeddings.select(
+        F.col(id_col),
+        n_dims.alias("n_dims"),
+        n_nonfinite.alias("n_nonfinite"),
+        is_zero.alias("is_zero_norm"),
+        verdict.alias("verdict"),
+    )

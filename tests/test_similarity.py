@@ -781,3 +781,29 @@ def test_ivf_compact_preserves_serving(spark, sf_dir, tmp_path):
     assert not os.path.exists(os.path.join(index, "appends"))
     vecs = spark.read.parquet(os.path.join(index, "vectors"))
     assert vecs.count() == n_total
+
+
+def test_embedding_sanitize_verdicts(spark):
+    """Each failure class gets its verdict, precedence holds
+    (wrong-dim outranks nonfinite), and clean vectors pass."""
+    from etl_gcp_spark.functions.similarity import embedding_sanitize
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),              # ok
+        (2, [float("nan"), 1.0, 1.0, 1.0]),     # nonfinite
+        (3, [float("inf"), 1.0, 1.0, 1.0]),     # nonfinite
+        (4, [0.0, 0.0, 0.0, 0.0]),              # zero norm
+        (5, [1.0, 2.0]),                        # wrong dim
+        (6, [float("nan"), 1.0]),               # wrong dim beats nonfinite
+        (7, None),                              # null
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in embedding_sanitize(df, expected_dim=4).collect()}
+    assert out[1].verdict == "ok" and out[1].n_nonfinite == 0
+    assert out[2].verdict == "drop_nonfinite" and out[2].n_nonfinite == 1
+    assert out[3].verdict == "drop_nonfinite"
+    assert out[4].verdict == "drop_zero_norm" and out[4].is_zero_norm
+    assert out[5].verdict == "drop_wrong_dim" and out[5].n_dims == 2
+    assert out[6].verdict == "drop_wrong_dim"
+    assert out[7].verdict == "drop_null" and out[7].n_dims == -1
+    assert not out[1].is_zero_norm
