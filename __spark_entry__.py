@@ -1757,6 +1757,20 @@ def _q_ivf_compact_topk(spark, sf_dir):
     )
 
 
+def _q_ensemble_near_dup(spark, sf_dir):
+    """Multi-signal dedup closure: lexical Jaccard edges ∪ semantic
+    cosine edges → connected components over the full corpus — the
+    union catches what either signal alone misses."""
+    from etl_gcp_spark.operators.graph import ensemble_near_dup_clusters
+
+    return ensemble_near_dup_clusters(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        jaccard_threshold=0.8,
+        cosine_threshold=0.45,
+    )
+
+
 def _q_embedding_sanitize(spark, sf_dir):
     """Pre-index vector hygiene verdicts (NaN/Inf, wrong-dim,
     zero-norm) — the screen that runs before every index build; the
@@ -2994,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_compact_topk": _q_ivf_compact_topk,
         "kcore_embedding_graph": _q_kcore_embedding_graph,
         "embedding_sanitize": _q_embedding_sanitize,
+        "ensemble_near_dup": _q_ensemble_near_dup,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7286,6 +7301,37 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Ensemble dedup: the proven Jaccard pair replay UNIONed with the
+    # proven exact-cosine pair replay, then the proven reach-closure —
+    # three already-green building blocks, one new composition.
+    sql["ensemble_near_dup"] = f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id1, id2 FROM ({_JACCARD_PAIRS})
+            UNION
+            SELECT id1, id2 FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          a.embedding::DOUBLE[],
+                          b.embedding::DOUBLE[]), 6) >= 0.45
+            )
+        ), sym AS (
+            SELECT id1 AS u, id2 AS v FROM pairs
+            UNION ALL
+            SELECT id2 AS u, id1 AS v FROM pairs
+        ), reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+        ), comp AS (
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """
     # Vector hygiene: integer predicates only (component counts, not
     # float norms), so the verdicts replay regardless of summation
     # order; NaN/Inf comparisons use both engines' total-order rules.

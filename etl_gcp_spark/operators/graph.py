@@ -551,3 +551,64 @@ def kcore_embedding_graph(
     return edges.groupBy("u").agg(
         F.count(F.lit(1)).alias("core_degree")
     ).select(F.col("u").alias(id_col), "core_degree")
+
+
+def ensemble_near_dup_clusters(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    *,
+    jaccard_threshold: float = 0.8,
+    cosine_threshold: float = 0.45,
+    n: int = 3,
+    n_blocks: int = 8,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-signal duplicate clustering: union the LEXICAL edge set
+    (exact n-gram Jaccard pairs) with the SEMANTIC edge set
+    (embedding-cosine pairs), close the combined graph into connected
+    components, and label every document. Lexical-only dedup misses
+    paraphrases; embedding-only dedup misses verbatim copies whose
+    embeddings drifted (truncation, encoder version skew) — a
+    production curation pass runs both and dedups on the union,
+    which is exactly this closure (a doc chained to a lexical twin
+    AND a semantic twin pulls all three into one cluster).
+
+    Both edge generators here are the exact, oracle-replayable
+    variants (AllPairs inverted index; distributed blocked GEMM — no
+    broadcast-fit requirement); at 100 TB swap in their banded
+    siblings (``minhash_lsh_pairs``, SRP-LSH) — the union/closure
+    plumbing is generator-agnostic. Assumes the corpus keys docs and
+    vectors in ONE id space (doc_id ≡ vec_id), the convention of the
+    synthetic tables; pass a mapping join upstream otherwise.
+
+    Output: (doc_id, cluster_id, cluster_size) over ALL documents —
+    singletons keep themselves; keep-one-per-cluster dedup is
+    ``filter(doc_id == cluster_id)``.
+    """
+    from etl_gcp_spark.functions.similarity import (
+        blocked_exact_near_dup_pairs,
+    )
+    from etl_gcp_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    lex = ngram_jaccard_pairs(
+        documents, threshold=jaccard_threshold, n=n, id_col=doc_id_col
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    sem = blocked_exact_near_dup_pairs(
+        embeddings,
+        threshold=cosine_threshold,
+        n_blocks=n_blocks,
+        id_col=vec_id_col,
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    edges = lex.union(sem).dropDuplicates()
+    comp = connected_components(
+        documents.select(F.col(doc_id_col).alias("id")),
+        edges,
+        id_col="id",
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias(doc_id_col),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

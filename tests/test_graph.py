@@ -234,3 +234,38 @@ def test_kcore_embedding_graph_invariants(spark, sf_dir):
         ).collect()
     }
     assert core4 <= set(core3)
+
+
+def test_ensemble_near_dup_unions_signals(spark):
+    """A doc chained to a lexical twin AND a semantic twin pulls all
+    three into ONE cluster — the union property neither signal alone
+    produces."""
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.graph import ensemble_near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon"),  # lexical twin of 1
+            Row(doc_id=3, text="totally different words here now"),
+            Row(doc_id=4, text="unrelated content about gardens"),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.999, 0.04, 0.0]),  # semantic twin of 2
+            Row(vec_id=4, embedding=[0.0, 0.0, 0.0, 1.0]),
+        ]
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in ensemble_near_dup_clusters(
+            docs, emb, jaccard_threshold=0.8, cosine_threshold=0.9
+        ).collect()
+    }
+    # 1~2 lexically, 2~3 semantically -> {1,2,3} one cluster, 4 alone
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[4] == (4, 1)
