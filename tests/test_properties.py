@@ -435,3 +435,84 @@ def test_hll_registers_merge_invariance(spark, keys, n_parts):
     merged = hll_estimate(parts).collect()[0]
     assert merged.est_distinct == whole.est_distinct
     assert merged.n_registers_used == whole.n_registers_used
+
+
+@_slow
+@given(
+    st.lists(
+        st.integers(0, 1_000_000), min_size=1, max_size=60, unique=True
+    ),
+    st.integers(0, 50),
+    st.integers(1, 6),
+)
+def test_epoch_shards_is_a_partitioned_permutation(spark, ids, epoch, n_shards):
+    """For ANY id set/epoch/shard count: every id appears exactly
+    once, (shard, pos) pairs are unique and contiguous per shard, and
+    the plan is deterministic across invocations."""
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.sampling import epoch_shards
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    a = epoch_shards(docs, epoch=epoch, n_shards=n_shards).collect()
+    assert sorted(r.doc_id for r in a) == sorted(ids)
+    keys = [(r.shard, r.pos) for r in a]
+    assert len(set(keys)) == len(keys)
+    by_shard = {}
+    for r in a:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    b = epoch_shards(docs, epoch=epoch, n_shards=n_shards).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(
+                    min_value=-10, max_value=10, allow_nan=False
+                ),
+                st.just(float("nan")),
+                st.just(float("inf")),
+                st.just(0.0),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_embedding_sanitize_matches_python_reference(spark, vec_lists):
+    """Verdicts agree with a plain-Python reference for arbitrary
+    vectors mixing NaN/Inf/zeros/wrong dims."""
+    import math
+
+    from etl_gcp_spark.functions.similarity import embedding_sanitize
+
+    expected_dim = 4
+    rows = [(i, v) for i, v in enumerate(vec_lists)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.n_dims, r.n_nonfinite, r.is_zero_norm, r.verdict)
+        for r in embedding_sanitize(df, expected_dim=expected_dim).collect()
+    }
+    for i, v in rows:
+        n_dims = len(v)
+        n_nonfinite = sum(
+            1 for x in v if math.isnan(x) or math.isinf(x)
+        )
+        is_zero = n_dims > 0 and all(x == 0.0 for x in v)
+        if n_dims != expected_dim:
+            verdict = "drop_wrong_dim"
+        elif n_nonfinite:
+            verdict = "drop_nonfinite"
+        elif is_zero:
+            verdict = "drop_zero_norm"
+        else:
+            verdict = "ok"
+        assert got[i] == (n_dims, n_nonfinite, is_zero, verdict), (i, v)
