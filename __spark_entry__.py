@@ -1771,6 +1771,45 @@ def _q_ensemble_near_dup(spark, sf_dir):
     )
 
 
+def _q_cdc_tombstone_merge(spark, sf_dir):
+    """Delete-aware CDC merge over the event log: latest event per
+    user wins (ts desc, event_id desc — out-of-order-safe), and users
+    whose latest carries the feed's delete marker (mapped here from
+    event_type='error') vanish from the snapshot. The log is split
+    into interleaved base/changes halves so the merge really crosses
+    sides; the oracle is the QUALIFY-window equivalent over the
+    unioned log."""
+    from etl_gcp_spark.operators.cdc import cdc_merge_with_deletes
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    base = events.filter(F.col("event_id") % 2 == 0)
+    changes = events.filter(F.col("event_id") % 2 == 1)
+    merged = cdc_merge_with_deletes(
+        base,
+        changes,
+        ["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def _q_embedding_sanitize(spark, sf_dir):
     """Pre-index vector hygiene verdicts (NaN/Inf, wrong-dim,
     zero-norm) — the screen that runs before every index build; the
@@ -3009,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_embedding_graph": _q_kcore_embedding_graph,
         "embedding_sanitize": _q_embedding_sanitize,
         "ensemble_near_dup": _q_ensemble_near_dup,
+        "cdc_tombstone_merge": _q_cdc_tombstone_merge,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7301,6 +7341,23 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Tombstone merge: the winner row passes through raw (no
+    # aggregation), so the QUALIFY replay plus the delete filter is
+    # bit-identical; the base/changes split unions back to the log.
+    sql["cdc_tombstone_merge"] = """
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               value AS last_value
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        AND op <> 'D'
+    """
     # Ensemble dedup: the proven Jaccard pair replay UNIONed with the
     # proven exact-cosine pair replay, then the proven reach-closure —
     # three already-green building blocks, one new composition.

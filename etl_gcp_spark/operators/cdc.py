@@ -221,3 +221,40 @@ def snapshot_diff(
         .select("metric", F.col("n").cast("long").alias("n"))
         .orderBy("metric")
     )
+
+
+def cdc_merge_with_deletes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+    upsert_op: str = "U",
+    order_by: Sequence = (),
+) -> DataFrame:
+    """Delete-aware MERGE — the tombstone half of :func:`cdc_upsert`
+    (real CDC feeds carry I/U/D operation codes; an upsert-only merge
+    silently resurrects deleted keys on every backfill). The latest
+    row per key under ``order_by`` wins exactly as in
+    :func:`cdc_upsert`; if the winner's ``op_col`` is ``delete_op``
+    the key VANISHES from the snapshot. A later upsert re-inserts the
+    key — tombstones mask history at merge time, they don't destroy
+    it.
+
+    Sides missing ``op_col`` (e.g. a base snapshot, which is by
+    definition live rows) are tagged ``upsert_op``. Same plan shape
+    as ``cdc_upsert``: one union, one window shuffle on ``keys``,
+    then the tombstone filter — deletes add zero extra exchanges.
+    """
+    if op_col not in base.columns:
+        base = base.withColumn(op_col, F.lit(upsert_op))
+    if op_col not in changes.columns:
+        changes = changes.withColumn(op_col, F.lit(upsert_op))
+    unioned = base.unionByName(changes)
+    w = Window.partitionBy(*keys).orderBy(*list(order_by))
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col)
+    )

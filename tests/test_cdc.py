@@ -231,3 +231,32 @@ def test_snapshot_diff_hand_computed(spark):
         "col:v": 1,
         "col:s": 1,
     }
+
+
+def test_cdc_merge_with_deletes_tombstones_and_reinserts(spark):
+    """The latest op wins: a trailing delete removes the key, but a
+    later upsert re-inserts it — tombstones mask at merge time, they
+    don't destroy history. Base rows without an op column are live."""
+    from etl_gcp_spark.operators.cdc import cdc_merge_with_deletes
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")],
+        "k long, v long, s string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 20, "a2", "U"),  # update
+            (2, 20, "b2", "D"),  # delete (latest for k=2)
+            (3, 20, "c2", "D"),  # delete...
+            (3, 30, "c3", "U"),  # ...then re-insert (latest for k=3)
+            (4, 20, "d1", "D"),  # delete of a never-seen key: no row
+        ],
+        "k long, v long, s string, op string",
+    )
+    out = {
+        r.k: (r.v, r.s)
+        for r in cdc_merge_with_deletes(
+            base, changes, ["k"], order_by=[F.col("v").desc()]
+        ).collect()
+    }
+    assert out == {1: (20, "a2"), 3: (30, "c3")}
