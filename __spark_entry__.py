@@ -1771,6 +1771,15 @@ def _q_ensemble_near_dup(spark, sf_dir):
     )
 
 
+def _q_watermark_sizing(spark, sf_dir):
+    """Event-time lateness histogram vs arrival order — the measured
+    distribution a streaming watermark must cover; exact microsecond
+    integer arithmetic end-to-end."""
+    from etl_gcp_spark.operators.events import watermark_sizing_report
+
+    return watermark_sizing_report(_t(spark, sf_dir, "events"))
+
+
 def _q_cdc_tombstone_merge(spark, sf_dir):
     """Delete-aware CDC merge over the event log: latest event per
     user wins (ts desc, event_id desc — out-of-order-safe), and users
@@ -3049,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sanitize": _q_embedding_sanitize,
         "ensemble_near_dup": _q_ensemble_near_dup,
         "cdc_tombstone_merge": _q_cdc_tombstone_merge,
+        "watermark_sizing": _q_watermark_sizing,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7341,6 +7351,57 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Watermark sizing: running max over arrival order, integer
+    # microsecond lateness, floor-division to seconds (// — Spark's
+    # double->long cast truncates, DuckDB's rounds; floor agrees).
+    sql["watermark_sizing"] = """
+        WITH late AS (
+            SELECT greatest(
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                       - epoch_us(ts), 0) // 1000000 AS late_sec,
+                   CASE WHEN greatest(
+                            max(epoch_us(ts)) OVER (
+                                ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                            - epoch_us(ts), 0) = 0 THEN 0
+                        WHEN greatest(
+                            max(epoch_us(ts)) OVER (
+                                ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                            - epoch_us(ts), 0) // 1000000 < 60 THEN 1
+                        WHEN greatest(
+                            max(epoch_us(ts)) OVER (
+                                ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                            - epoch_us(ts), 0) // 1000000 < 300 THEN 2
+                        WHEN greatest(
+                            max(epoch_us(ts)) OVER (
+                                ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                            - epoch_us(ts), 0) // 1000000 < 3600 THEN 3
+                        ELSE 4 END AS bucket_order
+            FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        )
+        SELECT CASE bucket_order
+                   WHEN 0 THEN 'on_time'
+                   WHEN 1 THEN 'late_lt_1m'
+                   WHEN 2 THEN 'late_lt_5m'
+                   WHEN 3 THEN 'late_lt_1h'
+                   ELSE 'late_ge_1h' END AS bucket,
+               CAST(bucket_order AS INTEGER) AS bucket_order,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(late_sec) AS BIGINT) AS max_lateness_sec
+        FROM late
+        GROUP BY bucket_order
+    """
     # Tombstone merge: the winner row passes through raw (no
     # aggregation), so the QUALIFY replay plus the delete filter is
     # bit-identical; the base/changes split unions back to the log.

@@ -667,3 +667,76 @@ def wow_growth(events: DataFrame) -> DataFrame:
             (F.col("total_value") - prev_v) / prev_v, 4
         ).alias("value_growth"),
     ).orderBy("week_start")
+
+
+def watermark_sizing_report(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Measured event-time lateness histogram — the report that
+    answers "what watermark should this stream set?". For each event,
+    lateness is how far its event time sits behind the latest event
+    time already seen in ARRIVAL order (``arrival_col`` is the
+    arrival sequence — an ingest offset / kafka offset in
+    production): ``running_max(ts) − ts``. Events advancing the clock
+    are on-time; the histogram of the rest is precisely the
+    distribution a watermark must cover (a '1 hour' watermark drops
+    exactly the ``>=1h`` bucket).
+
+    The running max is a window over the arrival sequence — the ONE
+    inherently sequential scan this semantics requires. Lateness is
+    defined per source partition (arrival order only exists within a
+    partition); this operator computes one partition's report — at
+    scale, run it per Kafka partition by adding the partition to the
+    window's partitionBy, which makes the plan fully parallel. NULL
+    ts / arrival rows are excluded on both sides (unrankable), the
+    codebase's NULL-ordering convention.
+
+    Output: (bucket, bucket_order, n_events, max_lateness_sec) —
+    exact integer bucketing (microsecond arithmetic), no floats
+    anywhere, so the report replays bit-identically.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.orderBy(F.col(arrival_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_us = F.greatest(
+        F.max(us).over(w) - us, F.lit(0).cast("long")
+    )
+    # floor-division, not /-then-cast: Spark's double->long cast
+    # truncates while DuckDB's rounds — floor agrees everywhere
+    late_sec = F.floor(late_us / F.lit(1_000_000)).cast("long")
+    bucket = (
+        F.when(late_us == 0, F.lit(0))
+        .when(late_sec < 60, F.lit(1))
+        .when(late_sec < 300, F.lit(2))
+        .when(late_sec < 3600, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    names = F.create_map(
+        F.lit(0), F.lit("on_time"),
+        F.lit(1), F.lit("late_lt_1m"),
+        F.lit(2), F.lit("late_lt_5m"),
+        F.lit(3), F.lit("late_lt_1h"),
+        F.lit(4), F.lit("late_ge_1h"),
+    )
+    return (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(arrival_col).isNotNull()
+        )
+        .select(bucket.alias("bucket_order"), late_sec.alias("__late"))
+        .groupBy("bucket_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("__late").alias("max_lateness_sec"),
+        )
+        .select(
+            names[F.col("bucket_order")].alias("bucket"),
+            F.col("bucket_order").cast("int"),
+            "n_events",
+            "max_lateness_sec",
+        )
+    )

@@ -267,3 +267,38 @@ def test_wow_growth_ignores_null_timestamps(spark):
     assert wk1.n_growth is None and wk1.value_growth is None
     assert (wk2.n_events, wk2.total_value) == (3, 6.0)
     assert wk2.n_growth == 0.5 and wk2.value_growth == 2.0
+
+
+def test_watermark_sizing_buckets_late_arrivals(spark):
+    """Planted out-of-order arrivals land in the right lateness
+    buckets; clock-advancing events are on_time; NULLs excluded."""
+    from datetime import datetime, timezone
+
+    from etl_gcp_spark.operators.events import watermark_sizing_report
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+    def ts(sec):
+        return datetime.fromtimestamp(
+            t0.timestamp() + sec, tz=timezone.utc
+        )
+
+    rows = [
+        (1, ts(0)),       # on time (first event)
+        (2, ts(100)),     # advances clock -> on time
+        (3, ts(70)),      # 30s late -> late_lt_1m
+        (4, ts(100)),     # 0s late (== running max) -> on_time
+        (5, ts(-200)),    # 300s late -> late_lt_1h (300 not < 300)
+        (6, ts(4000)),    # advances -> on time
+        (7, ts(0)),       # 4000s late -> late_ge_1h
+        (8, None),        # excluded
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.bucket: (r.n_events, r.max_lateness_sec)
+           for r in watermark_sizing_report(df).collect()}
+    assert out["on_time"] == (4, 0)
+    assert out["late_lt_1m"] == (1, 30)
+    assert out["late_lt_1h"] == (1, 300)
+    assert out["late_ge_1h"] == (1, 4000)
+    assert "late_lt_5m" not in out
+    assert sum(n for n, _ in out.values()) == 7
