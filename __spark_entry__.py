@@ -1771,6 +1771,25 @@ def _q_ensemble_near_dup(spark, sf_dir):
     )
 
 
+def _q_stream_interval_join_outer(spark, sf_dir):
+    """Left-outer stream-stream interval join: unmatched purchases
+    emit NULL-click rows only once the global watermark proves no
+    qualifying click can still arrive; the oracle replays that
+    eviction cutoff exactly (pts < min(max click_ts, max purchase_ts)
+    − 2h), so the subtle incompleteness of outer streaming joins is
+    itself oracle-checked."""
+    from etl_gcp_spark.streaming.events import (
+        run_streaming_click_purchase_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_click_purchase_join(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        how="left_outer",
+    )
+
+
 def _q_watermark_sizing(spark, sf_dir):
     """Event-time lateness histogram vs arrival order — the measured
     distribution a streaming watermark must cover; exact microsecond
@@ -3059,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_near_dup": _q_ensemble_near_dup,
         "cdc_tombstone_merge": _q_cdc_tombstone_merge,
         "watermark_sizing": _q_watermark_sizing,
+        "streaming_interval_join_outer": _q_stream_interval_join_outer,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7351,6 +7371,41 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Outer streaming interval join: matched rows are the proven
+    # inner replay; NULL-click rows add the ENGINE's eviction cutoff
+    # (global watermark = min of both sides' max ts − 2h delay;
+    # unmatched purchases strictly older emit, younger stay in state
+    # and never emit in a bounded replay — replayed, not idealized).
+    sql["streaming_interval_join_outer"] = """
+        WITH p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id AS cu, event_id AS click_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ), wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type='click'),
+                (SELECT max(ts) FROM events WHERE event_type='purchase')
+            ) - INTERVAL 2 HOUR AS w
+        )
+        SELECT p.purchase_id, p.user_id, p.pts AS purchase_ts,
+               c.click_id, c.cts AS click_ts
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND c.cts <= p.pts
+         AND c.cts >= p.pts - INTERVAL 1 HOUR
+        UNION ALL
+        SELECT p.purchase_id, p.user_id, p.pts,
+               CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+        FROM p, wm
+        WHERE p.pts < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.cu = p.user_id
+              AND c.cts <= p.pts
+              AND c.cts >= p.pts - INTERVAL 1 HOUR)
+    """
     # Watermark sizing: running max over arrival order, integer
     # microsecond lateness, floor-division to seconds (// — Spark's
     # double->long cast truncates, DuckDB's rounds; floor agrees).

@@ -265,6 +265,7 @@ def run_streaming_click_purchase_join(
     *,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's clicks in the preceding ``lookback`` window.
@@ -274,6 +275,18 @@ def run_streaming_click_purchase_join(
     purchase-watermark − lookback — the condition that keeps a
     stream-stream join's state finite. Append mode: a match is final
     the moment both rows exist (inner join, closed time bound).
+
+    ``how="left_outer"`` adds the state-EVICTION semantics: an
+    unmatched purchase emits its NULL-click row only when the global
+    watermark (min of both sides' max event time, minus the
+    watermark delay) passes its timestamp — proof no qualifying
+    click can still arrive. Purchases younger than the final
+    watermark stay in state and never emit in a bounded replay; the
+    batch oracle reproduces that cutoff exactly
+    (``purchase_ts < min(max click_ts, max purchase_ts) − delay``),
+    so "stream and batch agree exactly" extends to the subtle
+    incompleteness of outer streaming joins rather than papering
+    over it.
     """
     clicks = (
         _stream_events(spark, events_path)
@@ -303,6 +316,7 @@ def run_streaming_click_purchase_join(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
         ),
+        how,
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
     return _run_to_memory(joined, output_mode="append")
 

@@ -302,3 +302,62 @@ def test_watermark_sizing_buckets_late_arrivals(spark):
     assert out["late_ge_1h"] == (1, 4000)
     assert "late_lt_5m" not in out
     assert sum(n for n, _ in out.values()) == 7
+
+
+def test_streaming_outer_interval_join_eviction_cutoff(spark, sf_dir):
+    """Outer NULL rows emit exactly for unmatched purchases strictly
+    older than the global watermark (min of both sides' max ts minus
+    the 2h delay) — purchases younger than it stay in state and never
+    emit in a bounded replay."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import (
+        run_streaming_click_purchase_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = run_streaming_click_purchase_join(
+        spark, os.path.join(sf_dir, "events.parquet"), how="left_outer"
+    ).cache()
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    wm = min(
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0],
+        ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0],
+    )
+    from datetime import timedelta
+
+    cutoff = wm - timedelta(hours=2)
+    matched_keys = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.cts <= p.pts)
+        & (c.cts >= p.pts - F.expr("INTERVAL 1 hour")),
+        "left_semi",
+    )
+    unmatched = {
+        r.purchase_id: r.pts
+        for r in p.join(
+            matched_keys.select("purchase_id"), "purchase_id", "left_anti"
+        ).collect()
+    }
+    nulls = {r.purchase_id for r in out.filter(F.col("click_id").isNull()).collect()}
+    want = {pid for pid, pts in unmatched.items() if pts < cutoff}
+    assert nulls == want
+    assert want  # non-vacuous
+    # matched rows equal the batch inner interval join
+    n_inner = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.cts <= p.pts)
+        & (c.cts >= p.pts - F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert out.filter(F.col("click_id").isNotNull()).count() == n_inner
