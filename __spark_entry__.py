@@ -1790,6 +1790,21 @@ def _q_stream_interval_join_outer(spark, sf_dir):
     )
 
 
+def _q_histogram_quantiles(spark, sf_dir):
+    """Mergeable histogram quantile sketch over order totals: the
+    single-pass distributed quantile (≤128 rows ever shuffle) whose
+    estimate — unlike approxQuantile's GK sketch — replays bit-exact
+    in the oracle (exact bin counts + a fixed IEEE interpolation)."""
+    from etl_gcp_spark.functions.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        n_bins=128,
+        qs=(0.5, 0.95, 0.99),
+    )
+
+
 def _q_watermark_sizing(spark, sf_dir):
     """Event-time lateness histogram vs arrival order — the measured
     distribution a streaming watermark must cover; exact microsecond
@@ -3079,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstone_merge": _q_cdc_tombstone_merge,
         "watermark_sizing": _q_watermark_sizing,
         "streaming_interval_join_outer": _q_stream_interval_join_outer,
+        "histogram_quantiles": _q_histogram_quantiles,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7371,6 +7387,49 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Histogram quantiles: exact bin counts + the SAME IEEE
+    # expression tree as the Spark side (division before the ×128,
+    # cast-then-divide interpolation), so the sketch estimate itself
+    # replays — not just the counts.
+    sql["histogram_quantiles"] = """
+        WITH vals AS (
+            SELECT o_totalprice::DOUBLE AS x FROM orders
+            WHERE o_totalprice IS NOT NULL
+        ), ext AS (
+            SELECT min(x) AS lo, max(x) AS hi,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM vals
+        ), binned AS (
+            SELECT CASE WHEN hi = lo THEN 0
+                        ELSE least(127, CAST(floor(
+                            (x - lo) / (hi - lo) * 128.0
+                        ) AS INTEGER)) END AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM vals, ext GROUP BY 1
+        ), cum AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM binned
+        ), qs AS (
+            SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q
+        ), hit AS (
+            SELECT q, bin, cnt, cum,
+                   CAST(ceil(q * n) AS BIGINT) AS t, lo, hi, n
+            FROM cum, ext, qs
+            WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+            QUALIFY row_number() OVER (PARTITION BY q ORDER BY bin) = 1
+        )
+        SELECT q,
+               round(CASE WHEN hi = lo THEN lo
+                          ELSE lo + (CAST(bin AS DOUBLE)
+                               + CAST(t - (cum - cnt) AS DOUBLE)
+                                 / CAST(cnt AS DOUBLE))
+                               * ((hi - lo) / 128.0) END, 6) AS est,
+               n AS n_values
+        FROM hit
+    """
     # Outer streaming interval join: matched rows are the proven
     # inner replay; NULL-click rows add the ENGINE's eviction cutoff
     # (global watermark = min of both sides' max ts − 2h delay;

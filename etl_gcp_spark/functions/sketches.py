@@ -228,3 +228,102 @@ def hll_overlap(
             "est_intersection"
         ),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-grid histogram quantile sketch — the missing
+    quarter of the sketch family (CMS counts, HLL cardinality, top-k
+    heavy hitters, and now quantiles): one scan builds per-partition
+    bin counts that merge by addition, so the shuffle carries
+    ≤ ``n_bins`` rows regardless of data size — the practical
+    single-pass distributed quantile at 100 TB, where an exact
+    sort-based percentile is a full-data exchange.
+
+    Grid: [min, max] split into ``n_bins`` equal bins (two exact
+    extremes from the same scan); bin index is
+    ``floor((x − min)/(max − min) · n_bins)`` clamped to the last
+    bin. The quantile estimate walks the cumulative histogram to the
+    target rank ``ceil(q·N)`` and interpolates linearly inside the
+    landing bin. Every step is exact integer counting plus a fixed
+    IEEE expression tree, so the estimate — unlike ``approxQuantile``
+    (a GK sketch no other engine reproduces) — replays bit-for-bit
+    in the DuckDB oracle. Error is bounded by one bin width,
+    (max−min)/n_bins. NULL values are excluded; a degenerate column
+    (min = max) returns that value for every quantile.
+
+    Output: (q, est, n_values) — one row per requested quantile.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(value_col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    ext = vals.agg(
+        F.min("__x").alias("__lo"),
+        F.max("__x").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = (
+        vals.crossJoin(F.broadcast(ext))
+        .select(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col("__x") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                        * F.lit(float(n_bins))
+                    ).cast("int"),
+                )
+            )
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    ).crossJoin(F.broadcast(ext))
+    qdf = vals.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # target rank; the landing bin is the first with cum >= target
+    t = F.ceil(F.col("q") * F.col("__n")).cast("long")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("__t", t)
+        .filter(F.col("cum") >= F.col("__t"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    frac = (
+        F.col("__t") - (F.col("cum") - F.col("cnt"))
+    ).cast("double") / F.col("cnt").cast("double")
+    est = F.when(F.col("__hi") == F.col("__lo"), F.col("__lo")).otherwise(
+        F.col("__lo")
+        + (F.col("bin").cast("double") + frac)
+        * ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+    )
+    return hit.select(
+        "q",
+        F.round(est, 6).alias("est"),
+        F.col("__n").alias("n_values"),
+    )

@@ -219,3 +219,27 @@ def test_streaming_topk_recovers_from_mid_stream_crash(
         .collect()
     ]
     assert got == want
+
+
+def test_histogram_quantiles_error_bound_and_degenerate(spark):
+    """Every estimate lands within one bin width of the exact
+    quantile; a constant column returns the constant for all qs."""
+    import numpy as np
+
+    from etl_gcp_spark.functions.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(7)
+    xs = sorted(float(x) for x in rng.normal(100.0, 25.0, 5000))
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    out = {r.q: r.est for r in histogram_quantiles(
+        df, "v", n_bins=128, qs=(0.5, 0.95, 0.99)
+    ).collect()}
+    width = (max(xs) - min(xs)) / 128
+    for q, est in out.items():
+        exact = xs[int(np.ceil(q * len(xs))) - 1]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+    const = spark.createDataFrame([(42.0,)] * 10, "v double")
+    cout = {r.q: (r.est, r.n_values) for r in histogram_quantiles(
+        const, "v", qs=(0.5, 0.99)
+    ).collect()}
+    assert cout == {0.5: (42.0, 10), 0.99: (42.0, 10)}
