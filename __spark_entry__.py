@@ -1805,6 +1805,100 @@ def _q_histogram_quantiles(spark, sf_dir):
     )
 
 
+def _q_skew_salted_join(spark, sf_dir):
+    """Deterministic salted fact-dim join: the large side's salt is
+    pmod(xxhash64(l_orderkey), 8) — stable across task retries, unlike
+    rand() salting — and the small side replicates ×8, so a hot
+    suppkey's rows land in 8 partitions instead of one straggler.
+    The salt never changes which rows match (it is dropped), so the
+    oracle is the PLAIN join + aggregate."""
+    from etl_gcp_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, supp, "suppkey", salt=8, salt_from="l_orderkey")
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(28,8)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def _q_runtime_filter_join(spark, sf_dir):
+    """Runtime-filter (dynamic-filter) join: a 16 KB bloom of the
+    filtered dim's keys prunes the fact BEFORE the join — the
+    explicit version of Trino/Photon dynamic filtering. Blooms have
+    no false negatives and the join removes false positives, so the
+    result is bit-identical to the plain join the oracle runs; what
+    changes is the physical plan (fact rows that cannot match never
+    enter the join)."""
+    from etl_gcp_spark.operators.runtime_filter import runtime_filter_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    j = runtime_filter_join(li, supp, "suppkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(28,8)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def _q_l_diversity_counts(spark, sf_dir):
+    """l-diversity gate over the event log: (event_type, day) groups
+    whose user set is narrower than l=50 distinct users are
+    suppressed — the homogeneity-attack guard k-anonymity misses.
+    NULL ts/user rows are excluded by convention on both sides
+    (NULL days never equi-join; making it explicit keeps the two
+    engines' NULL-group semantics out of the result)."""
+    from etl_gcp_spark.operators.quality import l_diversity_suppress
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    kept = l_diversity_suppress(
+        ev, ["event_type", "day"], "user_id", l=50
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+    )
+
+
 def _q_watermark_sizing(spark, sf_dir):
     """Event-time lateness histogram vs arrival order — the measured
     distribution a streaming watermark must cover; exact microsecond
@@ -3095,6 +3189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_sizing": _q_watermark_sizing,
         "streaming_interval_join_outer": _q_stream_interval_join_outer,
         "histogram_quantiles": _q_histogram_quantiles,
+        "skew_salted_join": _q_skew_salted_join,
+        "runtime_filter_join": _q_runtime_filter_join,
+        "l_diversity_counts": _q_l_diversity_counts,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7429,6 +7526,43 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    # Salting never changes which rows match (the salt column is
+    # dropped); the oracle is the plain join + aggregate.
+    sql["skew_salted_join"] = """
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))), 4) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """
+    # The bloom prefilter has no false negatives and the join removes
+    # its false positives — the result IS the plain filtered join.
+    sql["runtime_filter_join"] = """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))), 4) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey = 3
+        GROUP BY l_returnflag
+    """
+    sql["l_diversity_counts"] = """
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, user_id
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), diverse AS (
+            SELECT event_type, day
+            FROM ev GROUP BY event_type, day
+            HAVING count(DISTINCT user_id) >= 50
+        ), kept AS (
+            SELECT ev.* FROM ev JOIN diverse USING (event_type, day)
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        FROM kept GROUP BY event_type
     """
     # Outer streaming interval join: matched rows are the proven
     # inner replay; NULL-click rows add the ENGINE's eviction cutoff

@@ -225,6 +225,41 @@ def k_anonymity_suppress(
     )
 
 
+def l_diversity_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity suppression — the privacy gate k-anonymity alone
+    misses: a quasi-identifier group can be large (k-anonymous) yet
+    have every member sharing ONE sensitive value, so membership in
+    the group reveals the attribute (homogeneity attack, Machanavajjhala
+    et al. 2007). Groups whose sensitive column carries fewer than
+    ``l`` distinct non-NULL values are suppressed.
+
+    Same physical shape as :func:`k_anonymity_suppress`: one
+    aggregation over the (tiny) distinct-QI frame — here with an
+    exact ``count_distinct`` per group, a shuffle of (QI, sensitive)
+    pairs, already deduplicated map-side — then a broadcast re-join
+    of the qualifying groups. At 100 TB the distinct-pair frame is
+    bounded by |QI combos| × |sensitive domain|, orders of magnitude
+    under the data; when the sensitive domain itself explodes,
+    swap the exact count for the HLL sketch
+    (:mod:`etl_gcp_spark.functions.sketches`) and accept its ±2%.
+    Output: surviving rows only, original schema.
+    """
+    diverse = (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count_distinct(F.col(sensitive_col)).alias("__ndistinct")
+        )
+        .filter(F.col("__ndistinct") >= l)
+    )
+    return df.join(F.broadcast(diverse), quasi_cols).drop("__ndistinct")
+
+
 # round(log10(1 + 1/d), 6) for d = 1..9, precomputed as literals: the
 # expected Benford shares are CONSTANTS, so baking them in keeps log10
 # (not correctly rounded in libm) out of both engines entirely.

@@ -26,18 +26,34 @@ def salted_join(
     *,
     salt: int = 8,
     how: str = "inner",
+    salt_from: str | None = None,
 ) -> DataFrame:
-    """Equi-join with salted keys: large side gets a random salt in
+    """Equi-join with salted keys: large side gets a salt in
     [0, salt), small side is exploded once per salt value.
 
     Cost model: small side inflates ×``salt`` (it must be genuinely
     small or already broadcast-able); the large side's shuffle
     becomes uniform. Columns are preserved as in a plain
     ``large.join(small, key, how)``.
+
+    Salt derivation: pass ``salt_from`` (any stable column that
+    varies WITHIN a join key — a row id, a line number) to get a
+    DETERMINISTIC salt ``pmod(xxhash64(salt_from), salt)``. The
+    default falls back to ``rand(seed)``, which is only
+    per-partition-deterministic: a lost executor replays its task
+    over the same partition and reproduces the same salts, but any
+    upstream repartition re-deals them — harmless for the join
+    OUTPUT (the salt is dropped and never changes which rows match),
+    yet it makes stage retries produce different shuffle layouts.
+    Prefer ``salt_from`` on production pipelines.
     """
-    salted_large = large.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
-    )
+    if salt_from is not None:
+        salt_expr = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt)).cast(
+            "int"
+        )
+    else:
+        salt_expr = (F.rand(seed=42) * salt).cast("int")
+    salted_large = large.withColumn("__salt", salt_expr)
     salted_small = small.withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt)])),

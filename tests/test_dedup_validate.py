@@ -145,6 +145,34 @@ def test_k_anonymity_suppresses_small_groups(spark):
     assert "__gsize" not in kept.columns
 
 
+def test_l_diversity_suppresses_homogeneous_groups(spark):
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.operators.quality import l_diversity_suppress
+
+    # group (A,30): 4 rows but ONLY 2 distinct diagnoses -> suppressed
+    # at l=3 even though it is k-anonymous at k=4 (homogeneity attack)
+    rows = [Row(uid=i, city="A", age=30, dx="flu") for i in range(3)]
+    rows += [Row(uid=3, city="A", age=30, dx="cold")]
+    # group (B,40): 3 rows, 3 distinct diagnoses -> kept
+    rows += [
+        Row(uid=10, city="B", age=40, dx="flu"),
+        Row(uid=11, city="B", age=40, dx="cold"),
+        Row(uid=12, city="B", age=40, dx="cough"),
+    ]
+    # NULL sensitive values do not count toward diversity
+    rows += [
+        Row(uid=20, city="C", age=50, dx=None),
+        Row(uid=21, city="C", age=50, dx="flu"),
+        Row(uid=22, city="C", age=50, dx="cold"),
+    ]
+    df = spark.createDataFrame(rows)
+    kept = l_diversity_suppress(df, ["city", "age"], "dx", l=3)
+    got = sorted(r["uid"] for r in kept.collect())
+    assert got == [10, 11, 12]
+    assert "__ndistinct" not in kept.columns
+
+
 def test_benford_uniform_data_deviates(spark):
     from etl_gcp_spark.operators.quality import benford_check
 

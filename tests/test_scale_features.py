@@ -67,6 +67,72 @@ def test_salted_count_matches_plain_count(spark):
     assert salted == plain
 
 
+def test_salted_join_deterministic_salt_matches_plain(spark):
+    # salt_from derives the salt from a stable row column (retry-safe);
+    # outputs must equal the plain join for inner AND left joins,
+    # including the unmatched-left-row case
+    large = _skewed(spark)  # keys 0..10; v is unique per row
+    small = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(5)])
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, large.join(small, "k", how).select("k", "v", "name").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(large, small, "k", how=how, salt_from="v")
+                .select("k", "v", "name")
+                .collect(),
+            )
+        )
+        assert salted == plain, how
+
+
+def test_runtime_filter_join_matches_plain_and_prunes(spark):
+    from etl_gcp_spark.operators.runtime_filter import (
+        bloom_bitset,
+        bloom_probe,
+        runtime_filter_join,
+    )
+
+    fact = spark.createDataFrame(
+        [Row(k=i % 100, v=i) for i in range(2000)]
+    )
+    dim = spark.createDataFrame([Row(k=i, name=f"d{i}") for i in range(5)])
+    plain = sorted(
+        map(tuple, fact.join(dim, "k").select("k", "v", "name").collect())
+    )
+    rf = sorted(
+        map(
+            tuple,
+            runtime_filter_join(fact, dim, "k")
+            .select("k", "v", "name")
+            .collect(),
+        )
+    )
+    assert rf == plain and len(rf) == 100  # 5 keys × 20 rows each
+    # the probe itself must prune hard: ≤ a few false positives on top
+    # of the 100 true matches (2 hashes into 2^17 bits over 5 keys)
+    bits = bloom_bitset(dim.select("k"), "k")
+    pruned = bloom_probe(fact, bits, "k").count()
+    assert 100 <= pruned < 200
+    # NULL fact keys never survive the probe (they cannot equi-join)
+    with_null = fact.union(
+        spark.createDataFrame([Row(k=None, v=-1)], fact.schema)
+    )
+    assert bloom_probe(with_null, bits, "k").filter("k IS NULL").count() == 0
+
+
+def test_runtime_filter_join_rejects_outer(spark):
+    import pytest
+
+    from etl_gcp_spark.operators.runtime_filter import runtime_filter_join
+
+    df = spark.createDataFrame([Row(k=1, v=1)])
+    with pytest.raises(ValueError):
+        runtime_filter_join(df, df, "k", how="left")
+
+
 def test_q18_aggregates_before_join(spark, sf_dir):
     """The lineitem aggregate must sit BELOW the joins in the plan
     (filter on total_qty applied pre-join)."""
