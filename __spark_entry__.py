@@ -1899,6 +1899,21 @@ def _q_l_diversity_counts(spark, sf_dir):
     )
 
 
+def _q_embedding_truncation_recall(spark, sf_dir):
+    """Recall@5 of truncated-to-16-dim cosine search vs the full
+    64-dim exact top-5 — the Matryoshka-style representation audit
+    (serve 4× fewer coordinates if recall clears the bar). Composes
+    the proven exact scan at both widths."""
+    from etl_gcp_spark.functions.similarity import truncation_recall_report
+
+    return truncation_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        trunc_dim=16,
+    )
+
+
 def _q_watermark_sizing(spark, sf_dir):
     """Event-time lateness histogram vs arrival order — the measured
     distribution a streaming watermark must cover; exact microsecond
@@ -3192,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _q_skew_salted_join,
         "runtime_filter_join": _q_runtime_filter_join,
         "l_diversity_counts": _q_l_diversity_counts,
+        "embedding_truncation_recall": _q_embedding_truncation_recall,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7306,6 +7322,48 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive top-k and the IVF algorithm replay) and measures
     # their per-query overlap — the oracle checks the MEASUREMENT, the
     # two sides' semantics are pinned by their own entries
+    # Truncated-representation recall audit: the full-dim side IS the
+    # proven cosine_topk replay; the truncated side is the same scan
+    # over each vector's leading 16 coordinates (list slice — cosine
+    # renormalizes, no re-embedding); the report measures overlap.
+    sql["embedding_truncation_recall"] = f"""
+        WITH fulltk AS ({sql["cosine_topk"]}),
+        q AS (
+            SELECT vec_id AS query_id,
+                   (embedding::DOUBLE[])[1:16] AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   (embedding::DOUBLE[])[1:16] AS cv
+            FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, cv) AS raw_sim
+            FROM q CROSS JOIN c
+            WHERE neighbor_id <> query_id
+        ), trunc AS (
+            SELECT query_id, neighbor_id
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY raw_sim DESC, neighbor_id
+            ) <= 5
+        ), hits AS (
+            SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM trunc t
+            JOIN fulltk f
+              ON f.query_id = t.query_id
+             AND f.neighbor_id = t.neighbor_id
+            GROUP BY t.query_id
+        )
+        SELECT f.query_id, CAST(16 AS INTEGER) AS trunc_dim,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(coalesce(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+               round(coalesce(max(h.n_hits), 0)::DOUBLE / count(*), 4)
+                   AS recall
+        FROM fulltk f LEFT JOIN hits h ON h.query_id = f.query_id
+        GROUP BY f.query_id
+    """
     sql["ann_recall_report"] = f"""
         WITH exact AS ({sql["cosine_topk"]}),
         approx AS ({sql["ann_ivf_topk"]}),

@@ -2068,6 +2068,72 @@ def ann_recall_report(
     )
 
 
+def truncation_recall_report(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    trunc_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine search against the
+    full-dimension exact top-k — the measurement behind the
+    Matryoshka-style serving decision (Kusupati et al. 2022): serve
+    the first ``trunc_dim`` coordinates (×dim/trunc_dim less memory
+    bandwidth, smaller index, cheaper GEMM) if recall on a probe set
+    clears the bar. Pairs with :func:`ann_recall_report`: that one
+    audits the INDEX approximation, this one audits the REPRESENTATION
+    approximation — at 100 TB the two multiply, so each needs its own
+    measured number.
+
+    Both sides run the exact scan (the probe set is small; this is an
+    audit, not serving); the truncated side slices each vector to its
+    leading ``trunc_dim`` coordinates — cosine renormalizes inside
+    :func:`cosine_topk`, so no re-embedding is needed. Output:
+    (query_id, trunc_dim, n_exact, n_hits, recall 4 dp).
+    """
+    full = cosine_topk(
+        embeddings,
+        query_filter=F.col(id_col).isin(query_ids),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    sliced = embeddings.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col),
+    )
+    truncated = cosine_topk(
+        sliced,
+        query_filter=F.col(id_col).isin(query_ids),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        truncated.join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(trunc_dim).cast("int").alias("trunc_dim"),
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,

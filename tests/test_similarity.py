@@ -807,3 +807,26 @@ def test_embedding_sanitize_verdicts(spark):
     assert out[6].verdict == "drop_wrong_dim"
     assert out[7].verdict == "drop_null" and out[7].n_dims == -1
     assert not out[1].is_zero_norm
+
+
+def test_truncation_recall_full_dim_is_perfect(spark, sf_dir):
+    """Truncating to the FULL dimension must reproduce the exact
+    top-k (recall 1.0 for every query); a 16-dim truncation stays a
+    valid recall in [0, 1] with k hits max."""
+    from etl_gcp_spark.functions.similarity import truncation_recall_report
+
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = truncation_recall_report(
+        emb, query_ids=[0, 1, 2], k=3, trunc_dim=64
+    ).collect()
+    assert len(full) == 3
+    assert all(r.recall == 1.0 and r.n_hits == r.n_exact == 3 for r in full)
+
+    tr = truncation_recall_report(
+        emb, query_ids=[0, 1, 2], k=3, trunc_dim=8
+    ).collect()
+    assert len(tr) == 3
+    assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= 3 for r in tr)
+    assert all(r.trunc_dim == 8 for r in tr)
