@@ -1899,6 +1899,21 @@ def _q_l_diversity_counts(spark, sf_dir):
     )
 
 
+def _q_ahash_near_dup(spark, sf_dir):
+    """Perceptual-hash (aHash) near-dup pairs over binary payloads —
+    the near-dup leg of the multimodal dedup family (payload_dedup is
+    the exact leg). Banded candidates (8 bands of 8 bits; pigeonhole-
+    complete for Hamming ≤ 7), integer-only arithmetic end-to-end;
+    the oracle replays the exhaustive equivalent."""
+    from etl_gcp_spark.functions.multimodal import (
+        ahash_near_dup_pairs,
+        attach_binary_payload,
+    )
+
+    mm = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return ahash_near_dup_pairs(mm, max_hamming=7)
+
+
 def _q_embedding_truncation_recall(spark, sf_dir):
     """Recall@5 of truncated-to-16-dim cosine search vs the full
     64-dim exact top-5 — the Matryoshka-style representation audit
@@ -3208,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_filter_join": _q_runtime_filter_join,
         "l_diversity_counts": _q_l_diversity_counts,
         "embedding_truncation_recall": _q_embedding_truncation_recall,
+        "ahash_near_dup": _q_ahash_near_dup,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7584,6 +7600,40 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    # aHash near-dup replay: the fingerprint is pure integer
+    # arithmetic on ASCII payload bytes (evenly-sampled grays vs the
+    # payload mean), so DuckDB recomputes it from documents.text
+    # directly — no side table. The banded candidate join is
+    # pigeonhole-complete at Hamming <= 7 with 8 bands, so the
+    # exhaustive band-join here equals the engine's banded output.
+    sql["ahash_near_dup"] = """
+        WITH imgs AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE length(text) > 0
+        ), idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        g AS (
+            SELECT doc_id, i,
+                   ascii(substr(text, ((i*n)//64)+1, 1)) AS gray
+            FROM imgs CROSS JOIN idx
+        ), t AS (
+            SELECT doc_id, sum(gray) AS total FROM g GROUP BY doc_id
+        ), bits AS (
+            SELECT g.doc_id, i//8 AS band,
+                   CASE WHEN gray*64 > total
+                        THEN (1<<(i%8)) ELSE 0 END AS m
+            FROM g JOIN t USING(doc_id)
+        ), bands AS (
+            SELECT doc_id, band, CAST(sum(m) AS BIGINT) AS bkey
+            FROM bits GROUP BY 1, 2
+        )
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(sum(bit_count(xor(a.bkey, b.bkey))) AS BIGINT)
+                   AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(a.bkey, b.bkey))) <= 7
     """
     # Salting never changes which rows match (the salt column is
     # dropped); the oracle is the plain join + aggregate.

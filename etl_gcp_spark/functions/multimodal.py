@@ -376,3 +376,101 @@ def payload_dedup(media: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         )
         .select("modality", id_col, "n_copies")
     )
+
+
+def ahash_near_dup_pairs(
+    media: DataFrame,
+    *,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads — the
+    NEAR-dup companion to :func:`payload_dedup`'s exact pass (the
+    average-hash family: Zauner 2010; the standard first screen for
+    re-encoded/resized media copies that byte-hashing misses).
+
+    aHash: derive 64 "gray" samples per payload, threshold each
+    against the payload's own mean → a 64-bit fingerprint; payloads
+    within ``max_hamming`` bits are near-duplicate candidates. With a
+    real codec the samples are the 8×8-resized luma plane; here the
+    deterministic stand-in samples 64 evenly-spaced payload bytes
+    (positions ``(i·n) div 64``) — the Spark-side plumbing (banding,
+    pairing, Hamming verify) is identical either way, per the repo's
+    fake-decode convention (see :func:`extract_features`).
+
+    Scale: the fingerprint is stored as ``n_bands`` band words and
+    candidate pairs come from a BAND-EQUALITY self-join (pigeonhole:
+    any pair with Hamming ≤ n_bands−1 shares at least one identical
+    band, so the banded candidate set is COMPLETE for
+    ``max_hamming ≤ n_bands−1`` — enforced). Only candidates are
+    Hamming-verified; the all-pairs matrix is never formed. Every
+    step is integer arithmetic on JVM built-ins (ascii/aggregate/
+    bit_count — no Python, no float), so a SQL oracle replays the
+    exhaustive equivalent bit-for-bit.
+
+    Output: (id1, id2, hamming) with id1 < id2, hamming ≤
+    ``max_hamming``.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded candidates are only complete for max_hamming <= "
+            f"n_bands-1 ({n_bands - 1}), got {max_hamming}"
+        )
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    per = 64 // n_bands
+    fp = (
+        media.select(
+            F.col(id_col), F.col(payload_col).cast("string").alias("__s")
+        )
+        .withColumn("__n", F.length("__s"))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__g",
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "ascii(substring(__s, cast((i * __n) div 64 AS int) + 1, 1)))"
+            ),
+        )
+        .withColumn("__tot", F.expr("aggregate(__g, 0, (a, x) -> a + x)"))
+        .withColumn(
+            "bands",
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"aggregate(sequence(0, {per - 1}), 0, (a, j) -> "
+                f"a + if(element_at(__g, b * {per} + j + 1) * 64 > __tot, "
+                f"shiftleft(1, j), 0)))"
+            ),
+        )
+        .select(F.col(id_col).alias("__id"), "bands")
+    )
+    banded = fp.select(
+        "__id", F.posexplode("bands").alias("band", "bkey")
+    )
+    cand = (
+        banded.select("band", "bkey", F.col("__id").alias("id1"))
+        .join(
+            banded.select("band", "bkey", F.col("__id").alias("id2")),
+            ["band", "bkey"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
+    b1 = fp.select(F.col("__id").alias("id1"), F.col("bands").alias("__b1"))
+    b2 = fp.select(F.col("__id").alias("id2"), F.col("bands").alias("__b2"))
+    return (
+        cand.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "cast(aggregate(zip_with(__b1, __b2, "
+                "(x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v) AS bigint)"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

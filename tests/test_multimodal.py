@@ -185,3 +185,78 @@ def test_payload_dedup_per_modality(spark):
     out = {(r.modality, r.doc_id): r.n_copies
            for r in payload_dedup(media).collect()}
     assert out == {("image", 1): 2, ("audio", 3): 1, ("image", 4): 1}
+
+
+def test_ahash_near_dup_pairs(spark):
+    import pytest
+
+    from etl_gcp_spark.functions.multimodal import ahash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    # length-preserving edit: the fake sampler reads positions
+    # (i*n) div 64, so same-length payloads sample the same offsets;
+    # a 20-char high-ASCII patch flips the ~3 bits it lands on
+    # (measured hamming 6 of 64)
+    tweaked = base[:60] + "z" * 20 + base[80:]
+    different = "".join(chr(65 + (i * 7) % 26) for i in range(180))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(base.encode())),
+            (2, bytearray(base.encode())),       # identical -> hamming 0
+            (3, bytearray(tweaked.encode())),    # near-dup -> small hamming
+            (4, bytearray(different.encode())),  # unrelated
+            (5, bytearray(b"")),                 # empty: excluded
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {(r.id1, r.id2): r.hamming
+           for r in ahash_near_dup_pairs(media, max_hamming=7).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 7
+    assert all(4 not in p and 5 not in p for p in out)
+
+    with pytest.raises(ValueError):
+        ahash_near_dup_pairs(media, max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError):
+        ahash_near_dup_pairs(media, n_bands=7)
+
+
+def test_ahash_banded_candidates_complete(spark):
+    """Pigeonhole completeness: at max_hamming = n_bands-1 the banded
+    candidate set must reproduce the brute-force pair set exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.multimodal import ahash_near_dup_pairs
+
+    # deterministic corpus with repeats and small perturbations
+    texts = []
+    for i in range(30):
+        body = "".join(
+            chr(97 + ((i // 6) * 5 + j * (1 + i % 3)) % 26)
+            for j in range(120)
+        )
+        texts.append((i, bytearray(body.encode())))
+    media = spark.createDataFrame(texts, "doc_id long, payload binary")
+    banded = ahash_near_dup_pairs(media, max_hamming=7).collect()
+    got = {(r.id1, r.id2): r.hamming for r in banded}
+
+    # brute force from the same fingerprints: relax banding by using
+    # a single 64-sample gray vector per doc computed in pure Python
+    rows = media.collect()
+    def grays(b):
+        s = bytes(b).decode()
+        n = len(s)
+        return [ord(s[(i * n) // 64]) for i in range(64)]
+    fps = {}
+    for r in rows:
+        g = grays(r.payload)
+        tot = sum(g)
+        fps[r.doc_id] = [1 if x * 64 > tot else 0 for x in g]
+    want = {}
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = sum(a != b for a, b in zip(fps[ids[i]], fps[ids[j]]))
+            if h <= 7:
+                want[(ids[i], ids[j])] = h
+    assert got == want
