@@ -1914,6 +1914,24 @@ def _q_ahash_near_dup(spark, sf_dir):
     return ahash_near_dup_pairs(mm, max_hamming=7)
 
 
+def _q_streaming_quantiles(spark, sf_dir):
+    """Quantile sketch maintained over a genuine Structured Streaming
+    run (availableNow, 4 triggers, batch_id-keyed idempotent
+    partials): fixed-grid histogram folded per micro-batch, merged by
+    per-bin addition — bit-identical to a batch fixed-grid build, so
+    the oracle replays the full estimate."""
+    from etl_gcp_spark.streaming.events import run_streaming_quantiles
+
+    return run_streaming_quantiles(
+        spark,
+        _t(spark, sf_dir, "orders"),
+        lo=0.0,
+        hi=640000.0,
+        n_bins=128,
+        qs=(0.5, 0.95, 0.99),
+    )
+
+
 def _q_embedding_truncation_recall(spark, sf_dir):
     """Recall@5 of truncated-to-16-dim cosine search vs the full
     64-dim exact top-5 — the Matryoshka-style representation audit
@@ -3224,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_counts": _q_l_diversity_counts,
         "embedding_truncation_recall": _q_embedding_truncation_recall,
         "ahash_near_dup": _q_ahash_near_dup,
+        "streaming_quantiles": _q_streaming_quantiles,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7598,6 +7617,46 @@ def oracle_sql() -> dict[str, str]:
                                + CAST(t - (cum - cnt) AS DOUBLE)
                                  / CAST(cnt AS DOUBLE))
                                * ((hi - lo) / 128.0) END, 6) AS est,
+               n AS n_values
+        FROM hit
+    """
+    # Streaming quantiles: bin counting is per-row and order-free, so
+    # the streamed merged histogram equals a batch fixed-grid build
+    # over the same rows; the oracle replays grid (literals), counts,
+    # and the IEEE interpolation walk. NULL key/value rows excluded
+    # by convention (the stager's key-range filters drop NULL keys).
+    sql["streaming_quantiles"] = """
+        WITH vals AS (
+            SELECT o_totalprice::DOUBLE AS x FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        ), binned AS (
+            SELECT least(127, greatest(0, CAST(floor(
+                       (x - 0.0) / (640000.0 - 0.0) * 128.0
+                   ) AS INTEGER))) AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY 1
+        ), ext AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n FROM binned
+        ), cum AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM binned
+        ), qs AS (
+            SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q
+        ), hit AS (
+            SELECT q, bin, cnt, cum,
+                   CAST(ceil(q * n) AS BIGINT) AS t, n
+            FROM cum, ext, qs
+            WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+            QUALIFY row_number() OVER (PARTITION BY q ORDER BY bin) = 1
+        )
+        SELECT q,
+               round(0.0 + (CAST(bin AS DOUBLE)
+                     + CAST(t - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE))
+                     * ((640000.0 - 0.0) / 128.0), 6) AS est,
                n AS n_values
         FROM hit
     """

@@ -327,3 +327,98 @@ def histogram_quantiles(
         F.round(est, 6).alias("est"),
         F.col("__n").alias("n_values"),
     )
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """FIXED-GRID histogram partial: per-bin counts over a known
+    [lo, hi] domain — the mergeable building block behind
+    :func:`streaming histogram quantiles <quantiles_from_bins>`.
+
+    :func:`histogram_quantiles` derives its grid from the data's own
+    min/max, which needs a completed scan — fine for batch,
+    impossible mid-stream. The streaming discipline is the standard
+    one: fix the grid up front from domain knowledge (a price cap, a
+    latency budget); values outside clamp into the edge bins, and the
+    partials merge by per-bin ADDITION, so every micro-batch /
+    executor / day-partition can sketch independently. NULLs are
+    excluded. Output: (bin, cnt) — at most ``n_bins`` rows.
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo for a fixed histogram grid")
+    x = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (x - F.lit(float(lo)))
+                / (F.lit(float(hi)) - F.lit(float(lo)))
+                * F.lit(float(n_bins))
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantiles_from_bins(
+    bins: DataFrame,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Quantile estimates from (possibly pre-merged) fixed-grid
+    histogram partials: sums per-bin counts, walks the cumulative
+    histogram to rank ceil(q·N), interpolates inside the landing bin
+    — the identical exact-integer + fixed-IEEE-tree walk as
+    :func:`histogram_quantiles`, so a SQL oracle replays it
+    bit-for-bit. Error ≤ one bin width for in-domain data (clamped
+    outliers pin to the edge bins). Output: (q, est, n_values).
+    """
+    from pyspark.sql import Window
+
+    merged = bins.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    ext = merged.agg(F.sum("cnt").alias("__n"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(ext))
+    qdf = bins.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = F.ceil(F.col("q") * F.col("__n")).cast("long")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("__t", t)
+        .filter(F.col("cum") >= F.col("__t"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bin")),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    frac = (
+        F.col("__t") - (F.col("cum") - F.col("cnt"))
+    ).cast("double") / F.col("cnt").cast("double")
+    est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) * (
+        (F.lit(float(hi)) - F.lit(float(lo))) / F.lit(float(n_bins))
+    )
+    return hit.select(
+        "q",
+        F.round(est, 6).alias("est"),
+        F.col("__n").alias("n_values"),
+    )

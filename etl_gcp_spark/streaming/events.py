@@ -881,3 +881,116 @@ def run_streaming_topk(
         .orderBy(F.col("n_events").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def run_streaming_quantiles(
+    spark: SparkSession,
+    orders: DataFrame,
+    *,
+    value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+    lo: float = 0.0,
+    hi: float = 640000.0,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Quantile sketch maintained OVER A STREAM — the fourth sketch
+    the streaming family needed (CMS counts, top-k heavy hitters,
+    HLL cardinality, now quantiles). Each microbatch folds its rows
+    into its own fixed-grid histogram partial (≤ ``n_bins`` rows);
+    the live sketch is the per-bin SUM of everything appended, and
+    the quantile walk runs over that merged histogram.
+
+    The grid is FIXED UP FRONT (``lo``/``hi`` from domain knowledge):
+    a data-derived grid needs a completed min/max scan, which a
+    stream never has — this is the honest streaming-quantile design,
+    and the same choice every production latency/price histogram
+    makes. Bin counting is per-row and order-free, so the streamed
+    state is bit-identical to a batch fixed-grid build over the same
+    rows, and the DuckDB oracle replays the whole estimate
+    (exact integer counts + the fixed IEEE interpolation tree of
+    :func:`~etl_gcp_spark.functions.sketches.quantiles_from_bins`).
+
+    Durability discipline: per-batch partials land in batch_id-keyed
+    subdirs in OVERWRITE mode — a batch replayed after a crash
+    between sink write and checkpoint commit rewrites its own partial
+    instead of double-counting it (``fail_after_batches`` injects
+    exactly that crash for the kill-resume test; pass the same
+    ``root`` to resume). NULL values are excluded on both sides.
+    """
+    from etl_gcp_spark.functions.sketches import (
+        histogram_bins,
+        quantiles_from_bins,
+    )
+
+    root = root or os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_squant_{uuid.uuid4().hex}"
+    )
+    staged = os.path.join(root, "in")
+    rows = orders.filter(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    if not os.path.exists(staged):
+        bounds = rows.approxQuantile(
+            key_col, [i / n_batches for i in range(1, n_batches)], 0.0
+        )
+        klo = None
+        for i in range(n_batches):
+            khi = bounds[i] if i < len(bounds) else None
+            part = rows
+            if klo is not None:
+                part = part.filter(F.col(key_col) > klo)
+            if khi is not None:
+                part = part.filter(F.col(key_col) <= khi)
+            part.coalesce(1).write.parquet(
+                os.path.join(staged, f"b{i:02d}")
+            )
+            klo = khi
+
+    stream = (
+        spark.readStream.schema(f"{key_col} long, {value_col} double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(staged, "*"))
+    )
+    bins_dir = os.path.join(root, "bins")
+    done_in_run = {"n": 0}
+
+    def fold(batch_df, batch_id):
+        # batch_id-keyed overwrite: replay-idempotent (see
+        # run_streaming_cms — additive merges double-count otherwise)
+        histogram_bins(
+            batch_df, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ).write.mode("overwrite").parquet(
+            os.path.join(bins_dir, f"b{batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            raise RuntimeError("injected crash (recovery test)")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return quantiles_from_bins(
+        spark.read.parquet(os.path.join(bins_dir, "b*")),
+        lo=lo,
+        hi=hi,
+        n_bins=n_bins,
+        qs=qs,
+    )

@@ -243,3 +243,78 @@ def test_histogram_quantiles_error_bound_and_degenerate(spark):
         const, "v", qs=(0.5, 0.99)
     ).collect()}
     assert cout == {0.5: (42.0, 10), 0.99: (42.0, 10)}
+
+
+def test_fixed_grid_bins_match_batch_walk(spark):
+    """quantiles_from_bins over split partials == one-shot build over
+    the union (merge-by-addition), and clamping pins out-of-domain
+    values to the edge bins."""
+    from etl_gcp_spark.functions.sketches import (
+        histogram_bins,
+        quantiles_from_bins,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(100, 200)] + [(-50.0,), (1e9,)],
+        "x double",
+    )
+    union = a.union(b)
+    one_shot = quantiles_from_bins(
+        histogram_bins(union, "x", lo=0.0, hi=200.0, n_bins=20),
+        lo=0.0, hi=200.0, n_bins=20,
+    )
+    merged = quantiles_from_bins(
+        histogram_bins(a, "x", lo=0.0, hi=200.0, n_bins=20).union(
+            histogram_bins(b, "x", lo=0.0, hi=200.0, n_bins=20)
+        ),
+        lo=0.0, hi=200.0, n_bins=20,
+    )
+    got_one = {r.q: (r.est, r.n_values) for r in one_shot.collect()}
+    got_merged = {r.q: (r.est, r.n_values) for r in merged.collect()}
+    assert got_one == got_merged
+    assert got_one[0.5][1] == 202  # clamped rows still counted
+    # median of 0..199 ~ 100; within one 10-unit bin width
+    assert abs(got_one[0.5][0] - 100.0) <= 10.0
+
+
+def test_streaming_quantiles_recovers_from_mid_stream_crash(
+    spark, sf_dir, tmp_path
+):
+    import pytest
+
+    from etl_gcp_spark.functions.sketches import (
+        histogram_bins,
+        quantiles_from_bins,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = str(tmp_path / "squant_recovery")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_quantiles(
+            spark, orders, root=root, fail_after_batches=2
+        )
+    streamed = {
+        r.q: (r.est, r.n_values)
+        for r in run_streaming_quantiles(spark, orders, root=root)
+        .collect()
+    }
+    from pyspark.sql import functions as F
+
+    rows = orders.filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    batch = {
+        r.q: (r.est, r.n_values)
+        for r in quantiles_from_bins(
+            histogram_bins(
+                rows, "o_totalprice", lo=0.0, hi=640000.0, n_bins=128
+            ),
+            lo=0.0, hi=640000.0, n_bins=128,
+        ).collect()
+    }
+    # the replayed batch rewrote its own partial: no double counting,
+    # the resumed sketch is bit-identical to the batch build
+    assert streamed == batch
