@@ -1914,6 +1914,18 @@ def _q_ahash_near_dup(spark, sf_dir):
     return ahash_near_dup_pairs(mm, max_hamming=7)
 
 
+def _q_substring_dedup_rewrite(spark, sf_dir):
+    """Exact-substring dedup REWRITE (Lee et al. 2022): every 8-token
+    run appearing in ≥2 documents is deleted from all but the
+    lowest-id holder; outputs the cleaned corpus (the measuring twins
+    dup_ngram_fraction / cross_doc_passage_share only report the
+    overlap). Hash-prefiltered candidates + exact gram-string verify,
+    so collisions cannot change the result."""
+    from etl_gcp_spark.operators.text_dedup import substring_dedup_rewrite
+
+    return substring_dedup_rewrite(_t(spark, sf_dir, "documents"), k=8)
+
+
 def _q_streaming_quantiles(spark, sf_dir):
     """Quantile sketch maintained over a genuine Structured Streaming
     run (availableNow, 4 triggers, batch_id-keyed idempotent
@@ -3243,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_truncation_recall": _q_embedding_truncation_recall,
         "ahash_near_dup": _q_ahash_near_dup,
         "streaming_quantiles": _q_streaming_quantiles,
+        "substring_dedup_rewrite": _q_substring_dedup_rewrite,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7619,6 +7632,56 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    # Exact-substring rewrite replay: pure string/list arithmetic —
+    # the engine's xxhash64 prefilter only prunes candidates (exact
+    # gram-string verify decides), so the oracle skips the prefilter
+    # and replays grams → dup keepers → covered indexes → rebuild.
+    sql["substring_dedup_rewrite"] = """
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents WHERE text IS NOT NULL
+        ), pos AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, len(l) - 7)) AS p
+            FROM docs WHERE len(l) >= 8
+        ), grams AS (
+            SELECT doc_id, p, array_to_string(l[p:p+7], ' ') AS gram
+            FROM pos
+        ), dup AS (
+            SELECT gram, min(doc_id) AS keeper
+            FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+        ), cov AS (
+            SELECT DISTINCT doc_id, idx FROM (
+                SELECT g.doc_id,
+                       unnest(generate_series(g.p, g.p + 7)) AS idx
+                FROM grams g JOIN dup d USING (gram)
+                WHERE g.doc_id > d.keeper
+            )
+        ), tokidx AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, len(l))) AS idx
+            FROM docs
+        ), kept AS (
+            SELECT t.doc_id, t.idx, t.l[t.idx] AS tok
+            FROM tokidx t LEFT JOIN cov c
+              ON c.doc_id = t.doc_id AND c.idx = t.idx
+            WHERE c.doc_id IS NULL
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+            FROM kept GROUP BY doc_id
+        ), nrem AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+            FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(len(d.l) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(r.cleaned_text, '') AS cleaned_text
+        FROM docs d
+        LEFT JOIN nrem n USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
     """
     # Streaming quantiles: bin counting is per-row and order-free, so
     # the streamed merged histogram equals a batch fixed-grid build

@@ -1078,3 +1078,124 @@ def cross_doc_passage_share(
             ).alias("shared_share"),
         )
     )
+
+
+def substring_dedup_rewrite(
+    documents: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-passage REMOVAL — the rewrite step of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any ``k``-token
+    run that also appears in another document is deleted from every
+    document EXCEPT the lowest-id one holding it (the deterministic
+    keeper; the paper keeps one copy per duplicated span — suffix
+    arrays find arbitrary-length matches, this finds all matches of
+    length ≥ k via k-gram cover, the standard MapReduce-able
+    reduction). The measuring twins (:func:`dup_ngram_fraction`,
+    :func:`cross_doc_passage_share`) only report the overlap; this
+    produces the cleaned corpus.
+
+    Scale shape (never shuffles full gram strings for the whole
+    corpus):
+
+    1. posting = (doc, pos, xxhash64(gram)) — map-side only;
+    2. candidate hashes = hashes on ≥2 distinct docs (map-side
+       combined count over 8-byte hashes);
+    3. the EXACT verify recomputes gram STRINGS for candidate
+       positions only (hash collisions die here — a collision is a
+       false candidate, never a lost match) and keeps grams on ≥2
+       distinct docs with their min-doc keeper;
+    4. non-keeper occurrences expand to their covered token indexes
+       (sequence + explode, dedup per doc);
+    5. rewrite = per-doc higher-order filter of the token array
+       against the covered-index set — no per-token shuffle; the
+       only shuffled rows are candidate-gram occurrences and covered
+       indexes, both bounded by the duplication actually present.
+
+    Tokenization is single-space split; documents shorter than ``k``
+    tokens pass through untouched. Output: (doc_id, n_tokens,
+    n_removed, cleaned_text) for EVERY input document.
+    """
+    toks = documents.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    posting = (
+        toks.filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.array_join(
+                F.slice("__toks", F.col("pos"), k), " "
+            ).alias("__gram"),
+        )
+    )
+    hashed = posting.select(
+        F.col(id_col), "pos", F.xxhash64("__gram").alias("__gh")
+    )
+    cand_hashes = (
+        hashed.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__gh")
+    )
+    cand = posting.join(
+        hashed.join(cand_hashes, "__gh").select(id_col, "pos"),
+        [id_col, "pos"],
+    )
+    dup = (
+        cand.groupBy("__gram")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__gram", "__keeper")
+    )
+    covered = (
+        cand.join(dup, "__gram")
+        .filter(F.col(id_col) > F.col("__keeper"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("__idx"),
+        )
+        .dropDuplicates()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__idx")).alias("__cut"))
+    )
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("__cut"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.when(F.col("__cut").isNull(), F.array_join("__toks", " "))
+            .otherwise(
+                F.array_join(
+                    F.filter(
+                        "__toks",
+                        lambda t, i: ~F.array_contains(
+                            F.col("__cut"), i + 1
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            .alias("cleaned_text"),
+        )
+    )

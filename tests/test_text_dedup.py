@@ -290,3 +290,47 @@ def test_cross_doc_passage_share(spark):
     assert out[1].n_passages == 3 and out[1].n_shared == 1
     assert out[2].n_shared == 1
     assert out[3].n_shared == 0
+
+
+def test_substring_dedup_rewrite_semantics(spark):
+    """Keeper (lowest doc_id) keeps the shared passage; every later
+    holder loses exactly the covered tokens; unique text and sub-k
+    documents pass through verbatim."""
+    from etl_gcp_spark.operators.text_dedup import substring_dedup_rewrite
+
+    shared = "one two three four five six seven eight"          # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro alpha beta gamma delta"),
+            (2, f"prefix words here {shared} and a unique tail x"),
+            (3, "totally unrelated text with eight sole tokens"),
+            (4, shared),                      # exactly the passage
+            (5, "short doc"),                 # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_rewrite(docs, k=8).collect()}
+    assert out[1].cleaned_text == docs.filter("doc_id=1").first().text
+    assert out[1].n_removed == 0
+    assert out[2].cleaned_text == "prefix words here and a unique tail x"
+    assert out[2].n_removed == 8
+    assert out[3].n_removed == 0
+    assert out[4].cleaned_text == "" and out[4].n_removed == 8
+    assert out[5].cleaned_text == "short doc" and out[5].n_removed == 0
+    assert all(r.n_tokens > 0 for r in out.values())
+
+
+def test_substring_dedup_rewrite_overlapping_spans_merge(spark):
+    """Two overlapping duplicated 8-gram occurrences cover a 9-token
+    union — covered indexes dedup, not double-count."""
+    from etl_gcp_spark.operators.text_dedup import substring_dedup_rewrite
+
+    nine = "a b c d e f g h i"   # both 8-grams (1..8) and (2..9) shared
+    docs = spark.createDataFrame(
+        [(1, f"{nine} filler tokens here"), (2, f"{nine} other suffix")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_rewrite(docs, k=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 9
+    assert out[2].cleaned_text == "other suffix"
