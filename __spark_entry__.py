@@ -1914,6 +1914,35 @@ def _q_ahash_near_dup(spark, sf_dir):
     return ahash_near_dup_pairs(mm, max_hamming=7)
 
 
+def _q_grouped_quantiles(spark, sf_dir):
+    """Per-group fixed-grid quantile sketch (p50/p95 of order totals
+    per priority): ≤ groups×128 rows ever shuffle — the grouped form
+    of the histogram quantile family, fully replayed by the oracle."""
+    from etl_gcp_spark.functions.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    return grouped_histogram_quantiles(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        lo=0.0,
+        hi=640000.0,
+        n_bins=128,
+        qs=(0.5, 0.95),
+    )
+
+
+def _q_temperature_mixture(spark, sf_dir):
+    """Temperature-sampled source mixture at α=0.5 (the mT5 default):
+    p_i ∝ sqrt(n_i/N) — upsample small sources, damp dominant ones.
+    sqrt is IEEE-correctly-rounded on every engine, so the mixture
+    replays bit-for-bit (a general-α pow would not)."""
+    from etl_gcp_spark.operators.corpus import temperature_mixture_weights
+
+    return temperature_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
 def _q_substring_dedup_rewrite(spark, sf_dir):
     """Exact-substring dedup REWRITE (Lee et al. 2022): every 8-token
     run appearing in ≥2 documents is deleted from all but the
@@ -3256,6 +3285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ahash_near_dup": _q_ahash_near_dup,
         "streaming_quantiles": _q_streaming_quantiles,
         "substring_dedup_rewrite": _q_substring_dedup_rewrite,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "temperature_mixture": _q_temperature_mixture,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7632,6 +7663,69 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    sql["grouped_quantiles"] = """
+        WITH vals AS (
+            SELECT o_orderpriority AS grp, o_totalprice::DOUBLE AS x
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+        ), binned AS (
+            SELECT grp,
+                   least(127, greatest(0, CAST(floor(
+                       (x - 0.0) / (640000.0 - 0.0) * 128.0
+                   ) AS INTEGER))) AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY 1, 2
+        ), ext AS (
+            SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+            FROM binned GROUP BY grp
+        ), cum AS (
+            SELECT grp, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM binned
+        ), qv AS (
+            SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q
+        ), hit AS (
+            SELECT c.grp, q, bin, cnt, cum,
+                   CAST(ceil(q * e.n) AS BIGINT) AS t, e.n
+            FROM cum c JOIN ext e USING (grp) CROSS JOIN qv
+            WHERE cum >= CAST(ceil(q * e.n) AS BIGINT)
+            QUALIFY row_number() OVER (
+                PARTITION BY c.grp, q ORDER BY bin) = 1
+        )
+        SELECT grp, q,
+               round(0.0 + (CAST(bin AS DOUBLE)
+                     + CAST(t - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE))
+                     * ((640000.0 - 0.0) / 128.0), 6) AS est,
+               n AS n_values
+        FROM hit
+    """
+    # α=0.5 temperature mixture: sqrt and the divisions are IEEE
+    # exact-rounded; the only association-order float step is the sum
+    # of ≤|sources| weights, absorbed by 6-dp rounding (same
+    # convention as the HLL estimate sum).
+    sql["temperature_mixture"] = """
+        WITH counts AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(n_docs) AS total FROM counts
+        ), sh AS (
+            SELECT source, n_docs,
+                   n_docs / total AS nat,
+                   sqrt(n_docs / total) AS w
+            FROM counts CROSS JOIN tot
+        ), z AS (SELECT sum(w) AS z FROM sh)
+        SELECT source, n_docs,
+               round(nat, 6) AS nat_share,
+               round(w / z, 6) AS weight,
+               CAST(round(w / z * 1000.0, 0) AS BIGINT)
+                   AS expected_per_1000
+        FROM sh CROSS JOIN z
     """
     # Exact-substring rewrite replay: pure string/list arithmetic —
     # the engine's xxhash64 prefilter only prunes candidates (exact

@@ -422,3 +422,82 @@ def quantiles_from_bins(
         F.round(est, 6).alias("est"),
         F.col("__n").alias("n_values"),
     )
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-GROUP fixed-grid histogram quantiles — the grouped form of
+    the sketch family's quantile leg: one scan builds (group, bin)
+    counts (≤ groups × n_bins rows ever shuffle, regardless of data
+    size), then each group's cumulative histogram is walked to rank
+    ceil(q·N_g) with linear interpolation in the landing bin. The
+    shape that replaces per-group exact percentiles (a full sort
+    within every group) at 100 TB; same exact-integer + fixed-IEEE
+    walk as :func:`histogram_quantiles`, so a SQL oracle replays the
+    estimates bit-for-bit. Error ≤ one bin width; NULL values and
+    NULL groups are excluded. Output: (grp, q, est, n_values).
+    """
+    from pyspark.sql import Window
+
+    if not hi > lo:
+        raise ValueError("need hi > lo for a fixed histogram grid")
+    x = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (x - F.lit(float(lo)))
+                / (F.lit(float(hi)) - F.lit(float(lo)))
+                * F.lit(float(n_bins))
+            ).cast("int"),
+        ),
+    )
+    binned = (
+        df.filter(x.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ext = binned.groupBy("grp").agg(F.sum("cnt").alias("__n"))
+    w = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "grp", "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).join(F.broadcast(ext), "grp")
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = F.ceil(F.col("q") * F.col("__n")).cast("long")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("__t", t)
+        .filter(F.col("cum") >= F.col("__t"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("grp", "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    frac = (
+        F.col("__t") - (F.col("cum") - F.col("cnt"))
+    ).cast("double") / F.col("cnt").cast("double")
+    est = F.lit(float(lo)) + (F.col("bin").cast("double") + frac) * (
+        (F.lit(float(hi)) - F.lit(float(lo))) / F.lit(float(n_bins))
+    )
+    return hit.select(
+        "grp",
+        "q",
+        F.round(est, 6).alias("est"),
+        F.col("__n").alias("n_values"),
+    )

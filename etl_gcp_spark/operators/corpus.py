@@ -1156,3 +1156,51 @@ def quality_percentile_by_source(
         "quality_score",
         F.round(F.percent_rank().over(w), 6).alias("quality_pctile"),
     )
+
+
+def temperature_mixture_weights(
+    documents: DataFrame,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-sampled source mixture at α = 0.5: sampling
+    probability p_i ∝ (n_i/N)^α — the multilingual/multi-source
+    rebalancing rule of XLM-R and mT5 (upsample small sources,
+    damp dominant ones) sitting between
+    :func:`source_mixture_rates`' uniform target (α→0) and natural
+    sampling (α=1).
+
+    α is FIXED at 0.5 because (n_i/N)^0.5 is ``sqrt`` — an
+    IEEE-754 correctly-rounded operation on every engine — so the
+    whole computation (one division, one sqrt, one sum over the
+    per-source frame, one final division) replays bit-for-bit in a
+    SQL oracle; a general-α ``pow`` is libm-dependent in its last
+    ULP. The α=0.5 point is also mT5's published default.
+
+    Same physical shape as the other mixture ops: one map-side
+    count per source, broadcast total, no second corpus scan.
+    Output: (source, n_docs, nat_share, weight, expected_per_1000 —
+    the per-mille draw allocation, integer-rounded half-up).
+    """
+    counts = documents.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(F.sum("n_docs").alias("__total"))
+    shared = counts.join(F.broadcast(totals)).withColumn(
+        "__w", F.sqrt(F.col("n_docs") / F.col("__total"))
+    )
+    z = shared.agg(F.sum("__w").alias("__z"))
+    return (
+        shared.join(F.broadcast(z))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias(
+                "nat_share"
+            ),
+            F.round(F.col("__w") / F.col("__z"), 6).alias("weight"),
+            F.round(F.col("__w") / F.col("__z") * 1000.0, 0)
+            .cast("long")
+            .alias("expected_per_1000"),
+        )
+    )

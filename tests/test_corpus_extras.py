@@ -384,3 +384,22 @@ def test_streaming_minhash_dedup_recovers_from_mid_stream_crash(
         (r["doc_id"], r["text"]) for r in near_dup_dedup(docs).collect()
     }
     assert got == want
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    from etl_gcp_spark.operators.corpus import temperature_mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = {r.source: r for r in temperature_mixture_weights(docs).collect()}
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-5
+    # α=0.5 damps the dominant source and lifts the small one
+    assert out["big"].weight < out["big"].nat_share
+    assert out["small"].weight > out["small"].nat_share
+    # sqrt(0.9)/ (sqrt(0.9)+sqrt(0.1)) ≈ 0.75, sqrt(0.1)/... ≈ 0.25
+    assert abs(out["big"].weight - 0.75) < 0.01
+    assert out["big"].expected_per_1000 + out["small"].expected_per_1000 in (
+        999, 1000, 1001,
+    )

@@ -318,3 +318,37 @@ def test_streaming_quantiles_recovers_from_mid_stream_crash(
     # the replayed batch rewrote its own partial: no double counting,
     # the resumed sketch is bit-identical to the batch build
     assert streamed == batch
+
+
+def test_grouped_quantiles_error_bound(spark, sf_dir):
+    """Each per-group estimate lands within one bin width of that
+    group's exact percentile."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.sketches import (
+        grouped_histogram_quantiles,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = grouped_histogram_quantiles(
+        orders, "o_totalprice", "o_orderpriority",
+        lo=0.0, hi=640000.0, n_bins=128, qs=(0.5, 0.95),
+    ).collect()
+    width = 640000.0 / 128
+    exact = {
+        (r.grp, q): v
+        for q in (0.5, 0.95)
+        for r, v in (
+            (r, r[f"p{q}"])
+            for r in orders.groupBy(
+                F.col("o_orderpriority").alias("grp")
+            ).agg(
+                F.percentile("o_totalprice", F.lit(0.5)).alias("p0.5"),
+                F.percentile("o_totalprice", F.lit(0.95)).alias("p0.95"),
+            ).collect()
+        )
+    }
+    assert len(got) == 10  # 5 priorities x 2 quantiles
+    for r in got:
+        assert abs(r.est - exact[(r.grp, r.q)]) <= width
