@@ -1914,6 +1914,16 @@ def _q_ahash_near_dup(spark, sf_dir):
     return ahash_near_dup_pairs(mm, max_hamming=7)
 
 
+def _q_token_cooccurrence(spark, sf_dir):
+    """Collocation mining: top-50 within-5-token ordered pairs over a
+    200-token vocabulary, ranked by exact pair count (lift is a value
+    column — exact integer products + one IEEE division; ranking
+    never touches a float)."""
+    from etl_gcp_spark.functions.text import token_cooccurrence_lift
+
+    return token_cooccurrence_lift(_t(spark, sf_dir, "documents"))
+
+
 def _q_grouped_quantiles(spark, sf_dir):
     """Per-group fixed-grid quantile sketch (p50/p95 of order totals
     per priority): ≤ groups×128 rows ever shuffle — the grouped form
@@ -3287,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_rewrite": _q_substring_dedup_rewrite,
         "grouped_quantiles": _q_grouped_quantiles,
         "temperature_mixture": _q_temperature_mixture,
+        "token_cooccurrence": _q_token_cooccurrence,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7663,6 +7674,49 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    # Collocation replay: vocabulary cutoff ties break on the token,
+    # ranking is by exact integer pair count — no float ever orders
+    # rows; lift is a value column (exact int64 products < 2^53, one
+    # IEEE division, 6 dp).
+    sql["token_cooccurrence"] = r"""
+        WITH toked AS (
+            SELECT regexp_split_to_array(trim(text), '\s+') AS l
+            FROM documents WHERE text IS NOT NULL
+        ), uni AS (
+            SELECT unnest(l) AS tok FROM toked
+        ), ucnt AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM uni GROUP BY tok
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS N FROM ucnt
+        ), vocab AS (
+            SELECT tok, n FROM ucnt ORDER BY n DESC, tok LIMIT 200
+        ), pos AS (
+            SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM toked WHERE len(l) >= 2
+        ), prs AS (
+            SELECT l[i] AS t1, l[i + d] AS t2
+            FROM (
+                SELECT l, i,
+                       unnest(generate_series(1,
+                           least(5, len(l) - i))) AS d
+                FROM pos
+            )
+        ), pcnt AS (
+            SELECT t1, t2, v1.n AS n1, v2.n AS n2,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM prs
+            JOIN vocab v1 ON v1.tok = t1
+            JOIN vocab v2 ON v2.tok = t2
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) >= 10
+        )
+        SELECT t1, t2, n_pair,
+               round((n_pair * N) / (n1 * n2), 6) AS lift
+        FROM pcnt CROSS JOIN tot
+        ORDER BY n_pair DESC, t1, t2
+        LIMIT 50
     """
     sql["grouped_quantiles"] = """
         WITH vals AS (

@@ -1119,3 +1119,85 @@ def zipf_fit(
         F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
         F.round(F.corr("y", "x") * F.corr("y", "x"), 4).alias("r2"),
     )
+
+
+def token_cooccurrence_lift(
+    documents: DataFrame,
+    *,
+    window: int = 5,
+    vocab_size: int = 200,
+    min_pair: int = 10,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: the ``k`` most frequent ordered token
+    pairs co-occurring within ``window`` positions, with their LIFT
+    (observed pair count vs the independence expectation
+    n_pair·N / (n1·n2)) — the corpus-statistics screen for boilerplate
+    phrases, templated spans, and tokenizer-merge candidates.
+
+    Scale discipline: pair generation is an ARRAY expression per
+    document (≤ window pairs per token, no self-join), and both pair
+    ends are filtered against a ``vocab_size``-row top-token frame
+    via broadcast semi-joins BEFORE the pair shuffle — the shuffled
+    key space is bounded by vocab², not token². Lift stays a VALUE
+    column (exact integer products, one IEEE division, 6 dp); the
+    top-k ranks by the integer pair count with lexicographic
+    tie-break, so no float ever orders rows. Vocabulary ties at the
+    cutoff break on the token itself. PMI is intentionally NOT
+    emitted: it is log(lift), and libm log moves last ULPs across
+    engines — rank by count, read lift, take the log offline.
+
+    Output: (t1, t2, n_pair, lift) — t1 precedes t2 in text order.
+    """
+    toked = documents.filter(F.col(text_col).isNotNull()).select(
+        tokens(F.col(text_col)).alias("__toks")
+    )
+    uni = (
+        toked.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("N"))
+    vocab = uni.orderBy(F.col("n").desc(), F.col("tok")).limit(vocab_size)
+    pairs = (
+        toked.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        f"transform(sequence(1, size(__toks) - 1), i -> "
+                        f"transform(sequence(1, least({window}, "
+                        f"size(__toks) - i)), d -> "
+                        f"struct(element_at(__toks, i) AS t1, "
+                        f"element_at(__toks, i + d) AS t2)))"
+                    )
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.t1").alias("t1"), F.col("__p.t2").alias("t2"))
+    )
+    v1 = vocab.select(F.col("tok").alias("t1"), F.col("n").alias("n1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.col("n").alias("n2"))
+    counted = (
+        pairs.join(F.broadcast(v1), "t1")
+        .join(F.broadcast(v2), "t2")
+        .groupBy("t1", "t2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "n_pair",
+            F.round(
+                (F.col("n_pair") * F.col("N")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "t1", "t2")
+        .limit(k)
+    )

@@ -279,3 +279,25 @@ def test_soft_dedup_weights_sum_to_idea_count(spark):
     # 6-dp weights: 3 x round(1/3, 6) undershoots by exactly 1e-6
     assert abs(sum(r.weight for r in rows) - 2.0) < 1e-5
     assert {r.cluster_size for r in rows} == {1, 3}
+
+
+def test_token_cooccurrence_lift_semantics(spark):
+    """A always-adjacent pair gets lift >> 1; pair ordering is by
+    count with lexicographic tie-break; min support prunes."""
+    from etl_gcp_spark.functions.text import token_cooccurrence_lift
+
+    # 40 docs of "alpha beta", 40 of "gamma delta"; "alpha delta"
+    # never co-occur within a window
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(40)]
+        + [(100 + i, "gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = token_cooccurrence_lift(
+        docs, window=5, vocab_size=10, min_pair=10, k=10
+    ).collect()
+    got = {(r.t1, r.t2): (r.n_pair, r.lift) for r in out}
+    assert set(got) == {("alpha", "beta"), ("gamma", "delta")}
+    # N=160 tokens, n_pair=40, n1=n2=40 -> lift = 40*160/(40*40) = 4
+    assert got[("alpha", "beta")] == (40, 4.0)
+    assert got[("gamma", "delta")] == (40, 4.0)
