@@ -1914,6 +1914,30 @@ def _q_ahash_near_dup(spark, sf_dir):
     return ahash_near_dup_pairs(mm, max_hamming=7)
 
 
+def _q_python_datasource_stream(spark, sf_dir):
+    """STREAMING Python DataSource (Spark 4
+    SimpleDataSourceStreamReader): the reference's chunk-prefix
+    polling loop as a checkpointed source. Two arrival waves, one
+    availableNow pass each against the same checkpoint — the second
+    pass consumes ONLY the new chunks (engine-managed offsets); the
+    union equals the plain table, which is what the oracle runs."""
+    import uuid as _uuid
+
+    from etl_gcp_spark.sources.pyds import stream_chunk_ingest
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    waves = [
+        nation.filter(F.col("n_nationkey") < 13),
+        nation.filter(F.col("n_nationkey") >= 13),
+    ]
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_pydss_{_uuid.uuid4().hex}"
+    )
+    return stream_chunk_ingest(spark, waves, root)
+
+
 def _q_token_cooccurrence(spark, sf_dir):
     """Collocation mining: top-50 within-5-token ordered pairs over a
     200-token vocabulary, ranked by exact pair count (lift is a value
@@ -3298,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "temperature_mixture": _q_temperature_mixture,
         "token_cooccurrence": _q_token_cooccurrence,
+        "python_datasource_stream": _q_python_datasource_stream,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7674,6 +7699,11 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    # The streamed chunk union equals the plain table — identical
+    # oracle to the batch Python-DataSource entry.
+    sql["python_datasource_stream"] = """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
     """
     # Collocation replay: vocabulary cutoff ties break on the token,
     # ranking is by exact integer pair count — no float ever orders

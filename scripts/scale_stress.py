@@ -224,6 +224,16 @@ def bench(out_dir: str, scale: int) -> dict:
         shingle_cosine_pairs as _shingle_cos,
     )
     from etl_gcp_spark.functions.text import bm25_topk as _bm25
+    from etl_gcp_spark.functions.multimodal import (
+        ahash_near_dup_pairs as _ahash,
+        attach_binary_payload as _attach_payload,
+    )
+    from etl_gcp_spark.functions.text import (
+        token_cooccurrence_lift as _cooc,
+    )
+    from etl_gcp_spark.operators.text_dedup import (
+        substring_dedup_rewrite as _substr_rewrite,
+    )
     from etl_gcp_spark.operators.classifier import (
         logreg_quality_report as _logreg,
     )
@@ -275,6 +285,15 @@ def bench(out_dir: str, scale: int) -> dict:
         ),
         "quality_logreg": lambda m: _logreg(docs(m)),
         "ngram_novelty": lambda m: _novelty(docs(m)),
+        # round-4 continuation ops on the same posting-join substrate:
+        # the rewrite's candidate set is bounded by actual duplication
+        # (hash-DF>=2 prefilter), aHash pairs by band-bucket sizes,
+        # and the collocation pairs by vocab^2 — all must hold at 10x
+        "substring_dedup_rewrite": lambda m: _substr_rewrite(docs(m)),
+        "ahash_near_dup": lambda m: _ahash(
+            _attach_payload(docs(m)), max_hamming=7
+        ),
+        "token_cooccurrence": lambda m: _cooc(docs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't

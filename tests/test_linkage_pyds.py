@@ -152,3 +152,35 @@ def test_entity_clusters_transitive_closure(spark):
            entity_clusters(df, "id", "name").collect()}
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
     assert out[9] == (9, 1)
+
+
+def test_streaming_datasource_consumes_waves_incrementally(
+    spark, tmp_path
+):
+    """Two arrival waves, two availableNow passes on one checkpoint:
+    every batch output contains rows of ONE wave only (the second
+    pass starts from the committed offset, never re-reads wave 1),
+    and the union equals the full table."""
+    import glob as _glob
+    import os as _os
+
+    from etl_gcp_spark.sources.pyds import stream_chunk_ingest
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(25)],
+        "k long, name string, g long",
+    )
+    waves = [df.filter("k < 13"), df.filter("k >= 13")]
+    root = str(tmp_path / "pyds_stream")
+    out = stream_chunk_ingest(spark, waves, root)
+    assert sorted(r.k for r in out.collect()) == list(range(25))
+
+    per_batch = {}
+    for d in sorted(_glob.glob(_os.path.join(root, "out", "b*"))):
+        ks = {r.k for r in spark.read.parquet(d).collect()}
+        if ks:
+            per_batch[_os.path.basename(d)] = ks
+    assert len(per_batch) == 2
+    batches = sorted(per_batch)
+    assert per_batch[batches[0]] == set(range(13))
+    assert per_batch[batches[1]] == set(range(13, 25))
