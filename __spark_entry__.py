@@ -1914,6 +1914,34 @@ def _q_ahash_near_dup(spark, sf_dir):
     return ahash_near_dup_pairs(mm, max_hamming=7)
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over customer names: rank within
+    5-char numeric-prefix buckets (parallel windows, no global sort),
+    compare only window-3 neighbors, verify with exact levenshtein ≤2.
+    The multi-pass companion to the mask-key blocking of
+    fuzzy_name_pairs."""
+    from etl_gcp_spark.operators.linkage import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "customer"),
+        "c_name",
+        "c_custkey",
+        window=3,
+        max_distance=2,
+        bucket_expr=F.substring(F.col("key"), 10, 5),
+    )
+
+
+def _q_golden_record(spark, sf_dir):
+    """MDM survivorship: one canonical row per user from the event
+    log — recency rule for the value (ties broken by event_id),
+    frequency rule for the type (ties alphabetical), exact extremes
+    for the seen-span."""
+    from etl_gcp_spark.operators.cdc import golden_record
+
+    return golden_record(_t(spark, sf_dir, "events"))
+
+
 def _q_python_datasource_stream(spark, sf_dir):
     """STREAMING Python DataSource (Spark 4
     SimpleDataSourceStreamReader): the reference's chunk-prefix
@@ -3323,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "token_cooccurrence": _q_token_cooccurrence,
         "python_datasource_stream": _q_python_datasource_stream,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
+        "golden_record": _q_golden_record,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -7699,6 +7729,54 @@ def oracle_sql() -> dict[str, str]:
                                * ((hi - lo) / 128.0) END, 6) AS est,
                n AS n_values
         FROM hit
+    """
+    sql["sorted_neighborhood_pairs"] = """
+        WITH r AS (
+            SELECT c_custkey AS id, c_name AS key,
+                   substr(c_name, 10, 5) AS bkt,
+                   row_number() OVER (
+                       PARTITION BY substr(c_name, 10, 5)
+                       ORDER BY c_name, c_custkey
+                   ) AS rn
+            FROM customer WHERE c_name IS NOT NULL
+        )
+        SELECT a.id AS id1, b.id AS id2,
+               a.key AS key1, b.key AS key2,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS distance
+        FROM r a JOIN r b
+          ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + 3
+        WHERE levenshtein(a.key, b.key) <= 2
+    """
+    sql["golden_record"] = """
+        WITH base AS (
+            SELECT * FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), latest AS (
+            SELECT user_id, value AS last_value
+            FROM base WHERE value IS NOT NULL
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
+        ), modal AS (
+            SELECT user_id, event_type AS modal_type
+            FROM (
+                SELECT user_id, event_type, count(*) AS c
+                FROM base WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY c DESC, event_type ASC) = 1
+        ), spans AS (
+            SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM base GROUP BY user_id
+        )
+        SELECT s.user_id, l.last_value, m.modal_type,
+               s.first_seen, s.last_seen, s.n_events
+        FROM spans s
+        LEFT JOIN latest l USING (user_id)
+        LEFT JOIN modal m USING (user_id)
     """
     # The streamed chunk union equals the plain table — identical
     # oracle to the batch Python-DataSource entry.

@@ -258,3 +258,73 @@ def cdc_merge_with_deletes(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn", op_col)
     )
+
+
+def golden_record(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Survivorship merge (MDM "golden record"): collapse every
+    entity's event history into one canonical row by explicit,
+    deterministic rules — the step after linkage/dedup clusters
+    decide WHICH rows are the same entity:
+
+    - ``last_value``: the value of the latest row whose value is
+      non-NULL (recency rule; ties on ``ts`` break by ``seq_col``
+      descending, so out-of-order feeds resolve identically on every
+      run);
+    - ``modal_type``: the most frequent type (frequency rule; count
+      ties break alphabetically);
+    - ``first_seen`` / ``last_seen`` / ``n_events``: exact extremes.
+
+    Physical shape: one ranked window for the recency rule over
+    value-bearing rows, one (key, type) count + ranked window for the
+    mode, one plain aggregate — all partitioned by the entity key,
+    no global window anywhere. Rows with NULL key or NULL ts are
+    excluded by convention (they can neither group nor rank).
+    """
+    base = events.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    recency = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    latest_val = (
+        base.filter(F.col(value_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(recency))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(key_col), F.col(value_col).alias("last_value"))
+    )
+    freq = Window.partitionBy(key_col).orderBy(
+        F.col("__cnt").desc(), F.col(type_col).asc()
+    )
+    modal = (
+        base.filter(F.col(type_col).isNotNull())
+        .groupBy(key_col, type_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__rk", F.row_number().over(freq))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(key_col), F.col(type_col).alias("modal_type"))
+    )
+    spans = base.groupBy(key_col).agg(
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        spans.join(latest_val, key_col, "left")
+        .join(modal, key_col, "left")
+        .select(
+            key_col,
+            "last_value",
+            "modal_type",
+            "first_seen",
+            "last_seen",
+            "n_events",
+        )
+    )

@@ -26,7 +26,7 @@ completeness IS levenshtein completeness at d=1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -292,3 +292,74 @@ def entity_clusters(
     from etl_gcp_spark.caching import tag_pinned
 
     return tag_pinned(matched.unionByName(singles), pairs)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    window: int = 3,
+    max_distance: int = 2,
+    bucket_expr: Column | None = None,
+    bucket_prefix_len: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1997) — the
+    OTHER classic linkage blocking strategy, complementing this
+    module's deletion/mask neighborhood: sort records on a key,
+    compare only rows within ``window`` positions. Where the mask
+    scheme guarantees completeness at d=1 substitution, SN catches
+    arbitrary-edit near keys whose sorted forms land adjacent —
+    transposed digits, truncated tails — at linear candidate cost
+    (≤ window per row).
+
+    Distributed shape: the sort is PARTITIONED by a bucket key
+    (default: the key's ``bucket_prefix_len``-char prefix; pass
+    ``bucket_expr`` to override) so every rank window runs parallel
+    and no global single-partition sort exists. Pairs whose members
+    land in different buckets are missed BY DESIGN — published SN is
+    a MULTI-PASS method (re-run with a different sort key / bucket;
+    the mask pass here plays that role), not a standalone complete
+    blocker. Candidates are verified with exact ``levenshtein`` and
+    only pairs ≤ ``max_distance`` emit.
+
+    Output: (id1, id2, key1, key2, distance), id1 preceding id2 in
+    sort order. NULL keys are excluded (they cannot rank).
+    """
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key")
+    )
+    bkt = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.substring("key", 1, bucket_prefix_len)
+    )
+    w = Window.partitionBy("bkt").orderBy("key", "id")
+    r = keyed.withColumn("bkt", bkt).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    a = r.select(
+        F.col("bkt"),
+        F.col("id").alias("id1"),
+        F.col("key").alias("key1"),
+        F.col("rn").alias("rn1"),
+    )
+    b = r.select(
+        F.col("bkt"),
+        F.col("id").alias("id2"),
+        F.col("key").alias("key2"),
+        F.col("rn").alias("rn2"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("rn2") > F.col("rn1"))
+            & (F.col("rn2") <= F.col("rn1") + window)
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein("key1", "key2").cast("long"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id1", "id2", "key1", "key2", "distance")
+    )

@@ -260,3 +260,37 @@ def test_cdc_merge_with_deletes_tombstones_and_reinserts(spark):
         ).collect()
     }
     assert out == {1: (20, "a2"), 3: (30, "c3")}
+
+
+def test_golden_record_survivorship_rules(spark):
+    import datetime
+
+    from etl_gcp_spark.operators.cdc import golden_record
+
+    t = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: latest row (s=5) has NULL value -> recency rule
+        # falls back to the latest NON-NULL (s=4); type mode is 'b'
+        (1, 1, t(1), 10.0, "a"),
+        (1, 2, t(2), 20.0, "b"),
+        (1, 3, t(4), 30.0, "b"),
+        (1, 4, t(5), None, "c"),
+        # user 2: ts tie at s=9 -> event_id desc breaks it (id 11)
+        (2, 10, t(9), 1.0, "x"),
+        (2, 11, t(9), 2.0, "y"),
+        # user 3: NULL ts rows drop entirely
+        (3, 20, None, 9.0, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "value double, event_type string"
+    )
+    out = {r.user_id: r for r in golden_record(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].last_value == 30.0
+    assert out[1].modal_type == "b"
+    assert out[1].n_events == 4
+    assert out[1].first_seen == t(1) and out[1].last_seen == t(5)
+    assert out[2].last_value == 2.0
+    # count tie between 'x' and 'y' -> alphabetical
+    assert out[2].modal_type == "x"

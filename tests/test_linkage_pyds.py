@@ -184,3 +184,28 @@ def test_streaming_datasource_consumes_waves_incrementally(
     batches = sorted(per_batch)
     assert per_batch[batches[0]] == set(range(13))
     assert per_batch[batches[1]] == set(range(13, 25))
+
+
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """Adjacent-in-sort near keys pair; cross-bucket and beyond-window
+    rows do not; exact distance verify prunes far keys."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "AA-0001"),
+            (2, "AA-0002"),   # d=1 from AA-0001, adjacent
+            (3, "AA-0999"),   # same bucket, adjacent in sort but d=3
+            (4, "BB-0001"),   # other bucket: never compared to AA-*
+            (5, None),        # NULL key excluded
+        ],
+        "id long, name string",
+    )
+    out = sorted_neighborhood_pairs(
+        df, "name", "id", window=3, max_distance=2,
+        bucket_expr=F.substring(F.col("key"), 1, 2),
+    ).collect()
+    got = {(r.id1, r.id2): r.distance for r in out}
+    assert got == {(1, 2): 1}
