@@ -410,6 +410,16 @@ def ahash_near_dup_pairs(
     bit_count — no Python, no float), so a SQL oracle replays the
     exhaustive equivalent bit-for-bit.
 
+    BAND WIDTH MUST GROW WITH log2(corpus): a (64/n_bands)-bit band
+    collides by chance at 2^-(64/n_bands), so random-candidate volume
+    grows n²/2^(64/n_bands). The default 8-bit bands (recall up to
+    Hamming 7) suit corpora ≲ a few thousand payloads; past that,
+    step down to ``n_bands=4`` (16-bit bands, Hamming ≤ 3 — the same
+    trade simhash ships), which keeps expected collisions per bucket
+    ≲ 1 up to ~2^16-scale corpora and stays sub-quadratic beyond
+    (scale-stress-measured). This is ordinary LSH tuning: bands
+    trade recall radius against candidate volume as n grows.
+
     Output: (id1, id2, hamming) with id1 < id2, hamming ≤
     ``max_hamming``.
     """

@@ -248,7 +248,11 @@ def l_diversity_suppress(
     under the data; when the sensitive domain itself explodes,
     swap the exact count for the HLL sketch
     (:mod:`etl_gcp_spark.functions.sketches`) and accept its ±2%.
-    Output: surviving rows only, original schema.
+    Output: surviving rows only, original schema. Rows with NULL in
+    any quasi-identifier never match the equi-re-join and are
+    therefore suppressed — the same (conservative) convention as
+    :func:`k_anonymity_suppress`; NULL sensitive values count zero
+    toward diversity.
     """
     diverse = (
         df.groupBy(*quasi_cols)

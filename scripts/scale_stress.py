@@ -290,8 +290,14 @@ def bench(out_dir: str, scale: int) -> dict:
         # (hash-DF>=2 prefilter), aHash pairs by band-bucket sizes,
         # and the collocation pairs by vocab^2 — all must hold at 10x
         "substring_dedup_rewrite": lambda m: _substr_rewrite(docs(m)),
+        # scale-safe banding: band width must grow with log2(n) (a
+        # b-bit band collides at 1/2^b, so candidates grow n²/2^b) —
+        # at stress scale that is 16-bit bands / Hamming ≤ 3, the
+        # same trade simhash_pairs ships; the registered sf0.01 entry
+        # uses the recall-liberal 8-bit/≤7 config its 500-doc corpus
+        # affords (see ahash_near_dup_pairs docstring)
         "ahash_near_dup": lambda m: _ahash(
-            _attach_payload(docs(m)), max_hamming=7
+            _attach_payload(docs(m)), max_hamming=3, n_bands=4
         ),
         "token_cooccurrence": lambda m: _cooc(docs(m)),
     }
