@@ -431,38 +431,63 @@ def ahash_near_dup_pairs(
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
     per = 64 // n_bands
-    fp = (
+    # ROW-WISE fingerprint build (explode → codegen aggregates), not
+    # nested higher-order lambdas: HOFs run interpreted, and a lambda
+    # referencing the decoded payload re-evaluates the decode PER
+    # ELEMENT (measured 4096 re-decodes/row → 335 s for 5K docs; this
+    # shape: sub-second). The decoded string materializes once per
+    # payload and is carried through the explode as a plain column.
+    from pyspark.sql import Window
+
+    g = (
         media.select(
-            F.col(id_col), F.col(payload_col).cast("string").alias("__s")
+            F.col(id_col).alias("__id"),
+            F.col(payload_col).cast("string").alias("__s"),
         )
         .withColumn("__n", F.length("__s"))
         .filter(F.col("__n") > 0)
-        .withColumn(
-            "__g",
-            F.expr(
-                "transform(sequence(0, 63), i -> "
-                "ascii(substring(__s, cast((i * __n) div 64 AS int) + 1, 1)))"
-            ),
+        .select(
+            "__id",
+            "__s",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
         )
-        .withColumn("__tot", F.expr("aggregate(__g, 0, (a, x) -> a + x)"))
-        .withColumn(
-            "bands",
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> "
-                f"aggregate(sequence(0, {per - 1}), 0, (a, j) -> "
-                f"a + if(element_at(__g, b * {per} + j + 1) * 64 > __tot, "
-                f"shiftleft(1, j), 0)))"
-            ),
+        .select(
+            "__id",
+            "i",
+            F.ascii(
+                F.expr(
+                    "substring(__s, cast((i * __n) div 64 AS int) + 1, 1)"
+                )
+            ).alias("gray"),
         )
-        .select(F.col(id_col).alias("__id"), "bands")
     )
-    banded = fp.select(
-        "__id", F.posexplode("bands").alias("band", "bkey")
+    w = Window.partitionBy("__id")
+    bands = (
+        g.withColumn("__tot", F.sum("gray").over(w))
+        .select(
+            "__id",
+            F.expr(f"cast(i div {per} AS int)").alias("band"),
+            F.when(
+                F.col("gray") * 64 > F.col("__tot"),
+                F.expr(f"shiftleft(1, cast(i % {per} AS int))"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__m"),
+        )
+        .groupBy("__id", "band")
+        .agg(F.sum("__m").cast("long").alias("bkey"))
+    )
+    fp = bands.groupBy("__id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(band, bkey))), "
+            "x -> x.bkey)"
+        ).alias("bands")
     )
     cand = (
-        banded.select("band", "bkey", F.col("__id").alias("id1"))
+        bands.select("band", "bkey", F.col("__id").alias("id1"))
         .join(
-            banded.select("band", "bkey", F.col("__id").alias("id2")),
+            bands.select("band", "bkey", F.col("__id").alias("id2")),
             ["band", "bkey"],
         )
         .filter(F.col("id1") < F.col("id2"))
