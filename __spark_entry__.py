@@ -2400,6 +2400,19 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_hilbert_layout(spark, sf_dir):
+    from etl_gcp_spark.operators.layout import hilbert_layout_stats
+
+    # Hilbert clustering over the same (custkey, totalprice) plane as
+    # zorder_layout: adjacent-step curve -> strictly tighter per-file
+    # bounding boxes (pytest-locked vs Morton on a uniform grid); the
+    # rotate/reflect walk is pure integer CASE/shift arithmetic the
+    # oracle unrolls round-for-round
+    return hilbert_layout_stats(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"]
+    )
+
+
 def _q_ingest_binaryfile(spark, sf_dir):
     """Opaque-binary ingest via Spark's built-in ``binaryFile``
     source (the multimodal payload on-ramp): 40 deterministic .bin
@@ -3353,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_stream": _q_python_datasource_stream,
         "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
+        "hilbert_layout": _q_hilbert_layout,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -3589,6 +3603,33 @@ _ZORDER_BITS = " + ".join(
     f"(((sc >> {b}) & 1) << {2 * b}) + (((sp >> {b}) & 1) << {2 * b + 1})"
     for b in range(8)
 )
+
+def _hilbert_steps_sql(bits: int = 8) -> str:
+    """Unrolled Hilbert xy→d rounds for the hilbert_layout oracle —
+    CTE h{k} per round, mirroring operators/layout.py::hilbert_key's
+    rotate/reflect loop expression-for-expression (pure int64
+    CASE/&/xor arithmetic, so DuckDB replays the JVM bit-exactly)."""
+    steps = []
+    prev = "scaled"
+    for k, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        steps.append(
+            f"""h{k} AS (
+                SELECT o_custkey, o_totalprice,
+                    CASE WHEN {ry} = 0 THEN
+                        CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END
+                    ELSE x END AS x,
+                    CASE WHEN {ry} = 0 THEN
+                        CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END
+                    ELSE y END AS y,
+                    d + {s * s} * xor(3 * {rx}, {ry}) AS d
+                FROM {prev})"""
+        )
+        prev = f"h{k}"
+    return ", ".join(steps)
+
 
 # quality_filter verdict: feature SQL mirrors the text_quality and
 # repetition_signals oracles (same 4-dp rounding), CASE order mirrors
@@ -4885,6 +4926,35 @@ def oracle_sql() -> dict[str, str]:
                    min(o_totalprice) AS min_o_totalprice,
                    max(o_totalprice) AS max_o_totalprice
             FROM z GROUP BY bucket
+        """,
+        # same 8-bit normalization as zorder_layout, then the
+        # unrolled Hilbert rotate/reflect rounds; bucket = top 6 of
+        # the 16 curve bits
+        "hilbert_layout": f"""
+            WITH stats AS (
+                SELECT CAST(min(o_custkey) AS DOUBLE) AS min_c,
+                       CAST(max(o_custkey) AS DOUBLE) AS max_c,
+                       CAST(min(o_totalprice) AS DOUBLE) AS min_p,
+                       CAST(max(o_totalprice) AS DOUBLE) AS max_p
+                FROM orders
+            ), scaled AS (
+                SELECT o_custkey, o_totalprice,
+                    CASE WHEN max_c - min_c = 0 THEN 0
+                         ELSE CAST(floor((CAST(o_custkey AS DOUBLE) - min_c)
+                              / (max_c - min_c) * 255) AS BIGINT) END AS x,
+                    CASE WHEN max_p - min_p = 0 THEN 0
+                         ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - min_p)
+                              / (max_p - min_p) * 255) AS BIGINT) END AS y,
+                    CAST(0 AS BIGINT) AS d
+                FROM orders CROSS JOIN stats
+            ), {_hilbert_steps_sql()}
+            SELECT d >> 10 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(o_custkey) AS min_o_custkey,
+                   max(o_custkey) AS max_o_custkey,
+                   min(o_totalprice) AS min_o_totalprice,
+                   max(o_totalprice) AS max_o_totalprice
+            FROM h7 GROUP BY bucket
         """,
         # fixture bytes are the document text utf-8 encoded, so the
         # oracle fingerprints the documents table directly (the

@@ -1,4 +1,5 @@
-"""Space-filling-curve data layout: Z-order (Morton) clustering.
+"""Space-filling-curve data layout: Z-order (Morton) and Hilbert
+clustering.
 
 At 100 TB, scan cost is dominated by how much data a query can SKIP.
 Partition pruning handles one dimension; multi-dimensional predicates
@@ -42,6 +43,24 @@ def zorder_key(
     thanks to parquet column statistics).
     """
     n = len(cols)
+    with_scaled = _scaled_dims(df, cols, bits=bits)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"__s_{c}"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + i)
+    return with_scaled.select(
+        *df.columns, z.cast("long").alias(key_name)
+    )
+
+
+def _scaled_dims(
+    df: DataFrame, cols: list[str], *, bits: int
+) -> DataFrame:
+    """Min/max-normalize each of ``cols`` to ``[0, 2^bits)`` integer
+    grid cells (shared by the Z-order and Hilbert keys): one 1-row
+    min/max aggregate broadcast back, degenerate constant columns map
+    to 0.  Appends ``__s_<col>`` long columns."""
     kmax = (1 << bits) - 1
     stats = df.agg(
         *[
@@ -61,16 +80,120 @@ def zorder_key(
             F.floor(frac * kmax).cast("long")
         )
 
-    with_scaled = df.join(F.broadcast(stats)).select(
-        "*", *[scaled(c).alias(f"__s_{c}") for c in cols]
+    return df.join(F.broadcast(stats)).select(
+        *df.columns, *[scaled(c).alias(f"__s_{c}") for c in cols]
     )
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, c in enumerate(cols):
-            bit = F.shiftright(F.col(f"__s_{c}"), b).bitwiseAND(F.lit(1))
-            z = z + F.shiftleft(bit, b * n + i)
-    return with_scaled.select(
-        *df.columns, z.cast("long").alias(key_name)
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    key_name: str = "hkey",
+) -> DataFrame:
+    """Append a 2-D Hilbert curve key over ``cols``.
+
+    Z-order is cheap but its curve JUMPS: consecutive key values can
+    sit at opposite corners of a quadrant, so per-file bounding boxes
+    carry dead volume.  The Hilbert curve visits every cell of the
+    2^bits × 2^bits grid through ADJACENT cells only (each step moves
+    Manhattan distance 1 — pytest-locked exhaustively), which is why
+    it clusters strictly tighter and is the layout Iceberg/Delta
+    reach for past Z-order.  Classic iterative xy→d walk (Hamilton
+    2007 / Wikipedia public formulation), unrolled over ``bits``
+    rounds of pure integer CASE/shift/mask Column arithmetic — JVM
+    whole-stage codegen, no UDF, and the DuckDB oracle replays the
+    identical unrolled rounds bit-for-bit.
+
+    2-D only (the classic rotate-reflect walk below is specific to
+    two dimensions); > 2 dims raises rather than silently degrading.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_key is 2-D: pass exactly two columns")
+    scaled = _scaled_dims(df, cols, bits=bits)
+    x: Column = F.col(f"__s_{cols[0]}")
+    y: Column = F.col(f"__s_{cols[1]}")
+    d: Column = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        d = d + F.lit(s * s).cast("long") * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        # rotate/reflect the quadrant: when ry == 0, reflect both
+        # axes if rx == 1 (about s-1), then swap x and y
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y),
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x),
+        ).otherwise(y)
+        # materialize each round as columns so the expression tree
+        # stays linear in `bits` (inlining triples per round)
+        scaled = scaled.select(
+            *df.columns,
+            nx.alias(f"__s_{cols[0]}"),
+            ny.alias(f"__s_{cols[1]}"),
+            d.alias("__hd"),
+        )
+        x = F.col(f"__s_{cols[0]}")
+        y = F.col(f"__s_{cols[1]}")
+        d = F.col("__hd")
+    return scaled.select(*df.columns, d.alias(key_name))
+
+
+def hilbert_layout_stats(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-bucket clustering statistics for a Hilbert layout — the
+    same footer-stats report as ``zorder_layout_stats`` (bucket = top
+    ``log2(n_buckets)`` curve bits ≙ one output file under
+    ``repartitionByRange``), so the two curves' per-file min/max
+    tightness is directly comparable on identical data."""
+    shift = 2 * bits - (n_buckets - 1).bit_length()
+    keyed = hilbert_key(df, cols, bits=bits)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        keyed.select(
+            F.shiftright(F.col("hkey"), shift).alias("bucket"), *cols
+        )
+        .groupBy("bucket")
+        .agg(*aggs)
+    )
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 64,
+) -> None:
+    """Write ``df`` parquet physically clustered on the Hilbert curve
+    (same range-partition + within-file sort discipline as
+    ``write_zordered``)."""
+    keyed = hilbert_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "hkey")
+        .sortWithinPartitions("hkey")
+        .drop("hkey")
+        .write.mode("overwrite")
+        .parquet(path)
     )
 
 

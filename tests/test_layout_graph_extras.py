@@ -123,3 +123,96 @@ def test_embedding_outliers_flags_the_flipped_vector(spark):
     assert out[9]["is_outlier"] is True
     assert math.isclose(out[9]["z"], -3.0, abs_tol=1e-3)
     assert out[0]["is_outlier"] is False
+
+
+def _hilbert_xy2d(n: int, x: int, y: int) -> int:
+    # pure-Python reference (classic iterative walk)
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_exhaustively(spark):
+    from etl_gcp_spark.operators.layout import hilbert_key
+
+    # full 16x16 grid at bits=4; corners pin the normalization to the
+    # identity map so every cell is its own grid coordinate
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    out = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in hilbert_key(df, ["x", "y"], bits=4).collect()
+    }
+    for x, y in pts:
+        assert out[(x, y)] == _hilbert_xy2d(16, x, y), (x, y)
+
+
+def test_hilbert_consecutive_cells_are_adjacent(spark):
+    from etl_gcp_spark.operators.layout import hilbert_key
+
+    # the defining Hilbert property (and what Z-order lacks): each
+    # curve step moves Manhattan distance EXACTLY 1
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    rows = hilbert_key(df, ["x", "y"], bits=5).collect()
+    by_d = {r["hkey"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(32 * 32))  # a bijection
+    for d in range(1, 32 * 32):
+        (x0, y0), (x1, y1) = by_d[d - 1], by_d[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+
+def test_hilbert_buckets_tighter_than_zorder_on_grid(spark):
+    from etl_gcp_spark.operators.layout import (
+        hilbert_layout_stats,
+        zorder_layout_stats,
+    )
+
+    # uniform 64x64 grid: Hilbert's adjacent-step walk must yield a
+    # strictly smaller total per-bucket bounding-box area than the
+    # jumpy Morton curve (the reason to pay for the rotate/reflect)
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, "x long, y long")
+
+    def total_area(rows):
+        return sum(
+            (r["max_x"] - r["min_x"] + 1) * (r["max_y"] - r["min_y"] + 1)
+            for r in rows
+        )
+
+    hil = total_area(
+        hilbert_layout_stats(df, ["x", "y"], bits=6, n_buckets=16).collect()
+    )
+    zor = total_area(
+        zorder_layout_stats(df, ["x", "y"], bits=6, n_buckets=16).collect()
+    )
+    assert hil <= zor
+
+
+def test_write_hilbert_roundtrip(spark, sf_dir):
+    from etl_gcp_spark.operators.layout import write_hilbert
+    from etl_gcp_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    path = os.path.join(tempfile.gettempdir(), "etl_gcp_spark_hilbert_test")
+    write_hilbert(orders, path, ["o_custkey", "o_totalprice"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert "hkey" not in back.columns
+    assert set(back.columns) == set(orders.columns)
