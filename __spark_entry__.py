@@ -1805,6 +1805,21 @@ def _q_histogram_quantiles(spark, sf_dir):
     )
 
 
+def _q_join_cardinality(spark, sf_dir):
+    """Planner-style join-size estimation: the CMS inner product
+    (AGMS dot-product estimator) sizes the events⋈events self-join on
+    user_id from two 8 KB counter tables — no shuffle of either side —
+    vs the exact cardinality Σ n_k² from per-key counts.  The answer
+    a cost-based optimizer needs before picking broadcast vs shuffle
+    vs salting; engine-portable universal hashes, so the oracle
+    replays counters, dot product, and the IEEE over_ratio division
+    bit-for-bit."""
+    from etl_gcp_spark.functions.sketches import cms_join_size
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_join_size(ev, "user_id", ev, "user_id")
+
+
 def _q_skew_salted_join(spark, sf_dir):
     """Deterministic salted fact-dim join: the large side's salt is
     pmod(xxhash64(l_orderkey), 8) — stable across task retries, unlike
@@ -3367,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
         "hilbert_layout": _q_hilbert_layout,
+        "join_cardinality_estimate": _q_join_cardinality,
         # converted to a value-hash oracle late in round 4 (ASCII
         # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
@@ -4926,6 +4942,39 @@ def oracle_sql() -> dict[str, str]:
                    min(o_totalprice) AS min_o_totalprice,
                    max(o_totalprice) AS max_o_totalprice
             FROM z GROUP BY bucket
+        """,
+        # CMS counters via the same universal-hash formula as
+        # cms_event_counts; est = min over hash rows of the bucket
+        # dot product, truth = sum of squared per-key counts
+        "join_cardinality_estimate": """
+            WITH seeds(row, a, b) AS (
+                VALUES (0, 1103515245, 12345), (1, 976369, 17),
+                       (2, 105943, 29), (3, 611953, 7919)
+            ), keys AS (
+                SELECT user_id AS k FROM events
+                WHERE user_id IS NOT NULL
+            ), sk AS (
+                SELECT row,
+                       ((a * (k % 2147483647) + b) % 2147483647) % 256
+                           AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM keys CROSS JOIN seeds GROUP BY 1, 2
+            ), ip AS (
+                SELECT s1.row, sum(s1.cnt * s2.cnt) AS v
+                FROM sk s1
+                JOIN sk s2 ON s1.row = s2.row AND s1.bucket = s2.bucket
+                GROUP BY 1
+            ), est AS (
+                SELECT CAST(min(v) AS BIGINT) AS est_rows FROM ip
+            ), truth AS (
+                SELECT CAST(coalesce(sum(n * n), 0) AS BIGINT)
+                           AS true_rows
+                FROM (SELECT count(*) AS n FROM keys GROUP BY k)
+            )
+            SELECT est_rows, true_rows,
+                   CAST(est_rows AS DOUBLE) / CAST(true_rows AS DOUBLE)
+                       AS over_ratio
+            FROM est CROSS JOIN truth
         """,
         # same 8-bit normalization as zorder_layout, then the
         # unrolled Hilbert rotate/reflect rounds; bucket = top 6 of

@@ -501,3 +501,74 @@ def grouped_histogram_quantiles(
         F.round(est, 6).alias("est"),
         F.col("__n").alias("n_values"),
     )
+
+
+# --------------------------------------------------- join-size estimate
+# CMS inner product (the AGMS/CM "dot product of frequency vectors"
+# estimator, Cormode & Muthukrishnan 2005 §4.2): |A ⋈_k B| equals the
+# inner product of the two key-frequency vectors, and the sketch
+# estimate min_d Σ_b cntA[d,b]·cntB[d,b] upper-bounds it with error
+# ≤ ε·|A|·|B| w.h.p.  This is what a cost-based planner does BEFORE
+# choosing a join strategy: two 8 KB counter tables (built map-side,
+# mergeable across partitions/days by addition) answer "will this
+# join explode / should the small side broadcast / does this key need
+# salting" without shuffling either table — at 100 TB the estimate
+# costs two scans and ~zero network, where the join it sizes costs a
+# full shuffle of both sides.  join_explosion_report (operators/
+# skew.py) is the EXACT top-k version of the same question; this is
+# the sublinear posture for domains too large to count exactly.
+
+
+def cms_join_size(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    *,
+    width: int = 256,
+) -> DataFrame:
+    """1-row report: (est_rows, true_rows, over_ratio).
+
+    est_rows = min over the 4 hash rows of the bucket-wise counter
+    dot product — always ≥ true_rows (collisions only ADD mass).
+    true_rows is computed from per-key counts (Σ cntA(k)·cntB(k) over
+    matching keys — an aggregation, never the join itself).  NULL
+    keys are excluded on both paths (an equi-join never matches
+    NULL).  Same engine-portable universal hashes as cms_build, so
+    the DuckDB oracle replays counters, dot products, and the final
+    IEEE division bit-for-bit.
+    """
+    a_nn = a.filter(F.col(a_key).isNotNull())
+    b_nn = b.filter(F.col(b_key).isNotNull())
+    sa = cms_build(a_nn, a_key, width=width)
+    sb = (
+        cms_build(b_nn, b_key, width=width)
+        .withColumnRenamed("cnt", "cnt_b")
+    )
+    est = (
+        sa.join(sb, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("v"))
+        # disjoint sketches produce an empty dot product: estimate 0
+        .agg(F.coalesce(F.min("v"), F.lit(0)).alias("est_rows"))
+    )
+    ka = a_nn.groupBy(F.col(a_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    kb = b_nn.groupBy(F.col(b_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    truth = ka.join(kb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+            "true_rows"
+        )
+    )
+    return est.crossJoin(truth).select(
+        "est_rows",
+        "true_rows",
+        F.when(
+            F.col("true_rows") > 0,
+            F.col("est_rows").cast("double")
+            / F.col("true_rows").cast("double"),
+        ).alias("over_ratio"),
+    )

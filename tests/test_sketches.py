@@ -352,3 +352,37 @@ def test_grouped_quantiles_error_bound(spark, sf_dir):
     assert len(got) == 10  # 5 priorities x 2 quantiles
     for r in got:
         assert abs(r.est - exact[(r.grp, r.q)]) <= width
+
+
+def test_cms_join_size_bounds_and_exact_truth(spark):
+    from etl_gcp_spark.functions.sketches import cms_join_size
+
+    # skewed key counts: key k appears k times -> truth = sum k^2
+    rows = [(k,) for k in range(1, 20) for _ in range(k)]
+    df = spark.createDataFrame(rows + [(None,)], "k long")
+    r = cms_join_size(df, "k", df, "k").first()
+    assert r["true_rows"] == sum(k * k for k in range(1, 20))
+    # CMS inner product never underestimates; NULLs excluded
+    assert r["est_rows"] >= r["true_rows"]
+    assert r["over_ratio"] == r["est_rows"] / r["true_rows"]
+
+
+def test_cms_join_size_two_sided(spark):
+    from etl_gcp_spark.functions.sketches import cms_join_size
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (9,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    r = cms_join_size(a, "k", b, "k").first()
+    # truth: key 1 -> 2*1, key 2 -> 1*2; key 3/9 unmatched
+    assert r["true_rows"] == 4
+    assert r["est_rows"] >= 4
+
+
+def test_cms_join_size_disjoint_truth_zero(spark):
+    from etl_gcp_spark.functions.sketches import cms_join_size
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(3,), (4,)], "k long")
+    r = cms_join_size(a, "k", b, "k").first()
+    assert r["true_rows"] == 0
+    assert r["est_rows"] >= 0
