@@ -1820,6 +1820,66 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_target_encoding(spark, sf_dir):
+    """Smoothed mean target encoding (micci-barreca 2001): enc(c) =
+    (Σ_c y + m·prior)/(n_c + m) over order priority vs total price.
+    DECIMAL(28,8) sums (order-free exact), then a fixed tree of
+    correctly-rounded double ops, rounded once at 4 dp."""
+    from etl_gcp_spark.operators.encoding import target_encode
+
+    return target_encode(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def _q_hashed_features(spark, sf_dir):
+    """Hashing-trick feature-space audit: signed 64-dim bag-of-words
+    via an engine-portable 8-char ascii polynomial mod 2^31−1 (no
+    vocabulary is ever collected — memory is O(dim) at any corpus
+    size); output is the per-index load report (docs, tokens, net
+    sign balance)."""
+    from etl_gcp_spark.operators.encoding import hashed_feature_stats
+
+    return hashed_feature_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences ((ts, event_id)-ordered lag window, one shuffle on
+    user_id); P(next|current) = one IEEE division on exact counts,
+    rounded 6 dp."""
+    from etl_gcp_spark.operators.events import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def _q_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix over the 4 lineitem measures in ONE
+    map-side-combined aggregation pass (no row shuffle at all):
+    values fixed-pointed to exact int64 cents, Σx² / Σxy as exact
+    DECIMAL(38,0), the textbook formula as a fixed
+    correctly-rounded double tree."""
+    from etl_gcp_spark.operators.quality import numeric_corr_matrix
+
+    return numeric_corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _q_chi2_features(spark, sf_dir):
+    """χ² feature selection (Yang & Pedersen 1997): top-20 tokens by
+    dependence between document-level presence and the lang=='en'
+    label; exact integer contingency counts, χ² as a fixed
+    correctly-rounded double tree so the top-k cut is
+    deterministic."""
+    from etl_gcp_spark.operators.classifier import chi2_feature_selection
+
+    return chi2_feature_selection(
+        _t(spark, sf_dir, "documents"), label=F.col("lang") == "en"
+    )
+
+
 def _q_skew_salted_join(spark, sf_dir):
     """Deterministic salted fact-dim join: the large side's salt is
     pmod(xxhash64(l_orderkey), 8) — stable across task retries, unlike
@@ -3559,6 +3619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
+        "target_encoding": _q_target_encoding,
+        "hashed_features": _q_hashed_features,
+        "markov_transitions": _q_markov_transitions,
+        "numeric_corr_matrix": _q_corr_matrix,
+        "chi2_features": _q_chi2_features,
     }.items()}
 
 
@@ -8647,5 +8712,203 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'col:o_orderstatus', c_status FROM agg
             UNION ALL SELECT 'col:o_orderpriority', c_prio FROM agg
         ) ORDER BY metric
+    """
+    # Smoothed target encoding: DECIMAL(28,8) sums are exact on both
+    # engines; the shrinkage is the identical fixed double tree
+    # (sum + 100·prior) / (n + 100), rounded once at 4 dp.
+    sql["target_encoding"] = """
+        WITH c AS (
+            SELECT o_orderpriority AS category,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(CAST(o_totalprice AS DECIMAL(28,8))) AS s
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY 1
+        ), g AS (
+            SELECT sum(n_rows) AS gn, sum(s) AS gs FROM c
+        )
+        SELECT category, n_rows,
+               round(CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE), 4)
+                   AS cat_mean,
+               round((CAST(s AS DOUBLE)
+                      + 100.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+                     / (CAST(n_rows AS DOUBLE) + 100.0), 4) AS enc
+        FROM c CROSS JOIN g
+    """
+    # Hashing-trick audit: the 8-char ascii polynomial mod 2^31-1 is
+    # pure int64-exact +/x/mod, so index and sign bits replay with no
+    # side table; floor(h/64) is exact (power-of-two divisor).
+    sql["hashed_features"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   (CASE WHEN length(tok) >= 1 THEN CAST(ascii(substr(tok, 1, 1)) AS BIGINT) ELSE 0 END * 1
+                  + CASE WHEN length(tok) >= 2 THEN CAST(ascii(substr(tok, 2, 1)) AS BIGINT) ELSE 0 END * 31
+                  + CASE WHEN length(tok) >= 3 THEN CAST(ascii(substr(tok, 3, 1)) AS BIGINT) ELSE 0 END * 961
+                  + CASE WHEN length(tok) >= 4 THEN CAST(ascii(substr(tok, 4, 1)) AS BIGINT) ELSE 0 END * 29791
+                  + CASE WHEN length(tok) >= 5 THEN CAST(ascii(substr(tok, 5, 1)) AS BIGINT) ELSE 0 END * 923521
+                  + CASE WHEN length(tok) >= 6 THEN CAST(ascii(substr(tok, 6, 1)) AS BIGINT) ELSE 0 END * 28629151
+                  + CASE WHEN length(tok) >= 7 THEN CAST(ascii(substr(tok, 7, 1)) AS BIGINT) ELSE 0 END * 887503681
+                  + CASE WHEN length(tok) >= 8 THEN CAST(ascii(substr(tok, 8, 1)) AS BIGINT) ELSE 0 END * 27512614111
+                   ) % 2147483647 AS hh
+            FROM toks WHERE length(tok) > 0
+        ), s AS (
+            SELECT doc_id, hh % 64 AS feat_idx,
+                   CASE WHEN CAST(floor(hh / 64.0) AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM h
+        )
+        SELECT feat_idx,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(sgn) AS BIGINT) AS net_weight
+        FROM s GROUP BY feat_idx
+    """
+    # Markov transitions: (ts, event_id)-ordered lag per user; NULL
+    # ts/type/user excluded on BOTH sides (Spark windows order NULLS
+    # FIRST, ANSI NULLS LAST — the wow_growth divergence class).
+    sql["markov_transitions"] = """
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND user_id IS NOT NULL
+        ), p AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type
+            FROM seq
+        ), c AS (
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, event_type, n_transitions,
+               round(CAST(n_transitions AS DOUBLE)
+                     / CAST(sum(n_transitions) OVER (
+                           PARTITION BY prev_type
+                       ) AS DOUBLE), 6) AS p
+        FROM c
+    """
+    # Pearson matrix: values fixed-pointed to exact int64 cents, sum
+    # of squares/cross-products as exact DECIMAL(38,0); the formula
+    # is the identical fixed correctly-rounded double tree.
+    sql["numeric_corr_matrix"] = """
+        WITH v AS (
+            SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ep,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS di,
+                   CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tx
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        ), s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(q)  AS DOUBLE) AS sq,
+                   CAST(sum(ep) AS DOUBLE) AS sep,
+                   CAST(sum(di) AS DOUBLE) AS sdi,
+                   CAST(sum(tx) AS DOUBLE) AS stx,
+                   CAST(sum(CAST(q * q   AS DECIMAL(38,0))) AS DOUBLE) AS pqq,
+                   CAST(sum(CAST(ep * ep AS DECIMAL(38,0))) AS DOUBLE) AS pepep,
+                   CAST(sum(CAST(di * di AS DECIMAL(38,0))) AS DOUBLE) AS pdidi,
+                   CAST(sum(CAST(tx * tx AS DECIMAL(38,0))) AS DOUBLE) AS ptxtx,
+                   CAST(sum(CAST(q * ep  AS DECIMAL(38,0))) AS DOUBLE) AS pqep,
+                   CAST(sum(CAST(q * di  AS DECIMAL(38,0))) AS DOUBLE) AS pqdi,
+                   CAST(sum(CAST(q * tx  AS DECIMAL(38,0))) AS DOUBLE) AS pqtx,
+                   CAST(sum(CAST(ep * di AS DECIMAL(38,0))) AS DOUBLE) AS pepdi,
+                   CAST(sum(CAST(ep * tx AS DECIMAL(38,0))) AS DOUBLE) AS peptx,
+                   CAST(sum(CAST(di * tx AS DECIMAL(38,0))) AS DOUBLE) AS pditx
+            FROM v
+        )
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+               CASE WHEN sqrt(n * pqq - sq * sq) * sqrt(n * pepep - sep * sep) > 0
+                    THEN round((n * pqep - sq * sep)
+                               / (sqrt(n * pqq - sq * sq)
+                                  * sqrt(n * pepep - sep * sep)), 6)
+               END AS corr, n_rows FROM s
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               CASE WHEN sqrt(n * pqq - sq * sq) * sqrt(n * pdidi - sdi * sdi) > 0
+                    THEN round((n * pqdi - sq * sdi)
+                               / (sqrt(n * pqq - sq * sq)
+                                  * sqrt(n * pdidi - sdi * sdi)), 6)
+               END, n_rows FROM s
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax',
+               CASE WHEN sqrt(n * pqq - sq * sq) * sqrt(n * ptxtx - stx * stx) > 0
+                    THEN round((n * pqtx - sq * stx)
+                               / (sqrt(n * pqq - sq * sq)
+                                  * sqrt(n * ptxtx - stx * stx)), 6)
+               END, n_rows FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               CASE WHEN sqrt(n * pepep - sep * sep) * sqrt(n * pdidi - sdi * sdi) > 0
+                    THEN round((n * pepdi - sep * sdi)
+                               / (sqrt(n * pepep - sep * sep)
+                                  * sqrt(n * pdidi - sdi * sdi)), 6)
+               END, n_rows FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax',
+               CASE WHEN sqrt(n * pepep - sep * sep) * sqrt(n * ptxtx - stx * stx) > 0
+                    THEN round((n * peptx - sep * stx)
+                               / (sqrt(n * pepep - sep * sep)
+                                  * sqrt(n * ptxtx - stx * stx)), 6)
+               END, n_rows FROM s
+        UNION ALL
+        SELECT 'l_discount', 'l_tax',
+               CASE WHEN sqrt(n * pdidi - sdi * sdi) * sqrt(n * ptxtx - stx * stx) > 0
+                    THEN round((n * pditx - sdi * stx)
+                               / (sqrt(n * pdidi - sdi * sdi)
+                                  * sqrt(n * ptxtx - stx * stx)), 6)
+               END, n_rows FROM s
+    """
+    # chi2: exact integer contingency counts; chi2 is the identical
+    # fixed correctly-rounded double tree, so the top-20 cut (chi2
+    # desc, token asc — a strict total order) is deterministic.
+    sql["chi2_features"] = """
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+            FROM documents
+        ), tot AS (
+            SELECT CAST(sum(y) AS BIGINT) AS n1,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM docs
+        ), posting AS (
+            SELECT doc_id, y,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM docs
+        ), pres AS (
+            SELECT DISTINCT doc_id, y, token FROM posting
+            WHERE length(token) > 0
+        ), c AS (
+            SELECT token, CAST(sum(y) AS BIGINT) AS a,
+                   CAST(sum(1 - y) AS BIGINT) AS b
+            FROM pres GROUP BY token
+        ), x AS (
+            SELECT token, a, b,
+                   CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                   CAST(n1 AS DOUBLE) - CAST(a AS DOUBLE) AS cd_,
+                   (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                       - CAST(b AS DOUBLE) AS dd,
+                   CAST(n AS DOUBLE) AS nd
+            FROM c CROSS JOIN tot
+            WHERE a + b >= 5
+        )
+        SELECT token, a + b AS df_docs, a, b,
+               CASE WHEN ((ad + bd) * (cd_ + dd))
+                         * ((ad + cd_) * (bd + dd)) > 0
+                    THEN round(nd * ((ad * dd - bd * cd_)
+                                     * (ad * dd - bd * cd_))
+                               / (((ad + bd) * (cd_ + dd))
+                                  * ((ad + cd_) * (bd + dd))), 6)
+                    ELSE CAST(0.0 AS DOUBLE)
+               END AS chi2
+        FROM x
+        ORDER BY chi2 DESC, token
+        LIMIT 20
     """
     return sql

@@ -202,3 +202,85 @@ def logreg_quality_report(
     from etl_gcp_spark.caching import tag_pinned
 
     return tag_pinned(out, feats)
+
+
+def chi2_feature_selection(
+    documents: DataFrame,
+    *,
+    label,
+    min_df: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """χ² feature selection: rank tokens by dependence between
+    document-level presence and a binary label — the classic
+    pre-filter that picks the vocabulary a quality/topic classifier
+    trains on (Yang & Pedersen 1997).
+
+    Per token a 2×2 contingency over DISTINCT (doc, token) presence:
+    a = docs with token ∧ label, b = with token ∧ ¬label,
+    c/d = the complements from the global label counts. χ² =
+    N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) as a FIXED tree of
+    correctly-rounded double ops on exact integer counts (every
+    count ≤ 2^53 is double-exact; the two products round once
+    each), rounded to 6 dp — bit-identical across engines, so the
+    top-k cut (χ² desc, token asc tiebreak) is deterministic.
+
+    Scale: explode → distinct(doc, token) → groupBy(token) with a
+    min_df cut (drops the hapax tail before ranking); the global
+    label counts are a broadcast 1-row frame. One shuffle on token;
+    output is k rows.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("__y"),
+        F.col(text_col),
+    )
+    totals = docs.agg(
+        F.sum("__y").alias("__n1"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    presence = (
+        docs.select(
+            "doc_id",
+            "__y",
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .select("doc_id", "__y", "token")
+        .distinct()
+    )
+    counts = presence.groupBy("token").agg(
+        F.sum("__y").alias("a"),
+        F.sum(F.lit(1) - F.col("__y")).alias("b"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n = F.col("__n").cast("double")
+    c = n1 - a
+    d = (n - n1) - b
+    diff = a * d - b * c
+    den = ((a + b) * (c + d)) * ((a + c) * (b + d))
+    # a token present in EVERY doc (or a constant label) zeroes a
+    # margin: χ² is 0 by definition there, and engines disagree on
+    # double x/0 (Inf vs NULL), so the guard is explicit
+    chi2 = F.when(
+        den > 0, F.round(n * (diff * diff) / den, 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.filter(F.col("a") + F.col("b") >= min_df)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            (F.col("a") + F.col("b")).alias("df_docs"),
+            "a",
+            "b",
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("token"))
+        .limit(k)
+    )

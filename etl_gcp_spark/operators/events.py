@@ -740,3 +740,50 @@ def watermark_sizing_report(
             "max_lateness_sec",
         )
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = b | current = a) — the behavioral model
+    behind next-action prediction, anomaly scoring (improbable
+    transitions), and sessionized clickstream analysis.
+
+    Ordering is (ts, event_id) within each user — the event_id
+    tiebreak makes the lag deterministic even under equal
+    timestamps. NULL ts / event_type / user_id rows are excluded on
+    both engine and oracle sides (Spark windows order NULLS FIRST,
+    ANSI oracles NULLS LAST — the wow_growth divergence class).
+
+    Output: (prev_type, event_type, n_transitions, p) with p = n /
+    Σ n over prev_type as one IEEE division on exact counts, rounded
+    to 6 dp.
+
+    Scale: one shuffle on user_id for the lag window (each user's
+    sequence is processed within its partition), then a groupBy on
+    the (prev, cur) pair — at most |types|² rows, map-side combined.
+    The per-prev normalizing sum runs over the aggregated matrix
+    (≤ |types|² rows), not the event stream.
+    """
+    seq = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        seq.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_prev).cast("double"),
+            6,
+        ).alias("p"),
+    )

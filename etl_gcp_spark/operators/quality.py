@@ -369,3 +369,76 @@ def boxplot_stats(
         F.col("grp").alias(group_col),
         "n", "min_v", "q1", "median", "q3", "max_v", "n_outliers",
     ).orderBy(group_col)
+
+
+def numeric_corr_matrix(
+    df: DataFrame, columns: list[str], *, scale: int = 2
+) -> DataFrame:
+    """Pearson correlation matrix over numeric columns in ONE
+    aggregation pass — the data-profiling step that finds redundant
+    or leaking features before training.
+
+    Replay discipline: each value is fixed-pointed to ``scale`` dp
+    (exact for money/quantity columns stored at 2 dp) as an int64;
+    Σx stays int64-exact, Σx² and Σxy accumulate as DECIMAL(38,0)
+    (order-free exact integer sums — a double accumulator would be
+    partition-order dependent). The textbook formula
+    n·Σxy − Σx·Σy over sqrt(n·Σx² − (Σx)²)·sqrt(n·Σy² − (Σy)²)
+    is then a FIXED tree of correctly-rounded double ops (cast, ×,
+    −, sqrt, ÷) on exact aggregates, rounded once to 6 dp —
+    bit-identical across engines. NULL-free rows only (listwise
+    deletion, the standard corr contract).
+
+    Scale: one full scan with map-side combine into
+    2k + k(k+1)/2 + 1 counters; output k(k−1)/2 rows. No shuffle of
+    data rows at all — only the counter row moves.
+    """
+    nn = df
+    for c in columns:
+        nn = nn.filter(F.col(c).isNotNull())
+    ints = nn.select(
+        *[
+            (F.col(c).cast(f"decimal(18,{scale})") * (10 ** scale))
+            .cast("long")
+            .alias(c)
+            for c in columns
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+    for i, a in enumerate(columns):
+        for b in columns[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a) * F.col(b)).cast("decimal(38,0)")
+                ).alias(f"p_{a}__{b}")
+            )
+    stats = ints.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("__n").cast("double")
+        sx = F.col(f"s_{a}").cast("double")
+        sy = F.col(f"s_{b}").cast("double")
+        sxy = F.col(f"p_{a}__{b}").cast("double")
+        sxx = F.col(f"p_{a}__{a}").cast("double")
+        syy = F.col(f"p_{b}__{b}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        # constant column → zero variance → corr undefined: NULL
+        # explicitly (engines disagree on double x/0)
+        return F.when(den > 0, F.round(num / den, 6))
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                corr(a, b).alias("corr"),
+                F.col("__n").alias("n_rows"),
+            )
+            for i, a in enumerate(columns)
+            for b in columns[i + 1 :]
+        ]
+    )
+    return stats.select(F.explode(pairs).alias("r")).select("r.*")

@@ -1,0 +1,176 @@
+"""Feature-prep encoders, Markov transitions, correlation matrix,
+chi2 selection — semantics against hand-computed / numpy references."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.operators.encoding import (
+    HASH_PRIME,
+    hashed_feature_stats,
+    hashed_features,
+    target_encode,
+)
+
+
+def test_target_encode_shrinks_toward_prior(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 100.0), (None, 40.0), ("c", None)],
+        "cat string, y double",
+    )
+    out = {r.category: r for r in target_encode(df, "cat", "y", smoothing=2.0).collect()}
+    # NULL target excluded entirely: 'c' has no surviving rows
+    assert "c" not in out
+    # NULL category is a real encoding row
+    assert out[None].n_rows == 1
+    prior = (10 + 20 + 100 + 40) / 4  # 42.5
+    assert out["a"].cat_mean == 15.0
+    assert out["a"].enc == round((30 + 2 * prior) / (2 + 2), 4)
+    assert out["b"].enc == round((100 + 2 * prior) / (1 + 2), 4)
+    # shrinkage: rare category pulled toward the prior
+    assert out["a"].enc > out["a"].cat_mean
+    assert out["b"].enc < out["b"].cat_mean
+
+
+def _py_hash(tok: str) -> int:
+    h = 0
+    for i, ch in enumerate(tok[:8]):
+        h += ord(ch) * 31**i
+    return h % HASH_PRIME
+
+
+def test_hashed_features_match_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "scan merge"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.feat_idx): r.weight
+        for r in hashed_features(docs, dim=64).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for doc_id, text in [(1, "spark spark join"), (2, "scan merge")]:
+        for tok in text.split():
+            h = _py_hash(tok)
+            sign = 1 if (h // 64) % 2 == 0 else -1
+            k = (doc_id, h % 64)
+            want[k] = want.get(k, 0) + sign
+    assert got == want
+    assert all(0 <= idx < 64 for _, idx in got)
+
+
+def test_hashed_feature_stats_consistent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = hashed_features(docs, dim=64)
+    stats = hashed_feature_stats(docs, dim=64)
+    a = per_doc.agg(F.sum("weight")).first()[0]
+    b = stats.agg(F.sum("net_weight")).first()[0]
+    assert a == b
+    n_tokens = stats.agg(F.sum("n_tokens")).first()[0]
+    exact = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).filter(F.length("t") > 0).count()
+    assert n_tokens == exact
+
+
+def test_markov_transitions_counts_and_rows(spark):
+    from etl_gcp_spark.operators.events import markov_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a
+        (1, t0, 1, "a"),
+        (2, t0 + datetime.timedelta(minutes=1), 1, "b"),
+        (3, t0 + datetime.timedelta(minutes=2), 1, "a"),
+        # user 2: a -> b
+        (4, t0, 2, "a"),
+        (5, t0 + datetime.timedelta(minutes=1), 2, "b"),
+        # NULL ts and NULL user excluded
+        (6, None, 1, "zzz"),
+        (7, t0, None, "zzz"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.prev_type, r.event_type): (r.n_transitions, r.p)
+        for r in markov_transitions(ev).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_markov_probabilities_sum_to_one(spark, sf_dir):
+    from etl_gcp_spark.operators.events import markov_transitions
+
+    ev = spark.read.format("parquet").load(
+        f"{sf_dir}/events.parquet"
+    )  # ts is int64-nanos here; cast like the loader does
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ) if dict(ev.dtypes)["ts"] == "bigint" else ev
+    sums = (
+        markov_transitions(ev)
+        .groupBy("prev_type")
+        .agg(F.round(F.sum("p"), 4).alias("s"))
+        .collect()
+    )
+    for r in sums:
+        # per-row 6-dp rounding keeps the row sum within 1e-4 of 1
+        assert abs(r.s - 1.0) < 1e-3
+
+
+def test_corr_matrix_exact_and_vs_numpy(spark):
+    np = pytest.importorskip("numpy")
+    from etl_gcp_spark.operators.quality import numeric_corr_matrix
+
+    rng = np.random.RandomState(7)
+    x = np.round(rng.uniform(0, 100, 500), 2)
+    y = np.round(3 * x + 5, 2)          # corr exactly 1
+    z = np.round(rng.uniform(0, 9, 500), 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {
+        (r.col_x, r.col_y): r.corr
+        for r in numeric_corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    # int64-cents exactness: compare against numpy on the same cents
+    cx = np.round(x * 100).astype(np.int64)
+    cz = np.round(z * 100).astype(np.int64)
+    want = np.corrcoef(cx, cz)[0, 1]
+    assert abs(got[("x", "z")] - want) < 1e-6
+
+
+def test_corr_matrix_constant_column_null(spark):
+    from etl_gcp_spark.operators.quality import numeric_corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    [r] = numeric_corr_matrix(df, ["x", "y"]).collect()
+    assert r.corr is None  # zero variance -> undefined, not Inf/NaN
+
+
+def test_chi2_planted_token_ranks_first(spark):
+    from etl_gcp_spark.operators.classifier import chi2_feature_selection
+
+    rows = []
+    for i in range(40):
+        lab = "en" if i % 2 == 0 else "de"
+        planted = "signal" if lab == "en" else "noise"
+        rows.append((i, f"common filler {planted}", lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_feature_selection(
+        docs, label=F.col("lang") == "en", min_df=5, k=4
+    ).collect()
+    assert {out[0].token, out[1].token} == {"signal", "noise"}
+    assert out[0].chi2 == 40.0  # perfect 2x2 split: chi2 = N
+    # a token present in EVERY doc carries no signal: guard lands 0
+    allpresent = {r.token: r.chi2 for r in out}
+    assert allpresent["common"] == 0.0
+    assert allpresent["filler"] == 0.0
