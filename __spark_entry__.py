@@ -1820,6 +1820,21 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_streaming_hll(spark, sf_dir):
+    """Streaming HLL distinct-count: per-microbatch register partials
+    merged by MAX — idempotent, so the streamed sketch state is
+    bit-identical to the batch build and hll_replayable's estimate
+    replay attaches verbatim (the fourth streaming sketch beside
+    CMS / top-k / quantiles)."""
+    from etl_gcp_spark.streaming.events import run_streaming_hll
+
+    return run_streaming_hll(
+        spark,
+        _t(spark, sf_dir, "orders"),
+        registers_sink=_oracle_side_path("hll_registers_stream"),
+    )
+
+
 def _q_target_encoding(spark, sf_dir):
     """Smoothed mean target encoding (micci-barreca 2001): enc(c) =
     (Σ_c y + m·prior)/(n_c + m) over order priority vs total price.
@@ -3624,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": _q_markov_transitions,
         "numeric_corr_matrix": _q_corr_matrix,
         "chi2_features": _q_chi2_features,
+        "streaming_hll": _q_streaming_hll,
     }.items()}
 
 
@@ -8713,6 +8729,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'col:o_orderpriority', c_prio FROM agg
         ) ORDER BY metric
     """
+    # Streaming HLL: the streamed register table is bit-identical to
+    # a batch build (max-merge is idempotent/associative), so the
+    # batch twin's replay attaches verbatim — only the side-table
+    # path differs.
+    sql["streaming_hll"] = sql["hll_replayable"].replace(
+        _oracle_side_path("hll_registers"),
+        _oracle_side_path("hll_registers_stream"),
+    )
     # Smoothed target encoding: DECIMAL(28,8) sums are exact on both
     # engines; the shrinkage is the identical fixed double tree
     # (sum + 100·prior) / (n + 100), rounded once at 4 dp.

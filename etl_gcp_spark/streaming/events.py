@@ -994,3 +994,116 @@ def run_streaming_quantiles(
         n_bins=n_bins,
         qs=qs,
     )
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    key_col: str = "o_custkey",
+    group_col: str = "o_orderpriority",
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+    registers_sink: str | None = None,
+) -> DataFrame:
+    """Per-group distinct-count sketch maintained OVER A STREAM — the
+    fourth streaming sketch beside CMS / top-k / quantiles: each
+    microbatch reduces to its own (grp, idx, max rho) register
+    partial and appends it; the live sketch is the register-wise MAX
+    of everything appended. HLL's merge-by-max property makes the
+    streamed registers IDENTICAL to a batch build over the same rows
+    (max is associative, commutative AND idempotent — a replayed
+    batch cannot even double-count, unlike the additive CMS/top-k
+    merges), so the batch twin's value-hash oracle
+    (``hll_replayable``) attaches to a genuinely streaming execution
+    verbatim.
+
+    Per trigger: one map-side-combined aggregation to ≤ groups·m
+    register rows and an O(KB) append — state never grows with the
+    stream. Partials are still batch_id-keyed in overwrite mode (the
+    crash-recovery discipline of the other three sketches) even
+    though max-merge would forgive duplicates: uniform recovery
+    semantics beat relying on per-sketch algebra.
+
+    NULL keys are excluded up front on both sides (the range
+    partitioner's ``key > lo`` / ``<= hi`` staging filters would
+    silently drop NULLs from the stream only — the convention all
+    four streaming sketches share).
+    """
+    from etl_gcp_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    root = root or os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_shll_{uuid.uuid4().hex}"
+    )
+    staged = os.path.join(root, "in")
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("long").alias(key_col), group_col
+    )
+    if not os.path.exists(staged):
+        bounds = rows.approxQuantile(
+            key_col, [i / n_batches for i in range(1, n_batches)], 0.0
+        )
+        lo = None
+        for k in range(n_batches):
+            hi = bounds[k] if k < len(bounds) else None
+            part = rows
+            if lo is not None:
+                part = part.filter(F.col(key_col) > lo)
+            if hi is not None:
+                part = part.filter(F.col(key_col) <= hi)
+            part.coalesce(1).write.parquet(
+                os.path.join(staged, f"b{k:02d}")
+            )
+            lo = hi
+
+    stream = (
+        spark.readStream.schema(f"{key_col} long, {group_col} string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(staged, "*"))
+    )
+    regs_dir = os.path.join(root, "regs")
+    done_in_run = {"n": 0}
+
+    def fold(batch_df, batch_id):
+        hll_registers(batch_df, key_col, group_col).groupBy(
+            "grp", "idx"
+        ).agg(F.max("rho").alias("rho")).write.mode("overwrite").parquet(
+            os.path.join(regs_dir, f"b{batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            raise RuntimeError("injected crash (recovery test)")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    merged = (
+        spark.read.parquet(os.path.join(regs_dir, "b*"))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    if registers_sink:
+        # the merged register table IS the sketch state; an oracle
+        # replays estimate + correction from it bit-for-bit
+        merged.write.mode("overwrite").parquet(registers_sink)
+        merged = spark.read.parquet(registers_sink)
+    return hll_estimate(merged).select(
+        F.col("grp").alias(group_col),
+        "est_distinct",
+        "n_registers_used",
+    )

@@ -386,3 +386,33 @@ def test_cms_join_size_disjoint_truth_zero(spark):
     r = cms_join_size(a, "k", b, "k").first()
     assert r["true_rows"] == 0
     assert r["est_rows"] >= 0
+
+
+def test_streaming_hll_recovers_and_equals_batch(spark, sf_dir, tmp_path):
+    import pytest
+
+    from etl_gcp_spark.functions.sketches import hll_estimate, hll_registers
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_hll
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = str(tmp_path / "shll_recovery")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_hll(spark, orders, root=root, fail_after_batches=2)
+    streamed = {
+        r.o_orderpriority: (r.est_distinct, r.n_registers_used)
+        for r in run_streaming_hll(spark, orders, root=root).collect()
+    }
+    batch = {
+        r.grp: (r.est_distinct, r.n_registers_used)
+        for r in hll_estimate(
+            hll_registers(
+                orders.filter(F.col("o_custkey").isNotNull()),
+                "o_custkey",
+                "o_orderpriority",
+            )
+        ).collect()
+    }
+    # max-merge is idempotent: the resumed stream's registers — and
+    # therefore the estimates — are bit-identical to the batch build
+    assert streamed == batch
