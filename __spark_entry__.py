@@ -1820,6 +1820,38 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_table_stats(spark, sf_dir):
+    """ANALYZE-style CBO stats over the 7 lineitem numerics in one
+    unpivoted scan: row/null counts, min/max exact; NDV via the
+    replayable HLL registers (≤ cols·128 rows shuffle — per-column
+    COUNT(DISTINCT) would be 7 full shuffles). The catalog-side
+    complement of join_cardinality_estimate."""
+    from etl_gcp_spark.functions.sketches import hll_registers
+    from etl_gcp_spark.operators.quality import (
+        analyze_table_stats,
+        stats_long_frame,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+    lf = stats_long_frame(li, cols)
+    _oracle_side_write(
+        hll_registers(
+            lf.filter(F.col("val").isNotNull()), "val", "col_name"
+        ),
+        "cbo_stats_registers",
+    )
+    return analyze_table_stats(li, cols)
+
+
 def _q_streaming_hll(spark, sf_dir):
     """Streaming HLL distinct-count: per-microbatch register partials
     merged by MAX — idempotent, so the streamed sketch state is
@@ -3640,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_corr_matrix": _q_corr_matrix,
         "chi2_features": _q_chi2_features,
         "streaming_hll": _q_streaming_hll,
+        "table_stats": _q_table_stats,
     }.items()}
 
 
@@ -8737,6 +8770,54 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    # CBO stats: exact unpivot stats in SQL; NDV replays the HLL
+    # estimate from the side-table registers (same literals/shape as
+    # hll_replayable, keyed by column name instead of priority).
+    cbo_side = os.path.join(
+        _oracle_side_path("cbo_stats_registers"), "*.parquet"
+    )
+    sql["table_stats"] = f"""
+        WITH lf AS (
+            SELECT 'l_orderkey' AS col_name,
+                   CAST(l_orderkey AS DOUBLE) AS val FROM lineitem
+            UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        ), ex AS (
+            SELECT col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM lf GROUP BY col_name
+        ), regs AS (
+            SELECT grp, idx, max(rho) AS mx
+            FROM read_parquet('{cbo_side}')
+            GROUP BY grp, idx
+        ), agg AS (
+            SELECT grp, sum(pow(2.0, -mx)) AS s, count(*) AS n
+            FROM regs GROUP BY grp
+        ), est AS (
+            SELECT grp,
+                   round(CASE WHEN raw <= 320.0 AND v > 0
+                              THEN 128.0 * ln(128.0 / v)
+                              ELSE raw END, 4) AS ndv_est,
+                   CAST(n AS BIGINT) AS n_registers_used
+            FROM (
+                SELECT grp, n,
+                       CAST(128 - n AS DOUBLE) AS v,
+                       (0.7213 / (1.0 + 1.079 / 128.0)) * 16384.0
+                         / (s + CAST(128 - n AS DOUBLE)) AS raw
+                FROM agg
+            )
+        )
+        SELECT col_name, n_rows, n_nulls, ndv_est, n_registers_used,
+               min_val, max_val
+        FROM ex LEFT JOIN est ON ex.col_name = est.grp
+    """
     # Smoothed target encoding: DECIMAL(28,8) sums are exact on both
     # engines; the shrinkage is the identical fixed double tree
     # (sum + 100·prior) / (n + 100), rounded once at 4 dp.

@@ -442,3 +442,78 @@ def numeric_corr_matrix(
         ]
     )
     return stats.select(F.explode(pairs).alias("r")).select("r.*")
+
+
+def analyze_table_stats(
+    df: DataFrame, columns: list[str]
+) -> DataFrame:
+    """ANALYZE-style per-column statistics — the stats table a
+    cost-based optimizer feeds on (row count, null count, min/max,
+    NDV): the catalog-side complement to the CMS join-size estimator
+    in functions/sketches.py.
+
+    ONE scan: the columns unpivot into a (column, val) long frame via
+    an exploded struct array, so row count / null count / min / max
+    for every column come from a single map-side-combined
+    aggregation. NDV is the HLL register sketch from
+    functions/sketches.py over the same long frame (≤ cols·128
+    register rows ever shuffle — COUNT(DISTINCT) per column would be
+    |cols| full shuffles of the data, exactly what stats collection
+    at 100 TB cannot afford). NULLs are excluded from NDV (the CBO
+    convention; the null count is its own column).
+
+    Values are cast to double for a uniform long frame — exact for
+    integer keys < 2^53 and 2-dp measures, the columns a planner
+    actually keys on.
+
+    Returns (col_name, n_rows, n_nulls, ndv_est, n_registers_used,
+    min_val, max_val). Callers that need the register table itself
+    (e.g. for an oracle replay) rebuild it from
+    :func:`stats_long_frame` + ``hll_registers`` — identical rows.
+    """
+    long_frame = stats_long_frame(df, columns)
+    exact = long_frame.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("val").isNull(), 1).otherwise(0)
+        ).alias("n_nulls"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    from etl_gcp_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    regs = hll_registers(
+        long_frame.filter(F.col("val").isNotNull()), "val", "col_name"
+    )
+    est = hll_estimate(regs).select(
+        F.col("grp").alias("col_name"),
+        F.col("est_distinct").alias("ndv_est"),
+        "n_registers_used",
+    )
+    return exact.join(F.broadcast(est), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "ndv_est",
+        "n_registers_used",
+        "min_val",
+        "max_val",
+    )
+
+
+def stats_long_frame(df: DataFrame, columns: list[str]) -> DataFrame:
+    """(col_name, val) unpivot of the given columns, vals as double —
+    one scan feeds every per-column statistic."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("double").alias("val"),
+            )
+            for c in columns
+        ]
+    )
+    return df.select(F.explode(entries).alias("e")).select("e.*")

@@ -174,3 +174,18 @@ def test_chi2_planted_token_ranks_first(spark):
     allpresent = {r.token: r.chi2 for r in out}
     assert allpresent["common"] == 0.0
     assert allpresent["filler"] == 0.0
+
+
+def test_analyze_table_stats_exact_and_ndv(spark):
+    from etl_gcp_spark.operators.quality import analyze_table_stats
+
+    rows = [(i, float(i % 10), None if i % 5 == 0 else float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, m double, s double")
+    out = {r.col_name: r for r in analyze_table_stats(df, ["k", "m", "s"]).collect()}
+    assert out["k"].n_rows == 1000 and out["k"].n_nulls == 0
+    assert out["m"].min_val == 0.0 and out["m"].max_val == 9.0
+    assert out["s"].n_nulls == 200
+    # exact small-range regime: 10 distinct -> linear counting is tight
+    assert abs(out["m"].ndv_est - 10) < 1.0
+    # 1000 distinct on m=128 registers: HLL error ~ 1.04/sqrt(128) ~ 9%
+    assert abs(out["k"].ndv_est - 1000) / 1000 < 0.3
