@@ -1820,6 +1820,16 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_textrank(spark, sf_dir):
+    """TextRank keywords: PageRank over the within-2-token
+    co-occurrence graph — composition of the token_cooccurrence edge
+    builder (vocab-bounded BEFORE the pair shuffle) and the fixed-
+    iteration 8-dp-rounded pagerank, so the whole chain replays."""
+    from etl_gcp_spark.functions.text import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
 def _q_table_stats(spark, sf_dir):
     """ANALYZE-style CBO stats over the 7 lineitem numerics in one
     unpivoted scan: row/null counts, min/max exact; NDV via the
@@ -3673,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_features": _q_chi2_features,
         "streaming_hll": _q_streaming_hll,
         "table_stats": _q_table_stats,
+        "textrank_keywords": _q_textrank,
     }.items()}
 
 
@@ -8770,6 +8781,71 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    # TextRank: token_cooccurrence-style edge build (canonical
+    # undirected pairs, vocab-bounded) + the event_pagerank unrolled
+    # 3-iteration 8-dp chain; final order by the 6-dp rounded score.
+    sql["textrank_keywords"] = r"""
+        WITH toked AS (
+            SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), uni AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(toks) AS tok FROM toked)
+            GROUP BY tok
+        ), vocab AS (
+            SELECT tok, n FROM uni ORDER BY n DESC, tok LIMIT 150
+        ), raw_pairs AS (
+            SELECT toks[gi.i] AS t1, toks[gi.i + gd.d] AS t2
+            FROM toked
+            CROSS JOIN LATERAL
+                (SELECT unnest(range(1, len(toks))) AS i) gi
+            CROSS JOIN LATERAL
+                (SELECT unnest(range(1, least(2, len(toks) - gi.i) + 1))
+                     AS d) gd
+            WHERE len(toks) >= 2
+        ), und AS (
+            SELECT least(t1, t2) AS a, greatest(t1, t2) AS b
+            FROM raw_pairs WHERE t1 <> t2
+        ), counted AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM und
+            WHERE a IN (SELECT tok FROM vocab)
+              AND b IN (SELECT tok FROM vocab)
+            GROUP BY a, b
+        ), edges AS (
+            SELECT a AS src, b AS dst, w FROM counted
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM counted
+        ), nodes AS (
+            SELECT tok AS node, n AS ntok FROM vocab
+        ), nn AS (SELECT count(*) AS n FROM nodes),
+        ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+        frac AS (
+            SELECT e.src, e.dst, e.w / o.ow AS f
+            FROM edges e JOIN ow o USING (src)
+        ),
+        r0 AS (SELECT node, round(1.0 / n, 8) AS r
+               FROM nodes CROSS JOIN nn),
+        c1 AS (SELECT f.dst, sum(f.f * r.r) AS c FROM frac f
+               JOIN r0 r ON r.node = f.src GROUP BY f.dst),
+        r1 AS (SELECT node, round((1-0.85)/n + 0.85*coalesce(c, 0), 8)
+                   AS r
+               FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = node),
+        c2 AS (SELECT f.dst, sum(f.f * r.r) AS c FROM frac f
+               JOIN r1 r ON r.node = f.src GROUP BY f.dst),
+        r2 AS (SELECT node, round((1-0.85)/n + 0.85*coalesce(c, 0), 8)
+                   AS r
+               FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = node),
+        c3 AS (SELECT f.dst, sum(f.f * r.r) AS c FROM frac f
+               JOIN r2 r ON r.node = f.src GROUP BY f.dst),
+        r3 AS (SELECT node, round((1-0.85)/n + 0.85*coalesce(c, 0), 8)
+                   AS r
+               FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = node)
+        SELECT r3.node AS token, nodes.ntok AS n_token,
+               round(r3.r, 6) AS score
+        FROM r3 JOIN nodes ON nodes.node = r3.node
+        ORDER BY score DESC, token
+        LIMIT 20
+    """
     # CBO stats: exact unpivot stats in SQL; NDV replays the HLL
     # estimate from the side-table registers (same literals/shape as
     # hll_replayable, keyed by column name instead of priority).

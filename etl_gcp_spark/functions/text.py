@@ -1201,3 +1201,98 @@ def token_cooccurrence_lift(
         .orderBy(F.col("n_pair").desc(), "t1", "t2")
         .limit(k)
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    *,
+    window: int = 2,
+    vocab_size: int = 150,
+    iterations: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the token co-occurrence graph — tokens that co-occur within
+    ``window`` positions vote for each other; globally central tokens
+    surface as corpus keywords.
+
+    Composition of two proven pieces: the array-expression pair
+    generation of :func:`token_cooccurrence_lift` (per-document, no
+    self-join; both endpoints broadcast-filtered against the
+    ``vocab_size`` top-token frame BEFORE the pair shuffle, bounding
+    the edge key space by vocab², not token²) and
+    :func:`etl_gcp_spark.operators.graph.pagerank` (fixed iteration
+    count, per-round 8-dp rounding — every intermediate replayable).
+    The graph is undirected: canonical least/greatest pairs counted
+    once, then emitted in both directions; self-loops dropped.
+
+    Scale: the corpus-sized work is one explode + one bounded-key
+    shuffle; everything after (vocab frame, edge list ≤ vocab²,
+    rank iterations) is broadcast-sized regardless of corpus size.
+
+    Output: top-``k`` (token, n_token, score) by score desc with
+    lexicographic tie-break — deterministic because the score is a
+    fixed rounded-arithmetic chain on both engines.
+    """
+    from etl_gcp_spark.operators.graph import pagerank
+
+    toked = documents.filter(F.col(text_col).isNotNull()).select(
+        tokens(F.col(text_col)).alias("__toks")
+    )
+    uni = (
+        toked.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = uni.orderBy(F.col("n").desc(), F.col("tok")).limit(vocab_size)
+    pairs = (
+        toked.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        f"transform(sequence(1, size(__toks) - 1), i -> "
+                        f"transform(sequence(1, least({window}, "
+                        f"size(__toks) - i)), d -> "
+                        f"struct(element_at(__toks, i) AS t1, "
+                        f"element_at(__toks, i + d) AS t2)))"
+                    )
+                )
+            ).alias("__p")
+        )
+        .filter(F.col("__p.t1") != F.col("__p.t2"))
+        .select(
+            F.least("__p.t1", "__p.t2").alias("a"),
+            F.greatest("__p.t1", "__p.t2").alias("b"),
+        )
+    )
+    va = vocab.select(F.col("tok").alias("a"))
+    vb = vocab.select(F.col("tok").alias("b"))
+    counted = (
+        pairs.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = counted.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        counted.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+        )
+    )
+    nodes = vocab.select(F.col("tok").alias("node"), "n")
+    pr = pagerank(
+        edges, nodes.select("node"), iterations=iterations
+    )
+    freqs = vocab.select(
+        F.col("tok").alias("token"), F.col("n").alias("n_token")
+    )
+    return (
+        pr.withColumnRenamed("node", "token")
+        .join(F.broadcast(freqs), "token")
+        .select("token", "n_token", F.col("pagerank").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("token"))
+        .limit(k)
+    )

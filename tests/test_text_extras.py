@@ -301,3 +301,19 @@ def test_token_cooccurrence_lift_semantics(spark):
     # N=160 tokens, n_pair=40, n1=n2=40 -> lift = 40*160/(40*40) = 4
     assert got[("alpha", "beta")] == (40, 4.0)
     assert got[("gamma", "delta")] == (40, 4.0)
+
+
+def test_textrank_central_token_wins(spark):
+    from etl_gcp_spark.functions.text import textrank_keywords
+
+    # 'hub' co-occurs with everything; leaves only with the hub
+    rows = [(i, f"hub leaf{i}") for i in range(10)] + [
+        (100, "hub hubby"), (101, "solo")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(docs, vocab_size=50, k=5).collect()
+    assert out[0].token == "hub"
+    assert out[0].n_token == 11
+    # scores are normalized-ish: every score positive, hub strictly top
+    assert all(r.score > 0 for r in out)
+    assert out[0].score > out[1].score
