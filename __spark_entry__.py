@@ -1820,6 +1820,16 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_ewma(spark, sf_dir):
+    """Per-user EWMA of event value at α=1/2: both fold multiplies
+    are exact powers of two, fold order pinned by (ts, event_id),
+    recency-capped to 64 terms BEFORE the collect (2^-64 damping —
+    numerically invisible, bounds the array at any history length)."""
+    from etl_gcp_spark.operators.events import ewma_by_user
+
+    return ewma_by_user(_t(spark, sf_dir, "events"))
+
+
 def _q_textrank(spark, sf_dir):
     """TextRank keywords: PageRank over the within-2-token
     co-occurrence graph — composition of the token_cooccurrence edge
@@ -3684,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": _q_streaming_hll,
         "table_stats": _q_table_stats,
         "textrank_keywords": _q_textrank,
+        "ewma_user_value": _q_ewma,
     }.items()}
 
 
@@ -8781,6 +8792,30 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    # EWMA: DuckDB list_reduce folds left with first-element init —
+    # the identical chain to Spark's explicit-init aggregate over the
+    # tail slice; both multiplies exact (power of two), order pinned.
+    sql["ewma_user_value"] = """
+        WITH rows_ AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND value IS NOT NULL
+        ), seqs AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM rows_ GROUP BY user_id
+        ), tails AS (
+            SELECT user_id,
+                   vals[greatest(1, len(vals) - 63)::BIGINT
+                        : len(vals)::BIGINT] AS tail
+            FROM seqs
+        )
+        SELECT user_id, CAST(len(tail) AS BIGINT) AS n_used,
+               tail[len(tail)] AS last_value,
+               round(list_reduce(tail, (acc, x) -> 0.5*x + 0.5*acc), 6)
+                   AS ewma
+        FROM tails
+    """
     # TextRank: token_cooccurrence-style edge build (canonical
     # undirected pairs, vocab-bounded) + the event_pagerank unrolled
     # 3-iteration 8-dp chain; final order by the 6-dp rounded score.

@@ -787,3 +787,82 @@ def markov_transitions(events: DataFrame) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+def ewma_by_user(
+    events: DataFrame, *, last_n: int = 64
+) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (α = 1/2) — the smoothed activity level behind engagement scores
+    and burst detection, and the engine's showcase of a DETERMINISTIC
+    sequential fold: s₀ = x₀, sₜ = 0.5·xₜ + 0.5·sₜ₋₁.
+
+    α is FIXED at 1/2 so both multiplications are by an exact power
+    of two (error-free in binary FP); each fold step rounds only at
+    the addition, and the fold order is pinned by (ts, event_id), so
+    the whole chain is a fixed expression tree that replays
+    bit-for-bit in a SQL oracle (DuckDB ``list_reduce`` folds left
+    with the first element as the initial accumulator — matched here
+    with an explicit init over the tail slice).
+
+    Only the LAST ``last_n`` events per user enter the fold — a term
+    ``last_n`` steps back is damped by 2^-64 (below any output
+    rounding), so the cap changes nothing numerically while bounding
+    the per-group array a 100-TB history would otherwise collect;
+    both engines apply the identical cap, so replay is exact either
+    way. One shuffle on user_id; the fold runs on arrays of ≤
+    ``last_n`` doubles.
+
+    Output: (user_id, n_used, last_value, ewma).
+    """
+    rows = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("user_id", "ts", "event_id", "value")
+    # cap BEFORE collecting: the rank window and the collect share the
+    # same user_id shuffle (one exchange), and no array ever exceeds
+    # last_n even for a user with millions of events
+    recency = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rows = rows.withColumn("__rn", F.row_number().over(recency)).filter(
+        F.col("__rn") <= last_n
+    )
+    by_user = (
+        rows.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("__seq")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("__seq"), lambda x: x["value"]).alias(
+                "__vals"
+            ),
+        )
+        .select(
+            "user_id",
+            F.slice(
+                F.col("__vals"),
+                F.greatest(
+                    F.lit(1), F.size("__vals") - F.lit(last_n - 1)
+                ),
+                F.lit(last_n),
+            ).alias("__tail"),
+        )
+    )
+    init = F.element_at(F.col("__tail"), 1)
+    rest = F.slice(F.col("__tail"), 2, F.size("__tail") - 1)
+    ewma = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return by_user.select(
+        "user_id",
+        F.size("__tail").cast("long").alias("n_used"),
+        F.element_at(F.col("__tail"), -1).alias("last_value"),
+        F.round(ewma, 6).alias("ewma"),
+    )

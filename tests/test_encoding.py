@@ -189,3 +189,42 @@ def test_analyze_table_stats_exact_and_ndv(spark):
     assert abs(out["m"].ndv_est - 10) < 1.0
     # 1000 distinct on m=128 registers: HLL error ~ 1.04/sqrt(128) ~ 9%
     assert abs(out["k"].ndv_est - 1000) / 1000 < 0.3
+
+
+def test_ewma_fold_matches_python(spark):
+    from etl_gcp_spark.operators.events import ewma_by_user
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 40.0, 8.0]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, v)
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [r] = ewma_by_user(ev).collect()
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = 0.5 * v + 0.5 * acc
+    assert r.ewma == round(acc, 6)
+    assert r.n_used == 4 and r.last_value == 8.0
+
+
+def test_ewma_recency_cap(spark):
+    from etl_gcp_spark.operators.events import ewma_by_user
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, float(i))
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [r] = ewma_by_user(ev, last_n=64).collect()
+    assert r.n_used == 64
+    acc = 36.0  # values 36..99 survive the cap
+    for v in range(37, 100):
+        acc = 0.5 * v + 0.5 * acc
+    assert r.ewma == round(acc, 6)
