@@ -1820,6 +1820,16 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_trend_report(spark, sf_dir):
+    """Mann–Kendall S/z + Theil–Sen slope over weekly event counts:
+    integer sign sums, tie-corrected integer variance numerator, one
+    /18.0 + sqrt fixed tree, pairwise slopes on the ≤|weeks| frame
+    (never data-sized) with an exact middle-rank median."""
+    from etl_gcp_spark.operators.events import trend_report
+
+    return trend_report(_t(spark, sf_dir, "events"))
+
+
 def _q_ewma(spark, sf_dir):
     """Per-user EWMA of event value at α=1/2: both fold multiplies
     are exact powers of two, fold order pinned by (ts, event_id),
@@ -3695,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": _q_table_stats,
         "textrank_keywords": _q_textrank,
         "ewma_user_value": _q_ewma,
+        "trend_report": _q_trend_report,
     }.items()}
 
 
@@ -8792,6 +8803,60 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    # Mann-Kendall + Theil-Sen: integer S and tie numerator, the
+    # identical /18.0 + sqrt tree, integer-div middle-rank median.
+    sql["trend_report"] = """
+        WITH weekly AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), base AS (SELECT min(wk) AS w0 FROM weekly),
+        idx AS (
+            SELECT CAST((wk - w0) // 7 AS BIGINT) AS i, c
+            FROM weekly CROSS JOIN base
+        ), pairs AS (
+            SELECT CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+                   CAST(b.c - a.c AS DOUBLE)
+                       / CAST(b.i - a.i AS DOUBLE) AS slope
+            FROM idx a JOIN idx b ON a.i < b.i
+        ), stats AS (
+            SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs
+        ), nw AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks FROM idx),
+        ties AS (
+            SELECT CAST(coalesce(
+                       sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                       AS tie_num
+            FROM (SELECT count(*) AS t FROM idx GROUP BY c)
+            WHERE t > 1
+        ), ranked AS (
+            SELECT slope, row_number() OVER (ORDER BY slope) AS rn
+            FROM pairs
+        ), med AS (
+            SELECT sum(slope) / CAST(count(*) AS DOUBLE) AS theil_sen
+            FROM ranked CROSS JOIN stats
+            WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+        )
+        SELECT n_weeks, s_stat,
+               round(CASE
+                   WHEN s_stat > 0 THEN
+                       (CAST(s_stat AS DOUBLE) - 1.0)
+                       / sqrt((CAST(n_weeks AS DOUBLE)
+                               * (CAST(n_weeks AS DOUBLE) - 1.0)
+                               * (2.0 * CAST(n_weeks AS DOUBLE) + 5.0)
+                               - CAST(tie_num AS DOUBLE)) / 18.0)
+                   WHEN s_stat < 0 THEN
+                       (CAST(s_stat AS DOUBLE) + 1.0)
+                       / sqrt((CAST(n_weeks AS DOUBLE)
+                               * (CAST(n_weeks AS DOUBLE) - 1.0)
+                               * (2.0 * CAST(n_weeks AS DOUBLE) + 5.0)
+                               - CAST(tie_num AS DOUBLE)) / 18.0)
+                   ELSE CAST(0.0 AS DOUBLE)
+               END, 6) AS z_mk,
+               round(theil_sen, 6) AS theil_sen_slope
+        FROM stats CROSS JOIN nw CROSS JOIN ties CROSS JOIN med
+    """
     # EWMA: DuckDB list_reduce folds left with first-element init —
     # the identical chain to Spark's explicit-init aggregate over the
     # tail slice; both multiplies exact (power of two), order pinned.

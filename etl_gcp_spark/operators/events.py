@@ -866,3 +866,121 @@ def ewma_by_user(
         F.element_at(F.col("__tail"), -1).alias("last_value"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+def trend_report(events: DataFrame) -> DataFrame:
+    """Robust trend detection over the weekly event-count series:
+    Mann–Kendall S and z (is there a monotone trend?) plus the
+    Theil–Sen slope (how steep, robust to outlier weeks) — the
+    nonparametric pair that replaces eyeballing a dashboard, and the
+    robust complement to :func:`cusum_change_point`'s level-shift
+    detector.
+
+    Replay discipline: S = Σ_{i<j} sign(c_j − c_i) is pure integer
+    arithmetic; the variance uses the exact tie-corrected integer
+    numerator (n(n−1)(2n+5) − Σ t(t−1)(2t+5)) before ONE division by
+    18.0 and one sqrt — a fixed correctly-rounded tree. Slopes are
+    one IEEE division each on exact integers (count delta over
+    week-index delta); the median picks the middle sorted element
+    (mean of the two middles for even counts — one add, one exact
+    halving), so every emitted value replays bit-for-bit.
+
+    Scale: the corpus-sized work is ONE map-side-combined weekly
+    aggregation; everything after runs on the ≤ |weeks| frame
+    (pairwise join is |weeks|² ≈ 2.7K rows for a 52-week year —
+    driver-free, but never data-sized). NULL timestamps excluded.
+
+    Output (1 row): n_weeks, s_statistic, z_mk, theil_sen_slope.
+    """
+    weekly = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = weekly.agg(F.min("wk").alias("w0"))
+    idx = weekly.crossJoin(F.broadcast(base)).select(
+        (
+            (F.unix_date(F.col("wk")) - F.unix_date(F.col("w0"))) / 7
+        )
+        .cast("long")
+        .alias("i"),
+        "c",
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("c").alias("ca"))
+    b = idx.select(F.col("i").alias("ib"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.signum((F.col("cb") - F.col("ca")).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("ib") - F.col("ia")).cast("double")
+        ).alias("slope"),
+    )
+    stats = pairs.agg(
+        F.sum("sgn").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("n_weeks"))
+    ties = (
+        idx.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_num")
+        )
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy(F.col("slope"))) 
+        .alias("rn"),
+    )
+    med = (
+        ranked.crossJoin(
+            F.broadcast(stats.select("n_pairs"))
+        )
+        # middle rank(s): odd count selects one row twice-over (both
+        # expressions land on (n+1) div 2), even count selects n/2
+        # and n/2+1 — integer div, NOT `/` (long/long is double)
+        .filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("rn") == F.expr("n_pairs div 2 + 1"))
+        )
+        .agg(
+            (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias(
+                "theil_sen"
+            )
+        )
+    )
+    nw = F.col("n_weeks").cast("double")
+    var = (
+        nw * (nw - 1.0) * (2.0 * nw + 5.0)
+        - F.col("tie_num").cast("double")
+    ) / F.lit(18.0)
+    s = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (s - 1.0) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (s + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_weeks",
+            "s_stat",
+            F.round(z, 6).alias("z_mk"),
+            F.round(F.col("theil_sen"), 6).alias("theil_sen_slope"),
+        )
+    )

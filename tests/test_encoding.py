@@ -228,3 +228,37 @@ def test_ewma_recency_cap(spark):
     for v in range(37, 100):
         acc = 0.5 * v + 0.5 * acc
     assert r.ewma == round(acc, 6)
+
+
+def test_trend_report_monotone_series(spark):
+    from etl_gcp_spark.operators.events import trend_report
+
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    for wk in range(6):  # strictly rising weekly counts: 1,2,...,6
+        for j in range(wk + 1):
+            rows.append((eid, t0 + datetime.timedelta(weeks=wk, hours=j)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    [r] = trend_report(ev).collect()
+    assert r.n_weeks == 6
+    assert r.s_stat == 15  # all 15 pairs increasing
+    # counts rise by exactly 1/week: every pairwise slope is 1.0
+    assert r.theil_sen_slope == 1.0
+    assert r.z_mk > 2.0  # strong upward trend
+
+
+def test_trend_report_flat_series_zero(spark):
+    from etl_gcp_spark.operators.events import trend_report
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (wk * 10 + j, t0 + datetime.timedelta(weeks=wk, hours=j))
+        for wk in range(5)
+        for j in range(3)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    [r] = trend_report(ev).collect()
+    assert r.s_stat == 0 and r.z_mk == 0.0
+    assert r.theil_sen_slope == 0.0
