@@ -1820,6 +1820,26 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_seasonality(spark, sf_dir):
+    """Hour-of-day load profile per event type (counts folded across
+    days onto the 24-hour clock; share per type via a window over the
+    <=24x|types| aggregated frame, never the events)."""
+    from etl_gcp_spark.operators.events import seasonality_profile
+
+    return seasonality_profile(_t(spark, sf_dir, "events"))
+
+
+def _q_fd_violations(spark, sf_dir):
+    """Functional-dependency audit l_orderkey -> l_shipdate: per-key
+    distinct counts (shuffle keyed by the candidate key), 1-row
+    summary with exact counts + one IEEE division."""
+    from etl_gcp_spark.operators.quality import fd_violation_report
+
+    return fd_violation_report(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_shipdate"
+    )
+
+
 def _q_trend_report(spark, sf_dir):
     """Mann–Kendall S/z + Theil–Sen slope over weekly event counts:
     integer sign sums, tie-corrected integer variance numerator, one
@@ -3706,6 +3726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank,
         "ewma_user_value": _q_ewma,
         "trend_report": _q_trend_report,
+        "seasonality_profile": _q_seasonality,
+        "fd_violations": _q_fd_violations,
     }.items()}
 
 
@@ -8803,6 +8825,38 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    sql["seasonality_profile"] = """
+        WITH h AS (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT event_type, hour_of_day, n_events,
+               round(CAST(n_events AS DOUBLE)
+                     / CAST(sum(n_events) OVER (
+                           PARTITION BY event_type) AS DOUBLE), 6)
+                   AS share
+        FROM h
+    """
+    sql["fd_violations"] = """
+        WITH per_key AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_shipdate) AS nd
+            FROM lineitem WHERE l_orderkey IS NOT NULL
+            GROUP BY l_orderkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+               CAST(max(nd) AS BIGINT) AS max_rhs_per_key
+        FROM per_key
+    """
     # Mann-Kendall + Theil-Sen: integer S and tie numerator, the
     # identical /18.0 + sqrt tree, integer-div middle-rank median.
     sql["trend_report"] = """

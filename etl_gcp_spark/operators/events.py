@@ -984,3 +984,42 @@ def trend_report(events: DataFrame) -> DataFrame:
             F.round(F.col("theil_sen"), 6).alias("theil_sen_slope"),
         )
     )
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality per event type: counts folded across
+    all days onto the 24-hour clock plus each type's share per hour —
+    the load profile that sizes streaming capacity and flags
+    diurnal-pattern drift (compare two periods' profiles with
+    psi_drift). Distinct from :func:`hourly_event_stats`, which
+    buckets by calendar hour instance rather than clock position.
+
+    One map-side-combined aggregation to ≤ 24·|types| rows; the share
+    divides by the per-type total via a window over the aggregated
+    frame (never the events). NULL timestamps excluded on both
+    engine and oracle sides.
+
+    Output: (event_type, hour_of_day, n_events, share) — share is
+    one IEEE division on exact counts, rounded 6 dp.
+    """
+    hourly = (
+        events.filter(
+            F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    per_type = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(per_type).cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -517,3 +517,46 @@ def stats_long_frame(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     )
     return df.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def fd_violation_report(
+    df: DataFrame, lhs: str, rhs: str
+) -> DataFrame:
+    """Functional-dependency audit: does ``lhs → rhs`` hold? Reports
+    how many lhs keys map to more than one distinct rhs value — the
+    profiling check behind key discovery, denormalization safety, and
+    "is this column derivable" questions (Papenbrock et al. 2015's
+    FD-discovery primitive for a single candidate).
+
+    One groupBy(lhs) with count_distinct(rhs), then a 1-row summary:
+    exact integer counts, one IEEE division for the rate. NULL lhs
+    keys are excluded (a NULL key identifies nothing); NULL rhs
+    values are ignored by count_distinct on both engines, so a key
+    whose only rhs is NULL has nd = 0 and never counts as violating.
+
+    Scale: the shuffle is keyed by lhs (the candidate key — high
+    cardinality means near-unique groups, cheap combine); the summary
+    aggregation runs on the per-key frame, never re-scanning facts.
+
+    Output (1 row): n_keys, n_violating, violation_rate,
+    max_rhs_per_key.
+    """
+    per_key = (
+        df.filter(F.col(lhs).isNotNull())
+        .groupBy(lhs)
+        .agg(F.count_distinct(F.col(rhs)).alias("__nd"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).alias(
+            "n_violating"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("__nd") > 1, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("violation_rate"),
+        F.max("__nd").alias("max_rhs_per_key"),
+    )

@@ -262,3 +262,37 @@ def test_trend_report_flat_series_zero(spark):
     [r] = trend_report(ev).collect()
     assert r.s_stat == 0 and r.z_mk == 0.0
     assert r.theil_sen_slope == 0.0
+
+
+def test_seasonality_shares_sum_to_one(spark):
+    from etl_gcp_spark.operators.events import seasonality_profile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(hours=i), 1, "a" if i % 2 else "b")
+        for i in range(48)
+    ] + [(99, None, 1, "a")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = seasonality_profile(ev).collect()
+    assert sum(r.n_events for r in out) == 48  # NULL ts excluded
+    by_type: dict[str, float] = {}
+    for r in out:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + r.share
+    for s in by_type.values():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_fd_violation_report(spark):
+    from etl_gcp_spark.operators.quality import fd_violation_report
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (3, None), (None, "z")],
+        "k long, v string",
+    )
+    [r] = fd_violation_report(df, "k", "v").collect()
+    assert r.n_keys == 3  # NULL lhs excluded
+    assert r.n_violating == 1  # only key 2 maps to two values
+    assert r.max_rhs_per_key == 2
+    assert r.violation_rate == round(1 / 3, 6)
