@@ -235,8 +235,16 @@ def bench(out_dir: str, scale: int) -> dict:
         substring_dedup_rewrite as _substr_rewrite,
     )
     from etl_gcp_spark.operators.classifier import (
+        chi2_feature_selection as _chi2,
         logreg_quality_report as _logreg,
     )
+    from etl_gcp_spark.operators.encoding import (
+        hashed_feature_stats as _hashstats,
+    )
+    from etl_gcp_spark.functions.text import (
+        textrank_keywords as _textrank,
+    )
+    from pyspark.sql import functions as F
     from etl_gcp_spark.session import get_spark
 
     spark = get_spark("scale_stress")
@@ -300,6 +308,16 @@ def bench(out_dir: str, scale: int) -> dict:
             _attach_payload(docs(m)), max_hamming=3, n_bands=4
         ),
         "token_cooccurrence": lambda m: _cooc(docs(m)),
+        # round-4 continuation-3 ops: the hashing trick is a pure
+        # explode+groupBy (dim-bounded key space), chi2 a distinct
+        # posting join, textrank a vocab-bounded pair explosion +
+        # rank iterations on the <=vocab^2 edge list — all expected
+        # ~linear; measured, not assumed
+        "hashed_features": lambda m: _hashstats(docs(m)),
+        "chi2_features": lambda m: _chi2(
+            docs(m), label=F.col("lang") == "en"
+        ),
+        "textrank_keywords": lambda m: _textrank(docs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't
