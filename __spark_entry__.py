@@ -1893,13 +1893,20 @@ def _q_table_stats(spark, sf_dir):
         "l_tax",
     ]
     lf = stats_long_frame(li, cols)
-    _oracle_side_write(
+    # ONE register scan: side-write the MAX-AGGREGATED registers
+    # (≤ cols·128 rows — not the rows·cols raw observations, a
+    # 4.2M-row parquet write at sf0.1), then feed the read-back
+    # table to the estimate so the register pipeline never runs twice
+    regs = (
         hll_registers(
             lf.filter(F.col("val").isNotNull()), "val", "col_name"
-        ),
-        "cbo_stats_registers",
+        )
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
     )
-    return analyze_table_stats(li, cols)
+    _oracle_side_write(regs, "cbo_stats_registers")
+    merged = spark.read.parquet(_oracle_side_path("cbo_stats_registers"))
+    return analyze_table_stats(li, cols, registers=merged)
 
 
 def _q_streaming_hll(spark, sf_dir):

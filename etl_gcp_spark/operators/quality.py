@@ -445,7 +445,7 @@ def numeric_corr_matrix(
 
 
 def analyze_table_stats(
-    df: DataFrame, columns: list[str]
+    df: DataFrame, columns: list[str], *, registers: DataFrame | None = None
 ) -> DataFrame:
     """ANALYZE-style per-column statistics — the stats table a
     cost-based optimizer feeds on (row count, null count, min/max,
@@ -485,8 +485,17 @@ def analyze_table_stats(
         hll_registers,
     )
 
-    regs = hll_registers(
-        long_frame.filter(F.col("val").isNotNull()), "val", "col_name"
+    # callers that already materialized the (grp, idx, rho) registers
+    # (e.g. to side-write them for an oracle replay) pass them in and
+    # skip the second register scan
+    regs = (
+        registers
+        if registers is not None
+        else hll_registers(
+            long_frame.filter(F.col("val").isNotNull()),
+            "val",
+            "col_name",
+        )
     )
     est = hll_estimate(regs).select(
         F.col("grp").alias("col_name"),
