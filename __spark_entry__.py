@@ -1820,6 +1820,37 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_equi_depth(spark, sf_dir):
+    """Equi-depth histogram of l_extendedprice (16 buckets): the CBO
+    range statistic; global rank via the distributed two-pass
+    (range-partition + per-partition row_number + broadcast offsets
+    — never a single-partition global window)."""
+    from etl_gcp_spark.operators.quality import equi_depth_histogram
+
+    return equi_depth_histogram(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+def _q_selectivity(spark, sf_dir):
+    """Range-selectivity audit: estimate COUNT(10000<=price<=20000)
+    from the equi-depth histogram (uniform in-bucket interpolation,
+    per-bucket 6-dp rounding, DECIMAL cross-bucket sum) vs the exact
+    count — with table_stats (NDV) and join_cardinality_estimate
+    this completes the planner estimation toolkit."""
+    from etl_gcp_spark.operators.quality import range_selectivity_report
+
+    return range_selectivity_report(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        lo=10000.0,
+        hi=20000.0,
+    )
+
+
 def _q_seasonality(spark, sf_dir):
     """Hour-of-day load profile per event type (counts folded across
     days onto the 24-hour clock; share per type via a window over the
@@ -3735,6 +3766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_report": _q_trend_report,
         "seasonality_profile": _q_seasonality,
         "fd_violations": _q_fd_violations,
+        "equi_depth_histogram": _q_equi_depth,
+        "range_selectivity": _q_selectivity,
     }.items()}
 
 
@@ -8832,6 +8865,63 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    sql["equi_depth_histogram"] = """
+        WITH rows_ AS (
+            SELECT l_extendedprice AS v, l_orderkey, l_linenumber
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), nn AS (SELECT count(*) AS n FROM rows_),
+        ranked AS (
+            SELECT v, row_number() OVER (
+                       ORDER BY v, l_orderkey, l_linenumber) AS rn
+            FROM rows_
+        ), hist AS (
+            SELECT CAST(((rn - 1) * 16) // n AS INTEGER) AS bucket,
+                   min(v) AS lo, max(v) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM ranked CROSS JOIN nn GROUP BY 1
+        )
+        SELECT bucket, lo, hi, n_rows FROM hist
+    """
+    sql["range_selectivity"] = """
+        WITH rows_ AS (
+            SELECT l_extendedprice AS v, l_orderkey, l_linenumber
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), nn AS (SELECT count(*) AS n FROM rows_),
+        ranked AS (
+            SELECT v, row_number() OVER (
+                       ORDER BY v, l_orderkey, l_linenumber) AS rn
+            FROM rows_
+        ), hist AS (
+            SELECT CAST(((rn - 1) * 16) // n AS INTEGER) AS bucket,
+                   min(v) AS lo, max(v) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM ranked CROSS JOIN nn GROUP BY 1
+        ), contrib AS (
+            SELECT round(CAST(n_rows AS DOUBLE) *
+                       (CASE WHEN hi > lo THEN
+                            greatest(0.0, least(20000.0, hi)
+                                          - greatest(10000.0, lo))
+                            / (hi - lo)
+                        ELSE CASE WHEN lo >= 10000.0 AND lo <= 20000.0
+                                  THEN 1.0 ELSE 0.0 END
+                        END), 6) AS c
+            FROM hist
+        ), est AS (
+            SELECT CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE)
+                       AS est_rows
+            FROM contrib
+        ), truth AS (
+            SELECT CAST(count(*) AS BIGINT) AS true_rows
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+                  AND l_extendedprice >= 10000.0
+                  AND l_extendedprice <= 20000.0
+        )
+        SELECT est_rows, true_rows,
+               round(abs(est_rows - CAST(true_rows AS DOUBLE))
+                     / CAST(true_rows AS DOUBLE), 6) AS rel_error
+        FROM est CROSS JOIN truth
+    """
     sql["seasonality_profile"] = """
         WITH h AS (
             SELECT event_type,

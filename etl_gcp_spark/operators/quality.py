@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -568,4 +568,150 @@ def fd_violation_report(
             6,
         ).alias("violation_rate"),
         F.max("__nd").alias("max_rhs_per_key"),
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Equi-depth (equal-height) histogram — the range-selectivity
+    statistic every cost-based optimizer keeps beside NDV
+    (:func:`analyze_table_stats`): ``n_buckets`` buckets of equal row
+    count with their value bounds.
+
+    bucket = (rank−1)·n_buckets div n — pure integer arithmetic on a
+    deterministic global rank (``tiebreak_cols`` must complete a
+    strict total order, so the rank — and therefore every bucket —
+    is identical on every engine and partitioning; range-partition
+    boundaries only decide WHERE a rank is computed, never its
+    value). The rank itself is the textbook distributed two-pass:
+    ``repartitionByRange`` on the sort key, per-partition
+    ``row_number`` (windows keyed by partition id — parallel, never
+    a single-partition global window), plus broadcast cumulative
+    partition offsets. One range exchange total — the shuffle
+    equi-depth fundamentally needs (it IS how warehouse ANALYZE
+    builds height-balanced histograms; at 100 TB it runs on a
+    sample, which changes this plan not at all).
+
+    Output: (bucket, lo, hi, n_rows).
+    """
+    order = [F.col(value_col)] + [F.col(c) for c in tiebreak_cols]
+    rows = df.filter(F.col(value_col).isNotNull())
+    n = rows.count()
+    n_parts = max(1, min(32, n // 65536 + 1))
+    parts = rows.repartitionByRange(n_parts, *order).select(
+        F.col(value_col).alias("__v"),
+        *[F.col(c) for c in tiebreak_cols],
+        F.spark_partition_id().alias("__pid"),
+    )
+    counts = parts.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # running offset over the ≤ n_parts count rows (tiny by
+    # construction — this single-partition window is bounded)
+    off_w = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias(
+            "__off"
+        ),
+    )
+    in_part = Window.partitionBy("__pid").orderBy(
+        F.col("__v"), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = (
+        parts.withColumn("__rn_in", F.row_number().over(in_part))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            "__v",
+            (F.col("__off") + F.col("__rn_in")).alias("__rn"),
+        )
+    )
+    return (
+        ranked.select(
+            F.expr(f"((__rn - 1) * {n_buckets}) div {n}")
+            .cast("int")
+            .alias("bucket"),
+            "__v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def range_selectivity_report(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Selectivity audit: estimate ``COUNT(lo ≤ x ≤ hi)`` from the
+    equi-depth histogram (uniform interpolation inside partially
+    overlapped buckets — the textbook CBO formula) and report it
+    against the exact count. With :func:`analyze_table_stats` (NDV)
+    and ``cms_join_size`` (join cardinality) this completes the
+    planner's estimation toolkit: scan selectivity × NDV × join size
+    is what picks broadcast vs shuffle vs salting at 100 TB.
+
+    Determinism: each bucket's contribution is a fixed double tree
+    (one width division, one multiply) rounded to 6 dp, and the
+    cross-bucket total accumulates as DECIMAL(18,6) — float summation
+    order is partition-dependent, decimal summation is exact — so
+    the estimate replays bit-for-bit.
+
+    Output (1 row): est_rows, true_rows, rel_error.
+    """
+    hist = equi_depth_histogram(
+        df, value_col, tiebreak_cols, n_buckets=n_buckets
+    )
+    plo, phi = F.lit(float(lo)), F.lit(float(hi))
+    blo = F.col("lo").cast("double")
+    bhi = F.col("hi").cast("double")
+    overlap = F.greatest(
+        F.lit(0.0),
+        F.least(phi, bhi) - F.greatest(plo, blo),
+    )
+    frac = F.when(
+        bhi > blo, overlap / (bhi - blo)
+    ).otherwise(
+        # degenerate bucket (single value): in or out, never partial
+        F.when((blo >= plo) & (blo <= phi), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    contrib = F.round(F.col("n_rows").cast("double") * frac, 6)
+    est = hist.agg(
+        F.sum(contrib.cast("decimal(18,6)"))
+        .cast("double")
+        .alias("est_rows")
+    )
+    true_rows = df.filter(
+        F.col(value_col).isNotNull()
+        & (F.col(value_col) >= plo)
+        & (F.col(value_col) <= phi)
+    ).agg(F.count(F.lit(1)).alias("true_rows"))
+    return est.crossJoin(true_rows).select(
+        "est_rows",
+        "true_rows",
+        F.round(
+            F.abs(
+                F.col("est_rows") - F.col("true_rows").cast("double")
+            )
+            / F.col("true_rows").cast("double"),
+            6,
+        ).alias("rel_error"),
     )

@@ -296,3 +296,37 @@ def test_fd_violation_report(spark):
     assert r.n_violating == 1  # only key 2 maps to two values
     assert r.max_rhs_per_key == 2
     assert r.violation_rate == round(1 / 3, 6)
+
+
+def test_equi_depth_histogram_buckets(spark):
+    from etl_gcp_spark.operators.quality import equi_depth_histogram
+
+    rows = [(float(v), v, 0) for v in range(160)]
+    df = spark.createDataFrame(rows, "v double, k long, s long")
+    out = sorted(
+        equi_depth_histogram(df, "v", ["k", "s"], n_buckets=16).collect()
+    )
+    assert len(out) == 16
+    assert all(r.n_rows == 10 for r in out)  # perfectly equal depth
+    # buckets tile the domain in order without overlap
+    for a, b in zip(out, out[1:]):
+        assert a.hi < b.lo
+    assert out[0].lo == 0.0 and out[-1].hi == 159.0
+
+
+def test_range_selectivity_exact_on_boundaries(spark):
+    from etl_gcp_spark.operators.quality import range_selectivity_report
+
+    rows = [(float(v), v, 0) for v in range(160)]
+    df = spark.createDataFrame(rows, "v double, k long, s long")
+    [r] = range_selectivity_report(
+        df, "v", ["k", "s"], lo=0.0, hi=159.0, n_buckets=16
+    ).collect()
+    # whole-domain predicate: every bucket fully covered, est exact
+    assert r.est_rows == 160.0 and r.true_rows == 160
+    [r2] = range_selectivity_report(
+        df, "v", ["k", "s"], lo=40.0, hi=79.0, n_buckets=16
+    ).collect()
+    assert r2.true_rows == 40
+    # uniform data: interpolation error well under one bucket of rows
+    assert abs(r2.est_rows - 40.0) <= 10.0
