@@ -516,3 +516,100 @@ def test_embedding_sanitize_matches_python_reference(spark, vec_lists):
         else:
             verdict = "ok"
         assert got[i] == (n_dims, n_nonfinite, is_zero, verdict), (i, v)
+
+
+@_slow
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_poly_hash_matches_python_reference(spark, toks):
+    """The portable 8-char polynomial hash (feature hashing) equals a
+    pure-Python evaluation for arbitrary printable-ASCII tokens —
+    index and sign bits both."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.encoding import HASH_PRIME, _poly_hash
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = df.select(
+        "tok",
+        _poly_hash(F.col("tok")).alias("h"),
+    ).collect()
+    for r in got:
+        want = sum(
+            ord(c) * 31**i for i, c in enumerate(r.tok[:8])
+        ) % HASH_PRIME
+        assert r.h == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_ewma_fold_matches_python_reference(spark, vals):
+    """The distributed EWMA fold (alpha=1/2, recency cap 64) is
+    bit-identical to the sequential Python fold over the same capped
+    tail — the exactness claim the oracle relies on."""
+    import datetime
+
+    from etl_gcp_spark.operators.events import ewma_by_user
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1, float(v))
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [r] = ewma_by_user(ev, last_n=64).collect()
+    tail = vals[-64:]
+    acc = tail[0]
+    for v in tail[1:]:
+        acc = 0.5 * v + 0.5 * acc
+    assert r.ewma == round(acc, 6)
+    assert r.n_used == len(tail)
+
+
+@_slow
+@given(
+    st.lists(
+        st.integers(-1000, 1000), min_size=5, max_size=120, unique=True
+    ),
+    st.integers(2, 8),
+)
+def test_equi_depth_rank_matches_sorted_python(spark, vals, k):
+    """Distributed two-pass rank: bucket sizes differ by at most one
+    and bucket ranges tile the sorted order — for any value list and
+    bucket count (ties impossible: unique values + id tiebreak)."""
+    from etl_gcp_spark.operators.quality import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(vals)], "v double, i long"
+    )
+    out = sorted(
+        equi_depth_histogram(df, "v", ["i"], n_buckets=k).collect()
+    )
+    n = len(vals)
+    assert sum(r.n_rows for r in out) == n
+    sizes = [r.n_rows for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(out, out[1:]):
+        assert a.hi < b.lo
