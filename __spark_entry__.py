@@ -1820,6 +1820,17 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_streaming_markov(spark, sf_dir):
+    """Streaming Markov transitions: the genuinely stateful streaming
+    sketch — per-batch lag transitions + boundary transitions against
+    batch_id-keyed last-event-per-user state slices; the time-cut
+    stage partitioner makes the recovered sequence identical to the
+    batch sort, so markov_transitions' oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.events import run_streaming_markov
+
+    return run_streaming_markov(spark, _t(spark, sf_dir, "events"))
+
+
 def _q_equi_depth(spark, sf_dir):
     """Equi-depth histogram of l_extendedprice (16 buckets): the CBO
     range statistic; global rank via the distributed two-pass
@@ -3768,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": _q_fd_violations,
         "equi_depth_histogram": _q_equi_depth,
         "range_selectivity": _q_selectivity,
+        "streaming_markov": _q_streaming_markov,
     }.items()}
 
 
@@ -9343,4 +9355,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY chi2 DESC, token
         LIMIT 20
     """
+    # streamed transition counts equal the batch lag exactly (time-
+    # cut staging preserves the per-user global order; boundary state
+    # supplies the cross-batch transitions)
+    sql["streaming_markov"] = sql["markov_transitions"]
     return sql

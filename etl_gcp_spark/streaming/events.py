@@ -1107,3 +1107,175 @@ def run_streaming_hll(
         "est_distinct",
         "n_registers_used",
     )
+
+
+def run_streaming_markov(
+    spark: SparkSession,
+    events: DataFrame,
+    *,
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts maintained over a
+    TIME-ORDERED stream — the genuinely stateful streaming op in the
+    sketch family: unlike CMS/top-k/HLL/quantiles (whose per-batch
+    partials are self-contained), a transition can SPAN a batch
+    boundary, so each trigger must remember every user's last event.
+
+    Mechanics per trigger, all batch_id-keyed in overwrite mode (the
+    crash-recovery discipline: a replayed batch rewrites its own
+    partials and state slice, never double-counts):
+
+    - within-batch transitions via the same (ts, event_id) lag window
+      as the batch operator;
+    - boundary transitions by joining the predecessor state (latest
+      event per user across all state slices with id < batch_id —
+      discovered by listing, exactly like the near-dup index) to each
+      user's FIRST in-batch event;
+    - new state slice = latest in-batch event per user.
+
+    Because the stage partitioner cuts on EVENT TIME (every event in
+    batch k is later than every event in batches < k), the recovered
+    global sequence is identical to the batch sort, so the final
+    counts — and therefore :func:`~etl_gcp_spark.operators.events.
+    markov_transitions`' value-hash oracle — attach to the streaming
+    execution verbatim.
+
+    State is |users| rows per slice (compactable like the IVF append
+    trees); per-trigger work is one lag window over the batch plus
+    two tiny latest-per-user reductions.
+    """
+    from pyspark.sql import Window
+
+    root = root or os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_smkv_{uuid.uuid4().hex}"
+    )
+    staged = os.path.join(root, "in")
+    rows = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    if not os.path.exists(staged):
+        bounds = rows.approxQuantile(
+            "us", [i / n_batches for i in range(1, n_batches)], 0.0
+        )
+        lo = None
+        for k in range(n_batches):
+            hi = bounds[k] if k < len(bounds) else None
+            part = rows
+            if lo is not None:
+                part = part.filter(F.col("us") > lo)
+            if hi is not None:
+                part = part.filter(F.col("us") <= hi)
+            part.coalesce(1).write.parquet(
+                os.path.join(staged, f"b{k:02d}")
+            )
+            lo = hi
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, us long, event_id long, event_type string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(staged, "*"))
+    )
+    counts_dir = os.path.join(root, "counts")
+    state_dir = os.path.join(root, "state")
+    done_in_run = {"n": 0}
+
+    def _latest_per_user(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "us", "event_id", "event_type")
+        )
+
+    def fold(batch_df, batch_id):
+        from pyspark.sql import Window as W
+
+        prev_slices = (
+            sorted(
+                d
+                for d in os.listdir(state_dir)
+                if d.startswith("b") and int(d[1:]) < batch_id
+            )
+            if os.path.isdir(state_dir)
+            else []
+        )
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        within = (
+            batch_df.withColumn(
+                "prev_type", F.lag("event_type").over(w)
+            )
+            .filter(F.col("prev_type").isNotNull())
+            .select("prev_type", "event_type")
+        )
+        firsts = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.col("event_type").alias("cur_type"))
+        )
+        if prev_slices:
+            prev_state = _latest_per_user(
+                spark.read.parquet(
+                    *[os.path.join(state_dir, d) for d in prev_slices]
+                )
+            ).select(
+                "user_id", F.col("event_type").alias("prev_type")
+            )
+            boundary = prev_state.join(firsts, "user_id").select(
+                "prev_type", F.col("cur_type").alias("event_type")
+            )
+            within = within.unionByName(boundary)
+        within.groupBy("prev_type", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"b{batch_id}")
+        )
+        _latest_per_user(batch_df).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"b{batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            raise RuntimeError("injected crash (recovery test)")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    merged = (
+        spark.read.parquet(os.path.join(counts_dir, "b*"))
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n").alias("n_transitions"))
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return merged.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_prev).cast("double"),
+            6,
+        ).alias("p"),
+    )

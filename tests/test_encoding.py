@@ -330,3 +330,28 @@ def test_range_selectivity_exact_on_boundaries(spark):
     assert r2.true_rows == 40
     # uniform data: interpolation error well under one bucket of rows
     assert abs(r2.est_rows - 40.0) <= 10.0
+
+
+def test_streaming_markov_recovers_and_equals_batch(spark, sf_dir, tmp_path):
+    from etl_gcp_spark.operators.events import markov_transitions
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.events import run_streaming_markov
+
+    events = load_table(spark, sf_dir, "events")
+    root = str(tmp_path / "smkv_recovery")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_markov(
+            spark, events, root=root, fail_after_batches=2
+        )
+    streamed = {
+        (r.prev_type, r.event_type): (r.n_transitions, r.p)
+        for r in run_streaming_markov(spark, events, root=root).collect()
+    }
+    batch = {
+        (r.prev_type, r.event_type): (r.n_transitions, r.p)
+        for r in markov_transitions(events).collect()
+    }
+    # time-cut staging preserves per-user order; boundary state
+    # supplies the cross-batch transitions — exact equality, counts
+    # AND probabilities
+    assert streamed == batch
