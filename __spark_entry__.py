@@ -1820,6 +1820,16 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_session_rules(spark, sf_dir):
+    """Association rules over session baskets (support / confidence /
+    lift): the sessionize lag+cumsum assignment, DISTINCT baskets,
+    pair self-join keyed by the session (candidates bounded by
+    |types|^2 per session, never events)."""
+    from etl_gcp_spark.operators.events import session_rules
+
+    return session_rules(_t(spark, sf_dir, "events"))
+
+
 def _q_streaming_markov(spark, sf_dir):
     """Streaming Markov transitions: the genuinely stateful streaming
     sketch — per-batch lag transitions + boundary transitions against
@@ -3780,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_histogram": _q_equi_depth,
         "range_selectivity": _q_selectivity,
         "streaming_markov": _q_streaming_markov,
+        "session_rules": _q_session_rules,
     }.items()}
 
 
@@ -8877,6 +8888,64 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    sql["session_rules"] = """
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL
+        ), lagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM ev
+        ), flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM lagged
+        ), numbered AS (
+            SELECT user_id, event_type,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        ), baskets AS (
+            SELECT DISTINCT user_id, session_id, event_type
+            FROM numbered
+        ), totals AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions
+            FROM (SELECT DISTINCT user_id, session_id FROM baskets)
+        ), type_counts AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+            FROM baskets GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM baskets a
+            JOIN baskets b
+              ON a.user_id = b.user_id
+             AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
+        )
+        SELECT type_a, type_b, n_pair,
+               round(CAST(n_pair AS DOUBLE)
+                     / CAST(n_sessions AS DOUBLE), 6) AS support,
+               round(CAST(n_pair AS DOUBLE)
+                     / CAST(ca.n_type AS DOUBLE), 6)
+                   AS confidence_a_to_b,
+               round(CAST(n_pair * n_sessions AS DOUBLE)
+                     / CAST(ca.n_type * cb.n_type AS DOUBLE), 6)
+                   AS lift
+        FROM pairs
+        JOIN type_counts ca ON ca.event_type = pairs.type_a
+        JOIN type_counts cb ON cb.event_type = pairs.type_b
+        CROSS JOIN totals
+    """
     sql["equi_depth_histogram"] = """
         WITH rows_ AS (
             SELECT l_extendedprice AS v, l_orderkey, l_linenumber

@@ -1023,3 +1023,106 @@ def seasonality_profile(events: DataFrame) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+def session_rules(
+    events: DataFrame, *, gap_minutes: int = 30, min_pair: int = 5
+) -> DataFrame:
+    """Association rules over session baskets: which event types
+    co-occur in the same session beyond chance — market-basket
+    support / confidence / lift with sessions as transactions (the
+    cross-sell / next-action analysis classic, run on clickstreams
+    instead of carts).
+
+    Sessions come from the same lag+cumsum assignment as
+    :func:`sessionize`; the basket is the DISTINCT (session, type)
+    set, so the pair self-join is keyed by the session — candidates
+    per session are bounded by |types|² (a handful), never by events,
+    and the join reuses the session shuffle key. All ratios are one
+    IEEE division on exact integer counts (lift's numerator is the
+    exact integer product n_pair·N), rounded to 6 dp. NULL
+    ts/user/type rows are excluded up front on both sides.
+
+    Output: (type_a, type_b, n_pair, support, confidence_a_to_b,
+    lift) for pairs in ≥ ``min_pair`` sessions, type_a < type_b.
+    """
+    ev = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts")).over(by_user).cast("long")
+    )
+    running = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    baskets = (
+        ev.withColumn(
+            "__new",
+            F.when(
+                gap.isNull() | (gap > gap_minutes * 60), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id", F.sum("__new").over(running).cast("long")
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    totals = baskets.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("__n_sessions")
+    )
+    type_counts = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n_type")
+    )
+    a = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", "session_id", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    ca = type_counts.select(
+        F.col("event_type").alias("type_a"),
+        F.col("__n_type").alias("__n_a"),
+    )
+    cb = type_counts.select(
+        F.col("event_type").alias("type_b"),
+        F.col("__n_type").alias("__n_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.col("__n_sessions").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.col("__n_a").cast("double"),
+                6,
+            ).alias("confidence_a_to_b"),
+            F.round(
+                (F.col("n_pair") * F.col("__n_sessions")).cast(
+                    "double"
+                )
+                / (F.col("__n_a") * F.col("__n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

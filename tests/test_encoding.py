@@ -355,3 +355,27 @@ def test_streaming_markov_recovers_and_equals_batch(spark, sf_dir, tmp_path):
     # supplies the cross-batch transitions — exact equality, counts
     # AND probabilities
     assert streamed == batch
+
+
+def test_session_rules_perfect_cooccurrence(spark):
+    from etl_gcp_spark.operators.events import session_rules
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 6 sessions (one per user), each containing both 'x' and 'y';
+    # 3 extra sessions with only 'z'
+    for u in range(6):
+        rows.append((eid, t0, u, "x")); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=1), u, "y")); eid += 1
+    for u in range(10, 13):
+        rows.append((eid, t0, u, "z")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = session_rules(ev, min_pair=2).collect()
+    [r] = [r for r in out if (r.type_a, r.type_b) == ("x", "y")]
+    assert r.n_pair == 6
+    assert r.support == round(6 / 9, 6)
+    assert r.confidence_a_to_b == 1.0  # every x-session also has y
+    assert r.lift == round(6 * 9 / (6 * 6), 6)  # 1.5: above chance
