@@ -1820,6 +1820,30 @@ def _q_join_cardinality(spark, sf_dir):
     return cms_join_size(ev, "user_id", ev, "user_id")
 
 
+def _q_bm25_index_topk(spark, sf_dir):
+    """Persisted inverted-index serving path (the text twin of
+    ivf_index_topk): build postings/ partitioned by the portable
+    term-hash bucket + doclen/ + stats/, then serve BM25 from ONLY
+    the probed buckets' partitions — bit-equal to the fused
+    bm25_topk, so its oracle attaches to the served output."""
+    import os as _os
+    import tempfile as _tf
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_build,
+    )
+
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        f"etl_gcp_spark_textidx_{_os.path.basename(sf_dir)}",
+    )
+    text_index_build(_t(spark, sf_dir, "documents"), idx)
+    return bm25_index_topk(
+        spark, idx, ["spark", "vector", "stream"], k=10
+    )
+
+
 def _q_session_rules(spark, sf_dir):
     """Association rules over session baskets (support / confidence /
     lift): the sessionize lag+cumsum assignment, DISTINCT baskets,
@@ -3791,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_selectivity": _q_selectivity,
         "streaming_markov": _q_streaming_markov,
         "session_rules": _q_session_rules,
+        "bm25_index_topk": _q_bm25_index_topk,
     }.items()}
 
 
@@ -9428,4 +9453,7 @@ def oracle_sql() -> dict[str, str]:
     # cut staging preserves the per-user global order; boundary state
     # supplies the cross-batch transitions)
     sql["streaming_markov"] = sql["markov_transitions"]
+    # index-served BM25 is bit-equal to the fused scorer (same fixed
+    # score tree over the same postings; the index only changes I/O)
+    sql["bm25_index_topk"] = sql["bm25_topk"]
     return sql

@@ -1296,3 +1296,125 @@ def textrank_keywords(
         .orderBy(F.col("score").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def text_index_build(
+    documents: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build a PERSISTED inverted index — the text-side twin of the
+    IVF vector index (functions/similarity.py::build_ivf_index): the
+    directory layout IS the index.
+
+    Artifact:
+    - ``postings/`` — (term, doc_id, tf) partitioned by
+      ``bucket = poly_hash(term) mod n_buckets`` (the engine-portable
+      hash from operators/encoding.py, so a query planner in ANY
+      language can compute which partitions to probe);
+    - ``doclen/`` — (doc_id, dl);
+    - ``stats/`` — 1 row (n_docs, total_dl).
+
+    Build is one tokenize + two aggregations; serving reads ONLY the
+    probed buckets' partitions (PartitionFilters — plan-asserted) —
+    at 100 TB a query touches |query-term buckets| directories, not
+    the corpus.
+    """
+    from etl_gcp_spark.operators.encoding import _poly_hash
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{index_dir}/doclen")
+    dl_r = toks.sparkSession.read.parquet(f"{index_dir}/doclen")
+    dl_r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", (_poly_hash(F.col("term")) % n_buckets).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+
+
+def poly_hash_py(tok: str) -> int:
+    """Python twin of operators/encoding.py::_poly_hash — the query
+    planner's side of the bucket contract (verified equal by the
+    hypothesis property test)."""
+    return sum(ord(c) * 31**i for i, c in enumerate(tok[:8])) % 2147483647
+
+
+def bm25_index_topk(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Serve BM25 top-k FROM the persisted index: compute the query
+    terms' buckets driver-side with :func:`poly_hash_py`, scan only
+    those postings partitions (partition pruning does the I/O
+    elimination), and apply the identical fixed score tree as
+    :func:`bm25_topk` — results are bit-equal to the fused path, so
+    the same value-hash oracle attaches to the served output.
+    """
+    buckets = sorted(
+        {poly_hash_py(t) % n_buckets for t in query_terms}
+    )
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+        .select("doc_id", F.col("term").alias("__t"), F.col("tf").alias("__tf"))
+    )
+    dl = spark.read.parquet(f"{index_dir}/doclen").select(
+        "doc_id", F.col("dl").alias("__dl")
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats").select(
+        F.col("n_docs").alias("__n_docs"),
+        F.col("total_dl").alias("__total_dl"),
+    )
+    dfreq = postings.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    n_d = F.col("__n_docs").cast("double")
+    idf = (
+        (F.col("__n_docs") - F.col("__df")).cast("double") + F.lit(0.5)
+    ) / (F.col("__df").cast("double") + F.lit(0.5))
+    avgdl = F.col("__total_dl").cast("double") / n_d
+    tf_d = F.col("__tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * (F.col("__dl").cast("double") / avgdl)
+    )
+    term_score = F.round(
+        (idf * (tf_d * F.lit(k1 + 1.0))) / denom, 6
+    ).cast("decimal(18,6)")
+    scored = (
+        postings.join(F.broadcast(dfreq), "__t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("__s"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.col("__s").cast("double").alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

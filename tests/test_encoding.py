@@ -379,3 +379,40 @@ def test_session_rules_perfect_cooccurrence(spark):
     assert r.support == round(6 / 9, 6)
     assert r.confidence_a_to_b == 1.0  # every x-session also has y
     assert r.lift == round(6 * 9 / (6 * 6), 6)  # 1.5: above chance
+
+
+def test_bm25_index_serve_equals_fused(spark, sf_dir, tmp_path):
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        bm25_topk,
+        poly_hash_py,
+        text_index_build,
+    )
+    from etl_gcp_spark.operators.encoding import _poly_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "textidx")
+    text_index_build(docs, idx, n_buckets=64)
+    served = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(
+            spark, idx, ["spark", "vector", "stream"], k=10
+        ).collect()
+    ]
+    fused = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(
+            docs, ["spark", "vector", "stream"], k=10
+        ).collect()
+    ]
+    assert served == fused  # bit-equal scores, identical ranking
+    # the python bucket planner agrees with the Spark-side hash
+    got = (
+        spark.createDataFrame(
+            [("spark",), ("vector",), ("stream",)], "t string"
+        )
+        .select(_poly_hash(F.col("t")).alias("h"))
+        .collect()
+    )
+    toks = ["spark", "vector", "stream"]
+    assert [r.h for r in got] == [poly_hash_py(t) for t in toks]

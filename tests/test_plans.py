@@ -621,3 +621,24 @@ def test_ivf_append_tree_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     plan = _plan(pruned)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "cell" in part_filters, plan
+
+
+def test_text_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted inverted index's layout IS the index: a BM25
+    serve probing the query terms' buckets must plan the postings
+    scan with PartitionFilters on the bucket directory column —
+    serving I/O is |query buckets|/n_buckets of the postings."""
+    from etl_gcp_spark.functions.text import poly_hash_py, text_index_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "textidx")
+    text_index_build(docs, path, n_buckets=64)
+    buckets = sorted(
+        {poly_hash_py(t) % 64 for t in ["spark", "vector", "stream"]}
+    )
+    postings = spark.read.parquet(path + "/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    plan = _plan(postings)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in part_filters, plan
