@@ -1844,6 +1844,38 @@ def _q_bm25_index_topk(spark, sf_dir):
     )
 
 
+def _q_text_index_append(spark, sf_dir):
+    """Index maintenance, text side: build the inverted index on the
+    first half of the corpus, APPEND the second half (new files in
+    existing bucket partitions; postings never rewritten; additive
+    stats refreshed from doclen only), then serve — bit-equal to the
+    fused scorer over the full corpus, one oracle for the lifecycle."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_append,
+        text_index_build,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    half = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 1000000).alias("m")
+    ).collect()[0]["m"]
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        f"etl_gcp_spark_textidx_app_{_os.path.basename(sf_dir)}",
+    )
+    _sh.rmtree(idx, ignore_errors=True)
+    text_index_build(docs.filter(F.col("doc_id") <= half), idx)
+    text_index_append(docs.filter(F.col("doc_id") > half), idx)
+    return bm25_index_topk(
+        spark, idx, ["spark", "vector", "stream"], k=10
+    )
+
+
 def _q_session_rules(spark, sf_dir):
     """Association rules over session baskets (support / confidence /
     lift): the sessionize lag+cumsum assignment, DISTINCT baskets,
@@ -3816,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_markov": _q_streaming_markov,
         "session_rules": _q_session_rules,
         "bm25_index_topk": _q_bm25_index_topk,
+        "text_index_append_topk": _q_text_index_append,
     }.items()}
 
 
@@ -9456,4 +9489,6 @@ def oracle_sql() -> dict[str, str]:
     # index-served BM25 is bit-equal to the fused scorer (same fixed
     # score tree over the same postings; the index only changes I/O)
     sql["bm25_index_topk"] = sql["bm25_topk"]
+    # build-on-half + append-half serves the identical union corpus
+    sql["text_index_append_topk"] = sql["bm25_topk"]
     return sql

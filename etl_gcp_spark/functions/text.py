@@ -1418,3 +1418,56 @@ def bm25_index_topk(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def text_index_append(
+    new_documents: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow the persisted inverted index — the text twin of
+    ivf_index_append: new documents' postings land as NEW FILES in
+    the existing bucket partitions (append mode — the existing
+    postings are never read or rewritten), doclen rows append, and
+    the 1-row stats table is recomputed from the doc-count-sized
+    doclen directory (BM25's global statistics are additive, so the
+    refresh never touches postings). Serving after append is
+    bit-equal to a fused scorer over the union corpus — one oracle
+    covers the whole build → append → serve lifecycle.
+    """
+    from etl_gcp_spark.operators.encoding import _poly_hash
+
+    spark = new_documents.sparkSession
+    toks = new_documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    ).write.mode("append").parquet(f"{index_dir}/doclen")
+    (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            (_poly_hash(F.col("term")) % n_buckets).cast("int"),
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    stats = (
+        spark.read.parquet(f"{index_dir}/doclen")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        )
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(stats["n_docs"], stats["total_dl"])],
+        "n_docs long, total_dl long",
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")

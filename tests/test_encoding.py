@@ -416,3 +416,22 @@ def test_bm25_index_serve_equals_fused(spark, sf_dir, tmp_path):
     )
     toks = ["spark", "vector", "stream"]
     assert [r.h for r in got] == [poly_hash_py(t) for t in toks]
+
+
+def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_append,
+        text_index_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full_idx = str(tmp_path / "full")
+    grown_idx = str(tmp_path / "grown")
+    text_index_build(docs, full_idx)
+    text_index_build(docs.filter(F.col("doc_id") % 2 == 0), grown_idx)
+    text_index_append(docs.filter(F.col("doc_id") % 2 == 1), grown_idx)
+    q = ["spark", "vector", "stream"]
+    a = [(r.doc_id, r.bm25) for r in bm25_index_topk(spark, full_idx, q).collect()]
+    b = [(r.doc_id, r.bm25) for r in bm25_index_topk(spark, grown_idx, q).collect()]
+    assert a == b  # append-grown index serves identically to a full build
