@@ -1876,6 +1876,40 @@ def _q_text_index_append(spark, sf_dir):
     )
 
 
+def _q_text_index_compact(spark, sf_dir):
+    """Compacted-index serving: build half, append half, COMPACT the
+    postings tree to one file per bucket (write-new-then-rename),
+    then serve — compaction moves bytes, not semantics; the fused
+    oracle still attaches. Completes the text-index lifecycle:
+    build -> append -> compact -> serve."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_append,
+        text_index_build,
+        text_index_compact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    half = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 1000000).alias("m")
+    ).collect()[0]["m"]
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        f"etl_gcp_spark_textidx_cmp_{_os.path.basename(sf_dir)}",
+    )
+    _sh.rmtree(idx, ignore_errors=True)
+    text_index_build(docs.filter(F.col("doc_id") <= half), idx)
+    text_index_append(docs.filter(F.col("doc_id") > half), idx)
+    text_index_compact(spark, idx)
+    return bm25_index_topk(
+        spark, idx, ["spark", "vector", "stream"], k=10
+    )
+
+
 def _q_session_rules(spark, sf_dir):
     """Association rules over session baskets (support / confidence /
     lift): the sessionize lag+cumsum assignment, DISTINCT baskets,
@@ -3849,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rules": _q_session_rules,
         "bm25_index_topk": _q_bm25_index_topk,
         "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
     }.items()}
 
 
@@ -9491,4 +9526,6 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_index_topk"] = sql["bm25_topk"]
     # build-on-half + append-half serves the identical union corpus
     sql["text_index_append_topk"] = sql["bm25_topk"]
+    # compaction moves bytes, not semantics
+    sql["text_index_compact_topk"] = sql["bm25_topk"]
     return sql

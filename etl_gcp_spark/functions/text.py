@@ -1471,3 +1471,32 @@ def text_index_append(
         [(stats["n_docs"], stats["total_dl"])],
         "n_docs long, total_dl long",
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
+    """Fold accumulated append files back into one file per postings
+    bucket — the text twin of ivf_index_compact: ordinary parquet
+    maintenance that bounds small-file count after many appends
+    (each append adds ≥1 file per touched bucket; a year of hourly
+    appends is 9K files per bucket without this). Hash-repartition
+    on the bucket column puts each bucket in one task → one output
+    file per partition directory; the swap is write-new-then-rename
+    (never overwrite-in-place of a tree being read). Compaction
+    moves bytes, not semantics: serving before and after returns
+    identical results (pytest + the shared oracle).
+    """
+    import os
+    import shutil
+
+    postings = f"{index_dir}/postings"
+    allp = spark.read.parquet(postings).select(
+        "doc_id", "term", "tf", "bucket"
+    )
+    tmp = postings + "_compacting"
+    allp.repartition(n_buckets, "bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(tmp)
+    old = postings + "_old"
+    os.rename(postings, old)
+    os.rename(tmp, postings)
+    shutil.rmtree(old, ignore_errors=True)

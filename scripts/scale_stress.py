@@ -415,6 +415,40 @@ def bench(out_dir: str, scale: int) -> dict:
         }
     }
 
+    # Same claim for the text-side inverted index: appending a fixed
+    # doc batch to a 1x vs {scale}x postings tree must be ~flat —
+    # existing postings are never read; only doclen (doc-count-sized)
+    # is re-aggregated for the stats refresh.
+    from etl_gcp_spark.functions.text import (
+        text_index_append as _tappend,
+        text_index_build as _tbuild,
+    )
+
+    tappend_t = {}
+    for mult in (1, scale):
+        tpath = f"{out_dir}/textidx_x{mult}"
+        _tbuild(docs(mult), tpath)  # untimed
+        newdocs = docs(1).withColumn(
+            "doc_id", F.col("doc_id") + 100_000_000
+        )
+        t0 = time.time()
+        _tappend(newdocs, tpath)
+        tappend_t[mult] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    texp = float(
+        np.log(tappend_t[scale] / tappend_t[1]) / np.log(scale)
+    )
+    fixed_results["append:text_fixed_batch_vs_base"] = {
+        f"rows_x{1}": BASE_DOCS,
+        f"rows_x{scale}": BASE_DOCS,
+        "sec_x1": tappend_t[1],
+        f"sec_x{scale}": tappend_t[scale],
+        "exponent": round(texp, 3),
+        # doclen re-aggregation grows with base doc count but stays
+        # metadata-sized; 0.3 allows that plus fs jitter
+        "sublinear_ok": texp < 0.3,
+    }
+
     results: dict[str, dict] = dict(fixed_results)
     for name, fn in {**ops, **skew_ops}.items():
         timings = {}

@@ -435,3 +435,31 @@ def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
     a = [(r.doc_id, r.bm25) for r in bm25_index_topk(spark, full_idx, q).collect()]
     b = [(r.doc_id, r.bm25) for r in bm25_index_topk(spark, grown_idx, q).collect()]
     assert a == b  # append-grown index serves identically to a full build
+
+
+def test_text_index_compact_preserves_serving_and_shrinks_files(
+    spark, sf_dir, tmp_path
+):
+    import glob
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_append,
+        text_index_build,
+        text_index_compact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "cidx")
+    text_index_build(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    text_index_append(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    q = ["spark", "vector", "stream"]
+    before = [(r.doc_id, r.bm25) for r in bm25_index_topk(spark, idx, q).collect()]
+    n_files_before = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    text_index_compact(spark, idx)
+    after = [(r.doc_id, r.bm25) for r in bm25_index_topk(spark, idx, q).collect()]
+    n_files_after = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    assert before == after  # bytes moved, semantics identical
+    assert n_files_after < n_files_before  # ~1 file per bucket
+    n_dirs = len(glob.glob(f"{idx}/postings/bucket=*"))
+    assert n_files_after == n_dirs
