@@ -118,10 +118,10 @@ def hashed_features(
     noise zero-mean), weight = Σ sign over occurrences.
 
     Output: (doc_id, feat_idx, weight) — the sparse feature vector
-    in long form, zero rows omitted (a (doc, idx) pair whose signs
-    cancel still appears with weight 0: it HAD tokens; downstream
-    models see the same dense vector either way, and keeping it
-    makes the output a pure groupBy with no post-filter).
+    in long form. A (doc, idx) pair whose signs cancel appears with
+    weight 0 rather than being dropped: downstream models see the
+    same dense vector either way, and keeping it makes the output a
+    pure groupBy with no post-filter.
 
     Scale: tokenize → explode → groupBy(doc, idx): one shuffle on
     (doc, idx) with map-side partial sums; no vocabulary is ever
