@@ -1910,6 +1910,21 @@ def _q_text_index_compact(spark, sf_dir):
     )
 
 
+def _q_target_encoding_oof(spark, sf_dir):
+    """Out-of-fold target encoding (leakage-safe): each (category,
+    fold) cell encoded from the OTHER folds' exact decimal
+    aggregates; folds from the deterministic Lehmer key hash keyed
+    by customer — grouped CV."""
+    from etl_gcp_spark.operators.encoding import target_encode_oof
+
+    return target_encode_oof(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_custkey",
+    )
+
+
 def _q_session_rules(spark, sf_dir):
     """Association rules over session baskets (support / confidence /
     lift): the sessionize lag+cumsum assignment, DISTINCT baskets,
@@ -3884,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_topk": _q_bm25_index_topk,
         "text_index_append_topk": _q_text_index_append,
         "text_index_compact_topk": _q_text_index_compact,
+        "target_encoding_oof": _q_target_encoding_oof,
     }.items()}
 
 
@@ -8981,6 +8997,38 @@ def oracle_sql() -> dict[str, str]:
         _oracle_side_path("hll_registers"),
         _oracle_side_path("hll_registers_stream"),
     )
+    sql["target_encoding_oof"] = """
+        WITH rows_ AS (
+            SELECT o_orderpriority AS category,
+                   ((o_custkey * 48271) % 2147483647) % 10000 % 5
+                       AS fold,
+                   CAST(o_totalprice AS DECIMAL(28,8)) AS y
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        ), cf AS (
+            SELECT category, fold,
+                   CAST(count(*) AS BIGINT) AS n_cf, sum(y) AS s_cf
+            FROM rows_ GROUP BY 1, 2
+        ), c AS (
+            SELECT category, sum(n_cf) AS n_c, sum(s_cf) AS s_c
+            FROM cf GROUP BY 1
+        ), f AS (
+            SELECT fold, sum(n_cf) AS n_f, sum(s_cf) AS s_f
+            FROM cf GROUP BY 1
+        ), g AS (
+            SELECT sum(n_cf) AS n_g, sum(s_cf) AS s_g FROM cf
+        )
+        SELECT category, fold, n_cf AS n_rows_in_fold,
+               round((CAST(s_c - s_cf AS DOUBLE)
+                      + 100.0 * (CAST(s_g - s_f AS DOUBLE)
+                                 / CAST(n_g - n_f AS DOUBLE)))
+                     / (CAST(n_c - n_cf AS DOUBLE) + 100.0), 4)
+                   AS enc_oof
+        FROM cf
+        JOIN c USING (category)
+        JOIN f USING (fold)
+        CROSS JOIN g
+    """
     sql["session_rules"] = """
         WITH ev AS (
             SELECT user_id, ts, event_id, event_type FROM events

@@ -189,3 +189,78 @@ def hashed_feature_stats(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("__sign").alias("net_weight"),
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    *,
+    k: int = 5,
+    smoothing: float = 100.0,
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe form of
+    :func:`target_encode` actually used in training pipelines: the
+    encoding a row sees is computed from the OTHER k−1 folds, so no
+    row's own target leaks into its feature (micci-barreca 2001 §4 /
+    the standard CV-encoding recipe). Folds come from the repo's
+    deterministic Lehmer key hash (operators/sampling.py) keyed by
+    ``key_col``, so all rows of one entity share a fold — grouped CV,
+    the same guard kfold_assign documents.
+
+    All inputs to the shrinkage formula are EXACT differences of
+    DECIMAL(28,8) / integer aggregates of the (category × fold) frame
+    (≤ |cats|·k rows — one groupBy over the facts, everything after
+    is frame-sized); the formula itself is the same fixed
+    correctly-rounded double tree as the in-sample encoder, with the
+    prior also out-of-fold. NULL targets and NULL keys are excluded
+    (a NULL key has no fold); NULL categories encode normally.
+
+    Output: (category, fold, n_rows_in_fold, enc_oof), 4 dp.
+    """
+    from etl_gcp_spark.operators.sampling import hash_bucket
+
+    y = F.col(target_col).cast("decimal(28,8)")
+    cf = (
+        df.filter(
+            F.col(target_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .groupBy(
+            F.col(cat_col).alias("category"),
+            (hash_bucket(F.col(key_col), 10_000) % F.lit(k)).alias(
+                "fold"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cf"),
+            F.sum(y).alias("s_cf"),
+        )
+    )
+    per_cat = cf.groupBy("category").agg(
+        F.sum("n_cf").alias("n_c"), F.sum("s_cf").alias("s_c")
+    )
+    per_fold = cf.groupBy("fold").agg(
+        F.sum("n_cf").alias("n_f"), F.sum("s_cf").alias("s_f")
+    )
+    glob = cf.agg(
+        F.sum("n_cf").alias("n_g"), F.sum("s_cf").alias("s_g")
+    )
+    m = F.lit(float(smoothing))
+    prior = (F.col("s_g") - F.col("s_f")).cast("double") / (
+        F.col("n_g") - F.col("n_f")
+    ).cast("double")
+    enc = (
+        (F.col("s_c") - F.col("s_cf")).cast("double") + m * prior
+    ) / ((F.col("n_c") - F.col("n_cf")).cast("double") + m)
+    return (
+        cf.join(F.broadcast(per_cat), "category")
+        .join(F.broadcast(per_fold), "fold")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "fold",
+            F.col("n_cf").alias("n_rows_in_fold"),
+            F.round(enc, 4).alias("enc_oof"),
+        )
+    )

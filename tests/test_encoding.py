@@ -463,3 +463,22 @@ def test_text_index_compact_preserves_serving_and_shrinks_files(
     assert n_files_after < n_files_before  # ~1 file per bucket
     n_dirs = len(glob.glob(f"{idx}/postings/bucket=*"))
     assert n_files_after == n_dirs
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    from etl_gcp_spark.operators.encoding import target_encode_oof
+
+    # keys 0..9 -> folds via lehmer hash; category 'a' everywhere,
+    # so each fold's encoding must be the mean of the OTHER folds
+    rows = [(i, "a", float(100 * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, cat string, y double")
+    out = target_encode_oof(
+        df, "cat", "y", "k", k=2, smoothing=0.0
+    ).collect()
+    # reproduce folds in python
+    folds = {i: ((i * 48271) % 2147483647) % 10000 % 2 for i in range(10)}
+    for r in out:
+        other = [100 * i for i in range(10) if folds[i] != r.fold]
+        assert r.enc_oof == round(sum(other) / len(other), 4)
+    # leakage check: in-fold rows never contribute to their own cell
+    assert {r.fold for r in out} == {0, 1}
