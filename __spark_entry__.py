@@ -823,7 +823,15 @@ def _oracle_side_write(df, name: str) -> None:
     replays the selection logic bit-exactly — same pattern as the
     round-3 IVF algorithm-replay oracles, with the one untestable
     step (the hash function) isolated in the side table.
+
+    The write runs by DEFAULT so any harness that replays the oracle
+    SQL (the driver's correctness gate, scripts/check_oracle.py) finds
+    the side table without needing to opt in. bench.py — which runs
+    only the Spark side — sets ``SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE=1``
+    so the benchmark measures the operator, not oracle plumbing.
     """
+    if os.environ.get("SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE") == "1":
+        return
     df.write.mode("overwrite").parquet(_oracle_side_path(name))
 
 
@@ -1508,7 +1516,13 @@ def _q_hll_distinct_stats(spark, sf_dir):
     """Sketch aggregates (Apache DataSketches HLL + GK quantiles):
     mergeable distinct-count and percentile estimates per priority —
     the 100 TB path where exact countDistinct's shuffle is the
-    bottleneck. Rows-only check: estimates are engine-specific.
+    bottleneck. NOT in queries() since round 5: its serialized
+    estimators are engine-specific so it could only ever be a
+    rows-only check; hll_replayable (same table/key/group, plain-row
+    registers, harmonic estimate replayed end-to-end by the oracle)
+    is the canonical registry entry, and this variant's accuracy
+    contract lives in tests/test_sketches_entry.py +
+    tests/test_scale_features.py.
 
     Deliberately NO exact count_distinct alongside: mixing a DISTINCT
     aggregate with TypedImperative (object) aggregates forces the
@@ -2061,7 +2075,12 @@ def _q_table_stats(spark, sf_dir):
         .groupBy("grp", "idx")
         .agg(F.max("rho").alias("rho"))
     )
-    _oracle_side_write(regs, "cbo_stats_registers")
+    # direct write, NOT the gated _oracle_side_write: this parquet is
+    # the operator's own materialization (the read-back below is what
+    # keeps the register pipeline single-pass), so bench must pay it
+    regs.write.mode("overwrite").parquet(
+        _oracle_side_path("cbo_stats_registers")
+    )
     merged = spark.read.parquet(_oracle_side_path("cbo_stats_registers"))
     return analyze_table_stats(li, cols, registers=merged)
 
@@ -2855,8 +2874,13 @@ def _q_standardize_embeddings(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import standardize_embeddings
 
     # per-dimension z-norm: dim-row stats table broadcast as one
-    # struct array, vectors rescaled in place (no explode round trip)
-    return standardize_embeddings(_t(spark, sf_dir, "embeddings"))
+    # struct array, vectors rescaled in place (no explode round trip).
+    # Registry output is exploded to scalar (vec_id, pos, z) rows —
+    # the correctness harness canonicalizes with a pandas sort over
+    # all columns, which cannot sort array cells.
+    return standardize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("z_embedding").alias("pos", "z")
+    )
 
 
 def _q_psi_drift(spark, sf_dir):
@@ -3251,8 +3275,11 @@ def _q_robust_scale_embeddings(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import robust_scale_embeddings
 
     # median/IQR per-dimension scaling — the outlier-proof sibling of
-    # standardize_embeddings
-    return robust_scale_embeddings(_t(spark, sf_dir, "embeddings"))
+    # standardize_embeddings. Exploded to scalar (vec_id, pos, r)
+    # rows for the same canonicalization reason as that entry.
+    return robust_scale_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("r_embedding").alias("pos", "r")
+    )
 
 
 def _q_lang_confusion(spark, sf_dir):
@@ -3611,65 +3638,14 @@ def _q_stream_sessions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every callable goes through the pinned-frame ledger (see above)
     return {k: _ledgered(fn) for k, fn in {
-        # --- round-4 correctness window: first 50 of the 75 entries
-        # never yet driver-checked (r01 ∪ r02 ∪ r03 covers 148 keys;
-        # the driver verifies ~the first 50 keys in dict order). ---
-        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
-        "boilerplate_strip": _q_boilerplate_strip,
-        "dup_ngram_fraction": _q_dup_ngram_fraction,
-        "dsir_weights": _q_dsir_weights,
-        "bpe_merges": _q_bpe_merges,
-        "event_pagerank": _q_event_pagerank,
-        "source_overlap_matrix": _q_source_overlap_matrix,
-        "embedding_outliers": _q_embedding_outliers,
-        "zorder_layout": _q_zorder_layout,
-        "ingest_binaryfile": _q_ingest_binaryfile,
-        "incremental_near_dup": _q_incremental_near_dup,
-        "winsorize_prices": _q_winsorize_prices,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
-        "contamination_bloom": _q_contamination_bloom,
-        "knn_graph": _q_knn_graph,
+        # --- round-5 correctness window: the driver verifies ~the
+        # first 50 keys in dict order. Slots 1-2 are the two round-4
+        # FAILs, outputs reshaped to scalar (vec_id, pos, value) rows
+        # (the driver canonicalizes with a pandas sort over all
+        # columns, which cannot sort array cells). Slots 3-50 are 48
+        # of the 85 entries never yet driver-checked. ---
         "standardize_embeddings": _q_standardize_embeddings,
-        "psi_drift": _q_psi_drift,
-        "impute_orders": _q_impute_orders,
-        "mad_outliers": _q_mad_outliers,
-        "key_skew_report": _q_key_skew_report,
-        "normalize_text": _q_normalize_text,
-        "perplexity_filter": _q_perplexity_filter,
-        "containment_pairs": _q_containment_pairs,
-        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
-        "bm25_topk": _q_bm25_topk,
-        "benford_check": _q_benford_check,
-        "ks_drift": _q_ks_drift,
-        "quality_logreg": _q_quality_logreg,
-        "per_source_cap": _q_per_source_cap,
-        "ngram_novelty": _q_ngram_novelty,
-        "temporal_split": _q_temporal_split,
-        "cms_event_counts": _q_cms_event_counts,
-        "streaming_cms": _q_streaming_cms,
-        "dedup_triangles": _q_dedup_triangles,
-        "entity_clusters": _q_entity_clusters,
-        "seq_length_histogram": _q_seq_length_histogram,
-        "lang_confusion": _q_lang_confusion,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
-        "source_quality_report": _q_source_quality_report,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "semdedup_prune": _q_semdedup_prune,
-        "quality_quota_filter": _q_quality_quota_filter,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "user_erasure": _q_user_erasure,
-        "streaming_topk": _q_streaming_topk,
-        # --- converted from rows-only to value-hash oracles this
-        # round (hash side-table replays) — need a fresh driver check,
-        # so they take the last window slots ---
-        "simhash_fingerprints": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "winnow_fingerprints": _q_winnow,
-        "ann_lsh_topk": _q_ann_topk,
-        "streaming_sessions": _q_stream_sessions,
-        # --- the remaining never-driver-checked entries: next in
-        # line for the round-5 window. ---
-        # new in round 4 (past this round's window; locally verified)
         "ann_recall_report": _q_ann_recall_report,
         "priority_sample": _q_priority_sample,
         "snapshot_diff": _q_snapshot_diff,
@@ -3704,8 +3680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": _q_golden_record,
         "hilbert_layout": _q_hilbert_layout,
         "join_cardinality_estimate": _q_join_cardinality,
-        # converted to a value-hash oracle late in round 4 (ASCII
-        # substring md5 replay) — fresh driver check queued for round 5
         "frame_samples": _q_frame_samples,
         "payload_dedup": _q_payload_dedup,
         "join_explosion": _q_join_explosion,
@@ -3720,6 +3694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_change_point": _q_cusum_change_point,
         "hard_negatives": _q_hard_negatives,
         "pii_source_report": _q_pii_source_report,
+        # --- never-driver-checked backlog (37): next in line — the
+        # round-6 window. ---
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
         "zipf_fit": _q_zipf_fit,
         "soft_dedup_weights": _q_soft_dedup_weights,
@@ -3737,6 +3713,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "pack_offsets": _q_pack_offsets,
         "curriculum_buckets": _q_curriculum_buckets,
+        "target_encoding": _q_target_encoding,
+        "hashed_features": _q_hashed_features,
+        "markov_transitions": _q_markov_transitions,
+        "numeric_corr_matrix": _q_corr_matrix,
+        "chi2_features": _q_chi2_features,
+        "streaming_hll": _q_streaming_hll,
+        "table_stats": _q_table_stats,
+        "textrank_keywords": _q_textrank,
+        "ewma_user_value": _q_ewma,
+        "trend_report": _q_trend_report,
+        "seasonality_profile": _q_seasonality,
+        "fd_violations": _q_fd_violations,
+        "equi_depth_histogram": _q_equi_depth,
+        "range_selectivity": _q_selectivity,
+        "streaming_markov": _q_streaming_markov,
+        "session_rules": _q_session_rules,
+        "bm25_index_topk": _q_bm25_index_topk,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        "target_encoding_oof": _q_target_encoding_oof,
+        # --- driver-green in r04 (rotated out of the window) ---
+        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "dsir_weights": _q_dsir_weights,
+        "bpe_merges": _q_bpe_merges,
+        "event_pagerank": _q_event_pagerank,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "embedding_outliers": _q_embedding_outliers,
+        "zorder_layout": _q_zorder_layout,
+        "ingest_binaryfile": _q_ingest_binaryfile,
+        "incremental_near_dup": _q_incremental_near_dup,
+        "winsorize_prices": _q_winsorize_prices,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        "contamination_bloom": _q_contamination_bloom,
+        "knn_graph": _q_knn_graph,
+        "psi_drift": _q_psi_drift,
+        "impute_orders": _q_impute_orders,
+        "mad_outliers": _q_mad_outliers,
+        "key_skew_report": _q_key_skew_report,
+        "normalize_text": _q_normalize_text,
+        "perplexity_filter": _q_perplexity_filter,
+        "containment_pairs": _q_containment_pairs,
+        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
+        "bm25_topk": _q_bm25_topk,
+        "benford_check": _q_benford_check,
+        "ks_drift": _q_ks_drift,
+        "quality_logreg": _q_quality_logreg,
+        "per_source_cap": _q_per_source_cap,
+        "ngram_novelty": _q_ngram_novelty,
+        "temporal_split": _q_temporal_split,
+        "cms_event_counts": _q_cms_event_counts,
+        "streaming_cms": _q_streaming_cms,
+        "dedup_triangles": _q_dedup_triangles,
+        "entity_clusters": _q_entity_clusters,
+        "seq_length_histogram": _q_seq_length_histogram,
+        "lang_confusion": _q_lang_confusion,
+        "source_quality_report": _q_source_quality_report,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "semdedup_prune": _q_semdedup_prune,
+        "quality_quota_filter": _q_quality_quota_filter,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "user_erasure": _q_user_erasure,
+        "streaming_topk": _q_streaming_topk,
+        "simhash_fingerprints": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnow_fingerprints": _q_winnow,
+        "ann_lsh_topk": _q_ann_topk,
+        "streaming_sessions": _q_stream_sessions,
         # --- driver-green in r01/r02/r03 (rotated out of the window) ---
         "priority_pivot": _q_pivot,
         "customers_without_orders": _q_anti,
@@ -3774,7 +3819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _q_stream_upsert,
         "streaming_user_stats": _q_stream_user_stats,
         "streaming_interval_join": _q_stream_interval_join,
-        "hll_distinct_stats": _q_hll_distinct_stats,
+        # hll_distinct_stats (DataSketches estimates) was the last
+        # rows-only entry; demoted to tests/test_sketches_entry.py in
+        # round 5 — hll_replayable is the canonical registry sketch
+        # (same table/key/group, register-replayed, value-hash green).
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -3880,26 +3928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
-        "target_encoding": _q_target_encoding,
-        "hashed_features": _q_hashed_features,
-        "markov_transitions": _q_markov_transitions,
-        "numeric_corr_matrix": _q_corr_matrix,
-        "chi2_features": _q_chi2_features,
-        "streaming_hll": _q_streaming_hll,
-        "table_stats": _q_table_stats,
-        "textrank_keywords": _q_textrank,
-        "ewma_user_value": _q_ewma,
-        "trend_report": _q_trend_report,
-        "seasonality_profile": _q_seasonality,
-        "fd_violations": _q_fd_violations,
-        "equi_depth_histogram": _q_equi_depth,
-        "range_selectivity": _q_selectivity,
-        "streaming_markov": _q_streaming_markov,
-        "session_rules": _q_session_rules,
-        "bm25_index_topk": _q_bm25_index_topk,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
-        "target_encoding_oof": _q_target_encoding_oof,
     }.items()}
 
 
@@ -6030,11 +6058,14 @@ def oracle_sql() -> dict[str, str]:
                        list(s ORDER BY pos) AS ss
                 FROM stats
             )
-            SELECT vec_id, list_transform(range(1, len(embedding)+1),
-                       i -> CASE WHEN ss[i] = 0 THEN 0.0
-                            ELSE round((embedding[i]::DOUBLE - ms[i])/ss[i], 6)
-                            END) AS z_embedding
-            FROM embeddings, st
+            SELECT vec_id, g.i::INT AS pos,
+                   CASE WHEN ss[g.i+1] = 0 THEN 0.0
+                        ELSE round((embedding[g.i+1]::DOUBLE - ms[g.i+1])
+                                   / ss[g.i+1], 6)
+                   END AS z
+            FROM embeddings CROSS JOIN LATERAL
+                (SELECT unnest(range(0, len(embedding))) AS i) g
+            CROSS JOIN st
         """,
         # PSI replay: ref deciles (4 dp) -> strict-greater bin counts
         # -> add-1/2-smoothed shares -> 6-dp terms; categorical over
@@ -7678,12 +7709,14 @@ def oracle_sql() -> dict[str, str]:
                    list(iqr ORDER BY pos) AS iqrs
             FROM stats
         )
-        SELECT vec_id, list_transform(range(1, len(embedding)+1),
-                   i -> CASE WHEN iqrs[i] = 0 THEN 0.0
-                        ELSE round((embedding[i]::DOUBLE - meds[i])
-                                   / iqrs[i], 6)
-                        END) AS r_embedding
-        FROM embeddings, st
+        SELECT vec_id, g.i::INT AS pos,
+               CASE WHEN iqrs[g.i+1] = 0 THEN 0.0
+                    ELSE round((embedding[g.i+1]::DOUBLE - meds[g.i+1])
+                               / iqrs[g.i+1], 6)
+               END AS r
+        FROM embeddings CROSS JOIN LATERAL
+            (SELECT unnest(range(0, len(embedding))) AS i) g
+        CROSS JOIN st
     """
     sql["lang_confusion"] = f"""
         WITH scored AS (

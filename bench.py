@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Measure operators, not oracle plumbing: a handful of registry
+    # entries write hash side tables so the DuckDB oracle can replay
+    # seeded hashes (see __spark_entry__._oracle_side_write). bench
+    # runs only the Spark side, so those writes are pure overhead here
+    # — skip them. Correctness harnesses never set this flag.
+    os.environ.setdefault("SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -5,7 +5,7 @@ encoding counterpart to the trainable scorer in
 ``operators/classifier.py``.
 
 The reference engine has no feature engineering at all (its
-transforms stop at cleaning, etl_pipeline.py:18-56); this module
+transforms stop at cleaning, data_loader.py:301-340); this module
 supplies the standard public techniques (micci-barreca 2001 target
 statistics; Weinberger et al. 2009 feature hashing) under the
 engine's exact-replay discipline:

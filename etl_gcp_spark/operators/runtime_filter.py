@@ -32,7 +32,7 @@ to every task; each fact row probes it with ``element_at`` +
 bitwiseAND expressions — pure codegen, no Python.
 
 Reference parity: the reference joins staged tables inside the
-warehouse after loading everything (`etl_pipeline.py` load-then-query
+warehouse after loading everything (`data_loader.py` load-then-query
 posture); pre-join pruning has no analog there — this is the
 scale-first replacement for shipping unfiltered facts.
 """

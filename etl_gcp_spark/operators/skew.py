@@ -123,7 +123,7 @@ def key_skew_report(
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
     top = top.withColumn("rank", F.row_number().over(w))
-    return top.join(F.broadcast(stats)).select(
+    return top.crossJoin(F.broadcast(stats)).select(
         "rank",
         "key",
         "cnt",

@@ -48,6 +48,23 @@ def norm_cell(v):
     return str(v)
 
 
+def driver_unsortable(rows):
+    """Reproduce the driver's canonicalization intolerance.
+
+    The round driver canonicalizes each result with a pandas
+    ``sort_values`` over ALL columns; a list/map-typed cell raises
+    ``TypeError: unhashable type`` there and the entry FAILS (this
+    masked class cost 2 driver reds in round 4 — check_oracle used to
+    stringify lists instead). Return the offending column type name,
+    or None if every cell is scalar-sortable.
+    """
+    for r in rows:
+        for v in r:
+            if isinstance(v, (list, dict, set)):
+                return type(v).__name__
+    return None
+
+
 def frame_digest(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -106,6 +123,15 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
+            bad = driver_unsortable(srows)
+            if bad:
+                print(
+                    f"FAIL  {name}: {bad}-typed output cell "
+                    "(rows-only, but driver canonicalization would raise)"
+                )
+                results[name] = {"status": "fail", "detail": f"{bad} cell"}
+                n_fail += 1
+                continue
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             results[name] = {"status": "rows_only", "rows": len(srows)}
             n_rowsonly += 1
@@ -121,6 +147,11 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        bad = driver_unsortable(srows) or driver_unsortable(orows)
+        if bad:
+            problems.append(
+                f"{bad}-typed output cell — driver sort_values would raise"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):

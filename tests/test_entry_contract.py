@@ -70,6 +70,46 @@ def test_registry_releases_pins(spark, sf_dir):
     )
 
 
+def test_registry_outputs_scalar_only(spark, sf_dir):
+    """Driver-canonicalization guard over the WHOLE registry, streaming
+    entries included: the round driver canonicalizes every result with
+    a pandas sort_values over all columns, so an ArrayType / MapType /
+    StructType output column throws `TypeError: unhashable type` there
+    and the entry fails regardless of the values being right (round-4
+    standardize/robust_scale_embeddings). Build every entry's frame at
+    sf0.001 and assert scalar-only top-level schemas so the class can
+    never reappear."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "driver-unsortable output columns (pandas sort_values would "
+        f"raise on these): {bad}"
+    )
+
+
+def test_check_oracle_rejects_array_outputs():
+    """The local gate must reproduce the driver's array-intolerance —
+    round 4 proved a stringifying replica masks real driver failures.
+    Feed the replica's detector the exact shape that failed."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from check_oracle import driver_unsortable
+
+    assert driver_unsortable([(1, [0.1, 0.2])]) == "list"
+    assert driver_unsortable([(1, {"a": 1})]) == "dict"
+    assert driver_unsortable([(1, 0.5), (2, None)]) is None
+
+
 def test_oracle_sql_parses_in_duckdb(spark, sf_dir):
     """Every oracle must at least be valid DuckDB SQL against the
     registered views (cheap guard against silent driver failures)."""
