@@ -642,3 +642,41 @@ def test_text_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     plan = _plan(postings)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "bucket" in part_filters, plan
+
+
+def test_scaled_embedding_entries_explode_without_new_exchange(
+    spark, sf_dir
+):
+    """The round-5 driver-shape fix (standardize/robust_scale registry
+    entries explode vectors to (vec_id, pos, value) scalar rows) must
+    cost a Generate projection, NOT a shuffle: the data pass stays
+    scan → broadcast-cross-join with the packed dim stats → project →
+    Generate, and the only Exchanges in the whole plan belong to the
+    dim-row stats aggregation (shuffle volume ≤ dim rows per
+    partition at any corpus size). An Exchange after the Generate
+    would mean the reshape re-partitions the full exploded output —
+    n·dim rows — which would not survive 100 TB."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    for name in ("standardize_embeddings", "robust_scale_embeddings"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        plan = _plan_formatted(df)
+        tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+        assert "Generate" in tree, f"{name}: explode missing\n{tree}"
+        assert "BroadcastNestedLoopJoin" in tree, f"{name}:\n{tree}"
+        # nothing above (= downstream of) the top Generate except the
+        # AQE wrapper — in the indented tree, the Generate node sits
+        # at depth 0 right under AdaptiveSparkPlan
+        top = [
+            ln for ln in tree.splitlines()
+            if ln.startswith("+- ") or ln.startswith("   +- Generate")
+        ]
+        assert any("Generate" in ln for ln in top[:2]), (
+            f"{name}: Generate is not the plan root\n{tree}"
+        )
+        # exchanges only on the stats side: ≤ 2 (partial→final agg +
+        # the broadcast), and none between the cross join and Generate
+        n_exchange = len(re.findall(r"\bExchange\b", tree))
+        assert n_exchange <= 2, f"{name}: {n_exchange} exchanges\n{tree}"
