@@ -7772,14 +7772,49 @@ def oracle_sql() -> dict[str, str]:
         FROM grouped ORDER BY bucket
     """
     # entity resolution closure over the levenshtein pair graph —
-    # same recursive-reach shape as the dedup_clusters oracle
+    # same recursive-reach shape as the dedup_clusters oracle.
+    # Pair generation uses EXACT masked-position blocking instead of
+    # the naive all-pairs join: for same-length strings, lev ≤ 1 ⟺
+    # equal or Hamming-1 (any insert/delete changes length), and two
+    # strings are Hamming-1 iff they agree after masking the one
+    # differing position — so joining on (position, masked string)
+    # finds every qualifying pair. The naive form was O(n²)
+    # levenshtein calls (112M at sf0.1 — uniform-length TPC-H names
+    # defeat the length prefilter) AND single-threaded inside
+    # DuckDB's recursive-CTE executor: >60 min at sf0.1. The masked
+    # join is n·L rows hashed, the lev verify runs on candidates
+    # only, and the result set is provably identical.
+    #
+    # Scale envelope: the recursive reach closure below is exact but
+    # inherently O(n·|component|) tuples — the synthetic customer
+    # names form ONE giant lev-1 component, so it materializes ~n²/2
+    # rows. Fine at the driver's correctness scales (sf0.001/0.01:
+    # ≤ 1.1M tuples, seconds); intractable at sf0.1 (112M) — SQL
+    # without keyed-update recursion cannot express the log-round
+    # label-propagation the ENGINE side uses (star contraction,
+    # operators/graph.py). The sf0.1 extra sweep skips this one
+    # oracle for that reason; the operator itself is benched at
+    # sf0.1 like every other entry.
     sql["entity_clusters"] = """
-        WITH RECURSIVE fpairs AS (
-            SELECT a.c_custkey AS id1, b.c_custkey AS id2
-            FROM customer a JOIN customer b
-              ON a.c_custkey < b.c_custkey
-             AND length(a.c_name) = length(b.c_name)
-            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        WITH RECURSIVE cust AS (
+            SELECT c_custkey, c_name FROM customer
+        ), variants AS (
+            SELECT c_custkey, g.i AS pos, length(c_name) AS ln,
+                   substr(c_name, 1, g.i - 1) || chr(1)
+                       || substr(c_name, g.i + 1) AS masked
+            FROM cust CROSS JOIN LATERAL
+                (SELECT unnest(range(1, length(c_name) + 1)) AS i) g
+        ), cand AS (
+            SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2
+            FROM variants a JOIN variants b
+              ON a.masked = b.masked AND a.pos = b.pos AND a.ln = b.ln
+             AND a.c_custkey < b.c_custkey
+        ), fpairs AS (
+            SELECT id1, id2
+            FROM cand
+            JOIN cust ca ON ca.c_custkey = id1
+            JOIN cust cb ON cb.c_custkey = id2
+            WHERE levenshtein(ca.c_name, cb.c_name) <= 1
         ), sym AS (
             SELECT id1 AS u, id2 AS v FROM fpairs
             UNION ALL
