@@ -132,3 +132,30 @@ def test_oracle_sql_parses_in_duckdb(spark, sf_dir):
             con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         except Exception as e:  # pragma: no cover
             pytest.fail(f"oracle_sql[{name}] does not parse: {e}")
+
+
+def test_oracle_side_write_gating(spark, tmp_path, monkeypatch):
+    """The side-table write contract both harnesses depend on:
+    by DEFAULT the write happens (the round driver replays oracle_sql
+    itself and must find the side tables — gating writes behind an
+    opt-in env var would fail every side-table entry in its window);
+    under SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE=1 (set only by bench.py)
+    it is a no-op, so the benchmark measures operators, not oracle
+    plumbing."""
+    import os
+
+    df = spark.range(3).toDF("x")
+    target = entrymod._oracle_side_path("gating_probe")
+
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE", "1")
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    entrymod._oracle_side_write(df, "gating_probe")
+    assert not os.path.exists(target), "bench flag must skip the write"
+
+    monkeypatch.delenv("SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE")
+    entrymod._oracle_side_write(df, "gating_probe")
+    assert os.path.exists(target), "default path must write (driver replay)"
+    assert spark.read.parquet(target).count() == 3
+    shutil.rmtree(target, ignore_errors=True)
