@@ -136,16 +136,35 @@ def main() -> int:
             results[name] = {"status": "rows_only", "rows": len(srows)}
             n_rowsonly += 1
             continue
+        # watchdog: a single runaway oracle must not stall the whole
+        # sweep (a quadratic closure once sat single-threaded for an
+        # hour at sf0.1). duckdb honors interrupt() from another
+        # thread; the interrupted execute raises and the entry fails
+        # loudly with a timeout tag instead of hanging the gate.
+        import threading
+
+        budget = float(os.environ.get("ORACLE_TIMEOUT_SEC", "600"))
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
-        except Exception:
-            print(f"FAIL  {name}: oracle raised")
-            traceback.print_exc(limit=3)
-            results[name] = {"status": "fail", "detail": "oracle raised"}
+        except Exception as e:
+            interrupted = "INTERRUPT" in str(e).upper()
+            tag = (
+                f"oracle timeout (> {budget:.0f}s)"
+                if interrupted
+                else "oracle raised"
+            )
+            print(f"FAIL  {name}: {tag}")
+            if not interrupted:
+                traceback.print_exc(limit=3)
+            results[name] = {"status": "fail", "detail": tag}
             n_fail += 1
             continue
+        finally:
+            timer.cancel()
         problems = []
         bad = driver_unsortable(srows) or driver_unsortable(orows)
         if bad:

@@ -25,8 +25,10 @@ echo "== 1/4 pytest" >&2
 python -m pytest tests/ -q
 
 echo "== 2/4 oracle sweep (sf0.01)" >&2
-python scripts/check_oracle.py /root/testdata/sf0.01 | tail -1 | tee /tmp/gate_oracle
+python scripts/check_oracle.py /root/testdata/sf0.01 \
+    --json=/tmp/gate_sweep.json | tail -1 | tee /tmp/gate_oracle
 grep -q " 0 fail" /tmp/gate_oracle
+python scripts/coverage_report.py --local=/tmp/gate_sweep.json
 
 echo "== 3/4 closing bench (standalone)" >&2
 git show "${BASELINE_REF}:BENCH_LOCAL.json" > /tmp/gate_bench_base.json \
@@ -36,5 +38,11 @@ tail -1 /tmp/gate_bench_out
 
 echo "== 4/4 bench diff vs ${BASELINE_REF}" >&2
 python scripts/bench_diff.py /tmp/gate_bench_base.json BENCH_LOCAL.json
+
+echo "== plans: inventory + diff vs ${BASELINE_REF}" >&2
+git show "${BASELINE_REF}:PLANS.md" > /tmp/gate_plans_base.md \
+     2>/dev/null || cp PLANS.md /tmp/gate_plans_base.md
+python scripts/plan_inventory.py
+python scripts/plan_diff.py /tmp/gate_plans_base.md PLANS.md
 
 echo "GATE PASSED" >&2
