@@ -3097,6 +3097,28 @@ def _q_jaccard_threshold_curve(spark, sf_dir):
     return jaccard_threshold_curve(_t(spark, sf_dir, "documents"))
 
 
+def _q_lsh_recall_report(spark, sf_dir):
+    """Banding rollout gate: measured MinHash-LSH candidate recall
+    per exact-Jaccard band (text twin of ann_recall_report). The
+    banded signature table is xxhash-seeded, so the query side-writes
+    it for the oracle to replay the candidate join from the identical
+    bits (simhash/winnow discipline)."""
+    from etl_gcp_spark.operators.text_dedup import (
+        _banded,
+        lsh_recall_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _oracle_side_write(
+        _banded(
+            docs, num_perm=16, bands=8, n=3,
+            text_col="text", id_col="doc_id",
+        ),
+        "lsh_bands",
+    )
+    return lsh_recall_report(docs)
+
+
 def _q_hard_negatives(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import hard_negative_mining
 
@@ -3694,8 +3716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_change_point": _q_cusum_change_point,
         "hard_negatives": _q_hard_negatives,
         "pii_source_report": _q_pii_source_report,
-        # --- never-driver-checked backlog (37): next in line — the
-        # round-6 window. ---
+        # --- never-driver-checked backlog (38): next in line — the
+        # round-6 window. lsh_recall_report is round 5's one addition
+        # (backlog 37+1 still fits a single window, honoring the
+        # net-new pause's debt bound). ---
+        "lsh_recall_report": _q_lsh_recall_report,
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
         "zipf_fit": _q_zipf_fit,
         "soft_dedup_weights": _q_soft_dedup_weights,
@@ -3947,9 +3972,10 @@ _LANG_SCORES = """
 
 
 # shared by ngram_jaccard_pairs / near_dup_dedup / curation oracles
-def _jaccard_pairs_over(src: str) -> str:
-    """Exact-Jaccard pair SQL over an arbitrary (doc_id, text) source."""
-    return _JACCARD_PAIRS_TEMPLATE.format(src=src)
+def _jaccard_pairs_over(src: str, thr: str = "0.8") -> str:
+    """Exact-Jaccard pair SQL over an arbitrary (doc_id, text) source
+    at an arbitrary threshold (default = the dedup family's 0.8)."""
+    return _JACCARD_PAIRS_TEMPLATE.format(src=src, thr=thr)
 
 
 _JACCARD_PAIRS_TEMPLATE = """
@@ -3976,7 +4002,7 @@ _JACCARD_PAIRS_TEMPLATE = """
     FROM pairs
     JOIN cnt c1 ON c1.doc_id = id1
     JOIN cnt c2 ON c2.doc_id = id2
-    WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= 0.8
+    WHERE round(n_inter::DOUBLE / (c1.n + c2.n - n_inter), 4) >= {thr}
 """
 
 _JACCARD_PAIRS = _jaccard_pairs_over("documents")
@@ -7377,13 +7403,43 @@ def oracle_sql() -> dict[str, str]:
     # one pair run at the floor covers every band >= it
     sql["jaccard_threshold_curve"] = f"""
         WITH edges AS (
-            {_jaccard_pairs_over('documents').replace('>= 0.8', '>= 0.6')}
+            {_jaccard_pairs_over('documents', thr='0.6')}
         )
         SELECT round(CAST(s - (s % 500) AS DOUBLE) / 10000.0, 2)
                    AS band_lo,
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM (SELECT CAST(round(jaccard * 10000, 0) AS BIGINT) AS s
               FROM edges)
+        GROUP BY 1 ORDER BY 1 DESC
+    """
+    # LSH banding recall: exact pairs at the floor replay in SQL; the
+    # xxhash-seeded band keys come back from the side table the query
+    # wrote, and the candidate join + band arithmetic + recall
+    # division replay bit-for-bit (integer band scaling, IEEE div)
+    lsh_bands_side = os.path.join(_oracle_side_path("lsh_bands"), "*.parquet")
+    sql["lsh_recall_report"] = f"""
+        WITH edges AS (
+            {_jaccard_pairs_over('documents', thr='0.5')}
+        ), bt AS (
+            SELECT doc_id, band, bkey
+            FROM read_parquet('{lsh_bands_side}')
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bt x JOIN bt y
+              ON x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id < y.doc_id
+        ), marked AS (
+            SELECT CAST(round(e.jaccard * 10000, 0) AS BIGINT) AS s,
+                   CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS found
+            FROM edges e
+            LEFT JOIN cand c ON c.id1 = e.id1 AND c.id2 = e.id2
+        )
+        SELECT round(CAST(s - (s % 1000) AS DOUBLE) / 10000.0, 2)
+                   AS band_lo,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(found) AS BIGINT) AS n_found,
+               round(sum(found) / CAST(count(*) AS DOUBLE), 4) AS recall
+        FROM marked
         GROUP BY 1 ORDER BY 1 DESC
     """
     sql["hard_negatives"] = """

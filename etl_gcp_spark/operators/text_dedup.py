@@ -996,6 +996,83 @@ def jaccard_threshold_curve(
     )
 
 
+def lsh_recall_report(
+    documents: DataFrame,
+    *,
+    floor: float = 0.5,
+    band_width: float = 0.1,
+    num_perm: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measured recall of MinHash-LSH band-bucket candidate generation
+    against exact Jaccard pairs, per similarity band — the text-side
+    twin of the ANN index's ``ann_recall_report``: before trusting
+    banding parameters (num_perm, bands) on a 100 TB dedup run, gate
+    the rollout on the measured candidate recall at the operating
+    threshold, and read the band-wise falloff below it (the S-curve
+    P[candidate] = 1 − (1 − j^rows)^bands made empirical).
+
+    Legs:
+    - exact pairs at ``floor`` from the prefix-filtered AllPairs
+      generator (:func:`ngram_jaccard_pairs`) — the AUDIT leg; at
+      corpus scale run it on a sample, exactly like the exact-top-k
+      leg of ``ann_recall_report``;
+    - candidates from the same banded signature table
+      (:func:`_banded`) the production pair generator uses, joined
+      bucket-wise (id1 < id2, distinct) — the PRODUCTION leg.
+
+    A left join marks each exact pair found/missed; similarity bands
+    are decided on integer-scaled 4-dp sims (round-then-mod, the
+    ``jaccard_threshold_curve`` discipline — replayable); recall is
+    one IEEE division rounded at 4 dp. Output is ≤ ⌈(1−floor)/width⌉
+    scalar rows: (band_lo, n_pairs, n_found, recall), descending.
+    """
+    pairs = ngram_jaccard_pairs(
+        documents, threshold=floor, n=n, text_col=text_col, id_col=id_col
+    )
+    banded = _banded(
+        documents,
+        num_perm=num_perm,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    cands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id1"),
+            F.col(f"y.{id_col}").alias("id2"),
+        )
+        .dropDuplicates()
+        .withColumn("__found", F.lit(1))
+    )
+    scaled = F.round(F.col("jaccard") * F.lit(10000.0), 0).cast("bigint")
+    step = int(round(band_width * 10000))
+    band = (scaled - (scaled % F.lit(step))).cast("double") / F.lit(10000.0)
+    return (
+        pairs.join(cands, ["id1", "id2"], "left")
+        .groupBy(F.round(band, 2).alias("band_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("__found"), F.lit(0))).alias("n_found"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_found") / F.col("n_pairs"), 4)
+        )
+        .orderBy(F.col("band_lo").desc())
+    )
+
+
 def soft_dedup_weights(
     documents: DataFrame,
     *,

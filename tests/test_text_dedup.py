@@ -334,3 +334,32 @@ def test_substring_dedup_rewrite_overlapping_spans_merge(spark):
     assert out[1].n_removed == 0
     assert out[2].n_removed == 9
     assert out[2].cleaned_text == "other suffix"
+
+
+def test_lsh_recall_report_contract(spark):
+    from etl_gcp_spark.operators.text_dedup import lsh_recall_report
+
+    # identical pair (jaccard 1.0, MUST be found: identical signatures
+    # collide in every band), a mid-similarity pair, and an unrelated
+    # doc that must stay below the floor entirely
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h i j k l"),
+            (3, "a b c d e f g h x y z w"),
+            (4, "p q r s t u v nope none here at"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.band_lo: r for r in
+            lsh_recall_report(docs, floor=0.3).collect()}
+    assert rows, "no bands reported"
+    top = rows[1.0]
+    # exact duplicates are banding's guaranteed case
+    assert top.n_pairs == 1 and top.n_found == 1 and top.recall == 1.0
+    for r in rows.values():
+        assert 0 <= r.n_found <= r.n_pairs
+        assert 0.0 <= r.recall <= 1.0
+        assert r.band_lo >= 0.3
+    # the unrelated doc forms no pair above the floor with anything
+    assert sum(r.n_pairs for r in rows.values()) <= 3
