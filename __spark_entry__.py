@@ -3119,6 +3119,14 @@ def _q_lsh_recall_report(spark, sf_dir):
     return lsh_recall_report(docs)
 
 
+def _q_ivf_drift_report(spark, sf_dir):
+    from etl_gcp_spark.functions.similarity import ivf_drift_report
+
+    # frozen-centroid retrain trigger: per-cohort assignment quality
+    # (train on base cohort, score everyone against its centroids)
+    return ivf_drift_report(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_hard_negatives(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import hard_negative_mining
 
@@ -3716,11 +3724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_change_point": _q_cusum_change_point,
         "hard_negatives": _q_hard_negatives,
         "pii_source_report": _q_pii_source_report,
-        # --- never-driver-checked backlog (38): next in line — the
-        # round-6 window. lsh_recall_report is round 5's one addition
-        # (backlog 37+1 still fits a single window, honoring the
-        # net-new pause's debt bound). ---
+        # --- never-driver-checked backlog (39): next in line — the
+        # round-6 window. lsh_recall_report + ivf_drift_report are
+        # round 5's two additions (backlog 37+2 still fits a single
+        # ~50-key window, honoring the net-new pause's debt bound). ---
         "lsh_recall_report": _q_lsh_recall_report,
+        "ivf_drift_report": _q_ivf_drift_report,
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
         "zipf_fit": _q_zipf_fit,
         "soft_dedup_weights": _q_soft_dedup_weights,
@@ -7170,7 +7179,7 @@ def oracle_sql() -> dict[str, str]:
     # shared 2-round Lloyd's replay (8 cells) ending at af(vec_id, v,
     # cell) — used by embedding_kmeans and semdedup_prune; the 32-cell
     # ann_ivf_kmeans_topk replay above is the same shape
-    def _kmeans_chain(n_cells: int) -> str:
+    def _kmeans_chain(n_cells: int, base_where: str = "TRUE") -> str:
         def _assign(cfrom: str) -> str:
             return f"""
                 SELECT vec_id, v, cell FROM (
@@ -7196,6 +7205,7 @@ def oracle_sql() -> dict[str, str]:
         return f"""
         base AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE {base_where}
         ), c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
             FROM (SELECT vec_id, v FROM base
@@ -7212,6 +7222,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(cell AS INTEGER) AS cell,
                count(*) OVER (PARTITION BY cell) AS cluster_size
         FROM af
+    """
+    # IVF drift gate: k-means replay trains on the base cohort only
+    # (deterministic vec_id % 5 split); every vector scores its best
+    # cosine against the frozen c2 centroids; cohort stats = exact
+    # DECIMAL-sum mean + interpolated p05 over the same 6-dp sims
+    sql["ivf_drift_report"] = f"""
+        WITH {_kmeans_chain(8, base_where='vec_id % 5 <> 4')},
+        allv AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 5 = 4 THEN 'new' ELSE 'base' END
+                       AS cohort,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings
+        ), scored AS (
+            SELECT vec_id, cohort,
+                   round(max(list_cosine_similarity(a.v, c.cv)), 6) AS sim
+            FROM allv a CROSS JOIN c2 c
+            GROUP BY vec_id, cohort
+        )
+        SELECT cohort,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(sum(CAST(sim AS DECIMAL(18,8))) AS DOUBLE)
+                     / count(*), 6) AS mean_sim,
+               round(quantile_cont(sim, 0.05), 6) AS p05_sim
+        FROM scored
+        GROUP BY cohort ORDER BY cohort
     """
     sql["semdedup_prune"] = f"""
         WITH {_kmeans_chain(8)},

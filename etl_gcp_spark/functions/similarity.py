@@ -1778,6 +1778,94 @@ def embedding_kmeans(
     )
 
 
+def ivf_drift_report(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    holdout_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Frozen-centroid DRIFT gate for the persisted IVF index — the
+    guardrail that closes the index lifecycle (build → append →
+    compact → serve → recall audit → **when to retrain**). The
+    append path deliberately never retrains (O(|new| ) ingest); the
+    cost is that centroids slowly stop fitting the incoming
+    distribution. This report measures exactly that: train on the
+    BASE cohort only (ids with ``id % holdout_mod != holdout_mod-1``
+    — a deterministic, engine-portable split), assign EVERY vector to
+    the frozen centroids, and compare per-cohort assignment quality:
+
+    - ``mean_sim``: mean best-centroid cosine, 6-dp sims accumulated
+      as exact DECIMAL(18,8) sums (order-free) before one IEEE
+      division — the decimal-moments discipline;
+    - ``p05_sim``: the weak-tail 5th percentile (drift shows up in
+      the tail long before the mean moves), exact interpolated
+      percentile over the same 6-dp sims.
+
+    A ``new`` cohort whose p05 falls materially below ``base``'s is
+    the retrain trigger. Distributed shape: training is the proven
+    replayable k-means (n_cells·dim accumulator shuffles); scoring
+    is one pass of ``zip_with``/``aggregate`` dots against n_cells
+    broadcast centroid literals — same left-to-right summation as
+    the oracle's ``list_cosine_similarity``, rounded AFTER the max;
+    the report is 2 rows. At production dims swap the scoring
+    expression for the GEMM kernel (:func:`_assign_to_centroids`) —
+    semantics identical.
+    """
+    base = embeddings.filter(
+        (F.col(id_col) % holdout_mod) != holdout_mod - 1
+    )
+    _labels, cmat = ivf_train(
+        base,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _cos(v, cent):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        return _dot(v, c) / (
+            F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c))
+        )
+
+    allv = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    sims = [_cos(F.col("__v"), list(cent)) for cent in cmat]
+    best = sims[0] if len(sims) == 1 else F.greatest(*sims)
+    scored = allv.select(
+        F.when(
+            (F.col(id_col) % holdout_mod) == holdout_mod - 1, F.lit("new")
+        )
+        .otherwise(F.lit("base"))
+        .alias("cohort"),
+        F.round(best, 6).alias("sim"),
+    )
+    return (
+        scored.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sim"),
+            F.round(F.expr("percentile(sim, 0.05)"), 6).alias("p05_sim"),
+        )
+        .orderBy("cohort")
+    )
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     *,

@@ -830,3 +830,38 @@ def test_truncation_recall_full_dim_is_perfect(spark, sf_dir):
     assert len(tr) == 3
     assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= 3 for r in tr)
     assert all(r.trunc_dim == 8 for r in tr)
+
+
+def test_ivf_drift_report_detects_shifted_cohort(spark):
+    """Construct a corpus where the holdout cohort (vec_id % 5 == 4)
+    is drawn from a DIFFERENT cluster structure than the base: the
+    frozen base-trained centroids must fit the new cohort worse, and
+    the report's tail statistic must say so."""
+    import random
+
+    from etl_gcp_spark.functions.similarity import ivf_drift_report
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        if i % 5 == 4:
+            # new cohort: off-axis direction the base never saw
+            v = [rng.uniform(-0.1, 0.1) for _ in range(8)]
+            v[6] += 3.0
+        else:
+            # base: two clean clusters on axes 0 and 1
+            v = [rng.uniform(-0.1, 0.1) for _ in range(8)]
+            v[i % 2] += 3.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r.cohort: r for r in
+           ivf_drift_report(emb, n_cells=2, n_iters=2).collect()}
+    assert set(out) == {"base", "new"}
+    assert out["base"].n_vecs == 160 and out["new"].n_vecs == 40
+    # base fits its own centroids nearly perfectly; the shifted
+    # cohort must score materially worse on mean AND tail
+    assert out["base"].mean_sim > 0.95
+    assert out["new"].mean_sim < out["base"].mean_sim - 0.3
+    assert out["new"].p05_sim < out["base"].p05_sim
