@@ -7226,7 +7226,11 @@ def oracle_sql() -> dict[str, str]:
     # IVF drift gate: k-means replay trains on the base cohort only
     # (deterministic vec_id % 5 split); every vector scores its best
     # cosine against the frozen c2 centroids; cohort stats = exact
-    # DECIMAL-sum mean + interpolated p05 over the same 6-dp sims
+    # DECIMAL-sum mean + NEAREST-RANK p05 (⌈0.05·n⌉-th smallest,
+    # integer rank arithmetic (n+19)//20, picked on ×1e6 int-scaled
+    # sims — interpolated quantiles compute a+(b-a)·f in IEEE and a
+    # half-ulp engine difference can flip the 6-dp rounding; a rank
+    # pick has nothing to interpolate. ADVICE r5 medium item.)
     sql["ivf_drift_report"] = f"""
         WITH {_kmeans_chain(8, base_where='vec_id % 5 <> 4')},
         allv AS (
@@ -7240,14 +7244,30 @@ def oracle_sql() -> dict[str, str]:
                    round(max(list_cosine_similarity(a.v, c.cv)), 6) AS sim
             FROM allv a CROSS JOIN c2 c
             GROUP BY vec_id, cohort
+        ), stats AS (
+            SELECT cohort,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(CAST(sum(CAST(sim AS DECIMAL(18,8))) AS DOUBLE)
+                         / count(*), 6) AS mean_sim
+            FROM scored GROUP BY cohort
+        ), s6 AS (
+            SELECT cohort, CAST(round(sim * 1000000.0) AS BIGINT) AS sim6
+            FROM scored
+        ), grouped AS (
+            SELECT cohort, sim6, count(*) AS c FROM s6 GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort, sim6,
+                   sum(c) OVER (PARTITION BY cohort ORDER BY sim6) AS cum,
+                   sum(c) OVER (PARTITION BY cohort) AS n
+            FROM grouped
+        ), p05 AS (
+            SELECT cohort, round(min(sim6) / 1000000.0, 6) AS p05_sim
+            FROM cum WHERE cum >= (n + 19) // 20
+            GROUP BY cohort
         )
-        SELECT cohort,
-               CAST(count(*) AS BIGINT) AS n_vecs,
-               round(CAST(sum(CAST(sim AS DECIMAL(18,8))) AS DOUBLE)
-                     / count(*), 6) AS mean_sim,
-               round(quantile_cont(sim, 0.05), 6) AS p05_sim
-        FROM scored
-        GROUP BY cohort ORDER BY cohort
+        SELECT s.cohort, s.n_vecs, s.mean_sim, p.p05_sim
+        FROM stats s JOIN p05 p USING (cohort)
+        ORDER BY s.cohort
     """
     sql["semdedup_prune"] = f"""
         WITH {_kmeans_chain(8)},
@@ -7877,16 +7897,20 @@ def oracle_sql() -> dict[str, str]:
     # join is n·L rows hashed, the lev verify runs on candidates
     # only, and the result set is provably identical.
     #
-    # Scale envelope: the recursive reach closure below is exact but
-    # inherently O(n·|component|) tuples — the synthetic customer
-    # names form ONE giant lev-1 component, so it materializes ~n²/2
-    # rows. Fine at the driver's correctness scales (sf0.001/0.01:
-    # ≤ 1.1M tuples, seconds); intractable at sf0.1 (112M) — SQL
-    # without keyed-update recursion cannot express the log-round
-    # label-propagation the ENGINE side uses (star contraction,
-    # operators/graph.py). The sf0.1 extra sweep skips this one
-    # oracle for that reason; the operator itself is benched at
-    # sf0.1 like every other entry.
+    # Scale: the closure is LOG-ROUND label propagation carried as a
+    # single dense label LIST per recursion row (the proven
+    # mmr_select state-carrying pattern; VERDICT r5 item 4). Each
+    # round hooks every node to the min label in its neighborhood,
+    # then pointer-jumps twice (st[h], st[st[h]]) — the same
+    # hook+compress scheme as the ENGINE side's star contraction
+    # (operators/graph.py) — so state is O(n) per round and the
+    # giant lev-1 component converges in O(log n) rounds instead of
+    # the old reach-closure's O(n·|component|) tuples (which blew
+    # the 600 s watchdog at sf0.1). Keys are densified to 1..n by
+    # custkey rank, so min-idx labels == min-custkey entities.
+    # Non-convergence within the 200-round cap yields an EMPTY
+    # `final` → 0 rows → a loud driver mismatch, never silent
+    # wrong labels.
     sql["entity_clusters"] = """
         WITH RECURSIVE cust AS (
             SELECT c_custkey, c_name FROM customer
@@ -7907,21 +7931,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN cust ca ON ca.c_custkey = id1
             JOIN cust cb ON cb.c_custkey = id2
             WHERE levenshtein(ca.c_name, cb.c_name) <= 1
-        ), sym AS (
-            SELECT id1 AS u, id2 AS v FROM fpairs
+        ), nodes AS (
+            SELECT c_custkey,
+                   row_number() OVER (ORDER BY c_custkey) AS idx
+            FROM cust
+        ), eidx AS (
+            SELECT na.idx AS u, nb.idx AS v FROM fpairs p
+            JOIN nodes na ON na.c_custkey = p.id1
+            JOIN nodes nb ON nb.c_custkey = p.id2
             UNION ALL
-            SELECT id2 AS u, id1 AS v FROM fpairs
-        ), reach(node, lbl) AS (
-            SELECT c_custkey, c_custkey FROM customer
-            UNION
-            SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+            SELECT nb.idx AS u, na.idx AS v FROM fpairs p
+            JOIN nodes na ON na.c_custkey = p.id1
+            JOIN nodes nb ON nb.c_custkey = p.id2
+        ), init AS (
+            SELECT list(idx ORDER BY idx) AS st FROM nodes
+        ), lp(it, st, changed) AS (
+            SELECT 0, (SELECT st FROM init), TRUE
+            UNION ALL
+            SELECT lp.it + 1, x.nst, x.nst <> lp.st
+            FROM lp, LATERAL (
+                SELECT list(least(h, lp.st[h], lp.st[lp.st[h]])
+                            ORDER BY i) AS nst
+                FROM (
+                    SELECT n.idx AS i,
+                           least(lp.st[n.idx],
+                                 coalesce(mn.m, lp.st[n.idx])) AS h
+                    FROM nodes n LEFT JOIN (
+                        SELECT e.v AS i2, min(lp.st[e.u]) AS m
+                        FROM eidx e GROUP BY e.v
+                    ) mn ON mn.i2 = n.idx
+                )
+            ) x
+            WHERE lp.changed AND lp.it < 200
+        ), final AS (
+            SELECT st FROM lp WHERE NOT changed ORDER BY it LIMIT 1
         ), comp AS (
-            SELECT node AS c_custkey, min(lbl) AS entity_id
-            FROM reach GROUP BY node
+            SELECT n.c_custkey, f.st[n.idx] AS lbl
+            FROM nodes n, final f
         )
-        SELECT c_custkey, entity_id,
-               count(*) OVER (PARTITION BY entity_id) AS entity_size
-        FROM comp
+        SELECT c.c_custkey, m.c_custkey AS entity_id,
+               count(*) OVER (PARTITION BY c.lbl) AS entity_size
+        FROM comp c JOIN nodes m ON m.idx = c.lbl
     """
     # triangles over the exact-Jaccard pair graph (== LSH pairs at
     # driver scales): orient low→high, close (a→b, b→c) with (a→c)

@@ -1801,8 +1801,17 @@ def ivf_drift_report(
       as exact DECIMAL(18,8) sums (order-free) before one IEEE
       division — the decimal-moments discipline;
     - ``p05_sim``: the weak-tail 5th percentile (drift shows up in
-      the tail long before the mean moves), exact interpolated
-      percentile over the same 6-dp sims.
+      the tail long before the mean moves), defined NEAREST-RANK —
+      the ⌈0.05·n⌉-th smallest value, picked on integer-scaled
+      (×1e6) sims with pure integer rank arithmetic. Interpolated
+      percentiles compute ``a + (b-a)·f`` in IEEE doubles, where a
+      half-ulp difference between engines can flip the 6-dp
+      rounding; a rank pick selects an existing value, so there is
+      nothing to interpolate and nothing to diverge. It is also the
+      scalable formulation: Spark's ``percentile()`` buffers every
+      value per group, while the rank pick here is a groupBy on
+      (cohort, sim6) — at most one row per distinct 6-dp sim —
+      followed by a running-sum window over that compacted set.
 
     A ``new`` cohort whose p05 falls materially below ``base``'s is
     the retrain trigger. Distributed shape: training is the proven
@@ -1851,19 +1860,35 @@ def ivf_drift_report(
         .alias("cohort"),
         F.round(best, 6).alias("sim"),
     )
-    return (
-        scored.groupBy("cohort")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(
-                F.sum(F.col("sim").cast("decimal(18,8)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_sim"),
-            F.round(F.expr("percentile(sim, 0.05)"), 6).alias("p05_sim"),
-        )
-        .orderBy("cohort")
+    stats = scored.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sim"),
     )
+    # nearest-rank p05: ⌈0.05·n⌉ == (n + 19) div 20, exact integer
+    # arithmetic (0.05·n in IEEE can land a half-ulp either side of
+    # the integer and flip ceil()); sims scaled to exact int64 so
+    # the picked value replays bit-for-bit on any engine
+    sim6 = scored.select(
+        "cohort",
+        F.round(F.col("sim") * F.lit(1000000.0)).cast("long").alias("sim6"),
+    )
+    grouped = sim6.groupBy("cohort", "sim6").agg(F.count(F.lit(1)).alias("c"))
+    cum = grouped.select(
+        "cohort",
+        "sim6",
+        F.sum("c").over(Window.partitionBy("cohort").orderBy("sim6")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("cohort")).alias("n"),
+    )
+    p05 = (
+        cum.filter(F.col("cum") >= F.expr("(n + 19) div 20"))
+        .groupBy("cohort")
+        .agg(F.round(F.min("sim6") / F.lit(1000000.0), 6).alias("p05_sim"))
+    )
+    return stats.join(p05, "cohort").orderBy("cohort")
 
 
 def semdedup_prune(
