@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 
 import os
 
+# index BUILD phases are metered so bench.py can report build_sec /
+# serve_sec separately — at scale the build is a rare batch job while
+# serve latency is the tracked number (etl_gcp_spark/metering.py)
+from etl_gcp_spark.metering import timed as _timed_phase
+
+_metered_build = _timed_phase("build")
+
 
 def _as_double(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -2247,6 +2254,7 @@ def truncation_recall_report(
     )
 
 
+@_metered_build
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -2299,6 +2307,7 @@ def build_ivf_index(
     )
 
 
+@_metered_build
 def ivf_index_append(
     spark,
     path: str,
@@ -2348,6 +2357,7 @@ def ivf_index_append(
     )
 
 
+@_metered_build
 def ivf_index_compact(spark, path: str) -> None:
     """Fold the streaming append trees
     (``path/appends/batch=<id>/cell=<n>/``, written by

@@ -16,6 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# index BUILD phases are metered so bench.py can report build_sec /
+# serve_sec separately — at scale the build is a rare batch job while
+# serve latency is the tracked number (etl_gcp_spark/metering.py)
+from etl_gcp_spark.metering import timed as _timed_phase
+
+_metered_build = _timed_phase("build")
+
 # Marker-token lists for the n-gram/stopword language heuristic.
 # With real corpora these are per-language stopword sets; they are
 # deterministic model parameters of the operator, not derived state.
@@ -1298,6 +1305,7 @@ def textrank_keywords(
     )
 
 
+@_metered_build
 def text_index_build(
     documents: DataFrame,
     index_dir: str,
@@ -1420,6 +1428,7 @@ def bm25_index_topk(
     )
 
 
+@_metered_build
 def text_index_append(
     new_documents: DataFrame,
     index_dir: str,
@@ -1473,6 +1482,7 @@ def text_index_append(
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
 
 
+@_metered_build
 def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
     """Fold accumulated append files back into one file per postings
     bucket — the text twin of ivf_index_compact: ordinary parquet

@@ -28,9 +28,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# index BUILD phases are metered so bench.py can report build_sec /
+# serve_sec separately — at scale the build is a rare batch job while
+# serve latency is the tracked number (etl_gcp_spark/metering.py)
+from etl_gcp_spark.metering import timed as _timed_phase
+
+_metered_build = _timed_phase("build")
+
 EMBEDDINGS_SCHEMA = "vec_id long, embedding array<float>"
 
 
+@_metered_build
 def run_streaming_ivf_ingest(
     spark: SparkSession,
     embeddings_path: str,

@@ -35,9 +35,25 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
+    old_doc = json.load(open(sys.argv[1]))
+    new_doc = json.load(open(sys.argv[2]))
     old = _load_timings(sys.argv[1])
     new = _load_timings(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+    # methodology drift makes per-query ratios apples-to-oranges (e.g.
+    # the r5→r6 min-of-2 → median-of-3 switch, or the side-write skip
+    # landing between rounds) — say so instead of letting the first
+    # post-change diff read as a real win/regression (ADVICE r5)
+    for field in ("stat", "repeat"):
+        ov, nv = old_doc.get(field), new_doc.get(field)
+        if ov != nv:
+            print(
+                f"NOTE: bench methodology changed ({field}:"
+                f" {ov!r} -> {nv!r}) — per-query ratios below are not"
+                " like-for-like; confirm via plan_diff before reading"
+                " them as operator changes"
+            )
 
     regressions = []
     improved = []
@@ -55,6 +71,24 @@ def main() -> int:
         print(f"added   {name}: {new[name]:.3f}s")
     for name in sorted(set(old) - set(new)):
         print(f"REMOVED {name} (was {old[name]:.3f}s)")
+
+    # persisted-index entries: track the SERVE path (the scale-
+    # relevant latency) separately from the build+serve total
+    osplit = old_doc.get("index_splits", {})
+    nsplit = new_doc.get("index_splits", {})
+    for name in sorted(set(osplit) | set(nsplit)):
+        o, n = osplit.get(name), nsplit.get(name)
+        if o and n:
+            print(
+                f"index   {name}: build {o['build_sec']:.2f}s ->"
+                f" {n['build_sec']:.2f}s, serve {o['serve_sec']:.2f}s ->"
+                f" {n['serve_sec']:.2f}s"
+            )
+        elif n:
+            print(
+                f"index   {name}: build {n['build_sec']:.2f}s /"
+                f" serve {n['serve_sec']:.2f}s (no prior split)"
+            )
 
     t_old = sum(old.values())
     t_new = sum(new.values())

@@ -58,9 +58,17 @@ def driver_unsortable(rows):
     stringify lists instead). Return the offending column type name,
     or None if every cell is scalar-sortable.
     """
+    try:
+        from pyspark.sql import Row as _Row
+    except Exception:  # pragma: no cover - pyspark always present here
+        _Row = ()
     for r in rows:
         for v in r:
-            if isinstance(v, (list, dict, set)):
+            # Row subclasses tuple; any non-string sequence, mapping, or
+            # set is unsortable in the driver's pandas canonicalization
+            if isinstance(v, (list, dict, set, _Row)):
+                return type(v).__name__
+            if isinstance(v, tuple):
                 return type(v).__name__
     return None
 
@@ -88,6 +96,13 @@ def main() -> int:
     os.environ["TZ"] = "UTC"
     if hasattr(_time, "tzset"):
         _time.tzset()
+
+    # the side-write skip flag is a BENCH-ONLY optimization (bench.py
+    # sets it because the bench never replays oracle_sql). If it leaks
+    # in from a shell that exported it, every side-table oracle here
+    # would read a missing/stale parquet and fail with a confusing
+    # error — the correctness path must never inherit it (ADVICE r5).
+    os.environ.pop("SPARK_GRAFT_SKIP_ORACLE_SIDE_WRITE", None)
 
     args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
     json_path = next(
@@ -139,19 +154,35 @@ def main() -> int:
         # watchdog: a single runaway oracle must not stall the whole
         # sweep (a quadratic closure once sat single-threaded for an
         # hour at sf0.1). duckdb honors interrupt() from another
-        # thread; the interrupted execute raises and the entry fails
-        # loudly with a timeout tag instead of hanging the gate.
+        # thread. The callback checks a still-running flag under a
+        # lock before interrupting: a bare Timer(budget, interrupt)
+        # could fire AFTER fetchall() returned but BEFORE cancel(),
+        # leaving a pending interrupt that spuriously kills the NEXT
+        # entry's oracle on the shared connection (ADVICE r5). The
+        # flag, not exception-string matching, is also how a timeout
+        # is detected.
         import threading
 
         budget = float(os.environ.get("ORACLE_TIMEOUT_SEC", "600"))
-        timer = threading.Timer(budget, con.interrupt)
+        state = {"running": True, "timed_out": False}
+        state_lock = threading.Lock()
+
+        def _watchdog():
+            with state_lock:
+                if not state["running"]:
+                    return
+                state["timed_out"] = True
+                con.interrupt()
+
+        timer = threading.Timer(budget, _watchdog)
         timer.start()
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
-        except Exception as e:
-            interrupted = "INTERRUPT" in str(e).upper()
+        except Exception:
+            with state_lock:
+                interrupted = state["timed_out"]
             tag = (
                 f"oracle timeout (> {budget:.0f}s)"
                 if interrupted
@@ -164,7 +195,19 @@ def main() -> int:
             n_fail += 1
             continue
         finally:
+            with state_lock:
+                state["running"] = False
+                fired = state["timed_out"]
             timer.cancel()
+            if fired:
+                # the callback may have fired in the sliver between
+                # fetchall() returning and running=False — absorb any
+                # interrupt left pending on the shared connection with
+                # a sacrificial query so the next entry starts clean
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
         problems = []
         bad = driver_unsortable(srows) or driver_unsortable(orows)
         if bad:

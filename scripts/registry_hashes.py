@@ -34,17 +34,39 @@ def _src(obj) -> str:
         return repr(obj)
 
 
+def _code_idents(source: str) -> set[str]:
+    """Identifiers appearing in CODE (comments and string literals
+    stripped via tokenize) — a comment like '10 queries' must not pull
+    the queries() registry assembly into an entry's helper closure."""
+    import io
+    import tokenize
+
+    idents: set[str] = set()
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(source).readline):
+            if tok.type == tokenize.NAME:
+                idents.add(tok.string)
+    except Exception:
+        import re
+
+        idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", source))
+    return idents
+
+
 def _closure_src(raw, module) -> str:
     """Source of `raw` plus every module-level function of `module` it
     references, to a fixpoint — so an edit to a shared helper (e.g. the
     oracle side-write plumbing) changes the hash of every entry that
-    calls it, not just entries whose own body was edited."""
-    import re
+    calls it, not just entries whose own body was edited. The registry
+    assembly surface (queries/oracle_sql/entry) is excluded: it is not
+    a runtime helper, and its text churns on every window rotation."""
     import types
 
     mod_fns = {
         n: o for n, o in vars(module).items()
-        if isinstance(o, types.FunctionType) and o.__module__ == module.__name__
+        if isinstance(o, types.FunctionType)
+        and o.__module__ == module.__name__
+        and n not in ("queries", "oracle_sql", "entry")
     }
     seen, queue, parts = set(), [raw], []
     while queue:
@@ -54,7 +76,7 @@ def _closure_src(raw, module) -> str:
         seen.add(fn)
         s = _src(fn)
         parts.append(s)
-        for name in set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", s)):
+        for name in _code_idents(s):
             helper = mod_fns.get(name)
             if helper is not None and helper not in seen:
                 queue.append(helper)

@@ -28,6 +28,8 @@ echo "== 2/4 oracle sweep (sf0.01)" >&2
 python scripts/check_oracle.py /root/testdata/sf0.01 \
     --json=/tmp/gate_sweep.json | tail -1 | tee /tmp/gate_oracle
 grep -q " 0 fail" /tmp/gate_oracle
+echo "== hash drift: entries changed after their driver-green round" >&2
+python scripts/hash_drift.py
 python scripts/coverage_report.py --local=/tmp/gate_sweep.json
 
 echo "== 3/4 closing bench (standalone)" >&2

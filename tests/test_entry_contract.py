@@ -108,6 +108,14 @@ def test_check_oracle_rejects_array_outputs():
     assert driver_unsortable([(1, [0.1, 0.2])]) == "list"
     assert driver_unsortable([(1, {"a": 1})]) == "dict"
     assert driver_unsortable([(1, 0.5), (2, None)]) is None
+    # struct-typed cells: pyspark Row subclasses tuple and slips past
+    # an isinstance(list/dict/set) check, but pandas sort_values
+    # raises on it just the same (ADVICE r5) — the runtime guard must
+    # match the schema-level StructType ban
+    from pyspark.sql import Row
+
+    assert driver_unsortable([(1, Row(a=1, b=2))]) == "Row"
+    assert driver_unsortable([(1, (0.1, 0.2))]) == "tuple"
 
 
 def test_oracle_sql_parses_in_duckdb(spark, sf_dir):
