@@ -1867,6 +1867,27 @@ def ivf_drift_report(
         .alias("cohort"),
         F.round(best, 6).alias("sim"),
     )
+    return _drift_cohort_stats(scored)
+
+
+def _drift_cohort_stats(scored: DataFrame) -> DataFrame:
+    """Per-cohort (n_vecs, mean_sim, p05_sim) over (cohort, sim) rows
+    of 6-dp-rounded best-centroid sims — shared by the literal-
+    expression and GEMM drift scorers so both provably aggregate the
+    same way. mean_sim: exact DECIMAL sums (order-free) before one
+    IEEE division. p05_sim: nearest-rank — ⌈0.05·n⌉ == (n + 19) div
+    20, exact integer arithmetic (0.05·n in IEEE can land a half-ulp
+    either side of the integer and flip ceil()); sims scaled to exact
+    int64 so the picked value replays bit-for-bit on any engine.
+
+    ``scored`` feeds two output subtrees (mean stats + the p05 rank
+    pick), so it is persisted — without the pin both branches re-run
+    the full scoring pass over the corpus, which at 100 TB doubles
+    the dominant cost. The pin is a 2-column (cohort, sim) frame —
+    ~16 bytes/row — tagged for release via the caching contract."""
+    from etl_gcp_spark.caching import tag_pinned
+
+    scored = scored.persist()
     stats = scored.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(
@@ -1875,10 +1896,6 @@ def ivf_drift_report(
             6,
         ).alias("mean_sim"),
     )
-    # nearest-rank p05: ⌈0.05·n⌉ == (n + 19) div 20, exact integer
-    # arithmetic (0.05·n in IEEE can land a half-ulp either side of
-    # the integer and flip ceil()); sims scaled to exact int64 so
-    # the picked value replays bit-for-bit on any engine
     sim6 = scored.select(
         "cohort",
         F.round(F.col("sim") * F.lit(1000000.0)).cast("long").alias("sim6"),
@@ -1895,7 +1912,87 @@ def ivf_drift_report(
         .groupBy("cohort")
         .agg(F.round(F.min("sim6") / F.lit(1000000.0), 6).alias("p05_sim"))
     )
-    return stats.join(p05, "cohort").orderBy("cohort")
+    return tag_pinned(
+        stats.join(p05, "cohort").orderBy("cohort"), scored
+    )
+
+
+def ivf_drift_report_gemm(
+    embeddings: DataFrame,
+    *,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    holdout_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_drift_report` with the PRODUCTION scoring kernel:
+    best-centroid cosine per vector via one Arrow-batched numpy GEMM
+    per partition (batch × centroidsᵀ on L2-normalized rows) instead
+    of n_cells literal ``zip_with``/``aggregate`` expressions. The
+    literal form is fine at n_cells=8 but generates an expression
+    tree linear in n_cells — at production cell counts (4k-64k) the
+    GEMM is the only sane shape, and this entry PROVES the swap is
+    semantics-preserving: identical training, identical cohort
+    split, identical 6-dp rounding, same aggregation helper
+    (:func:`_drift_cohort_stats`), and the SAME value-hash oracle as
+    the literal entry (the two differ only in float summation order
+    inside the dot product — ~1e-16 relative, invisible at 6 dp on
+    unit-norm cosines).
+
+    Distributed shape: scoring is mapInPandas over broadcast
+    centroids — zero shuffle, zero join; the report aggregation is
+    the shared rank-pick (a groupBy compaction, never a per-group
+    value buffer)."""
+    import numpy as np
+    import pandas as pd
+
+    base = embeddings.filter(
+        (F.col(id_col) % holdout_mod) != holdout_mod - 1
+    )
+    _labels, cmat = ivf_train(
+        base,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cm = np.asarray(cmat, dtype=np.float64)
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast(cm)
+    new_tag = holdout_mod - 1
+
+    def kernel(batches):
+        # emit RAW sims: rounding happens in Spark (F.round is
+        # half-up like the oracle's round(); numpy.round is
+        # half-even) — keep every rounding decision on one code path
+        pm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(
+                pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)).values
+            )
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].to_numpy(),
+                    "sim_raw": (block @ pm.T).max(axis=1),
+                }
+            )
+
+    allv = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    scored = allv.mapInPandas(
+        kernel, "__id long, sim_raw double"
+    ).select(
+        F.when(F.col("__id") % holdout_mod == new_tag, F.lit("new"))
+        .otherwise(F.lit("base"))
+        .alias("cohort"),
+        F.round(F.col("sim_raw"), 6).alias("sim"),
+    )
+    return _drift_cohort_stats(scored)
 
 
 def semdedup_prune(

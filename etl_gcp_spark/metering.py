@@ -35,6 +35,26 @@ def snapshot() -> dict[str, float]:
     return dict(_PHASES)
 
 
+def phase(name: str):
+    """Context-manager form of :func:`timed` for metering a block
+    (e.g. an index build+append sequence inside a larger operator).
+    Same reentrancy guard: nested same-name phases count once."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        _DEPTH[name] = _DEPTH.get(name, 0) + 1
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            _DEPTH[name] -= 1
+            if _DEPTH[name] == 0:
+                add(name, time.perf_counter() - t0)
+
+    return _cm()
+
+
 def timed(phase: str):
     """Decorator: accumulate the wrapped call's wall time under
     ``phase``. Used on index BUILD/maintenance functions so bench can

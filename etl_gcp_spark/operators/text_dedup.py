@@ -699,6 +699,97 @@ def incremental_near_dup_pairs_indexed(
     )
 
 
+def dedup_index_maintenance_audit(
+    documents: DataFrame,
+    index_dir: str,
+    *,
+    delta_mod: int = 10,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot LSH-index incremental-maintenance audit: prove
+    that the APPEND-MAINTAINED banded signature index serves exactly
+    the pair set a FULL REBUILD would — the guarantee an operations
+    team needs before trusting daily index appends over periodic
+    rebuilds at corpus scale.
+
+    Snapshot 0 (``doc_id % delta_mod != 0``) builds the persisted
+    (band, bkey, id) index; the delta snapshot appends its banded
+    rows as new files (the existing index is never read or
+    rewritten — the same O(|delta|) maintenance discipline as
+    :func:`incremental_near_dup_pairs_indexed` and the IVF append
+    path). The audit then generates candidates by bucket self-join
+    over the PERSISTED index, verifies with the shared exact-Jaccard
+    arithmetic (:func:`verify_candidates`), and compares against an
+    in-memory full rebuild (:func:`minhash_lsh_pairs`) over the
+    union corpus. Because both legs band identical signatures with
+    the same seeded xxhash64 keys, the pair sets are equal by
+    construction at ANY scale — ``n_only_index``/``n_only_rebuild``
+    are structural zeros, and a nonzero is a maintenance bug, not
+    noise. ``n_pairs_cross`` counts pairs spanning the two snapshots
+    — the work a rebuild redoes but an append never touches.
+
+    One summary row: (n_docs_base, n_docs_delta, n_pairs_index,
+    n_pairs_rebuild, n_only_index, n_only_rebuild, n_pairs_cross).
+    The index write is metered as a build phase, so bench reports
+    the audit's serve cost separately.
+    """
+    from etl_gcp_spark import metering
+
+    spark = documents.sparkSession
+    base = documents.filter(F.col(id_col) % delta_mod != 0)
+    delta = documents.filter(F.col(id_col) % delta_mod == 0)
+    kw = dict(
+        num_perm=num_perm, bands=bands, n=n,
+        text_col=text_col, id_col=id_col,
+    )
+    bands_dir = f"{index_dir}/bands"
+    with metering.phase("build"):
+        _banded(base, **kw).write.mode("overwrite").parquet(bands_dir)
+        _banded(delta, **kw).write.mode("append").parquet(bands_dir)
+
+    idx = spark.read.parquet(bands_dir)
+    a = idx.select("band", "bkey", F.col(id_col).alias("id1"))
+    b = idx.select("band", "bkey", F.col(id_col).alias("id2"))
+    candidates = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
+    sh = with_shingles(documents, text_col, id_col, n)
+    ver_idx = verify_candidates(
+        candidates, sh, sh, threshold=threshold,
+        left_col="id1", right_col="id2",
+    ).select("id1", "id2")
+    ver_full = minhash_lsh_pairs(documents, threshold=threshold, **kw).select(
+        "id1", "id2"
+    )
+
+    def _count(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    is_delta1 = (F.col("id1") % delta_mod == 0).cast("int")
+    is_delta2 = (F.col("id2") % delta_mod == 0).cast("int")
+    return (
+        _count(base, "n_docs_base")
+        .crossJoin(_count(delta, "n_docs_delta"))
+        .crossJoin(_count(ver_idx, "n_pairs_index"))
+        .crossJoin(_count(ver_full, "n_pairs_rebuild"))
+        .crossJoin(_count(ver_idx.exceptAll(ver_full), "n_only_index"))
+        .crossJoin(_count(ver_full.exceptAll(ver_idx), "n_only_rebuild"))
+        .crossJoin(
+            _count(
+                ver_idx.filter(is_delta1 + is_delta2 == 1), "n_pairs_cross"
+            )
+        )
+    )
+
+
 def containment_pairs(
     documents: DataFrame,
     *,

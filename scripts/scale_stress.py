@@ -191,7 +191,7 @@ def write_parquet(out_dir: str, scale: int) -> None:
         )
 
 
-def bench(out_dir: str, scale: int) -> dict:
+def bench(out_dir: str, scale: int, only=None) -> dict:
     from etl_gcp_spark.functions.similarity import (
         blocked_exact_near_dup_pairs,
         pq_topk,
@@ -243,6 +243,12 @@ def bench(out_dir: str, scale: int) -> dict:
     )
     from etl_gcp_spark.functions.text import (
         textrank_keywords as _textrank,
+    )
+    from etl_gcp_spark.functions.similarity import (
+        ivf_drift_report_gemm as _drift_gemm,
+    )
+    from etl_gcp_spark.operators.text_dedup import (
+        dedup_index_maintenance_audit as _idx_audit,
     )
     from pyspark.sql import functions as F
     from etl_gcp_spark.session import get_spark
@@ -318,6 +324,15 @@ def bench(out_dir: str, scale: int) -> dict:
             docs(m), label=F.col("lang") == "en"
         ),
         "textrank_keywords": lambda m: _textrank(docs(m)),
+        # round-6 additions: GEMM drift scoring is one mapInPandas
+        # pass over broadcast centroids (no shuffle — expected ~1);
+        # the maintenance audit rides the same banding substrate as
+        # minhash_lsh_pairs twice (index leg + rebuild leg) plus an
+        # index write, so its exponent should track minhash's
+        "ivf_drift_report_gemm": lambda m: _drift_gemm(vecs(m)),
+        "dedup_index_maintenance_audit": lambda m: _idx_audit(
+            docs(m), f"{out_dir}/lsh_idx_x{m}"
+        ),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't
@@ -449,8 +464,10 @@ def bench(out_dir: str, scale: int) -> dict:
         "sublinear_ok": texp < 0.3,
     }
 
-    results: dict[str, dict] = dict(fixed_results)
+    results: dict[str, dict] = {} if only else dict(fixed_results)
     for name, fn in {**ops, **skew_ops}.items():
+        if only and name not in only:
+            continue
         timings = {}
         for mult in (1, scale):
             t0 = time.time()
@@ -479,11 +496,28 @@ def main() -> None:
     ap.add_argument("--scale", type=int, default=10)
     ap.add_argument("--out", default=".scale_stress")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated op names: measure just these and merge"
+        " into the existing SCALE_STRESS.json instead of rewriting it",
+    )
     args = ap.parse_args()
 
     if not args.skip_gen:
         write_parquet(args.out, args.scale)
-    results = bench(args.out, args.scale)
+    only = set(args.only.split(",")) if args.only else None
+    results = bench(args.out, args.scale, only=only)
+    if only:
+        prior = json.load(open("SCALE_STRESS.json"))
+        prior["ops"].update(results)
+        prior["all_subquadratic"] = all(
+            r["sublinear_ok"] for r in prior["ops"].values()
+        )
+        with open("SCALE_STRESS.json", "w") as f:
+            json.dump(prior, f, indent=2)
+        print(json.dumps({k: results[k] for k in results}))
+        return
     report = {
         "scale": args.scale,
         "base_docs": BASE_DOCS,

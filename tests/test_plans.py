@@ -680,3 +680,81 @@ def test_scaled_embedding_entries_explode_without_new_exchange(
         # the broadcast), and none between the cross join and Generate
         n_exchange = len(re.findall(r"\bExchange\b", tree))
         assert n_exchange <= 2, f"{name}: {n_exchange} exchanges\n{tree}"
+
+
+def test_gemm_drift_scoring_has_no_shuffle_before_aggregation(
+    spark, sf_dir
+):
+    """ivf_drift_report_gemm's scoring pass must be scan →
+    MapInPandas (broadcast centroids ride the closure, not a join) →
+    project; every Exchange in the plan belongs to the tiny cohort
+    aggregation (≤ distinct 6-dp sims per cohort after the groupBy
+    compaction). A join or exchange feeding the Python stage would
+    mean the scorer reshuffles the full corpus."""
+    from etl_gcp_spark.functions.similarity import ivf_drift_report_gemm
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan_formatted(ivf_drift_report_gemm(emb))
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    lines = tree.splitlines()
+    scorer_lines = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert scorer_lines, tree
+    # each scorer consumes the scan directly: its subtree (the lines
+    # immediately following, until the branch bottoms out at the
+    # parquet scan) is Project → Scan — no Exchange, no join feeding
+    # the Python stage
+    for i in scorer_lines:
+        # feeder subtree: Project [-> ColumnarToRow] -> Scan parquet
+        feeder = lines[i + 1 : i + 4]
+        assert any("Scan parquet" in ln for ln in feeder), (
+            f"MapInPandas not scan-fed:\n{tree}"
+        )
+        assert all(
+            "Exchange" not in ln and "Join" not in ln for ln in feeder
+        ), tree
+    # the scored frame is persisted, so the corpus-scoring pass runs
+    # once even though two aggregation subtrees consume it
+    assert "InMemoryRelation" in tree, tree
+
+
+def test_index_maintenance_audit_appends_without_rewriting(
+    spark, sf_dir, tmp_path
+):
+    """The maintenance leg must be O(|delta|): building writes the
+    base snapshot's banded rows once, appending writes ONLY the
+    delta's rows as new files (the base files' mtimes are untouched),
+    and the audit's only-counts are structural zeros."""
+    import os
+
+    from etl_gcp_spark.operators.text_dedup import (
+        dedup_index_maintenance_audit,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "lsh_idx")
+    row = dedup_index_maintenance_audit(docs, idx).collect()[0]
+    assert row["n_only_index"] == 0 and row["n_only_rebuild"] == 0
+    assert row["n_pairs_index"] == row["n_pairs_rebuild"]
+    # the banded dir holds base files + appended delta files; rerun
+    # the append alone and confirm base files are not rewritten
+    bands_dir = os.path.join(idx, "bands")
+    files_before = {
+        f: os.path.getmtime(os.path.join(bands_dir, f))
+        for f in os.listdir(bands_dir)
+        if f.endswith(".parquet")
+    }
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.text_dedup import _banded
+
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    _banded(
+        delta, num_perm=16, bands=4, n=3,
+        text_col="text", id_col="doc_id",
+    ).write.mode("append").parquet(bands_dir)
+    for f, mtime in files_before.items():
+        path = os.path.join(bands_dir, f)
+        assert os.path.exists(path), f"append rewrote {f}"
+        assert os.path.getmtime(path) == mtime, f"append rewrote {f}"
