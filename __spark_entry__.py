@@ -3148,6 +3148,26 @@ def _q_dedup_index_maintenance_audit(spark, sf_dir):
     )
 
 
+def _q_streaming_text_index(spark, sf_dir):
+    """Continuous document ingest into the persisted inverted index:
+    stream doc_id >= 250 into the index built on doc_id < 250 (4
+    microbatches, batch_id-keyed idempotent overwrite dirs — the
+    batch append's append-mode write would duplicate under replay),
+    serve BM25 over base ∪ appends through the shared score tree.
+    Final state is identical to a full batch build over the union
+    corpus, so the batch index entry's oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.text import run_streaming_text_ingest
+
+    return run_streaming_text_ingest(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        ["spark", "vector", "stream"],
+        train_max_id=250,
+        n_batches=4,
+        k=10,
+    )
+
+
 def _q_ivf_drift_report_gemm(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import ivf_drift_report_gemm
 
@@ -3767,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head the r7 window. ---
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
+        "streaming_text_index_ingest": _q_streaming_text_index,
         # --- driver-green r05 (rotated out of the window) ---
         "standardize_embeddings": _q_standardize_embeddings,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
@@ -9850,6 +9871,12 @@ def oracle_sql() -> dict[str, str]:
     # index-served BM25 is bit-equal to the fused scorer (same fixed
     # score tree over the same postings; the index only changes I/O)
     sql["bm25_index_topk"] = sql["bm25_topk"]
+    # the streamed ingest's final index state equals a full batch
+    # build over the union corpus (batch_id-keyed idempotent appends,
+    # stats recomputed from the doclen union, shared score tree) —
+    # the batch entry's oracle attaches verbatim, the same contract
+    # streaming_ivf_ingest holds against ivf_index_append_topk
+    sql["streaming_text_index_ingest"] = sql["bm25_index_topk"]
     # build-on-half + append-half serves the identical union corpus
     sql["text_index_append_topk"] = sql["bm25_topk"]
     # compaction moves bytes, not semantics

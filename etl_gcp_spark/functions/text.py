@@ -1396,6 +1396,26 @@ def bm25_index_topk(
         F.col("n_docs").alias("__n_docs"),
         F.col("total_dl").alias("__total_dl"),
     )
+    return bm25_score_frames(postings, dl, stats, k=k, k1=k1, b=b)
+
+
+def bm25_score_frames(
+    postings: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BM25 score tree over already-probed index frames —
+    extracted from :func:`bm25_index_topk` so the streaming-ingested
+    index (base tree ∪ append trees) serves through the IDENTICAL
+    arithmetic: ``postings`` = (doc_id, __t, __tf) filtered to the
+    query terms, ``dl`` = (doc_id, __dl), ``stats`` = one
+    (__n_docs, __total_dl) row. Fixed decimal score sums, 6-dp
+    per-term rounding, take-ordered top-k — bit-equal to the fused
+    :func:`bm25_topk`."""
     dfreq = postings.groupBy("__t").agg(
         F.count(F.lit(1)).alias("__df")
     )

@@ -1,0 +1,173 @@
+"""Structured-Streaming ingest into the persisted inverted text index.
+
+The text-side twin of ``streaming/vectors.py``: documents stream into
+a :func:`~etl_gcp_spark.functions.text.text_index_build` artifact and
+BM25 serving over base ∪ appends is bit-equal to a full batch build —
+"stream and batch agree exactly", the contract the streaming family
+holds throughout.
+
+Replay-idempotency: the batch :func:`text_index_append` writes
+postings in APPEND mode, which a foreachBatch replay would duplicate.
+Streamed appends therefore land under ``batch=<batch_id>`` directories
+in OVERWRITE mode — a replayed microbatch rewrites its own directory
+and nothing else (the same discipline as the IVF append trees).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.metering import timed as _timed_phase
+
+_metered_build = _timed_phase("build")
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@_metered_build
+def run_streaming_text_ingest(
+    spark: SparkSession,
+    documents_path: str,
+    query_terms: list[str],
+    *,
+    train_max_id: int = 250,
+    n_batches: int = 4,
+    k: int = 10,
+    n_buckets: int = 64,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Stream documents ``doc_id >= train_max_id`` into an inverted
+    index built on ``doc_id < train_max_id``, then serve BM25 top-k
+    over the full corpus (base postings ∪ append trees).
+
+    The final served ranking is IDENTICAL to a full batch
+    :func:`text_index_build` over the union corpus: postings and
+    doclen rows partition exactly by which microbatch carried each
+    document, global stats are recomputed from the doclen union, and
+    scoring goes through the shared
+    :func:`~etl_gcp_spark.functions.text.bm25_score_frames` tree — so
+    the batch index entry's value-hash oracle attaches to the
+    STREAMED result verbatim.
+
+    Layout: ``root/index/{postings,doclen,stats}`` is the trained
+    base; each microbatch writes
+    ``root/index/appends/postings/batch=<id>/bucket=<b>/`` and
+    ``root/index/appends/doclen/batch=<id>/`` in overwrite mode
+    (replay-idempotent). Serving filters ``bucket`` on BOTH trees —
+    partition pruning holds for appends too (``batch`` adds files,
+    not read amplification). Pass ``root`` to resume a crashed run
+    from its checkpoint; ``fail_after_batches`` injects a post-write
+    pre-commit crash (recovery tests).
+    """
+    from etl_gcp_spark.functions.text import (
+        bm25_score_frames,
+        poly_hash_py,
+        text_index_build,
+        tokens,
+    )
+    from etl_gcp_spark.operators.encoding import _poly_hash
+
+    root = root or os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_textstream_{uuid.uuid4().hex}"
+    )
+    index = os.path.join(root, "index")
+    appends = os.path.join(index, "appends")
+    docs = spark.read.parquet(documents_path)
+
+    # base index: idempotent (overwrite) — a resumed run rebuilds the
+    # identical artifact, so recovery needs no special case
+    text_index_build(
+        docs.filter(F.col("doc_id") < train_max_id),
+        index,
+        n_buckets=n_buckets,
+    )
+
+    staged = os.path.join(root, "in")
+    if not os.path.exists(staged):
+        docs.filter(F.col("doc_id") >= train_max_id).repartition(
+            n_batches
+        ).write.parquet(staged)
+
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        toks = batch_df.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl")
+        ).write.mode("overwrite").parquet(
+            os.path.join(appends, "doclen", f"batch={batch_id}")
+        )
+        (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket",
+                (_poly_hash(F.col("term")) % n_buckets).cast("int"),
+            )
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(appends, "postings", f"batch={batch_id}"))
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink writes, BEFORE the checkpoint
+            # commit — the engine must replay this batch_id and the
+            # overwrites above must absorb the replay
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # serve over base ∪ appends with bucket pruning on both trees
+    buckets = sorted({poly_hash_py(t) % n_buckets for t in query_terms})
+    base_post = spark.read.parquet(os.path.join(index, "postings"))
+    app_post_dir = os.path.join(appends, "postings")
+    app_post = (
+        spark.read.option("basePath", app_post_dir)
+        .parquet(app_post_dir)
+        .drop("batch")
+    )
+    postings = (
+        base_post.unionByName(app_post)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+        .select(
+            "doc_id", F.col("term").alias("__t"), F.col("tf").alias("__tf")
+        )
+    )
+    app_dl_dir = os.path.join(appends, "doclen")
+    dl_all = (
+        spark.read.parquet(os.path.join(index, "doclen"))
+        .unionByName(
+            spark.read.option("basePath", app_dl_dir)
+            .parquet(app_dl_dir)
+            .drop("batch")
+        )
+    )
+    stats = dl_all.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("dl").alias("__total_dl"),
+    )
+    dl = dl_all.select("doc_id", F.col("dl").alias("__dl"))
+    return bm25_score_frames(postings, dl, stats, k=k)

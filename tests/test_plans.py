@@ -758,3 +758,29 @@ def test_index_maintenance_audit_appends_without_rewriting(
         path = os.path.join(bands_dir, f)
         assert os.path.exists(path), f"append rewrote {f}"
         assert os.path.getmtime(path) == mtime, f"append rewrote {f}"
+
+
+def test_streamed_text_append_tree_scan_is_partition_pruned(
+    spark, sf_dir, tmp_path
+):
+    """The streamed postings append trees keep the same pruning
+    contract as the base postings tree: a probed-bucket read over
+    appends/postings/batch=N/bucket=B plans PartitionFilters on
+    bucket — the batch level adds files, not read amplification."""
+    from etl_gcp_spark.streaming.text import run_streaming_text_ingest
+
+    root = str(tmp_path / "text_plan_appends")
+    run_streaming_text_ingest(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        ["spark", "vector"],
+        n_batches=2,
+        root=root,
+        k=5,
+    )
+    appends = f"{root}/index/appends/postings"
+    tree = spark.read.option("basePath", appends).parquet(appends)
+    pruned = tree.filter(F.col("bucket").isin([1, 3])).select("doc_id")
+    plan = _plan(pruned)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in part_filters, plan

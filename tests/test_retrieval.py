@@ -103,3 +103,42 @@ def test_rrf_depth_bounds_each_leg(spark):
     for r in out:
         assert r.lex_rank is None or r.lex_rank <= 2
         assert r.dense_rank is None or r.dense_rank <= 2
+
+
+def test_streaming_text_ingest_recovers_from_mid_stream_crash(
+    spark, sf_dir, tmp_path
+):
+    """Kill the document ingest after trigger 2 of 4 (post-write,
+    pre-commit), resume from the checkpoint, and require the served
+    BM25 top-k to equal a full batch index build EXACTLY — append
+    dirs are batch_id-keyed and overwrite-mode, so the replayed
+    batch absorbs its own half-committed write. This is the text
+    twin of the IVF recovery test."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.functions.text import bm25_index_topk, text_index_build
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.text import run_streaming_text_ingest
+
+    root = str(tmp_path / "text_ingest_recovery")
+    path = os.path.join(sf_dir, "documents.parquet")
+    terms = ["spark", "vector", "stream"]
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_text_ingest(
+            spark, path, terms, root=root, fail_after_batches=2, k=10
+        )
+    streamed = {
+        r.doc_id: r.bm25
+        for r in run_streaming_text_ingest(
+            spark, path, terms, root=root, k=10
+        ).collect()
+    }
+    bidx = str(tmp_path / "text_batch_twin")
+    text_index_build(load_table(spark, sf_dir, "documents"), bidx)
+    batch = {
+        r.doc_id: r.bm25
+        for r in bm25_index_topk(spark, bidx, terms, k=10).collect()
+    }
+    assert streamed == batch and len(streamed) == 10
