@@ -3418,11 +3418,16 @@ def _q_quality_logreg(spark, sf_dir):
     return logreg_quality_report(_t(spark, sf_dir, "documents"))
 
 
-def _logreg_oracle_sql(n_steps: int = 5, lr: float = 0.5) -> str:
+def _logreg_oracle_sql(
+    n_steps: int = 5, lr: float = 0.5, final_select: str | None = None
+) -> str:
     """Unrolled SQL replay of logreg_quality_report: one (scored,
     grads, weights) CTE triple per GD step, every float literal cast
     to DOUBLE (DuckDB bare decimals are DECIMAL), gradient sums in
-    DECIMAL(18,6) exactly as the Spark plan."""
+    DECIMAL(18,6) exactly as the Spark plan. ``final_select``
+    overrides the report projection over the per-doc ``scored`` CTE
+    (columns: doc_id, y, x1..x3, b, w1..w3, p) — the calibration
+    entry reuses the identical training replay that way."""
     d = "CAST({} AS DOUBLE)".format
     z = "((((w1 * x1) + (w2 * x2)) + (w3 * x3)) + b)"
     p = f"({d('0.5')} + {z} / ({d('2.0')} * ({d('1.0')} + abs({z}))))"
@@ -3482,15 +3487,28 @@ def _logreg_oracle_sql(n_steps: int = 5, lr: float = 0.5) -> str:
             SELECT f.*, b, w1, w2, w3, {p} AS p
             FROM feats f CROSS JOIN w{n_steps}
         )
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        {final_select or f'''SELECT CAST(count(*) AS BIGINT) AS n_docs,
                min(b) AS w_bias, min(w1) AS w_len,
                min(w2) AS w_ttr, min(w3) AS w_wlen,
-               round(CAST(sum(CASE WHEN (p >= {d('0.5')})
-                                        = (y >= {d('0.5')})
+               round(CAST(sum(CASE WHEN (p >= {d("0.5")})
+                                        = (y >= {d("0.5")})
                                    THEN 1 ELSE 0 END) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE), 6) AS train_acc
-        FROM scored
+        FROM scored'''}
     """
+
+
+def _q_quality_calibration_bins(spark, sf_dir):
+    """Reliability bins over the replayable GD logreg's predicted
+    probabilities — the calibration gate before thresholding a
+    scored corpus on quality. Oracle: the identical unrolled
+    training replay, with the bin aggregation as the final select
+    over the per-doc scored CTE (the fast sigmoid is pure IEEE
+    +,*,/,abs, so p is bit-identical across engines and floor-
+    binning replays exactly)."""
+    from etl_gcp_spark.operators.classifier import logreg_calibration_bins
+
+    return logreg_calibration_bins(_t(spark, sf_dir, "documents"))
 
 
 def _q_benford_check(spark, sf_dir):
@@ -3788,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         "streaming_text_index_ingest": _q_streaming_text_index,
+        "quality_calibration_bins": _q_quality_calibration_bins,
         # --- driver-green r05 (rotated out of the window) ---
         "standardize_embeddings": _q_standardize_embeddings,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
@@ -6298,6 +6317,28 @@ def oracle_sql() -> dict[str, str]:
         # cap (df <= 50) is part of the operator semantics; shingle
         # TEXT join here == Spark's xxhash64 join absent collisions
         "quality_logreg": _logreg_oracle_sql(),
+        # same unrolled training replay; only the final projection
+        # differs (equal-width floor bins over the per-doc scored
+        # CTE). Bin edges replay exactly: p is pure IEEE arithmetic
+        # on identical inputs, so floor(p*10) matches bit-for-bit.
+        "quality_calibration_bins": _logreg_oracle_sql(
+            final_select="""
+            SELECT CAST(least(floor(p * CAST(10.0 AS DOUBLE)),
+                              CAST(9 AS DOUBLE)) AS INTEGER) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(round(p, 6) AS DECIMAL(18,8)))
+                              AS DOUBLE) / count(*), 6) AS mean_pred,
+                   round(CAST(sum(CAST(y AS DECIMAL(18,8)))
+                              AS DOUBLE) / count(*), 6) AS pos_rate,
+                   round(abs(
+                       round(CAST(sum(CAST(round(p, 6) AS DECIMAL(18,8)))
+                                  AS DOUBLE) / count(*), 6)
+                       - round(CAST(sum(CAST(y AS DECIMAL(18,8)))
+                                    AS DOUBLE) / count(*), 6)
+                   ), 6) AS abs_gap
+            FROM scored
+            GROUP BY 1 ORDER BY 1"""
+        ),
         "temporal_split": """
             SELECT o_orderkey, o_orderdate,
                    CASE

@@ -204,6 +204,76 @@ def logreg_quality_report(
     return tag_pinned(out, feats)
 
 
+def logreg_calibration_bins(
+    documents: DataFrame,
+    *,
+    label: Column | None = None,
+    n_steps: int = 5,
+    lr: float = 0.5,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability diagram for the quality classifier — the
+    calibration gate a scored-corpus curation pipeline needs before
+    thresholding on predicted quality: a classifier can hold high
+    accuracy while its probabilities drift far from empirical rates,
+    silently shifting how much data a fixed quality cutoff keeps.
+
+    Trains the same replayable GD logreg as
+    :func:`logreg_quality_report` (identical features, steps, exact
+    decimal gradient sums), then buckets every document's predicted
+    probability into ``n_bins`` equal-width bins:
+    ``bin = min(floor(p·n_bins), n_bins−1)``. Per bin: document
+    count, mean predicted probability (exact DECIMAL sums before one
+    IEEE division), empirical positive rate, and the absolute
+    calibration gap. The fast sigmoid is pure IEEE arithmetic
+    (+,*,/,abs), so ``p`` is bit-identical across engines and the
+    floor-binning replays exactly — no interpolation, no boundary
+    ambiguity. One aggregation pass; output ≤ ``n_bins`` rows."""
+    if label is None:
+        label = F.coalesce(
+            (F.col("lang") == "en").cast("double"), F.lit(0.0)
+        )
+    feats = doc_feature_table(
+        documents, label=label, text_col=text_col, id_col=id_col
+    ).persist()
+    w = train_logreg(feats, n_steps=n_steps, lr=lr)
+    p = _fast_sigmoid(_z())
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        F.least(
+            F.floor(p * F.lit(float(n_bins))).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.round(p, 6).alias("p6"),
+        "y",
+    )
+    out = (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("p6").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_rate"),
+        )
+        .withColumn(
+            "abs_gap",
+            F.round(F.abs(F.col("mean_pred") - F.col("pos_rate")), 6),
+        )
+        .orderBy("bin")
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, feats)
+
+
 def chi2_feature_selection(
     documents: DataFrame,
     *,

@@ -250,6 +250,9 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
     from etl_gcp_spark.operators.text_dedup import (
         dedup_index_maintenance_audit as _idx_audit,
     )
+    from etl_gcp_spark.operators.classifier import (
+        logreg_calibration_bins as _calib,
+    )
     from pyspark.sql import functions as F
     from etl_gcp_spark.session import get_spark
 
@@ -333,6 +336,10 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         "dedup_index_maintenance_audit": lambda m: _idx_audit(
             docs(m), f"{out_dir}/lsh_idx_x{m}"
         ),
+        # same replayable training as quality_logreg plus one
+        # bounded groupBy (≤ n_bins rows) — expected to track the
+        # logreg exponent
+        "quality_calibration_bins": lambda m: _calib(docs(m)),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't

@@ -64,3 +64,24 @@ def test_logreg_partitioning_invariant(spark):
     b = logreg_quality_report(docs.repartition(7), n_steps=3).collect()
     # decimal gradient sums make training independent of partitioning
     assert a == b
+
+
+def test_calibration_bins_partition_and_consistency(spark):
+    """Bins partition the corpus (counts sum to n_docs), probabilities
+    and rates stay in [0,1], the gap is |mean_pred - pos_rate|, and —
+    like training itself — the report is partitioning-invariant
+    (decimal sums + floor binning on bit-identical IEEE probs)."""
+    from etl_gcp_spark.operators.classifier import logreg_calibration_bins
+
+    docs = _separable_docs(spark)
+    rows = logreg_calibration_bins(docs, n_steps=3).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_pred <= 1.0 and 0.0 <= r.pos_rate <= 1.0
+        assert abs(r.abs_gap - round(abs(r.mean_pred - r.pos_rate), 6)) < 1e-9
+        # bin membership: mean predicted prob lies inside the bin's
+        # [lo, hi) width (up to the 6-dp rounding of mean_pred)
+        assert r.bin / 10 - 1e-6 <= r.mean_pred <= (r.bin + 1) / 10 + 1e-6
+    b = logreg_calibration_bins(docs.repartition(7), n_steps=3).collect()
+    assert rows == b
