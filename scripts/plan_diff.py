@@ -17,6 +17,11 @@ Exit code 1 when any regression class is non-empty, so a round driver
 or CI can gate on it. Intentional plan changes are re-baselined simply
 by regenerating PLANS.md.
 
+Deliberate plan changes carry an explicit WAIVER below — (query,
+metric) pairs with a one-line justification, printed with the diff so
+a reviewer sees the claim next to the flag instead of a silently
+green gate. A waiver only suppresses the exact metric it names.
+
 Usage: python scripts/plan_diff.py OLD_PLANS.md NEW_PLANS.md
        (e.g. OLD from `git show <rev>:PLANS.md > /tmp/old.md`)
 """
@@ -25,6 +30,20 @@ from __future__ import annotations
 
 import re
 import sys
+
+# (query, metric) -> justification. Reviewed each round; stale waivers
+# (the metric no longer differs) are reported so they get pruned.
+WAIVERS: dict[tuple[str, str], str] = {
+    ("ivf_drift_report", "exchanges"): (
+        "r6 p05 rework: interpolated percentile() (buffers every sim "
+        "per group on one executor) replaced by a nearest-rank pick — "
+        "groupBy(cohort, sim6) compaction + running-sum window + min. "
+        "The 3 added exchanges all carry the COMPACTED set, bounded by "
+        "distinct 6-dp sims (≤ 2,000,001 rows for cosines in [-1,1]) "
+        "at ANY corpus size; the corpus-sized scoring pass still "
+        "shuffles zero rows. ADVICE r5 medium item."
+    ),
+}
 
 
 def parse(path: str) -> dict[str, dict]:
@@ -57,20 +76,33 @@ def main() -> int:
     old, new = parse(sys.argv[1]), parse(sys.argv[2])
     regressions: list[str] = []
     notes: list[str] = []
+    waived: list[str] = []
+
+    def flag(q: str, metric: str, msg: str) -> None:
+        why = WAIVERS.get((q, metric))
+        if why:
+            waived.append(f"WAIVED {msg}\n        {why}")
+        else:
+            regressions.append(msg)
+
     for q in sorted(set(old) & set(new)):
         o, n = old[q], new[q]
         if n["exchanges"] > o["exchanges"]:
-            regressions.append(
-                f"EXCHANGES {q}: {o['exchanges']} -> {n['exchanges']}"
+            flag(
+                q,
+                "exchanges",
+                f"EXCHANGES {q}: {o['exchanges']} -> {n['exchanges']}",
             )
         if n["python"] and not o["python"]:
-            regressions.append(f"PYTHON-STAGE {q}: plan gained a Python stage")
+            flag(q, "python", f"PYTHON-STAGE {q}: plan gained a Python stage")
         if o["heap"] and not n["heap"]:
-            regressions.append(f"TOPK-HEAP {q}: TakeOrderedAndProject lost")
+            flag(q, "heap", f"TOPK-HEAP {q}: TakeOrderedAndProject lost")
         if n["smj"] > o["smj"] and n["bhj"] < o["bhj"]:
-            regressions.append(
+            flag(
+                q,
+                "broadcast",
                 f"BROADCAST-LOST {q}: BHJ {o['bhj']} -> {n['bhj']}, "
-                f"SMJ {o['smj']} -> {n['smj']}"
+                f"SMJ {o['smj']} -> {n['smj']}",
             )
         if n["pushed"] < o["pushed"]:
             notes.append(
@@ -83,11 +115,18 @@ def main() -> int:
         notes.append(f"removed {q}")
     for r in regressions:
         print(r)
+    for w in waived:
+        print(w)
+    # stale waivers: the metric no longer differs — prune the entry
+    fired = {w.split("WAIVED ")[1].split(" ")[1].rstrip(":") for w in waived}
+    for (q, metric), _ in WAIVERS.items():
+        if q in set(old) & set(new) and q not in fired:
+            print(f"note  stale waiver ({q}, {metric}) — prune it")
     for x in notes:
         print(f"note  {x}")
     print(
         f"compared {len(set(old) & set(new))} queries: "
-        f"{len(regressions)} plan regressions"
+        f"{len(regressions)} plan regressions, {len(waived)} waived"
     )
     return 1 if regressions else 0
 
