@@ -3168,6 +3168,21 @@ def _q_streaming_text_index(spark, sf_dir):
     )
 
 
+def _q_streaming_drift_report(spark, sf_dir):
+    """Streaming IVF drift monitor: per-microbatch exact integer
+    (cohort, sim6, count) state under batch_id-keyed overwrite dirs;
+    the final report reconstructs the batch drift report EXACTLY
+    (decimal mean from integer sums, nearest-rank p05 from merged
+    counts), so the batch entry's oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.vectors import run_streaming_drift_report
+
+    return run_streaming_drift_report(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        n_batches=4,
+    )
+
+
 def _q_ivf_drift_report_gemm(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import ivf_drift_report_gemm
 
@@ -3807,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         "streaming_text_index_ingest": _q_streaming_text_index,
         "quality_calibration_bins": _q_quality_calibration_bins,
+        "streaming_drift_report": _q_streaming_drift_report,
         # --- driver-green r05 (rotated out of the window) ---
         "standardize_embeddings": _q_standardize_embeddings,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
@@ -7399,6 +7415,11 @@ def oracle_sql() -> dict[str, str]:
     # 6 dp) — so the literal entry's oracle attaches verbatim, which
     # IS the proof the docstring promised (VERDICT r5 item 7)
     sql["ivf_drift_report_gemm"] = sql["ivf_drift_report"]
+    # the streamed monitor's merged integer state reconstructs the
+    # batch report exactly (same training scope, same 6-dp sims, same
+    # decimal mean and rank-pick p05) — one more "stream and batch
+    # agree exactly" contract, so the oracle is shared verbatim
+    sql["streaming_drift_report"] = sql["ivf_drift_report"]
     sql["semdedup_prune"] = f"""
         WITH {_kmeans_chain(8)},
         dropped AS (

@@ -178,3 +178,152 @@ def run_streaming_ivf_ingest(
         k=k,
         n_probe=n_probe,
     )
+
+
+@_metered_build
+def run_streaming_drift_report(
+    spark: SparkSession,
+    embeddings_path: str,
+    *,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    holdout_mod: int = 5,
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Streaming IVF drift monitor: vectors stream in microbatches,
+    each batch scores its members' best-centroid cosine against the
+    FROZEN base-cohort centroids, and the per-batch state written is
+    the exact integer compaction (cohort, sim6, count) — sim6 =
+    round(sim·1e6) as int64 — under a batch_id-keyed overwrite dir
+    (replay-idempotent). The final report aggregates the state to
+    the SAME per-cohort (n_vecs, mean_sim, p05_sim) the batch
+    :func:`~etl_gcp_spark.functions.similarity.ivf_drift_report`
+    produces: the decimal mean is reconstructed exactly from
+    Σ(sim6·count)/10⁶ (integer arithmetic all the way to one decimal
+    division), and the nearest-rank p05 picks from the merged sim6
+    counts — so the batch entry's value-hash oracle attaches to the
+    STREAMED result verbatim.
+
+    This is the monitoring shape a production append-only index
+    needs: drift statistics maintained incrementally per ingest
+    batch, with state that is mergeable (integer counts), bounded
+    (≤ distinct 6-dp sims ≤ 2,000,001 rows per cohort regardless of
+    corpus size), and exactly equal to the offline recomputation.
+    """
+    from etl_gcp_spark.functions.similarity import (
+        _as_double,
+        ivf_train,
+    )
+
+    root = root or os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_driftstream_{uuid.uuid4().hex}",
+    )
+    state = os.path.join(root, "state")
+    emb = spark.read.parquet(embeddings_path).select("vec_id", "embedding")
+
+    # frozen centroids from the base cohort — idempotent retrain on
+    # resume (deterministic 6-dp centroids)
+    _labels, cmat = ivf_train(
+        emb.filter((F.col("vec_id") % holdout_mod) != holdout_mod - 1),
+        n_cells=n_cells,
+        n_iters=n_iters,
+    )
+
+    staged = os.path.join(root, "in")
+    if not os.path.exists(staged):
+        emb.repartition(n_batches).write.parquet(staged)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _cos(v, cent):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        return _dot(v, c) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(c, c)))
+
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        allv = batch_df.select(
+            "vec_id", _as_double(F.col("embedding")).alias("__v")
+        )
+        sims = [_cos(F.col("__v"), list(cent)) for cent in cmat]
+        best = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        (
+            allv.select(
+                F.when(
+                    (F.col("vec_id") % holdout_mod) == holdout_mod - 1,
+                    F.lit("new"),
+                )
+                .otherwise(F.lit("base"))
+                .alias("cohort"),
+                F.round(F.round(best, 6) * F.lit(1000000.0))
+                .cast("long")
+                .alias("sim6"),
+            )
+            .groupBy("cohort", "sim6")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(state, f"batch={batch_id}"))
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the state write, BEFORE the checkpoint
+            # commit — replay must absorb the overwrite
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    g = (
+        spark.read.option("basePath", state)
+        .parquet(state)
+        .groupBy("cohort", "sim6")
+        .agg(F.sum("c").alias("c"))
+    )
+    # mean: Σ(sim6·c)/10⁶ is the EXACT decimal sum of the 6-dp sims —
+    # integer products summed exactly, one decimal division, then the
+    # same double division + 6-dp rounding as the batch report
+    stats = g.groupBy("cohort").agg(
+        F.sum("c").alias("n_vecs"),
+        F.round(
+            (
+                F.sum(F.col("sim6") * F.col("c"))
+                .cast("decimal(28,8)")
+                / F.lit(1000000).cast("decimal(10,0)")
+            ).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("mean_sim"),
+    )
+    from pyspark.sql import Window
+
+    cum = g.select(
+        "cohort",
+        "sim6",
+        F.sum("c").over(Window.partitionBy("cohort").orderBy("sim6")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("cohort")).alias("n"),
+    )
+    p05 = (
+        cum.filter(F.col("cum") >= F.expr("(n + 19) div 20"))
+        .groupBy("cohort")
+        .agg(F.round(F.min("sim6") / F.lit(1000000.0), 6).alias("p05_sim"))
+    )
+    return stats.join(p05, "cohort").orderBy("cohort")

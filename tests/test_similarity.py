@@ -865,3 +865,33 @@ def test_ivf_drift_report_detects_shifted_cohort(spark):
     assert out["base"].mean_sim > 0.95
     assert out["new"].mean_sim < out["base"].mean_sim - 0.3
     assert out["new"].p05_sim < out["base"].p05_sim
+
+
+def test_streaming_drift_report_recovers_and_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Kill the drift-state ingest after trigger 2 of 4 (post-write,
+    pre-commit), resume from the checkpoint, and require the final
+    report to equal the batch ivf_drift_report EXACTLY — state dirs
+    are batch_id-keyed integer compactions, so the replayed batch
+    absorbs its own half-committed write and merged counts stay
+    exact."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.functions.similarity import ivf_drift_report
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.vectors import run_streaming_drift_report
+
+    root = str(tmp_path / "drift_stream_recovery")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_drift_report(
+            spark, path, n_batches=4, root=root, fail_after_batches=2
+        )
+    streamed = run_streaming_drift_report(
+        spark, path, n_batches=4, root=root
+    ).collect()
+    batch = ivf_drift_report(load_table(spark, sf_dir, "embeddings")).collect()
+    assert streamed == batch and len(streamed) == 2
