@@ -167,3 +167,114 @@ def test_oracle_side_write_gating(spark, tmp_path, monkeypatch):
     assert os.path.exists(target), "default path must write (driver replay)"
     assert spark.read.parquet(target).count() == 3
     shutil.rmtree(target, ignore_errors=True)
+
+
+def test_plan_diff_waiver_suppresses_only_named_metric():
+    """A waiver must suppress exactly its (query, metric) pair —
+    other regressions on the same query still gate — and a stale
+    waiver (metric no longer differs) is reported for pruning."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    header = (
+        "| q | e | bhj | smj | bnlj | p | h | py |\n|---|---|---|---|---|---|---|---|\n"
+    )
+
+    def plans(rows):
+        f = tempfile.NamedTemporaryFile(
+            "w", suffix=".md", delete=False
+        )
+        f.write(header)
+        for name, e, py in rows:
+            f.write(
+                f"| {name} | {e} | 0 | 0 | 0 | 0 |  | {'✓' if py else ' '} |\n"
+            )
+        f.close()
+        return f.name
+
+    old = plans([("ivf_drift_report", 2, False), ("other_q", 1, False)])
+    # waived metric (exchanges) grew AND a non-waived query regressed
+    new = plans([("ivf_drift_report", 5, False), ("other_q", 3, False)])
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "plan_diff.py"), old, new],
+        capture_output=True,
+        text=True,
+    )
+    assert "WAIVED EXCHANGES ivf_drift_report" in r.stdout
+    assert "EXCHANGES other_q: 1 -> 3" in r.stdout
+    assert r.returncode == 1  # the unwaived regression still gates
+
+    # same-query unwaived metric still gates: gaining a python stage
+    new2 = plans([("ivf_drift_report", 5, True), ("other_q", 1, False)])
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "plan_diff.py"), old, new2],
+        capture_output=True,
+        text=True,
+    )
+    assert "PYTHON-STAGE ivf_drift_report" in r2.stdout
+    assert r2.returncode == 1
+
+    # stale waiver: nothing differs -> prune note, exit 0
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "plan_diff.py"), old, old],
+        capture_output=True,
+        text=True,
+    )
+    assert "stale waiver (ivf_drift_report, exchanges)" in r3.stdout
+    assert r3.returncode == 0
+
+
+def test_check_oracle_watchdog_flags_timeout_and_recovers():
+    """The watchdog must (a) fail a runaway oracle with a timeout tag
+    and (b) leave the shared connection clean for the next entry —
+    the round-5 race left a pending interrupt that poisoned the
+    following oracle."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = textwrap.dedent(
+        """
+        import os, sys, threading, time
+        sys.path.insert(0, os.path.join(%r, "scripts"))
+        import duckdb
+        con = duckdb.connect()
+        state = {"running": True, "timed_out": False}
+        lock = threading.Lock()
+        def watchdog():
+            with lock:
+                if not state["running"]:
+                    return
+                state["timed_out"] = True
+                con.interrupt()
+        t = threading.Timer(0.2, watchdog)
+        t.start()
+        try:
+            con.execute(
+                "WITH RECURSIVE r(i) AS (SELECT 1 UNION ALL "
+                "SELECT i+1 FROM r WHERE i < 300000000) "
+                "SELECT max(i) FROM r").fetchall()
+            print("NO-TIMEOUT")
+        except Exception:
+            with lock:
+                print("TIMEOUT" if state["timed_out"] else "OTHER")
+        finally:
+            with lock:
+                state["running"] = False
+            t.cancel()
+        # the next query on the same connection must succeed
+        print("NEXT", con.execute("SELECT 41 + 1").fetchall()[0][0])
+        """
+        % repo
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert "TIMEOUT" in r.stdout, r.stdout + r.stderr
+    assert "NEXT 42" in r.stdout, r.stdout + r.stderr
