@@ -67,11 +67,16 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # median-of-N per query (VERDICT r5 item 3): the first execution
-    # pays whole-stage-codegen compilation, so with N=3 the median
-    # discards both that cold run and any lucky-fast outlier — shared-
-    # query round-over-round ratios stop carrying the ±10% host
-    # ambient that min-of-2 let through.
+    # pays whole-stage-codegen compilation, so the median discards
+    # both that cold run and any lucky-fast outlier — shared-query
+    # round-over-round ratios stop carrying the ±10% host ambient
+    # that min-of-2 let through. Repeats are ADAPTIVE: sub-second
+    # queries get 5 runs instead of 3, because at that duration a
+    # single scheduler hiccup moves the 3-run median by >1.5× (four
+    # same-code gate runs flagged only sub-second entries); the extra
+    # runs cost <2 s each and kill that noise class at the source.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    cheap_repeat = max(repeat, 5)
     from etl_gcp_spark import metering
 
     timings: dict[str, float] = {}
@@ -91,17 +96,16 @@ def main() -> None:
 
         _gc.collect()
         runs: list[tuple[float, float]] = []  # (total_sec, build_sec)
-        for _ in range(repeat):
+        n_runs = repeat
+        while len(runs) < n_runs:
             metering.reset()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(
-                (
-                    time.perf_counter() - t0,
-                    metering.snapshot().get("build", 0.0),
-                )
-            )
+            elapsed = time.perf_counter() - t0
+            runs.append((elapsed, metering.snapshot().get("build", 0.0)))
+            if len(runs) == 1 and elapsed < 1.0:
+                n_runs = cheap_repeat
         runs.sort(key=lambda r: r[0])
         med_total, med_build = runs[len(runs) // 2]
         timings[name] = round(med_total, 3)
@@ -129,7 +133,7 @@ def main() -> None:
     result = {
         "metric": "total_wall_sec",
         "unit": "sec",
-        "repeat": repeat,
+        "repeat": f"{repeat}/{cheap_repeat}-adaptive",
         "stat": "median",
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "index_splits": splits,
