@@ -3139,9 +3139,13 @@ def _q_dedup_index_maintenance_audit(spark, sf_dir):
         dedup_index_maintenance_audit,
     )
 
+    # per-process dir component (ADVICE r6): a bench run overlapping
+    # an oracle sweep on the same scale must not interleave the
+    # overwrite-base/append-delta writes on one shared bands dir —
+    # that corrupts the index leg or double-appends the delta.
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"etl_gcp_spark_lshidx_{os.path.basename(sf_dir)}",
+        f"etl_gcp_spark_lshidx_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     return dedup_index_maintenance_audit(
         _t(spark, sf_dir, "documents"), idx
@@ -3750,262 +3754,24 @@ def _q_stream_sessions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every callable goes through the pinned-frame ledger (see above)
     return {k: _ledgered(fn) for k, fn in {
-        # --- round-6 correctness window (the driver verifies ~the
-        # first 50 keys in dict order). Slots 1-39: every remaining
-        # never-driver-checked entry (the full backlog, VERDICT r5
-        # item 1) in registry order. ---
-        "lsh_recall_report": _q_lsh_recall_report,
-        "ivf_drift_report": _q_ivf_drift_report,
-        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
-        "zipf_fit": _q_zipf_fit,
-        "soft_dedup_weights": _q_soft_dedup_weights,
-        "wow_growth": _q_wow_growth,
-        "benchmark_coverage": _q_benchmark_coverage,
-        "quality_pctile_by_source": _q_quality_pctile,
-        "winsorize_by_group": _q_winsorize_by_group,
-        "price_reconciliation": _q_price_reconciliation,
-        "cross_doc_passage_share": _q_cross_doc_passage_share,
-        "char_entropy": _q_char_entropy,
-        "embedding_pca": _q_embedding_pca,
-        "embedding_dim_audit": _q_embedding_dim_audit,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
-        "pack_offsets": _q_pack_offsets,
-        "curriculum_buckets": _q_curriculum_buckets,
-        "target_encoding": _q_target_encoding,
-        "hashed_features": _q_hashed_features,
-        "markov_transitions": _q_markov_transitions,
-        "numeric_corr_matrix": _q_corr_matrix,
-        "chi2_features": _q_chi2_features,
-        "streaming_hll": _q_streaming_hll,
-        "table_stats": _q_table_stats,
-        "textrank_keywords": _q_textrank,
-        "ewma_user_value": _q_ewma,
-        "trend_report": _q_trend_report,
-        "seasonality_profile": _q_seasonality,
-        "fd_violations": _q_fd_violations,
-        "equi_depth_histogram": _q_equi_depth,
-        "range_selectivity": _q_selectivity,
-        "streaming_markov": _q_streaming_markov,
-        "session_rules": _q_session_rules,
-        "bm25_index_topk": _q_bm25_index_topk,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
-        "target_encoding_oof": _q_target_encoding_oof,
-        # --- slots 40-50: re-checks — the 10 entries flagged by
-        # scripts/hash_drift.py (HASH_DRIFT.json): query fn
-        # helper-closure or oracle SQL changed AFTER their
-        # driver-green round (VERDICT r5 item 2) — the side-write
-        # entries edited by the 7f6e87b gating change, the
-        # kmeans-chain oracles (semdedup/embedding_kmeans share
-        # _kmeans_chain with the reworked ivf_drift_report), and
-        # entity_clusters (log-round oracle rewrite this round).
-        # cms_event_counts fills the 11th slot as a free re-check
-        # (its drift flag cleared once comment tokens were excluded
-        # from the closure hash). ---
-        "simhash_fingerprints": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "winnow_fingerprints": _q_winnow,
-        "ann_lsh_topk": _q_ann_topk,
-        "cms_event_counts": _q_cms_event_counts,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "semdedup_prune": _q_semdedup_prune,
-        "entity_clusters": _q_entity_clusters,
-        "ann_ivf_topk": _q_ivf_topk,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "bucketed_join_totals": _q_bucketed_join_totals,
-        # --- round-6 net-new (pause lifted per VERDICT r5 item 7):
-        # registered immediately BEHIND the 50-slot window — they
-        # head the r7 window. ---
+        # --- round-7 correctness window (the driver verifies ~the
+        # first 50 keys in dict order). Slots 1-5: the round-6
+        # net-new entries, the only ones without a driver stamp
+        # (VERDICT r6 item 1). ---
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         "streaming_text_index_ingest": _q_streaming_text_index,
         "quality_calibration_bins": _q_quality_calibration_bins,
         "streaming_drift_report": _q_streaming_drift_report,
-        # --- driver-green r05 (rotated out of the window) ---
-        "standardize_embeddings": _q_standardize_embeddings,
-        "robust_scale_embeddings": _q_robust_scale_embeddings,
-        "ann_recall_report": _q_ann_recall_report,
-        "priority_sample": _q_priority_sample,
-        "snapshot_diff": _q_snapshot_diff,
-        "hll_replayable": _q_hll_replayable,
-        "hll_overlap": _q_hll_overlap,
-        "ivf_index_topk": _q_ivf_index_topk,
-        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
-        "mmr_select": _q_mmr_select,
-        "ivf_index_append_topk": _q_ivf_index_append_topk,
-        "epoch_shards": _q_epoch_shards,
-        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
-        "ivf_compact_topk": _q_ivf_compact_topk,
-        "kcore_embedding_graph": _q_kcore_embedding_graph,
-        "embedding_sanitize": _q_embedding_sanitize,
-        "ensemble_near_dup": _q_ensemble_near_dup,
-        "cdc_tombstone_merge": _q_cdc_tombstone_merge,
-        "watermark_sizing": _q_watermark_sizing,
-        "streaming_interval_join_outer": _q_stream_interval_join_outer,
-        "histogram_quantiles": _q_histogram_quantiles,
-        "skew_salted_join": _q_skew_salted_join,
-        "runtime_filter_join": _q_runtime_filter_join,
-        "l_diversity_counts": _q_l_diversity_counts,
-        "embedding_truncation_recall": _q_embedding_truncation_recall,
-        "ahash_near_dup": _q_ahash_near_dup,
-        "streaming_quantiles": _q_streaming_quantiles,
-        "substring_dedup_rewrite": _q_substring_dedup_rewrite,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "temperature_mixture": _q_temperature_mixture,
-        "token_cooccurrence": _q_token_cooccurrence,
-        "python_datasource_stream": _q_python_datasource_stream,
-        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
-        "golden_record": _q_golden_record,
-        "hilbert_layout": _q_hilbert_layout,
-        "join_cardinality_estimate": _q_join_cardinality,
-        "frame_samples": _q_frame_samples,
-        "payload_dedup": _q_payload_dedup,
-        "join_explosion": _q_join_explosion,
-        "canonical_dedup_gain": _q_canonical_dedup_gain,
-        "label_centroid_drift": _q_label_centroid_drift,
-        "event_type_lift": _q_event_type_lift,
-        "kfold_counts": _q_kfold_counts,
-        "boxplot_prices": _q_boxplot_prices,
-        "embedding_pca2": _q_embedding_pca2,
-        "integrity_report": _q_integrity_report,
-        "weekly_active_users": _q_weekly_active_users,
-        "cusum_change_point": _q_cusum_change_point,
-        "hard_negatives": _q_hard_negatives,
-        "pii_source_report": _q_pii_source_report,
-        # --- driver-green r01-r04 (rotated out of the window).
-        # hll_distinct_stats (DataSketches estimates) was demoted
-        # to tests/test_sketches_entry.py in round 5;
-        # hll_replayable is the canonical registry sketch. ---
-        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
-        "boilerplate_strip": _q_boilerplate_strip,
-        "dup_ngram_fraction": _q_dup_ngram_fraction,
-        "dsir_weights": _q_dsir_weights,
-        "bpe_merges": _q_bpe_merges,
-        "event_pagerank": _q_event_pagerank,
-        "source_overlap_matrix": _q_source_overlap_matrix,
-        "embedding_outliers": _q_embedding_outliers,
-        "zorder_layout": _q_zorder_layout,
-        "ingest_binaryfile": _q_ingest_binaryfile,
-        "incremental_near_dup": _q_incremental_near_dup,
-        "winsorize_prices": _q_winsorize_prices,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
-        "contamination_bloom": _q_contamination_bloom,
-        "knn_graph": _q_knn_graph,
-        "psi_drift": _q_psi_drift,
-        "impute_orders": _q_impute_orders,
-        "mad_outliers": _q_mad_outliers,
-        "key_skew_report": _q_key_skew_report,
-        "normalize_text": _q_normalize_text,
-        "perplexity_filter": _q_perplexity_filter,
-        "containment_pairs": _q_containment_pairs,
-        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
-        "bm25_topk": _q_bm25_topk,
-        "benford_check": _q_benford_check,
-        "ks_drift": _q_ks_drift,
-        "quality_logreg": _q_quality_logreg,
-        "per_source_cap": _q_per_source_cap,
-        "ngram_novelty": _q_ngram_novelty,
-        "temporal_split": _q_temporal_split,
-        "streaming_cms": _q_streaming_cms,
-        "dedup_triangles": _q_dedup_triangles,
-        "seq_length_histogram": _q_seq_length_histogram,
-        "lang_confusion": _q_lang_confusion,
-        "source_quality_report": _q_source_quality_report,
-        "quality_quota_filter": _q_quality_quota_filter,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "user_erasure": _q_user_erasure,
-        "streaming_topk": _q_streaming_topk,
-        "streaming_sessions": _q_stream_sessions,
-        "priority_pivot": _q_pivot,
-        "customers_without_orders": _q_anti,
-        "active_balance_intersect": _q_intersect,
-        "building_no_orders_except": _q_except,
-        "universe_sample_join": _q_universe_sample_join,
-        "stratified_sample_counts": _q_stratified_sample_counts,
-        "lateral_topn_per_nation": _q_lateral_topn,
-        "promo_window_shipments": _q_promo_window_shipments,
-        "profile_orders": _q_profile_orders,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "session_window_stats": _q_session_window_stats,
-        "write_roundtrip_xml": _q_write_roundtrip_xml,
-        "streaming_enrich": _q_streaming_enrich,
-        "k_anonymity_counts": _q_k_anonymity,
-        "first_last_orders": _q_first_last_orders,
-        "group_by_all_sql": _q_group_by_all,
-        "parameterized_sql": _q_parameterized_sql,
-        "user_value_trend": _q_user_value_trend,
-        "corrupt_record_ingest": _q_corrupt_record_ingest,
-        "schema_evolution_read": _q_schema_evolution_read,
-        "exact_median_prices": _q_exact_median_prices,
-        "python_datasource_chunks": _q_python_datasource,
-        "train_test_split_counts": _q_train_test_split,
-        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
-        "funnel_conversion": _q_funnel_conversion,
-        "retention_cohorts": _q_retention_cohorts,
-        "write_roundtrip_orc": _q_write_roundtrip_orc,
-        "write_roundtrip_csv": _q_write_roundtrip_csv,
-        "compact_small_files": _q_compact_small_files,
-        "multimodal_features": _q_multimodal,
-        "multimodal_resize": _q_resize,
-        "streaming_hourly_counts": _q_stream_hourly,
-        "streaming_dedup": _q_stream_dedup,
-        "streaming_upsert": _q_stream_upsert,
-        "streaming_user_stats": _q_stream_user_stats,
-        "streaming_interval_join": _q_stream_interval_join,
-        "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
-        "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
-        "pq_adc_topk": _q_pq_adc_topk,
-        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
-        "clean_orders": _q_clean_orders,
-        "pipeline_gold": _q_pipeline_gold,
-        "normalize_columns": _q_normalize_columns,
-        "audit_stamp": _q_audit_stamp,
-        "dedup_lineitem": _q_dedup_lineitem,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dup_count_lineitem": _q_dup_count,
-        "quality_metrics": _q_quality_metrics,
-        "quality_gate": _q_quality_gate,
-        "freshness_check": _q_freshness,
-        "validate_violations": _q_violations,
-        "validation_summary": _q_violation_summary,
-        "schema_columns": _q_schema_columns,
-        "ingest_csv": _q_ingest_csv,
-        "write_roundtrip": _q_write_roundtrip,
-        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
-        "sql_interface": _q_sql_interface,
-        "exact_text_dedup": _q_exact_text_dedup,
-        "doc_fingerprint": _q_fingerprint,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "text_quality": _q_text_quality,
-        "repetition_signals": _q_repetition_signals,
-        "quality_filter": _q_quality_filter,
-        "curation_funnel": _q_curation_funnel,
-        "source_mixture_rates": _q_source_mixture,
-        "mixture_sample_counts": _q_mixture_sample_counts,
-        "unigram_surprisal": _q_unigram_surprisal,
-        "bpe_token_count": _q_bpe_token_count,
-        "top_ngrams": _q_top_ngrams,
-        "near_dup_dedup": _q_near_dup_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "cosine_topk": _q_cosine_topk,
-        "quantized_cosine_topk": _q_quantized_topk,
-        "events_json_extract": _q_json_extract,
-        "events_json_parsed": _q_json_parsed,
-        "hourly_event_stats": _q_hourly,
-        "sessionize_events": _q_sessionize,
-        "asof_click_purchase": _q_asof,
-        "sliding_event_stats": _q_sliding,
-        "daily_top_event_types": _q_daily_top_types,
-        "time_rollup": _q_time_rollup,
+        # --- slots 6-50: hash-drift re-checks (VERDICT r6 item 2).
+        # scripts/registry_hashes.py now walks helper closures
+        # ACROSS etl_gcp_spark modules (ADVICE r6 medium), which
+        # surfaced 68 entries whose package-side operator code
+        # changed after their driver-green round; these 45 are the
+        # oldest (all r01 stamps, 6-round-old proofs under a
+        # twice-changed canonicalization harness). The 23 overflow
+        # flags are recorded in HASH_DRIFT_BACKLOG.json and head
+        # the r8 window (positions 51-73). ---
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
@@ -4050,12 +3816,253 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _q_contamination,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
+        # slot 50: ivf_drift_report re-check — its r06 stamp went
+        # stale THIS round (drift scoring extracted into the shared
+        # drift_scores_literal/_gemm helpers for the kernel-margin
+        # pin test, ADVICE r6); displaced order_gap_days to the
+        # backlog head.
+        "ivf_drift_report": _q_ivf_drift_report,
+        # --- positions 51-74: the r8 window head — the 24
+        # hash-drift flags that did not fit this round (6 r01 +
+        # 10 r02 + 3 r03 + 1 r04 + 4 r05), oldest first. ---
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
+        "quality_filter": _q_quality_filter,
+        "curation_funnel": _q_curation_funnel,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "near_dup_dedup": _q_near_dup_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "python_datasource_chunks": _q_python_datasource,
+        "streaming_upsert": _q_stream_upsert,
+        "streaming_interval_join": _q_stream_interval_join,
+        "key_skew_report": _q_key_skew_report,
+        "ivf_index_topk": _q_ivf_index_topk,
+        "ivf_index_append_topk": _q_ivf_index_append_topk,
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        "ivf_compact_topk": _q_ivf_compact_topk,
+        # --- driver-green, hash-clean under the extended closure
+        # walk (no drift since last stamp). hll_distinct_stats
+        # (DataSketches estimates) was demoted to
+        # tests/test_sketches_entry.py in round 5; hll_replayable
+        # is the canonical registry sketch. ---
+        "lsh_recall_report": _q_lsh_recall_report,
+        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
+        "zipf_fit": _q_zipf_fit,
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "wow_growth": _q_wow_growth,
+        "benchmark_coverage": _q_benchmark_coverage,
+        "quality_pctile_by_source": _q_quality_pctile,
+        "winsorize_by_group": _q_winsorize_by_group,
+        "price_reconciliation": _q_price_reconciliation,
+        "cross_doc_passage_share": _q_cross_doc_passage_share,
+        "char_entropy": _q_char_entropy,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_dim_audit": _q_embedding_dim_audit,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "pack_offsets": _q_pack_offsets,
+        "curriculum_buckets": _q_curriculum_buckets,
+        "target_encoding": _q_target_encoding,
+        "hashed_features": _q_hashed_features,
+        "markov_transitions": _q_markov_transitions,
+        "numeric_corr_matrix": _q_corr_matrix,
+        "chi2_features": _q_chi2_features,
+        "streaming_hll": _q_streaming_hll,
+        "table_stats": _q_table_stats,
+        "textrank_keywords": _q_textrank,
+        "ewma_user_value": _q_ewma,
+        "trend_report": _q_trend_report,
+        "seasonality_profile": _q_seasonality,
+        "fd_violations": _q_fd_violations,
+        "equi_depth_histogram": _q_equi_depth,
+        "range_selectivity": _q_selectivity,
+        "streaming_markov": _q_streaming_markov,
+        "session_rules": _q_session_rules,
+        "bm25_index_topk": _q_bm25_index_topk,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        "target_encoding_oof": _q_target_encoding_oof,
+        "simhash_fingerprints": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnow_fingerprints": _q_winnow,
+        "ann_lsh_topk": _q_ann_topk,
+        "cms_event_counts": _q_cms_event_counts,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "semdedup_prune": _q_semdedup_prune,
+        "entity_clusters": _q_entity_clusters,
+        "ann_ivf_topk": _q_ivf_topk,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "bucketed_join_totals": _q_bucketed_join_totals,
+        "standardize_embeddings": _q_standardize_embeddings,
+        "robust_scale_embeddings": _q_robust_scale_embeddings,
+        "ann_recall_report": _q_ann_recall_report,
+        "priority_sample": _q_priority_sample,
+        "snapshot_diff": _q_snapshot_diff,
+        "hll_replayable": _q_hll_replayable,
+        "hll_overlap": _q_hll_overlap,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "mmr_select": _q_mmr_select,
+        "epoch_shards": _q_epoch_shards,
+        "kcore_embedding_graph": _q_kcore_embedding_graph,
+        "embedding_sanitize": _q_embedding_sanitize,
+        "ensemble_near_dup": _q_ensemble_near_dup,
+        "cdc_tombstone_merge": _q_cdc_tombstone_merge,
+        "watermark_sizing": _q_watermark_sizing,
+        "streaming_interval_join_outer": _q_stream_interval_join_outer,
+        "histogram_quantiles": _q_histogram_quantiles,
+        "skew_salted_join": _q_skew_salted_join,
+        "runtime_filter_join": _q_runtime_filter_join,
+        "l_diversity_counts": _q_l_diversity_counts,
+        "embedding_truncation_recall": _q_embedding_truncation_recall,
+        "ahash_near_dup": _q_ahash_near_dup,
+        "streaming_quantiles": _q_streaming_quantiles,
+        "substring_dedup_rewrite": _q_substring_dedup_rewrite,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "temperature_mixture": _q_temperature_mixture,
+        "token_cooccurrence": _q_token_cooccurrence,
+        "python_datasource_stream": _q_python_datasource_stream,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
+        "golden_record": _q_golden_record,
+        "hilbert_layout": _q_hilbert_layout,
+        "join_cardinality_estimate": _q_join_cardinality,
+        "frame_samples": _q_frame_samples,
+        "payload_dedup": _q_payload_dedup,
+        "join_explosion": _q_join_explosion,
+        "canonical_dedup_gain": _q_canonical_dedup_gain,
+        "label_centroid_drift": _q_label_centroid_drift,
+        "event_type_lift": _q_event_type_lift,
+        "kfold_counts": _q_kfold_counts,
+        "boxplot_prices": _q_boxplot_prices,
+        "embedding_pca2": _q_embedding_pca2,
+        "integrity_report": _q_integrity_report,
+        "weekly_active_users": _q_weekly_active_users,
+        "cusum_change_point": _q_cusum_change_point,
+        "hard_negatives": _q_hard_negatives,
+        "pii_source_report": _q_pii_source_report,
+        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "dsir_weights": _q_dsir_weights,
+        "bpe_merges": _q_bpe_merges,
+        "event_pagerank": _q_event_pagerank,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "embedding_outliers": _q_embedding_outliers,
+        "zorder_layout": _q_zorder_layout,
+        "ingest_binaryfile": _q_ingest_binaryfile,
+        "incremental_near_dup": _q_incremental_near_dup,
+        "winsorize_prices": _q_winsorize_prices,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        "contamination_bloom": _q_contamination_bloom,
+        "knn_graph": _q_knn_graph,
+        "psi_drift": _q_psi_drift,
+        "impute_orders": _q_impute_orders,
+        "mad_outliers": _q_mad_outliers,
+        "normalize_text": _q_normalize_text,
+        "perplexity_filter": _q_perplexity_filter,
+        "containment_pairs": _q_containment_pairs,
+        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
+        "bm25_topk": _q_bm25_topk,
+        "benford_check": _q_benford_check,
+        "ks_drift": _q_ks_drift,
+        "quality_logreg": _q_quality_logreg,
+        "per_source_cap": _q_per_source_cap,
+        "ngram_novelty": _q_ngram_novelty,
+        "temporal_split": _q_temporal_split,
+        "streaming_cms": _q_streaming_cms,
+        "dedup_triangles": _q_dedup_triangles,
+        "seq_length_histogram": _q_seq_length_histogram,
+        "lang_confusion": _q_lang_confusion,
+        "source_quality_report": _q_source_quality_report,
+        "quality_quota_filter": _q_quality_quota_filter,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "user_erasure": _q_user_erasure,
+        "streaming_topk": _q_streaming_topk,
+        "streaming_sessions": _q_stream_sessions,
+        "priority_pivot": _q_pivot,
+        "customers_without_orders": _q_anti,
+        "active_balance_intersect": _q_intersect,
+        "building_no_orders_except": _q_except,
+        "universe_sample_join": _q_universe_sample_join,
+        "stratified_sample_counts": _q_stratified_sample_counts,
+        "lateral_topn_per_nation": _q_lateral_topn,
+        "promo_window_shipments": _q_promo_window_shipments,
+        "profile_orders": _q_profile_orders,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "session_window_stats": _q_session_window_stats,
+        "write_roundtrip_xml": _q_write_roundtrip_xml,
+        "streaming_enrich": _q_streaming_enrich,
+        "k_anonymity_counts": _q_k_anonymity,
+        "first_last_orders": _q_first_last_orders,
+        "group_by_all_sql": _q_group_by_all,
+        "parameterized_sql": _q_parameterized_sql,
+        "user_value_trend": _q_user_value_trend,
+        "corrupt_record_ingest": _q_corrupt_record_ingest,
+        "schema_evolution_read": _q_schema_evolution_read,
+        "exact_median_prices": _q_exact_median_prices,
+        "train_test_split_counts": _q_train_test_split,
+        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
+        "funnel_conversion": _q_funnel_conversion,
+        "retention_cohorts": _q_retention_cohorts,
+        "write_roundtrip_orc": _q_write_roundtrip_orc,
+        "write_roundtrip_csv": _q_write_roundtrip_csv,
+        "compact_small_files": _q_compact_small_files,
+        "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_resize,
+        "streaming_hourly_counts": _q_stream_hourly,
+        "streaming_dedup": _q_stream_dedup,
+        "streaming_user_stats": _q_stream_user_stats,
+        "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
+        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
+        "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        "pq_adc_topk": _q_pq_adc_topk,
+        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
+        "clean_orders": _q_clean_orders,
+        "pipeline_gold": _q_pipeline_gold,
+        "normalize_columns": _q_normalize_columns,
+        "audit_stamp": _q_audit_stamp,
+        "dedup_lineitem": _q_dedup_lineitem,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dup_count_lineitem": _q_dup_count,
+        "quality_metrics": _q_quality_metrics,
+        "quality_gate": _q_quality_gate,
+        "freshness_check": _q_freshness,
+        "validate_violations": _q_violations,
+        "validation_summary": _q_violation_summary,
+        "schema_columns": _q_schema_columns,
+        "ingest_csv": _q_ingest_csv,
+        "write_roundtrip": _q_write_roundtrip,
+        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
+        "sql_interface": _q_sql_interface,
+        "exact_text_dedup": _q_exact_text_dedup,
+        "doc_fingerprint": _q_fingerprint,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
+        "source_mixture_rates": _q_source_mixture,
+        "mixture_sample_counts": _q_mixture_sample_counts,
+        "bpe_token_count": _q_bpe_token_count,
+        "top_ngrams": _q_top_ngrams,
+        "cosine_topk": _q_cosine_topk,
+        "quantized_cosine_topk": _q_quantized_topk,
+        "events_json_extract": _q_json_extract,
+        "events_json_parsed": _q_json_parsed,
+        "hourly_event_stats": _q_hourly,
+        "sessionize_events": _q_sessionize,
+        "asof_click_purchase": _q_asof,
+        "sliding_event_stats": _q_sliding,
+        "daily_top_event_types": _q_daily_top_types,
+        "time_rollup": _q_time_rollup,
     }.items()}
 
 

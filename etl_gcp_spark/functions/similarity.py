@@ -1840,6 +1840,27 @@ def ivf_drift_report(
         id_col=id_col,
         vec_col=vec_col,
     )
+    scored = drift_scores_literal(
+        embeddings, cmat,
+        holdout_mod=holdout_mod, id_col=id_col, vec_col=vec_col,
+    ).select("cohort", F.round(F.col("sim_raw"), 6).alias("sim"))
+    return _drift_cohort_stats(scored)
+
+
+def drift_scores_literal(
+    embeddings: DataFrame,
+    cmat,
+    *,
+    holdout_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cohort, sim_raw) best-centroid cosines via the literal
+    ``zip_with``/``aggregate`` expression kernel — UNROUNDED, so
+    tests can measure each sim's distance to a 6-dp rounding
+    boundary (the kernel-equivalence margin the gemm twin relies
+    on). Shared by :func:`ivf_drift_report`, which rounds half-up
+    Spark-side."""
 
     def _dot(a, b):
         return F.aggregate(
@@ -1859,15 +1880,15 @@ def ivf_drift_report(
     )
     sims = [_cos(F.col("__v"), list(cent)) for cent in cmat]
     best = sims[0] if len(sims) == 1 else F.greatest(*sims)
-    scored = allv.select(
+    return allv.select(
+        F.col(id_col),
         F.when(
             (F.col(id_col) % holdout_mod) == holdout_mod - 1, F.lit("new")
         )
         .otherwise(F.lit("base"))
         .alias("cohort"),
-        F.round(best, 6).alias("sim"),
+        best.alias("sim_raw"),
     )
-    return _drift_cohort_stats(scored)
 
 
 def _drift_cohort_stats(scored: DataFrame) -> DataFrame:
@@ -1944,9 +1965,6 @@ def ivf_drift_report_gemm(
     centroids — zero shuffle, zero join; the report aggregation is
     the shared rank-pick (a groupBy compaction, never a per-group
     value buffer)."""
-    import numpy as np
-    import pandas as pd
-
     base = embeddings.filter(
         (F.col(id_col) % holdout_mod) != holdout_mod - 1
     )
@@ -1957,15 +1975,37 @@ def ivf_drift_report_gemm(
         id_col=id_col,
         vec_col=vec_col,
     )
+    scored = drift_scores_gemm(
+        embeddings, cmat,
+        holdout_mod=holdout_mod, id_col=id_col, vec_col=vec_col,
+    ).select("cohort", F.round(F.col("sim_raw"), 6).alias("sim"))
+    return _drift_cohort_stats(scored)
+
+
+def drift_scores_gemm(
+    embeddings: DataFrame,
+    cmat,
+    *,
+    holdout_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cohort, sim_raw) best-centroid cosines via the production
+    GEMM kernel (one Arrow-batched numpy ``block @ centroidsᵀ`` per
+    partition over broadcast L2-normed centroids) — UNROUNDED; the
+    caller rounds in Spark (F.round is half-up like the oracle's
+    round(); numpy.round is half-even — keep every rounding decision
+    on one code path). Shared by :func:`ivf_drift_report_gemm` and
+    the kernel-margin pin test."""
+    import numpy as np
+    import pandas as pd
+
     cm = np.asarray(cmat, dtype=np.float64)
     cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
     bc = embeddings.sparkSession.sparkContext.broadcast(cm)
     new_tag = holdout_mod - 1
 
     def kernel(batches):
-        # emit RAW sims: rounding happens in Spark (F.round is
-        # half-up like the oracle's round(); numpy.round is
-        # half-even) — keep every rounding decision on one code path
         pm = bc.value
         for pdf in batches:
             if not len(pdf):
@@ -1984,15 +2024,15 @@ def ivf_drift_report_gemm(
     allv = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
-    scored = allv.mapInPandas(
+    return allv.mapInPandas(
         kernel, "__id long, sim_raw double"
     ).select(
+        F.col("__id").alias(id_col),
         F.when(F.col("__id") % holdout_mod == new_tag, F.lit("new"))
         .otherwise(F.lit("base"))
         .alias("cohort"),
-        F.round(F.col("sim_raw"), 6).alias("sim"),
+        F.col("sim_raw"),
     )
-    return _drift_cohort_stats(scored)
 
 
 def semdedup_prune(

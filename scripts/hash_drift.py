@@ -6,8 +6,10 @@ A driver-green stamp in CORRECTNESS_r{N}.json proves the entry's code
 as of round N's close commit — any later edit (including edits to a
 shared helper the fn calls) silently demotes that proof. This script:
 
-1. finds each entry's first driver-green round from the committed
-   CORRECTNESS_r*.json files;
+1. finds each entry's LAST driver-green round from the committed
+   CORRECTNESS_r*.json files (the most recent stamp is the proof to
+   protect — an entry re-checked in a later window is covered up to
+   that round's close, not its first green round);
 2. locates each round's close commit (`git log --grep '^round N:'`);
 3. checks out each needed close commit into a detached worktree and
    runs scripts/registry_hashes.py there (fn hash = helper-closure
@@ -17,7 +19,15 @@ shared helper the fn calls) silently demotes that proof. This script:
    for every stale entry (empty object = clean).
 
 Exit code 1 if any stale entry is NOT inside the current ~50-key
-driver window (i.e. not scheduled for a re-check), else 0.
+driver window (i.e. not scheduled for a re-check), else 0. When the
+flag count exceeds the window, the overflow may be recorded in
+HASH_DRIFT_BACKLOG.json ({"scheduled_round": "rNN", "entries":
+{name: flag}}); entries listed there count as scheduled PROVIDED they
+actually sit immediately behind the window in queries() order (the
+next round's window head) — a backlog entry that drifted out of the
+head positions is reported unscheduled again. The backlog file
+self-expires: once an entry is re-checked green, its drift flag
+clears on the next run and a leftover backlog row is reported stale.
 """
 from __future__ import annotations
 
@@ -89,15 +99,15 @@ def _hashes_at(commit: str | None) -> dict:
 def main() -> int:
     import glob
 
-    first_green: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         for name, row in json.load(open(path)).items():
-            if _is_green(row) and name not in first_green:
-                first_green[name] = rnd
+            if _is_green(row):
+                last_green[name] = max(rnd, last_green.get(name, 0))
 
     head = _hashes_at(None)
-    needed_rounds = sorted({r for n, r in first_green.items() if n in head})
+    needed_rounds = sorted({r for n, r in last_green.items() if n in head})
     snapshots: dict[int, dict] = {}
     for r in needed_rounds:
         commit = _round_close_commit(r)
@@ -107,7 +117,7 @@ def main() -> int:
         snapshots[r] = _hashes_at(commit)
 
     stale: dict[str, dict] = {}
-    for name, r in sorted(first_green.items()):
+    for name, r in sorted(last_green.items()):
         cur = head.get(name)
         snap = snapshots.get(r, {}).get(name)
         if cur is None or snap is None:
@@ -127,16 +137,39 @@ def main() -> int:
     # registry order, not the sorted hash-dump order
     import __spark_entry__ as entrymod
 
-    window = list(entrymod.queries())[:50]
-    unscheduled = [n for n in stale if n not in window]
+    registry = list(entrymod.queries())
+    window = registry[:50]
+
+    backlog_path = os.path.join(REPO, "HASH_DRIFT_BACKLOG.json")
+    deferred: set[str] = set()
+    stale_backlog_rows: list[str] = []
+    if os.path.exists(backlog_path):
+        bl = json.load(open(backlog_path))
+        # scheduled = flagged stale AND parked right behind the window
+        # (next round's head, positions 51..50+len) — anywhere else and
+        # "scheduled" would be an empty promise.
+        head_next = set(registry[50:50 + len(bl.get("entries", {}))])
+        for n in bl.get("entries", {}):
+            if n not in stale:
+                stale_backlog_rows.append(n)
+            elif n in head_next:
+                deferred.add(n)
+
+    unscheduled = [n for n in stale if n not in window and n not in deferred]
     print(
         f"HASH_DRIFT.json: {len(stale)} stale entr{'y' if len(stale)==1 else 'ies'}"
-        f" (changed after driver-green); {len(unscheduled)} NOT in the"
-        f" current 50-key window"
+        f" (changed after driver-green); {len(deferred)} deferred via"
+        f" HASH_DRIFT_BACKLOG.json; {len(unscheduled)} NOT scheduled"
     )
     for n in sorted(stale):
-        mark = "" if n in window else "  <-- NOT re-windowed"
+        mark = (
+            "" if n in window
+            else "  (deferred -> backlog head)" if n in deferred
+            else "  <-- NOT re-windowed"
+        )
         print(f"  {n:40s} green={stale[n]['green']} changed={stale[n]['changed']}{mark}")
+    for n in sorted(stale_backlog_rows):
+        print(f"  note: backlog row '{n}' no longer flags stale — prune it")
     return 1 if unscheduled else 0
 
 

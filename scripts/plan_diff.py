@@ -78,9 +78,17 @@ def main() -> int:
     notes: list[str] = []
     waived: list[str] = []
 
+    fired: set[tuple[str, str]] = set()
+
     def flag(q: str, metric: str, msg: str) -> None:
         why = WAIVERS.get((q, metric))
         if why:
+            # record the exact (query, metric) tuple here rather than
+            # re-parsing it out of the printed message (ADVICE r6: the
+            # string round-trip keyed staleness by query only, so a
+            # query with waivers on two metrics could suppress one's
+            # staleness, and broke if message formats changed).
+            fired.add((q, metric))
             waived.append(f"WAIVED {msg}\n        {why}")
         else:
             regressions.append(msg)
@@ -118,9 +126,8 @@ def main() -> int:
     for w in waived:
         print(w)
     # stale waivers: the metric no longer differs — prune the entry
-    fired = {w.split("WAIVED ")[1].split(" ")[1].rstrip(":") for w in waived}
     for (q, metric), _ in WAIVERS.items():
-        if q in set(old) & set(new) and q not in fired:
+        if q in set(old) & set(new) and (q, metric) not in fired:
             print(f"note  stale waiver ({q}, {metric}) — prune it")
     for x in notes:
         print(f"note  {x}")

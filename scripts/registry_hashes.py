@@ -53,33 +53,97 @@ def _code_idents(source: str) -> set[str]:
     return idents
 
 
-def _closure_src(raw, module) -> str:
-    """Source of `raw` plus every module-level function of `module` it
-    references, to a fixpoint — so an edit to a shared helper (e.g. the
-    oracle side-write plumbing) changes the hash of every entry that
-    calls it, not just entries whose own body was edited. The registry
-    assembly surface (queries/oracle_sql/entry) is excluded: it is not
-    a runtime helper, and its text churns on every window rotation."""
+def _local_imports(source: str) -> list[tuple[str, list[str]]]:
+    """(module, [names]) for every `from etl_gcp_spark... import ...`
+    statement anywhere in `source` — the _q_* wrappers import their
+    operator inside the function body, so __globals__ never sees it."""
+    import ast
+    import textwrap
+
+    out: list[tuple[str, list[str]]] = []
+    try:
+        tree = ast.parse(textwrap.dedent(source))
+    except SyntaxError:
+        return out
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.ImportFrom)
+            and node.module
+            and node.module.split(".")[0] == "etl_gcp_spark"
+        ):
+            out.append((node.module, [a.name for a in node.names]))
+    return out
+
+
+def _eligible(obj, entry_module_name: str) -> bool:
+    """Chase functions AND classes defined in the entry module or
+    anywhere under etl_gcp_spark — NOT third-party/stdlib code."""
     import types
 
-    mod_fns = {
-        n: o for n, o in vars(module).items()
-        if isinstance(o, types.FunctionType)
-        and o.__module__ == module.__name__
-        and n not in ("queries", "oracle_sql", "entry")
-    }
-    seen, queue, parts = set(), [raw], []
+    if not (isinstance(obj, types.FunctionType) or inspect.isclass(obj)):
+        return False
+    mod = getattr(obj, "__module__", "") or ""
+    if not (mod == entry_module_name or mod.split(".")[0] == "etl_gcp_spark"):
+        return False
+    return getattr(obj, "__name__", "") not in ("queries", "oracle_sql", "entry")
+
+
+def _closure_src(raw, module) -> str:
+    """Source of `raw` plus every function/class it references, to a
+    fixpoint ACROSS etl_gcp_spark modules — so an edit to the actual
+    operator body (e.g. similarity.py, text.py) changes the hash of
+    every entry whose wrapper imports it, not just entries whose
+    wrapper text was edited (ADVICE r6: the old walk stopped at
+    __spark_entry__ and was blind to package-side drift). References
+    are resolved three ways: (1) the function's __globals__ (module-
+    level defs and top-level imports), (2) `from etl_gcp_spark...`
+    imports inside the body (the _q_* wrapper pattern), (3) for
+    classes, their defining module's namespace. The registry assembly
+    surface (queries/oracle_sql/entry) stays excluded: not a runtime
+    helper, and its text churns on every window rotation.
+
+    Remaining documented blind spots: module-level CONSTANTS (regex
+    strings, dicts) and non-function callables (e.g. pandas_udf
+    wrapper objects) are not source-chased; edits to those still need
+    a manual re-window."""
+    seen_keys: set[tuple] = set()
+    queue: list = []
+    parts: list[str] = []
+
+    def push(obj) -> None:
+        key = (
+            getattr(obj, "__module__", "?"),
+            getattr(obj, "__qualname__", getattr(obj, "__name__", repr(obj))),
+        )
+        if key not in seen_keys:
+            seen_keys.add(key)
+            queue.append(obj)
+
+    push(raw)
     while queue:
         fn = queue.pop()
-        if fn in seen:
-            continue
-        seen.add(fn)
         s = _src(fn)
         parts.append(s)
-        for name in _code_idents(s):
-            helper = mod_fns.get(name)
-            if helper is not None and helper not in seen:
-                queue.append(helper)
+        idents = _code_idents(s)
+        ns = getattr(fn, "__globals__", None)
+        if ns is None and inspect.isclass(fn):
+            defmod = sys.modules.get(getattr(fn, "__module__", ""), None)
+            ns = vars(defmod) if defmod is not None else {}
+        for name in idents:
+            obj = (ns or {}).get(name)
+            if obj is not None and _eligible(obj, module.__name__):
+                push(obj)
+        for mod_name, names in _local_imports(s):
+            try:
+                import importlib
+
+                m = importlib.import_module(mod_name)
+            except Exception:
+                continue
+            for n in names:
+                obj = getattr(m, n, None)
+                if obj is not None and _eligible(obj, module.__name__):
+                    push(obj)
     return "\n".join(sorted(parts))
 
 

@@ -226,6 +226,33 @@ def test_plan_diff_waiver_suppresses_only_named_metric():
     assert "stale waiver (ivf_drift_report, exchanges)" in r3.stdout
     assert r3.returncode == 0
 
+    # two waivers on the SAME query, only one fires: the other's
+    # staleness must still be reported (ADVICE r6 — the old
+    # string-round-trip keyed fired-ness by query only and silently
+    # suppressed it). In-process with a patched WAIVERS dict.
+    import importlib.util
+    import io
+    from contextlib import redirect_stdout
+    from unittest import mock
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_diff_mod", os.path.join(repo, "scripts", "plan_diff.py")
+    )
+    pd_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pd_mod)
+    pd_mod.WAIVERS = {
+        ("ivf_drift_report", "exchanges"): "fires below",
+        ("ivf_drift_report", "heap"): "never fires — must go stale",
+    }
+    buf = io.StringIO()
+    with mock.patch.object(sys, "argv", ["plan_diff.py", old, new2]):
+        with redirect_stdout(buf):
+            rc = pd_mod.main()
+    out = buf.getvalue()
+    assert "WAIVED EXCHANGES ivf_drift_report" in out
+    assert "stale waiver (ivf_drift_report, heap)" in out
+    assert rc == 1  # the python-stage regression still gates
+
 
 def test_check_oracle_watchdog_flags_timeout_and_recovers():
     """The watchdog must (a) fail a runaway oracle with a timeout tag

@@ -867,6 +867,72 @@ def test_ivf_drift_report_detects_shifted_cohort(spark):
     assert out["new"].p05_sim < out["base"].p05_sim
 
 
+def test_drift_kernel_margin_to_rounding_boundary(spark, sf_dir):
+    """Pin the gemm-oracle-sharing claim (ADVICE r6): the gemm and
+    literal kernels differ only in float summation order (~1e-16
+    relative), so sharing the literal entry's value-hash oracle is
+    sound ONLY if no sim in the driver-scale corpus sits close
+    enough to a 6-dp round-half-up boundary for that difference to
+    flip F.round. This test measures it: at the registered config,
+    every raw sim from BOTH kernels must sit > 1e-9 (in sim units;
+    1e-3 in ×1e6 scale) away from the nearest x.5 boundary — seven
+    orders of magnitude above the kernel delta — and the rounded
+    per-cohort multisets must be identical."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        drift_scores_gemm,
+        drift_scores_literal,
+        ivf_train,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter((F.col("vec_id") % 5) != 4)
+    _labels, cmat = ivf_train(base, n_cells=8, n_iters=2)
+
+    import math
+
+    def _half_up(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x)
+
+    def _margin(x: float) -> float:
+        # distance (×1e6 scale) to the nearest half-up boundary,
+        # symmetric in sign (Spark round() is HALF_UP: away from
+        # zero at x.5)
+        s = abs(x) * 1e6
+        return abs(s - math.floor(s) - 0.5)
+
+    lit = {r.vec_id: r for r in drift_scores_literal(emb, cmat).collect()}
+    gem = {r.vec_id: r for r in drift_scores_gemm(emb, cmat).collect()}
+    assert len(lit) == 500 and set(lit) == set(gem)
+
+    delta_max = max(
+        abs(lit[i].sim_raw - gem[i].sim_raw) * 1e6 for i in lit
+    )
+    worst = min(
+        min(_margin(lit[i].sim_raw), _margin(gem[i].sim_raw)) for i in lit
+    )
+    # a round-flip needs a sim within the kernel disagreement of a
+    # boundary; require 3 orders of magnitude of headroom between
+    # the closest approach and the worst observed disagreement
+    # (measured on this corpus: worst ≈ 4.6e-4 scaled, delta_max
+    # ≈ 1e-10 scaled — ~6.5 orders of headroom)
+    assert delta_max == 0.0 or worst > 1000 * delta_max, (worst, delta_max)
+    # and the rounded outputs — what the shared oracle hashes — agree
+    # exactly, row by row and as per-cohort multisets
+    assert all(
+        lit[i].cohort == gem[i].cohort
+        and _half_up(lit[i].sim_raw) == _half_up(gem[i].sim_raw)
+        for i in lit
+    )
+    assert Counter(
+        (r.cohort, _half_up(r.sim_raw)) for r in lit.values()
+    ) == Counter((r.cohort, _half_up(r.sim_raw)) for r in gem.values())
+
+
 def test_streaming_drift_report_recovers_and_equals_batch(
     spark, sf_dir, tmp_path
 ):
