@@ -3404,6 +3404,29 @@ def _q_entity_clusters(spark, sf_dir):
     )
 
 
+def _q_entity_clusters_increment(spark, sf_dir):
+    """Incremental entity-label maintenance == full re-clustering
+    (VERDICT r6 item 6): persisted mask-key blocking index appended
+    O(|delta|), labels merged on the contracted graph; mismatch
+    columns are structural zeros. Oracle: ONE full recursive closure
+    (the entity_clusters CTE chain) supplies every honest count; the
+    only-counts replay as the structural zeros they are — same
+    posture as dedup_index_maintenance_audit."""
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_increment_audit,
+    )
+
+    # per-process dir component: same concurrent-writer discipline as
+    # the LSH maintenance audit (ADVICE r6)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_eciidx_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    return entity_clusters_increment_audit(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name", idx
+    )
+
+
 def _q_dedup_triangles(spark, sf_dir):
     from etl_gcp_spark.operators.graph import triangle_participation
     from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
@@ -3822,9 +3845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pin test, ADVICE r6); displaced order_gap_days to the
         # backlog head.
         "ivf_drift_report": _q_ivf_drift_report,
-        # --- positions 51-74: the r8 window head — the 24
+        # --- positions 51-75: the r8 window head — the 25
         # hash-drift flags that did not fit this round (6 r01 +
-        # 10 r02 + 3 r03 + 1 r04 + 4 r05), oldest first. ---
+        # 10 r02 + 3 r03 + 1 r04 + 4 r05, oldest first, plus
+        # zipf_fit at the tail — stale from this round's
+        # limit-first rewrite). ---
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
@@ -3849,6 +3874,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_append_topk": _q_ivf_index_append_topk,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         "ivf_compact_topk": _q_ivf_compact_topk,
+        # backlog tail: zipf_fit's r06 stamp went stale this round —
+        # type-spectrum ranking rewritten limit-first (global
+        # row_number over a vocabulary-sized frame → orderBy+limit
+        # heap, VERDICT r6 item 5); re-verified green locally.
+        "zipf_fit": _q_zipf_fit,
+        # backlog tail (cont.): stale from this round's
+        # mask_key_index extraction (fuzzy_pairs' blocking shared
+        # with the new incremental audit) — re-verified green
+        # locally.
+        "entity_clusters": _q_entity_clusters,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
+        # --- round-7 net-new (VERDICT r6 item 6), registered BEHIND
+        # the window and the r8 backlog: incremental entity-label
+        # maintenance audit — completes the build→append→audit story
+        # for the graph side. ---
+        "entity_clusters_increment": _q_entity_clusters_increment,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -3856,7 +3898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is the canonical registry sketch. ---
         "lsh_recall_report": _q_lsh_recall_report,
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
-        "zipf_fit": _q_zipf_fit,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "wow_growth": _q_wow_growth,
         "benchmark_coverage": _q_benchmark_coverage,
@@ -3899,7 +3940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_counts": _q_cms_event_counts,
         "embedding_kmeans": _q_embedding_kmeans,
         "semdedup_prune": _q_semdedup_prune,
-        "entity_clusters": _q_entity_clusters,
         "ann_ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "bucketed_join_totals": _q_bucketed_join_totals,
@@ -3997,7 +4037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topn_per_nation": _q_lateral_topn,
         "promo_window_shipments": _q_promo_window_shipments,
         "profile_orders": _q_profile_orders,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "session_window_stats": _q_session_window_stats,
         "write_roundtrip_xml": _q_write_roundtrip_xml,
         "streaming_enrich": _q_streaming_enrich,
@@ -4022,7 +4061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_stream_dedup,
         "streaming_user_stats": _q_stream_user_stats,
         "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
         "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "pq_adc_topk": _q_pq_adc_topk,
         "leakage_safe_split_counts": _q_leakage_safe_split_counts,
@@ -8069,7 +8107,11 @@ def oracle_sql() -> dict[str, str]:
     # Non-convergence within the 200-round cap yields an EMPTY
     # `final` → 0 rows → a loud driver mismatch, never silent
     # wrong labels.
-    sql["entity_clusters"] = """
+    # shared closure CTE chain: entity_clusters consumes it verbatim
+    # (byte-identical to the r6 text — its driver stamp must not
+    # drift on oracle text), entity_clusters_increment projects the
+    # audit counts off the same single closure
+    _entity_cc_with = """
         WITH RECURSIVE cust AS (
             SELECT c_custkey, c_name FROM customer
         ), variants AS (
@@ -8126,10 +8168,37 @@ def oracle_sql() -> dict[str, str]:
         ), comp AS (
             SELECT n.c_custkey, f.st[n.idx] AS lbl
             FROM nodes n, final f
-        )
+        )"""
+    sql["entity_clusters"] = _entity_cc_with + """
         SELECT c.c_custkey, m.c_custkey AS entity_id,
                count(*) OVER (PARTITION BY c.lbl) AS entity_size
         FROM comp c JOIN nodes m ON m.idx = c.lbl
+    """
+    # incremental-maintenance audit: every count is derived from the
+    # ONE full closure above; incremental == full is structural
+    # (contracted-merge labels are min member ids by construction),
+    # so the only-counts are the zeros the Spark side computes
+    # honestly via exceptAll
+    sql["entity_clusters_increment"] = _entity_cc_with + """
+        , fin AS (
+            SELECT c.c_custkey AS id, m.c_custkey AS entity_id
+            FROM comp c JOIN nodes m ON m.idx = c.lbl
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM cust
+            WHERE c_custkey % 10 <> 0) AS n_base,
+          (SELECT CAST(count(*) AS BIGINT) FROM cust
+            WHERE c_custkey % 10 = 0) AS n_delta,
+          (SELECT CAST(count(*) AS BIGINT) FROM fpairs
+            WHERE id1 % 10 = 0 OR id2 % 10 = 0) AS n_delta_edges,
+          (SELECT CAST(count(DISTINCT entity_id) AS BIGINT) FROM fin)
+            AS n_entities_full,
+          (SELECT CAST(count(DISTINCT entity_id) AS BIGINT) FROM fin)
+            AS n_entities_incr,
+          CAST(0 AS BIGINT) AS n_only_incr,
+          CAST(0 AS BIGINT) AS n_only_full,
+          (SELECT CAST(count(DISTINCT entity_id) AS BIGINT) FROM fin
+            WHERE id % 10 = 0) AS n_entities_touching_delta
     """
     # triangles over the exact-Jaccard pair graph (== LSH pairs at
     # driver scales): orient low→high, close (a→b, b→c) with (a→c)

@@ -76,10 +76,10 @@ def hybrid_rrf_topk(
         text_col=text_col,
         id_col=doc_id_col,
     )
-    # single-partition window is intended: the frame is the already-
-    # limited top-``depth`` leg (≤ depth rows by construction, never
-    # data-bounded), so Spark's "No Partition Defined" warning does
-    # not indicate a scale risk here
+    # bounded: ≤ depth rows — the frame is the already-limited
+    # top-``depth`` leg by construction, never data-sized, so
+    # Spark's "No Partition Defined" warning does not indicate a
+    # scale risk here
     lex_ranked = lex.select(
         F.col(doc_id_col).alias("__id"),
         F.row_number()

@@ -1673,6 +1673,8 @@ def embedding_dim_audit(
         ).alias("var"),
     )
     tot = stats.agg(F.sum("var").alias("__tot"))
+    # bounded: ≤ |embedding dim| rows — `stats` is one row per
+    # vector position, never per vector
     w = Window.orderBy(F.col("var").desc(), F.col("pos").asc())
     return (
         stats.join(F.broadcast(tot))

@@ -289,6 +289,8 @@ def histogram_quantiles(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # bounded: ≤ n_bins rows — the fixed-width histogram compaction
+    # above (clamped edges), never the value stream
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -391,6 +393,8 @@ def quantiles_from_bins(
 
     merged = bins.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
     ext = merged.agg(F.sum("cnt").alias("__n"))
+    # bounded: ≤ n_bins rows — merged pre-binned counts, never the
+    # underlying values
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

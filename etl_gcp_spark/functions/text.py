@@ -1111,10 +1111,18 @@ def zipf_fit(
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    # top-max_rank via orderBy+limit → TakeOrderedAndProject
+    # (distributed per-partition heaps): the type spectrum is
+    # VOCABULARY-sized (Heaps' law: millions+ at 100 TB), so ranking
+    # it with a global row_number window would funnel every type
+    # through one task. Ranks attach afterwards on the ≤ max_rank
+    # frame — total order (f desc, t) makes limit-then-rank
+    # deterministic and identical to rank-then-filter.
+    top = freqs.orderBy(F.col("f").desc(), F.col("t")).limit(max_rank)
+    # bounded: ≤ max_rank rows — the limit(max_rank) head above
     w = Window.orderBy(F.col("f").desc(), F.col("t"))
     ranked = (
-        freqs.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= max_rank)
+        top.withColumn("r", F.row_number().over(w))
         .select(
             F.log(F.col("r").cast("double")).alias("x"),
             F.log(F.col("f").cast("double")).alias("y"),

@@ -187,6 +187,9 @@ def ks_numeric(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
+    # bounded: ≤ |column domain| rows — both sides collapse to
+    # (value, count) first; for continuous columns the caller bins
+    # before calling (docstring: the deliberate trade)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
         "v",

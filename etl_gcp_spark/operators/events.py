@@ -593,10 +593,13 @@ def cusum_change_point(events: DataFrame) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # bounded: ≤ |corpus span in hours| rows — `hourly` is the
+    # post-aggregation series (one row per hour), not the event log
     w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
     cum = hourly.select(
         "h",
         F.sum("c").over(w).alias("cum_c"),
+        # bounded: same ≤ |hours| post-agg frame as `w` above
         F.row_number().over(Window.orderBy("h")).alias("t"),
     )
     totals = hourly.agg(
@@ -653,6 +656,8 @@ def wow_growth(events: DataFrame) -> DataFrame:
             4,
         ).cast("double").alias("total_value"),
     )
+    # bounded: ≤ |corpus span in weeks| rows — `weekly` is the
+    # post-aggregation series, one row per calendar week
     w = Window.orderBy("week_start")
     prev_n = F.lag("n_events").over(w)
     prev_v = F.lag("total_value").over(w)
@@ -699,6 +704,11 @@ def watermark_sizing_report(
     anywhere, so the report replays bit-identically.
     """
     us = F.unix_micros(F.col(ts_col))
+    # bounded: one source partition by CONTRACT, not by data — the
+    # running max over arrival order is the one inherently
+    # sequential scan this semantics requires (docstring); at scale
+    # add the kafka/source partition to partitionBy and the plan is
+    # fully parallel
     w = (
         Window.orderBy(F.col(arrival_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -941,8 +951,11 @@ def trend_report(events: DataFrame) -> DataFrame:
     )
     ranked = pairs.select(
         "slope",
+        # bounded: ≤ |weeks|² rows — `pairs` is the week-index
+        # self-join of the post-aggregation weekly series (52 weeks
+        # → 1,326 pairs), never the event log
         F.row_number()
-        .over(Window.orderBy(F.col("slope"))) 
+        .over(Window.orderBy(F.col("slope")))
         .alias("rn"),
     )
     med = (

@@ -611,8 +611,9 @@ def equi_depth_histogram(
     counts = parts.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    # running offset over the ≤ n_parts count rows (tiny by
-    # construction — this single-partition window is bounded)
+    # bounded: ≤ n_parts count rows (one per spark partition id) —
+    # tiny by construction, this single-partition window never sees
+    # data-scaled input
     off_w = (
         Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -257,6 +257,8 @@ def priority_sample(
         .orderBy(F.col("__q").desc(), F.col("key"))
         .limit(k + 1)
     )
+    # bounded: ≤ k+1 rows — `pri` is the orderBy+limit(k+1) priority
+    # head above (TakeOrderedAndProject), never the population
     w_all = Window.orderBy(F.col("__q").desc(), F.col("key"))
     w_tau = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -121,6 +121,7 @@ def key_skew_report(
     top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
         top_n
     )
+    # bounded: ≤ top_n rows — the limit(top_n) head above
     w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
     top = top.withColumn("rank", F.row_number().over(w))
     return top.crossJoin(F.broadcast(stats)).select(
@@ -173,6 +174,7 @@ def join_explosion_report(
     top = prod.orderBy(F.col("out").desc(), F.col("key").asc()).limit(
         top_n
     )
+    # bounded: ≤ top_n rows — the limit(top_n) head above
     w = Window.orderBy(F.col("out").desc(), F.col("key").asc())
     return (
         top.withColumn("rank", F.row_number().over(w))

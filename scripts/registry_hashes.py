@@ -75,6 +75,29 @@ def _local_imports(source: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def _strip_comments(source: str) -> str:
+    """Drop COMMENT tokens (and trailing-whitespace churn) from the
+    hashed text: a comment cannot change behavior, so a comment-only
+    edit (e.g. the round-7 `bounded:` cardinality annotations) must
+    not demote a driver-green stamp. Docstrings/strings are KEPT —
+    oracle SQL and kernel schemas live in string literals. Falls back
+    to the raw source when tokenization fails."""
+    import io
+    import tokenize
+
+    try:
+        out = []
+        skip = (tokenize.COMMENT, tokenize.NL)  # NL = the non-logical
+        # newline emitted for blank and comment-only lines; keeping it
+        # would make a pure comment INSERTION flag via its newline
+        for tok in tokenize.generate_tokens(io.StringIO(source).readline):
+            if tok.type not in skip:
+                out.append(tok.string)
+        return " ".join(out)
+    except Exception:
+        return source
+
+
 def _eligible(obj, entry_module_name: str) -> bool:
     """Chase functions AND classes defined in the entry module or
     anywhere under etl_gcp_spark — NOT third-party/stdlib code."""
@@ -123,7 +146,7 @@ def _closure_src(raw, module) -> str:
     while queue:
         fn = queue.pop()
         s = _src(fn)
-        parts.append(s)
+        parts.append(_strip_comments(s))
         idents = _code_idents(s)
         ns = getattr(fn, "__globals__", None)
         if ns is None and inspect.isclass(fn):

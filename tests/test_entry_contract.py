@@ -305,3 +305,39 @@ def test_check_oracle_watchdog_flags_timeout_and_recovers():
     )
     assert "TIMEOUT" in r.stdout, r.stdout + r.stderr
     assert "NEXT 42" in r.stdout, r.stdout + r.stderr
+
+
+def test_global_windows_document_their_cardinality_bound():
+    """Every unpartitioned Window.orderBy in the package is a global
+    sort funneled through ONE task — acceptable only over frames
+    bounded by construction (post-agg series, limit(k) heads, fixed
+    bin/dim counts), never over data-scaled input. Each site must
+    carry a `bounded:` comment within the 8 preceding lines stating
+    WHY its frame is bounded (VERDICT r6 item 5); a new global
+    window without one fails here until its invariant is written
+    down (or it gets a partitionBy)."""
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = []
+    for path in glob.glob(
+        os.path.join(repo, "etl_gcp_spark", "**", "*.py"), recursive=True
+    ):
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
+            if not re.search(r"Window\s*\.\s*orderBy", line):
+                continue
+            if "partitionBy" in line:
+                continue
+            ctx = "\n".join(lines[max(0, i - 8): i + 1])
+            if "bounded:" not in ctx:
+                offenders.append(
+                    f"{os.path.relpath(path, repo)}:{i + 1}: {line.strip()}"
+                )
+    assert not offenders, (
+        "unpartitioned Window.orderBy without a `bounded:` "
+        "cardinality-bound comment in the 8 lines above:\n"
+        + "\n".join(offenders)
+    )

@@ -209,3 +209,69 @@ def test_sorted_neighborhood_pairs_semantics(spark):
     ).collect()
     got = {(r.id1, r.id2): r.distance for r in out}
     assert got == {(1, 2): 1}
+
+
+def test_entity_clusters_increment_bridge_merge(spark, tmp_path):
+    """The scenario incremental maintenance exists for: a DELTA
+    record bridges two separate BASE components, so the contracted
+    merge must relabel both base components to the global min id —
+    and the audit's mismatch columns (computed honestly via
+    exceptAll against a full re-clustering) must be zero."""
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_increment_audit,
+    )
+
+    rows = [
+        Row(id=1, name="aaaa"),   # base comp A
+        Row(id=3, name="aabb"),   # base comp B (lev 2 from aaaa)
+        Row(id=5, name="qqqq"),   # untouched base singleton
+        Row(id=10, name="aaab"),  # delta: lev1 to BOTH aaaa and aabb
+        Row(id=20, name="zzzz"),  # delta singleton
+    ]
+    df = spark.createDataFrame(rows)
+    out = entity_clusters_increment_audit(
+        df, "id", "name", str(tmp_path / "eci"), delta_mod=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_base, r.n_delta) == (3, 2)
+    assert r.n_delta_edges == 2          # 10-1 and 10-3
+    assert r.n_entities_full == 3        # {1,3,10}, {5}, {20}
+    assert r.n_entities_incr == 3
+    assert r.n_only_incr == 0 and r.n_only_full == 0
+    assert r.n_entities_touching_delta == 2
+
+
+def test_entity_clusters_increment_appends_never_rewrite(spark, tmp_path):
+    """Maintenance discipline: the delta append adds files to the
+    persisted mask-key index without rewriting the base's files —
+    the O(|delta|) property the audit certifies."""
+    import glob
+    import os
+
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_increment_audit,
+        mask_key_index,
+    )
+
+    rows = [Row(id=i, name=f"name{i:03d}") for i in range(1, 25)]
+    df = spark.createDataFrame(rows)
+    idx = str(tmp_path / "eci2")
+    keys_dir = os.path.join(idx, "maskkeys")
+
+    # pre-build the base index exactly as the audit's build phase
+    # does, snapshot file mtimes, then run the audit over the SAME
+    # dir contents via its own overwrite+append
+    entity_clusters_increment_audit(df, "id", "name", idx).collect()
+    files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(keys_dir, "*.parquet"))
+    }
+    assert files, "index parquet files must exist"
+    # append-only check on a second delta-style append
+    mask_key_index(
+        df.filter(F.col("id") % 10 == 0), "id", "name"
+    ).write.mode("append").parquet(keys_dir)
+    for p, t in files.items():
+        assert os.path.getmtime(p) == t, f"existing file rewritten: {p}"
+    assert len(glob.glob(os.path.join(keys_dir, "*.parquet"))) > len(files)
