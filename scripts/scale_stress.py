@@ -254,9 +254,28 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         logreg_calibration_bins as _calib,
     )
     from pyspark.sql import functions as F
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_increment_audit as _eci_audit,
+    )
     from etl_gcp_spark.session import get_spark
 
     spark = get_spark("scale_stress")
+
+    def _names(d):
+        """Short name-key frame off the documents corpus: ids 2k and
+        2k+1 share an 11-char stem and differ in the final char —
+        one planted lev-1 pair per id pair, component size 2, so
+        candidate volume and closure work both scale linearly."""
+        return d.select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit("nm"),
+                F.lpad(F.expr("doc_id div 2").cast("string"), 9, "0"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(
+                    F.lit("b")
+                ),
+            ).alias("name"),
+        )
 
     def docs(mult: int):
         return spark.read.parquet(f"{out_dir}/documents_x{mult}.parquet")
@@ -340,6 +359,15 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         # bounded groupBy (≤ n_bins rows) — expected to track the
         # logreg exponent
         "quality_calibration_bins": lambda m: _calib(docs(m)),
+        # round-7 addition: incremental CC maintenance — mask-key
+        # explode is L·n (fixed 13-char keys), each planted lev-1
+        # pair shares exactly its masked variants (no heavy blocks),
+        # contracted merge touches only delta-adjacent components;
+        # the two entity_clusters legs dominate and are ~linear on
+        # this pair structure, so the audit should be too
+        "entity_clusters_increment": lambda m: _eci_audit(
+            _names(docs(m)), "id", "name", f"{out_dir}/eci_idx_x{m}"
+        ),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't

@@ -172,11 +172,18 @@ def test_oracle_side_write_gating(spark, tmp_path, monkeypatch):
 def test_plan_diff_waiver_suppresses_only_named_metric():
     """A waiver must suppress exactly its (query, metric) pair —
     other regressions on the same query still gate — and a stale
-    waiver (metric no longer differs) is reported for pruning."""
+    waiver (metric no longer differs) is reported for pruning.
+    Runs in-process with a PATCHED WAIVERS dict so the test is
+    independent of whichever real waivers ship in a given round
+    (the r6 subprocess form broke the moment its hardcoded waiver
+    was legitimately pruned)."""
+    import importlib.util
+    import io
     import os
-    import subprocess
     import sys
     import tempfile
+    from contextlib import redirect_stdout
+    from unittest import mock
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     header = (
@@ -195,63 +202,51 @@ def test_plan_diff_waiver_suppresses_only_named_metric():
         f.close()
         return f.name
 
-    old = plans([("ivf_drift_report", 2, False), ("other_q", 1, False)])
-    # waived metric (exchanges) grew AND a non-waived query regressed
-    new = plans([("ivf_drift_report", 5, False), ("other_q", 3, False)])
-    r = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts", "plan_diff.py"), old, new],
-        capture_output=True,
-        text=True,
-    )
-    assert "WAIVED EXCHANGES ivf_drift_report" in r.stdout
-    assert "EXCHANGES other_q: 1 -> 3" in r.stdout
-    assert r.returncode == 1  # the unwaived regression still gates
-
-    # same-query unwaived metric still gates: gaining a python stage
-    new2 = plans([("ivf_drift_report", 5, True), ("other_q", 1, False)])
-    r2 = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts", "plan_diff.py"), old, new2],
-        capture_output=True,
-        text=True,
-    )
-    assert "PYTHON-STAGE ivf_drift_report" in r2.stdout
-    assert r2.returncode == 1
-
-    # stale waiver: nothing differs -> prune note, exit 0
-    r3 = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts", "plan_diff.py"), old, old],
-        capture_output=True,
-        text=True,
-    )
-    assert "stale waiver (ivf_drift_report, exchanges)" in r3.stdout
-    assert r3.returncode == 0
-
-    # two waivers on the SAME query, only one fires: the other's
-    # staleness must still be reported (ADVICE r6 — the old
-    # string-round-trip keyed fired-ness by query only and silently
-    # suppressed it). In-process with a patched WAIVERS dict.
-    import importlib.util
-    import io
-    from contextlib import redirect_stdout
-    from unittest import mock
-
     spec = importlib.util.spec_from_file_location(
         "plan_diff_mod", os.path.join(repo, "scripts", "plan_diff.py")
     )
     pd_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pd_mod)
-    pd_mod.WAIVERS = {
-        ("ivf_drift_report", "exchanges"): "fires below",
-        ("ivf_drift_report", "heap"): "never fires — must go stale",
-    }
-    buf = io.StringIO()
-    with mock.patch.object(sys, "argv", ["plan_diff.py", old, new2]):
-        with redirect_stdout(buf):
-            rc = pd_mod.main()
-    out = buf.getvalue()
-    assert "WAIVED EXCHANGES ivf_drift_report" in out
-    assert "stale waiver (ivf_drift_report, heap)" in out
-    assert rc == 1  # the python-stage regression still gates
+
+    def run(old, new, waivers):
+        pd_mod.WAIVERS = waivers
+        buf = io.StringIO()
+        with mock.patch.object(sys, "argv", ["plan_diff.py", old, new]):
+            with redirect_stdout(buf):
+                rc = pd_mod.main()
+        return rc, buf.getvalue()
+
+    w = {("waived_q", "exchanges"): "intentional compaction"}
+    old = plans([("waived_q", 2, False), ("other_q", 1, False)])
+    # waived metric (exchanges) grew AND a non-waived query regressed
+    new = plans([("waived_q", 5, False), ("other_q", 3, False)])
+    rc, out = run(old, new, dict(w))
+    assert "WAIVED EXCHANGES waived_q" in out
+    assert "EXCHANGES other_q: 1 -> 3" in out
+    assert rc == 1  # the unwaived regression still gates
+
+    # same-query unwaived metric still gates: gaining a python stage
+    new2 = plans([("waived_q", 5, True), ("other_q", 1, False)])
+    rc2, out2 = run(old, new2, dict(w))
+    assert "PYTHON-STAGE waived_q" in out2
+    assert rc2 == 1
+
+    # stale waiver: nothing differs -> prune note, exit 0
+    rc3, out3 = run(old, old, dict(w))
+    assert "stale waiver (waived_q, exchanges)" in out3
+    assert rc3 == 0
+
+    # two waivers on the SAME query, only one fires: the other's
+    # staleness must still be reported (ADVICE r6 — the old
+    # string-round-trip keyed fired-ness by query only and silently
+    # suppressed it)
+    rc4, out4 = run(old, new2, {
+        ("waived_q", "exchanges"): "fires below",
+        ("waived_q", "heap"): "never fires — must go stale",
+    })
+    assert "WAIVED EXCHANGES waived_q" in out4
+    assert "stale waiver (waived_q, heap)" in out4
+    assert rc4 == 1  # the python-stage regression still gates
 
 
 def test_check_oracle_watchdog_flags_timeout_and_recovers():
