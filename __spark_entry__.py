@@ -3127,6 +3127,23 @@ def _q_ivf_drift_report(spark, sf_dir):
     return ivf_drift_report(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_streaming_entity_ingest(spark, sf_dir):
+    """Streaming entity-label maintenance: records stream into the
+    persisted label store via the contracted-merge construction the
+    increment audit proves (batch_id-keyed OVERWRITE patches, replay
+    reads only pre-batch state); final labels equal batch
+    entity_clusters over all records, so that entry's recursive-CTE
+    oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.entities import (
+        run_streaming_entity_ingest,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_entity_ingest(
+        spark, os.path.join(sf_dir, "customer.parquet")
+    )
+
+
 def _q_dedup_index_maintenance_audit(spark, sf_dir):
     """Append-maintained LSH index == full rebuild, proven as a
     one-row audit (ref behavior anchor: the dedup family's banding
@@ -3891,6 +3908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maintenance audit — completes the build→append→audit story
         # for the graph side. ---
         "entity_clusters_increment": _q_entity_clusters_increment,
+        # streaming twin: per-microbatch label maintenance whose
+        # final state equals batch entity_clusters — its oracle
+        # attaches verbatim (the cheapest route to a value-hash
+        # streaming entry, same as streaming_ivf_ingest).
+        "streaming_entity_ingest": _q_streaming_entity_ingest,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8581,6 +8603,11 @@ def oracle_sql() -> dict[str, str]:
     # same assignment kernel), so the batch operator's algorithm-
     # replay oracle attaches to the streamed result verbatim.
     sql["streaming_ivf_ingest"] = sql["ivf_index_append_topk"]
+    # The streamed label store's final state equals batch
+    # entity_clusters over all records (the contracted-merge
+    # construction the increment audit proves), so the recursive-CTE
+    # closure oracle attaches to the streamed result verbatim.
+    sql["streaming_entity_ingest"] = sql["entity_clusters"]
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]

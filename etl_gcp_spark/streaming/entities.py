@@ -1,0 +1,258 @@
+"""Structured-Streaming ingest into maintained entity-cluster labels.
+
+The graph-side streaming twin of ``streaming/text.py`` and
+``streaming/vectors.py``: records stream into the persisted entity
+label store maintained by the incremental construction
+:func:`~etl_gcp_spark.operators.linkage.entity_clusters_increment_audit`
+proves correct, and the final served labels are IDENTICAL to a full
+batch :func:`~etl_gcp_spark.operators.linkage.entity_clusters` over
+the union of all records — "stream and batch agree exactly", so the
+batch entry's value-hash oracle attaches to the streamed result
+verbatim.
+
+Per microbatch, O(|batch| + touched components) WRITES:
+
+1. the batch's d=1 mask-key blocking rows land under
+   ``maskkeys/appends/batch=<id>`` (OVERWRITE — replay-idempotent;
+   the existing index files are never rewritten);
+2. new edges come from probing the persisted index with the batch's
+   keys only (batch↔base and batch↔earlier-batch; earlier pairs are
+   already closed);
+3. the label merge runs on the CONTRACTED graph — endpoints collapse
+   to their current labels, so the iterative closure touches
+   |batch| + affected components supernodes, never the full vertex
+   set;
+4. a label PATCH (changed rows + the batch's own rows) lands under
+   ``labels/batch=<id>`` (OVERWRITE).
+
+Crash-replay correctness: state reads inside a microbatch filter
+``batch < batch_id`` — a replayed batch recomputes its patch from
+exactly the pre-batch state, so a half-committed previous attempt
+(its own ``batch=<id>`` dirs) is overwritten with identical content
+instead of being folded into the input (which would shrink the
+replayed patch and lose relabels).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gcp_spark.metering import timed as _timed_phase
+
+_metered_build = _timed_phase("build")
+
+RECORDS_SCHEMA = "c_custkey long, c_name string"
+
+
+def _latest_labels(spark: SparkSession, root: str, max_batch=None) -> DataFrame:
+    """Current (id, lbl) state: base labels overridden by the most
+    recent patch per id. ``max_batch`` (exclusive) restricts to
+    patches committed BEFORE a given microbatch — the replay-safe
+    read. The per-id window is bounded by the number of microbatches
+    that ever touched the id."""
+    base = spark.read.parquet(os.path.join(root, "labels_base")).select(
+        "id", "lbl", F.lit(-1).cast("long").alias("batch")
+    )
+    patch_dir = os.path.join(root, "labels")
+    frames = base
+    if os.path.isdir(patch_dir) and any(
+        e.startswith("batch=") for e in os.listdir(patch_dir)
+    ):
+        patches = (
+            spark.read.option("basePath", patch_dir)
+            .parquet(patch_dir)
+            .select("id", "lbl", F.col("batch").cast("long"))
+        )
+        if max_batch is not None:
+            patches = patches.filter(F.col("batch") < max_batch)
+        frames = frames.unionByName(patches)
+    w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+    return (
+        frames.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "lbl")
+    )
+
+
+@_metered_build
+def run_streaming_entity_ingest(
+    spark: SparkSession,
+    customer_path: str,
+    *,
+    delta_mod: int = 10,
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Stream records ``c_custkey % delta_mod == 0`` into entity
+    labels built on the rest, then serve (c_custkey, entity_id,
+    entity_size) for the FULL record set — bit-equal to batch
+    :func:`entity_clusters` over all records.
+
+    Layout: ``root/labels_base`` + ``root/maskkeys/base`` are the
+    trained base (idempotent overwrite — a resumed run rebuilds the
+    identical artifacts); each microbatch writes
+    ``root/maskkeys/appends/batch=<id>`` and ``root/labels/batch=<id>``
+    in overwrite mode. Pass ``root`` to resume a crashed run from its
+    checkpoint; ``fail_after_batches`` injects a post-write
+    pre-commit crash (recovery tests).
+    """
+    from etl_gcp_spark.caching import unpersist_pinned
+    from etl_gcp_spark.operators.graph import connected_components
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters,
+        mask_key_index,
+    )
+
+    root = root or os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_entstream_{uuid.uuid4().hex}",
+    )
+    records = spark.read.parquet(customer_path).select(
+        "c_custkey", "c_name"
+    )
+    base = records.filter(F.col("c_custkey") % delta_mod != 0)
+    delta = records.filter(F.col("c_custkey") % delta_mod == 0)
+
+    base_ec = entity_clusters(base, "c_custkey", "c_name")
+    base_ec.select(
+        F.col("c_custkey").alias("id"), F.col("entity_id").alias("lbl")
+    ).write.mode("overwrite").parquet(os.path.join(root, "labels_base"))
+    unpersist_pinned(base_ec)
+    mask_key_index(base, "c_custkey", "c_name").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "maskkeys", "base"))
+
+    staged = os.path.join(root, "in")
+    if not os.path.exists(staged):
+        delta.repartition(n_batches).write.parquet(staged)
+
+    appends = os.path.join(root, "maskkeys", "appends")
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        keys = mask_key_index(batch_df, "c_custkey", "c_name")
+        keys.write.mode("overwrite").parquet(
+            os.path.join(appends, f"batch={batch_id}")
+        )
+        # probe the persisted index (base + appends up to and
+        # including this batch's just-written keys — a crashed
+        # attempt's identical leftovers are safely re-read)
+        idx = spark.read.parquet(os.path.join(root, "maskkeys", "base"))
+        if any(
+            e.startswith("batch=")
+            for e in os.listdir(appends)
+        ):
+            app = (
+                spark.read.option("basePath", appends)
+                .parquet(appends)
+                .filter(F.col("batch") <= batch_id)
+                .drop("batch")
+            )
+            idx = idx.unionByName(app)
+        probe = keys.select(
+            F.col("c_custkey").alias("__pid"),
+            F.col("__t").alias("__pt"),
+            "pos",
+            "mkey",
+        )
+        edges = (
+            probe.join(idx, ["pos", "mkey"])
+            .filter(F.col("__pid") != F.col("c_custkey"))
+            .select(
+                F.least("__pid", "c_custkey").alias("id1"),
+                F.greatest("__pid", "c_custkey").alias("id2"),
+                F.col("__pt").alias("t1"),
+                F.col("__t").alias("t2"),
+            )
+            .dropDuplicates(["id1", "id2"])
+            .filter(F.levenshtein(F.col("t1"), F.col("t2"), 1) >= 0)
+            .select("id1", "id2")
+        )
+        # pre-batch state ONLY (batch < batch_id): a replay must not
+        # fold its own half-committed patch into the input
+        cur = _latest_labels(spark, root, max_batch=batch_id)
+        batch_ids = batch_df.select(F.col("c_custkey").alias("id"))
+        cur_all = cur.unionByName(
+            batch_ids.join(cur, "id", "left_anti").select(
+                "id", F.col("id").alias("lbl")
+            )
+        ).localCheckpoint(eager=True)
+        lblmap = cur_all.select(
+            F.col("id").alias("__n"), F.col("lbl").alias("__l")
+        )
+        cedges = (
+            edges.join(lblmap, edges["id1"] == lblmap["__n"])
+            .select(F.col("__l").alias("u"), "id2")
+            .join(lblmap, F.col("id2") == lblmap["__n"])
+            .select("u", F.col("__l").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        cverts = (
+            cedges.select(F.col("u").alias("node"))
+            .union(cedges.select("v"))
+            .dropDuplicates()
+        )
+        merged = connected_components(
+            cverts, cedges, id_col="node", src_col="u", dst_col="v"
+        )
+        relabeled = (
+            cur_all.join(merged, cur_all["lbl"] == merged["node"], "left")
+            .select(
+                "id",
+                F.coalesce("component", "lbl").alias("new_lbl"),
+                "lbl",
+            )
+        )
+        # changed rows + the batch's own rows (new ids must enter the
+        # store even when unmerged); dedup covers the overlap
+        patch = (
+            relabeled.filter(F.col("new_lbl") != F.col("lbl"))
+            .select("id", F.col("new_lbl").alias("lbl"))
+            .unionByName(
+                relabeled.join(batch_ids, "id").select(
+                    "id", F.col("new_lbl").alias("lbl")
+                )
+            )
+            .dropDuplicates(["id"])
+        )
+        patch.write.mode("overwrite").parquet(
+            os.path.join(root, "labels", f"batch={batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink writes, BEFORE the checkpoint
+            # commit — the engine must replay this batch_id and the
+            # overwrites above must absorb the replay
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema(RECORDS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # serve: latest label per id over base ∪ all patches, sizes
+    # recounted over the full store — identical to the batch output
+    final = _latest_labels(spark, root)
+    return final.select(
+        F.col("id").alias("c_custkey"),
+        F.col("lbl").alias("entity_id"),
+        F.count("*")
+        .over(Window.partitionBy("lbl"))
+        .cast("bigint")
+        .alias("entity_size"),
+    )

@@ -275,3 +275,39 @@ def test_entity_clusters_increment_appends_never_rewrite(spark, tmp_path):
     for p, t in files.items():
         assert os.path.getmtime(p) == t, f"existing file rewritten: {p}"
     assert len(glob.glob(os.path.join(keys_dir, "*.parquet"))) > len(files)
+
+
+def test_streaming_entity_ingest_recovers_and_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Kill the entity-label ingest after trigger 2 of 4 (post-write,
+    pre-commit), resume from the checkpoint, and require the final
+    labels to equal batch entity_clusters EXACTLY — patches are
+    batch_id-keyed overwrites and each microbatch reads only
+    pre-batch state, so the replayed batch regenerates its own
+    half-committed patch instead of folding it into the input."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.operators.linkage import entity_clusters
+    from etl_gcp_spark.sources.readers import load_table
+    from etl_gcp_spark.streaming.entities import (
+        run_streaming_entity_ingest,
+    )
+
+    root = str(tmp_path / "ent_stream_recovery")
+    path = os.path.join(sf_dir, "customer.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_entity_ingest(
+            spark, path, root=root, fail_after_batches=2
+        )
+    streamed = sorted(
+        run_streaming_entity_ingest(spark, path, root=root).collect()
+    )
+    batch = sorted(
+        entity_clusters(
+            load_table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) == 150
