@@ -3138,7 +3138,6 @@ def _q_streaming_entity_ingest(spark, sf_dir):
         run_streaming_entity_ingest,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return run_streaming_entity_ingest(
         spark, os.path.join(sf_dir, "customer.parquet")
     )

@@ -137,7 +137,11 @@ def main() -> None:
     result = {
         "metric": "total_wall_sec",
         "unit": "sec",
-        "repeat": f"{repeat}/{cheap_repeat}-adaptive",
+        # repeat<=1 never reaches the warm-run adaptive decision (the
+        # loop exits first) — don't claim adaptive treatment for it
+        "repeat": (
+            f"{repeat}/{cheap_repeat}-adaptive" if repeat >= 2 else str(repeat)
+        ),
         "stat": "median",
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "index_splits": splits,

@@ -303,6 +303,72 @@ def entity_clusters(
     return tag_pinned(matched.unionByName(singles), pairs)
 
 
+def probe_new_edges(
+    keys: DataFrame,
+    idx: DataFrame,
+    id_col: str,
+    *,
+    max_distance: int = 1,
+) -> DataFrame:
+    """(id1, id2) verified lev ≤ ``max_distance`` pairs from probing
+    a persisted :func:`mask_key_index` frame (``idx``) with another
+    key frame (``keys``): equi-join on (pos, mkey), canonicalize to
+    (least, greatest), dedup, then the bounded-levenshtein verify.
+    SHARED by the incremental audit and the streaming ingest — the
+    stream-equals-batch invariant rests on the two paths generating
+    identical edges, so they must run the same code (review r7)."""
+    probe = keys.select(
+        F.col(id_col).alias("__pid"),
+        F.col("__t").alias("__pt"),
+        "pos",
+        "mkey",
+    )
+    return (
+        probe.join(idx, ["pos", "mkey"])
+        .filter(F.col("__pid") != F.col(id_col))
+        .select(
+            F.least("__pid", id_col).alias("id1"),
+            F.greatest("__pid", id_col).alias("id2"),
+            F.col("__pt").alias("t1"),
+            F.col("__t").alias("t2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .filter(
+            F.levenshtein(F.col("t1"), F.col("t2"), max_distance) >= 0
+        )
+        .select("id1", "id2")
+    )
+
+
+def contracted_merge(edges: DataFrame, lblmap: DataFrame) -> DataFrame:
+    """Close new edges on the CONTRACTED graph: endpoints collapse to
+    their current labels (``lblmap``: (__n, __l); endpoints absent
+    from it keep their own id), then min-label propagation over the
+    contracted vertex set. Returns (node = old label, component =
+    merged min). Because every label is the min member id of its
+    component, the merged component's min over {labels, new ids} IS
+    the global min member id — the invariant both the audit and the
+    streaming ingest rely on. SHARED for the same reason as
+    :func:`probe_new_edges`."""
+    from etl_gcp_spark.operators.graph import connected_components
+
+    cedges = (
+        edges.join(lblmap, edges["id1"] == lblmap["__n"], "left")
+        .select(F.coalesce("__l", "id1").alias("u"), F.col("id2"))
+        .join(lblmap, F.col("id2") == lblmap["__n"], "left")
+        .select("u", F.coalesce("__l", "id2").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    cverts = (
+        cedges.select(F.col("u").alias("node"))
+        .union(cedges.select("v"))
+        .dropDuplicates()
+    )
+    return connected_components(
+        cverts, cedges, id_col="node", src_col="u", dst_col="v"
+    )
+
+
 def entity_clusters_increment_audit(
     df: DataFrame,
     id_col: str,
@@ -370,28 +436,12 @@ def entity_clusters_increment_audit(
 
     # probe the PERSISTED index with the delta's keys only
     idx = spark.read.parquet(keys_dir)
-    probe = mask_key_index(delta, id_col, text_col).select(
-        F.col(id_col).alias("__pid"),
-        F.col("__t").alias("__pt"),
-        "pos",
-        "mkey",
-    )
-    new_edges = (
-        probe.join(idx, ["pos", "mkey"])
-        .filter(F.col("__pid") != F.col(id_col))
-        .select(
-            F.least("__pid", id_col).alias("id1"),
-            F.greatest("__pid", id_col).alias("id2"),
-            F.col("__pt").alias("t1"),
-            F.col("__t").alias("t2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-        .filter(
-            F.levenshtein(F.col("t1"), F.col("t2"), max_distance) >= 0
-        )
-        .select("id1", "id2")
-        .persist()
-    )
+    new_edges = probe_new_edges(
+        mask_key_index(delta, id_col, text_col),
+        idx,
+        id_col,
+        max_distance=max_distance,
+    ).persist()
 
     base_ec = entity_clusters(
         base, id_col, text_col, max_distance=max_distance
@@ -401,23 +451,9 @@ def entity_clusters_increment_audit(
     lblmap = base_ec.select(
         F.col(id_col).alias("__n"), F.col("entity_id").alias("__l")
     )
-    cedges = (
-        new_edges.join(lblmap, new_edges["id1"] == lblmap["__n"], "left")
-        .select(
-            F.coalesce("__l", "id1").alias("u"), F.col("id2")
-        )
-        .join(lblmap, F.col("id2") == lblmap["__n"], "left")
-        .select("u", F.coalesce("__l", "id2").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    merged = contracted_merge(new_edges, lblmap).select(
+        F.col("node"), F.col("component")
     )
-    cverts = (
-        cedges.select(F.col("u").alias("node"))
-        .union(cedges.select("v"))
-        .dropDuplicates()
-    )
-    merged = connected_components(
-        cverts, cedges, id_col="node", src_col="u", dst_col="v"
-    ).select(F.col("node"), F.col("component"))
 
     # final incremental labels: untouched nodes keep their label,
     # touched ones remap through the contracted closure

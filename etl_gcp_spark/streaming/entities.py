@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gcp_spark.metering import timed as _timed_phase
+from etl_gcp_spark.streaming.staging import staged_ready
 
 _metered_build = _timed_phase("build")
 
@@ -103,10 +104,11 @@ def run_streaming_entity_ingest(
     pre-commit crash (recovery tests).
     """
     from etl_gcp_spark.caching import unpersist_pinned
-    from etl_gcp_spark.operators.graph import connected_components
     from etl_gcp_spark.operators.linkage import (
+        contracted_merge,
         entity_clusters,
         mask_key_index,
+        probe_new_edges,
     )
 
     root = root or os.path.join(
@@ -129,8 +131,10 @@ def run_streaming_entity_ingest(
     ).parquet(os.path.join(root, "maskkeys", "base"))
 
     staged = os.path.join(root, "in")
-    if not os.path.exists(staged):
-        delta.repartition(n_batches).write.parquet(staged)
+    if not staged_ready(staged):
+        # overwrite: a crash mid-staging leaves a partial dir with no
+        # completion marker; the resume replaces it wholesale
+        delta.repartition(n_batches).write.mode("overwrite").parquet(staged)
 
     appends = os.path.join(root, "maskkeys", "appends")
     done_in_run = {"n": 0}
@@ -155,25 +159,7 @@ def run_streaming_entity_ingest(
                 .drop("batch")
             )
             idx = idx.unionByName(app)
-        probe = keys.select(
-            F.col("c_custkey").alias("__pid"),
-            F.col("__t").alias("__pt"),
-            "pos",
-            "mkey",
-        )
-        edges = (
-            probe.join(idx, ["pos", "mkey"])
-            .filter(F.col("__pid") != F.col("c_custkey"))
-            .select(
-                F.least("__pid", "c_custkey").alias("id1"),
-                F.greatest("__pid", "c_custkey").alias("id2"),
-                F.col("__pt").alias("t1"),
-                F.col("__t").alias("t2"),
-            )
-            .dropDuplicates(["id1", "id2"])
-            .filter(F.levenshtein(F.col("t1"), F.col("t2"), 1) >= 0)
-            .select("id1", "id2")
-        )
+        edges = probe_new_edges(keys, idx, "c_custkey")
         # pre-batch state ONLY (batch < batch_id): a replay must not
         # fold its own half-committed patch into the input
         cur = _latest_labels(spark, root, max_batch=batch_id)
@@ -186,21 +172,9 @@ def run_streaming_entity_ingest(
         lblmap = cur_all.select(
             F.col("id").alias("__n"), F.col("lbl").alias("__l")
         )
-        cedges = (
-            edges.join(lblmap, edges["id1"] == lblmap["__n"])
-            .select(F.col("__l").alias("u"), "id2")
-            .join(lblmap, F.col("id2") == lblmap["__n"])
-            .select("u", F.col("__l").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        cverts = (
-            cedges.select(F.col("u").alias("node"))
-            .union(cedges.select("v"))
-            .dropDuplicates()
-        )
-        merged = connected_components(
-            cverts, cedges, id_col="node", src_col="u", dst_col="v"
-        )
+        # cur_all covers every endpoint here, so the shared helper's
+        # absent-endpoint coalesce never fires — identical semantics
+        merged = contracted_merge(edges, lblmap)
         relabeled = (
             cur_all.join(merged, cur_all["lbl"] == merged["node"], "left")
             .select(

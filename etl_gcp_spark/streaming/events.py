@@ -26,6 +26,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_gcp_spark.streaming.staging import mark_staged, staged_ready
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, "
     "event_type string, value double, props string"
@@ -366,7 +368,7 @@ def run_streaming_upsert(
         tempfile.gettempdir(), f"etl_gcp_spark_upsert_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         # normalize ts to microsecond TIMESTAMP at stage time so the
         # stream schema is uniform regardless of the physical unit
         if _ts_is_nanos(events_path):
@@ -381,7 +383,7 @@ def run_streaming_upsert(
             src = spark.read.schema(EVENTS_SCHEMA).format("parquet").load(
                 events_path
             )
-        src.repartition(n_batches).write.parquet(staged)
+        src.repartition(n_batches).write.mode("overwrite").parquet(staged)
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -542,7 +544,7 @@ def run_streaming_minhash_dedup(
         tempfile.gettempdir(), f"etl_gcp_spark_sdedup_{uuid.uuid4().hex}"
     )
     staged = os.path.join(root, "in")
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         docs = spark.read.parquet(docs_path).select("doc_id", "text")
         # sequential per-range writes: file k holds id-range k and gets
         # a strictly later modification time than file k-1
@@ -557,8 +559,12 @@ def run_streaming_minhash_dedup(
                 part = part.filter(F.col("doc_id") > lo)
             if hi is not None:
                 part = part.filter(F.col("doc_id") <= hi)
-            part.coalesce(1).write.parquet(os.path.join(staged, f"b{k:02d}"))
+            part.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staged, f"b{k:02d}")
+            )
             lo = hi
+        # all waves written -> completion marker (crash-atomic resume)
+        mark_staged(staged)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -723,7 +729,7 @@ def run_streaming_cms(
     keys = events.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("long").alias(key_col)
     )
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         bounds = keys.approxQuantile(
             key_col, [i / n_batches for i in range(1, n_batches)], 0.0
         )
@@ -735,10 +741,12 @@ def run_streaming_cms(
                 part = part.filter(F.col(key_col) > lo)
             if hi is not None:
                 part = part.filter(F.col(key_col) <= hi)
-            part.coalesce(1).write.parquet(
+            part.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(staged, f"b{k:02d}")
             )
             lo = hi
+        # all waves written -> completion marker (crash-atomic resume)
+        mark_staged(staged)
 
     stream = (
         spark.readStream.schema(f"{key_col} long")
@@ -823,7 +831,7 @@ def run_streaming_topk(
     keys = events.filter(
         F.col("event_id").isNotNull() & F.col(key_col).isNotNull()
     ).select(F.col("event_id"), F.col(key_col))
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         bounds = keys.approxQuantile(
             "event_id", [i / n_batches for i in range(1, n_batches)], 0.0
         )
@@ -835,10 +843,12 @@ def run_streaming_topk(
                 part = part.filter(F.col("event_id") > lo)
             if hi is not None:
                 part = part.filter(F.col("event_id") <= hi)
-            part.coalesce(1).write.parquet(
+            part.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(staged, f"b{i:02d}")
             )
             lo = hi
+        # all waves written -> completion marker (crash-atomic resume)
+        mark_staged(staged)
 
     stream = (
         spark.readStream.schema(f"event_id long, {key_col} string")
@@ -936,7 +946,7 @@ def run_streaming_quantiles(
         F.col(key_col).cast("long").alias(key_col),
         F.col(value_col).cast("double").alias(value_col),
     )
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         bounds = rows.approxQuantile(
             key_col, [i / n_batches for i in range(1, n_batches)], 0.0
         )
@@ -948,10 +958,12 @@ def run_streaming_quantiles(
                 part = part.filter(F.col(key_col) > klo)
             if khi is not None:
                 part = part.filter(F.col(key_col) <= khi)
-            part.coalesce(1).write.parquet(
+            part.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(staged, f"b{i:02d}")
             )
             klo = khi
+        # all waves written -> completion marker (crash-atomic resume)
+        mark_staged(staged)
 
     stream = (
         spark.readStream.schema(f"{key_col} long, {value_col} double")
@@ -1043,7 +1055,7 @@ def run_streaming_hll(
     rows = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("long").alias(key_col), group_col
     )
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         bounds = rows.approxQuantile(
             key_col, [i / n_batches for i in range(1, n_batches)], 0.0
         )
@@ -1055,10 +1067,12 @@ def run_streaming_hll(
                 part = part.filter(F.col(key_col) > lo)
             if hi is not None:
                 part = part.filter(F.col(key_col) <= hi)
-            part.coalesce(1).write.parquet(
+            part.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(staged, f"b{k:02d}")
             )
             lo = hi
+        # all waves written -> completion marker (crash-atomic resume)
+        mark_staged(staged)
 
     stream = (
         spark.readStream.schema(f"{key_col} long, {group_col} string")
@@ -1162,7 +1176,7 @@ def run_streaming_markov(
         "event_id",
         "event_type",
     )
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         bounds = rows.approxQuantile(
             "us", [i / n_batches for i in range(1, n_batches)], 0.0
         )
@@ -1174,10 +1188,12 @@ def run_streaming_markov(
                 part = part.filter(F.col("us") > lo)
             if hi is not None:
                 part = part.filter(F.col("us") <= hi)
-            part.coalesce(1).write.parquet(
+            part.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(staged, f"b{k:02d}")
             )
             lo = hi
+        # all waves written -> completion marker (crash-atomic resume)
+        mark_staged(staged)
 
     stream = (
         spark.readStream.schema(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_gcp_spark.metering import timed as _timed_phase
+from etl_gcp_spark.streaming.staging import staged_ready
 
 _metered_build = _timed_phase("build")
 
@@ -91,10 +92,10 @@ def run_streaming_text_ingest(
     )
 
     staged = os.path.join(root, "in")
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         docs.filter(F.col("doc_id") >= train_max_id).repartition(
             n_batches
-        ).write.parquet(staged)
+        ).write.mode("overwrite").parquet(staged)
 
     done_in_run = {"n": 0}
 

@@ -103,10 +103,10 @@ def run_streaming_ivf_ingest(
     )
 
     staged = os.path.join(root, "in")
-    if not os.path.exists(staged):
+    if not staged_ready(staged):
         emb.filter(F.col("vec_id") >= train_max_id).repartition(
             n_batches
-        ).write.parquet(staged)
+        ).write.mode("overwrite").parquet(staged)
 
     cents = sorted(
         spark.read.parquet(os.path.join(index, "centroids")).collect(),
@@ -233,8 +233,8 @@ def run_streaming_drift_report(
     )
 
     staged = os.path.join(root, "in")
-    if not os.path.exists(staged):
-        emb.repartition(n_batches).write.parquet(staged)
+    if not staged_ready(staged):
+        emb.repartition(n_batches).write.mode("overwrite").parquet(staged)
 
     def _dot(a, b):
         return F.aggregate(

@@ -23,9 +23,9 @@ driver window (i.e. not scheduled for a re-check), else 0. When the
 flag count exceeds the window, the overflow may be recorded in
 HASH_DRIFT_BACKLOG.json ({"scheduled_round": "rNN", "entries":
 {name: flag}}); entries listed there count as scheduled PROVIDED they
-actually sit immediately behind the window in queries() order (the
-next round's window head) — a backlog entry that drifted out of the
-head positions is reported unscheduled again. The backlog file
+sit in the registry's front section (position <= 100 — one rotation
+away from the window head) — a backlog entry parked deeper is
+reported unscheduled again. The backlog file
 self-expires: once an entry is re-checked green, its drift flag
 clears on the next run and a leftover backlog row is reported stale.
 """
@@ -145,14 +145,19 @@ def main() -> int:
     stale_backlog_rows: list[str] = []
     if os.path.exists(backlog_path):
         bl = json.load(open(backlog_path))
-        # scheduled = flagged stale AND parked right behind the window
-        # (next round's head, positions 51..50+len) — anywhere else and
-        # "scheduled" would be an empty promise.
-        head_next = set(registry[50:50 + len(bl.get("entries", {}))])
+        # scheduled = flagged stale AND parked in the FRONT SECTION
+        # (registry position <= 100: one rotation away from the
+        # window head) — parked deeper and "scheduled" would be an
+        # empty promise. A fixed bound, not 50+len(entries): slicing
+        # by the file's row count made every entry's status depend on
+        # how many OTHER rows had been pruned after going green (the
+        # documented self-expiry flow would shift the slice and
+        # falsely fail the still-stale tail).
+        front = set(registry[50:100])
         for n in bl.get("entries", {}):
             if n not in stale:
                 stale_backlog_rows.append(n)
-            elif n in head_next:
+            elif n in front:
                 deferred.add(n)
 
     unscheduled = [n for n in stale if n not in window and n not in deferred]

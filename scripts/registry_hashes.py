@@ -125,6 +125,13 @@ def _closure_src(raw, module) -> str:
     surface (queries/oracle_sql/entry) stays excluded: not a runtime
     helper, and its text churns on every window rotation.
 
+    Module-ATTRIBUTE access is chased too: `from etl_gcp_spark
+    import metering` + `metering.phase(...)` resolves `metering` to
+    a package module and pulls `phase` (and any other accessed
+    attribute that is a function/class) into the closure — without
+    this, semantics edits to such helpers left every caller's hash
+    unchanged (review r7).
+
     Remaining documented blind spots: module-level CONSTANTS (regex
     strings, dicts) and non-function callables (e.g. pandas_udf
     wrapper objects) are not source-chased; edits to those still need
@@ -142,6 +149,24 @@ def _closure_src(raw, module) -> str:
             seen_keys.add(key)
             queue.append(obj)
 
+    import re
+    import types
+
+    def _chase_module_attrs(mod, alias: str, source: str) -> None:
+        """For a package module referenced as `alias` in `source`,
+        chase every accessed `alias.attr` that is a function/class."""
+        for attr in set(re.findall(rf"\b{re.escape(alias)}\.(\w+)", source)):
+            obj = getattr(mod, attr, None)
+            if obj is not None and _eligible(obj, module.__name__):
+                push(obj)
+
+    def _is_pkg_module(obj) -> bool:
+        return (
+            isinstance(obj, types.ModuleType)
+            and (getattr(obj, "__name__", "") or "").split(".")[0]
+            == "etl_gcp_spark"
+        )
+
     push(raw)
     while queue:
         fn = queue.pop()
@@ -154,8 +179,12 @@ def _closure_src(raw, module) -> str:
             ns = vars(defmod) if defmod is not None else {}
         for name in idents:
             obj = (ns or {}).get(name)
-            if obj is not None and _eligible(obj, module.__name__):
+            if obj is None:
+                continue
+            if _eligible(obj, module.__name__):
                 push(obj)
+            elif _is_pkg_module(obj):
+                _chase_module_attrs(obj, name, s)
         for mod_name, names in _local_imports(s):
             try:
                 import importlib
@@ -165,8 +194,14 @@ def _closure_src(raw, module) -> str:
                 continue
             for n in names:
                 obj = getattr(m, n, None)
-                if obj is not None and _eligible(obj, module.__name__):
+                if obj is None:
+                    continue
+                if _eligible(obj, module.__name__):
                     push(obj)
+                elif _is_pkg_module(obj):
+                    # `from etl_gcp_spark import metering` inside the
+                    # body: chase metering.<attr> accesses
+                    _chase_module_attrs(obj, n, s)
     return "\n".join(sorted(parts))
 
 
