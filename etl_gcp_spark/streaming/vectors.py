@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 # serve_sec separately — at scale the build is a rare batch job while
 # serve latency is the tracked number (etl_gcp_spark/metering.py)
 from etl_gcp_spark.metering import timed as _timed_phase
+from etl_gcp_spark.streaming.staging import staged_ready
 
 _metered_build = _timed_phase("build")
 
