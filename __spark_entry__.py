@@ -1701,6 +1701,38 @@ def _q_ivf_index_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_filtered_topk(spark, sf_dir):
+    """FILTERED vector search — the retrieval shape a production RAG /
+    curation stack actually runs ("nearest neighbors WHERE lang='en'
+    AND license='permissive'"): metadata (here ``label``) is baked
+    into the IVF payload rows at build time, and the serve pushes the
+    predicate into the SAME parquet scan that cell-probing already
+    partition-pruned — PushedFilters + partition pruning in one plan,
+    no per-query metadata join, no post-retrieval filtering. Standard
+    pre-filter-within-probes semantics: ranking runs over candidates
+    satisfying the predicate, so a selective filter can legitimately
+    return < k rows. Oracle replays training identically to
+    ann_ivf_kmeans_topk plus the label predicate on the candidate
+    side."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_ivffilt_{os.getpid()}_{os.path.basename(sf_dir)}",
+    )
+    build_ivf_index(
+        _t(spark, sf_dir, "embeddings"), path, n_cells=32, n_iters=2,
+        meta_cols=("label",),
+    )
+    return ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=5, n_probe=4,
+        neighbor_pred=(F.col("label") == 1),
+    )
+
+
 def _q_ivf_index_append_topk(spark, sf_dir):
     """Index maintenance without retrain: build the IVF artifact on
     the first 400 vectors only, append the rest against the FROZEN
@@ -1855,6 +1887,40 @@ def _q_bm25_index_topk(spark, sf_dir):
     text_index_build(_t(spark, sf_dir, "documents"), idx)
     return bm25_index_topk(
         spark, idx, ["spark", "vector", "stream"], k=10
+    )
+
+
+def _q_bm25_filtered_topk(spark, sf_dir):
+    """FILTERED retrieval from the persisted inverted index ("BM25
+    top-k WHERE lang='en'") — the text twin of ann_ivf_filtered_topk:
+    document attributes denormalized into postings + doclen rows at
+    build time, predicate pushed into the bucket-pruned postings scan
+    (PartitionFilters + PushedFilters in one plan, no per-query
+    forward-index join). Sub-corpus semantics: df/n_docs/avgdl come
+    from the filtered document set, so the serve is bit-equal to the
+    fused bm25_topk over documents WHERE lang='en' — which is exactly
+    what the oracle computes."""
+    import os as _os
+    import tempfile as _tf
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_filtered_topk,
+        text_index_build,
+    )
+
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        f"etl_gcp_spark_textfidx_{_os.getpid()}_{_os.path.basename(sf_dir)}",
+    )
+    text_index_build(
+        _t(spark, sf_dir, "documents"), idx, meta_cols=("lang",)
+    )
+    return bm25_index_filtered_topk(
+        spark,
+        idx,
+        ["spark", "vector", "stream"],
+        doc_pred=(F.col("lang") == "en"),
+        k=10,
     )
 
 
@@ -3143,6 +3209,26 @@ def _q_streaming_entity_ingest(spark, sf_dir):
     )
 
 
+def _q_entity_label_compact(spark, sf_dir):
+    """Label-store lifecycle close-out — the graph-family twin of
+    ivf_compact_topk / text_index_compact_topk: stream the records
+    in, then FOLD the batch_id-keyed label patches into the base
+    (latest-per-id) and the mask-key appends into one index tree
+    (write-new-then-rename, never in-place), and serve from the
+    compacted store alone. Compaction is what keeps serve cost
+    independent of ingest history: the per-id latest-label window
+    collapses back to one row per id. Results are identical to the
+    uncompacted serve and to batch entity_clusters, so that entry's
+    recursive-CTE oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.entities import (
+        run_streaming_entity_ingest,
+    )
+
+    return run_streaming_entity_ingest(
+        spark, os.path.join(sf_dir, "customer.parquet"), compact=True
+    )
+
+
 def _q_dedup_index_maintenance_audit(spark, sf_dir):
     """Append-maintained LSH index == full rebuild, proven as a
     one-row audit (ref behavior anchor: the dedup family's banding
@@ -3912,6 +3998,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attaches verbatim (the cheapest route to a value-hash
         # streaming entry, same as streaming_ivf_ingest).
         "streaming_entity_ingest": _q_streaming_entity_ingest,
+        # --- round-7 (extended session) net-new, BEHIND the window
+        # and the r8 backlog: filtered vector search — metadata baked
+        # into the IVF payload, predicate pushed into the
+        # partition-pruned serve scan. ---
+        "ann_ivf_filtered_topk": _q_ann_ivf_filtered_topk,
+        # label-store compaction: the graph family's lifecycle
+        # close-out (stream → compact → serve from base alone).
+        "entity_label_compact": _q_entity_label_compact,
+        # filtered retrieval, text side: attribute predicate pushed
+        # into the bucket-pruned postings scan.
+        "bm25_filtered_topk": _q_bm25_filtered_topk,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8509,6 +8606,19 @@ def oracle_sql() -> dict[str, str]:
     # centroids), so the same algorithm-replay oracle attaches to the
     # partition-pruned served results verbatim
     sql["ivf_index_topk"] = sql["ann_ivf_kmeans_topk"]
+    # Filtered vector search: the SAME training replay, with the
+    # metadata predicate (label = 1) applied to the CANDIDATE side
+    # only — queries are looked up unfiltered, ranking runs over the
+    # filtered candidate set (pre-filter-within-probes). Derived
+    # textually from the base replay so the two can never drift.
+    _flt = sql["ann_ivf_kmeans_topk"].replace(
+        "JOIN af a USING (cell)",
+        "JOIN af a USING (cell)\n"
+        "                JOIN embeddings m\n"
+        "                  ON m.vec_id = a.vec_id AND m.label = 1",
+    )
+    assert _flt != sql["ann_ivf_kmeans_topk"], "filtered-ANN oracle anchor"
+    sql["ann_ivf_filtered_topk"] = _flt
     # Append-to-frozen-index: identical replay chain, except training
     # (seed + both Lloyd rounds) sees ONLY the vec_id < 400 scope; the
     # final assignment `af` covers the FULL corpus against those
@@ -8607,6 +8717,9 @@ def oracle_sql() -> dict[str, str]:
     # construction the increment audit proves), so the recursive-CTE
     # closure oracle attaches to the streamed result verbatim.
     sql["streaming_entity_ingest"] = sql["entity_clusters"]
+    # compaction moves bytes, not semantics: the compacted serve must
+    # stay green under the identical batch-clustering oracle
+    sql["entity_label_compact"] = sql["entity_clusters"]
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
@@ -10045,4 +10158,12 @@ def oracle_sql() -> dict[str, str]:
     sql["text_index_append_topk"] = sql["bm25_topk"]
     # compaction moves bytes, not semantics
     sql["text_index_compact_topk"] = sql["bm25_topk"]
+    # filtered retrieval = the fused scorer over the filtered
+    # sub-corpus (df/n_docs/avgdl all sub-corpus) — derived textually
+    # from the base oracle so the two can never drift
+    _bmf = sql["bm25_topk"].replace(
+        "FROM documents\n", "FROM documents WHERE lang = 'en'\n"
+    )
+    assert _bmf != sql["bm25_topk"], "filtered-BM25 oracle anchor"
+    sql["bm25_filtered_topk"] = _bmf
     return sql

@@ -2402,6 +2402,7 @@ def build_ivf_index(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple = (),
 ) -> None:
     """Persist an IVF index as a SERVABLE ARTIFACT: k-means centroids
     (tiny parquet) plus the corpus vectors partitioned BY CELL on
@@ -2411,6 +2412,18 @@ def build_ivf_index(
     I/O is n_probe/n_cells of the corpus without any custom reader.
     Build once per corpus snapshot, query many times — the
     train/serve split :func:`ivf_topk_trained` fuses into one call.
+
+    ``meta_cols`` bakes metadata attributes (language, license,
+    source, label …) into the vector payload rows, which is what
+    makes FILTERED vector search an index-local operation: a serve
+    with a metadata predicate pushes it into the same parquet scan
+    that partition pruning already restricted to the probed cells
+    (``PushedFilters`` + partition pruning in one plan), instead of
+    joining a separate metadata table per query. Cost is one
+    build-time equi-join on the id (the assignment kernel's Arrow
+    schema is fixed, so metadata rides back in on the id after the
+    GEMM pass) — build-phase only, metered, amortized over every
+    filtered query the index ever serves.
 
     Training is identical to the registered k-means IVF (lowest-id
     seeding, ``n_iters`` Lloyd rounds, 6-dp centroid rounding), so
@@ -2428,12 +2441,20 @@ def build_ivf_index(
     )
     assigned = _assign_to_centroids(base, centroids, labels, id_col)
     spark = embeddings.sparkSession
-    (
-        assigned.select(
-            F.col(id_col).alias("vec_id"),
-            F.col("__v").alias("vector"),
-            "cell",
+    payload = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("__v").alias("vector"),
+        "cell",
+    )
+    if meta_cols:
+        payload = payload.join(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), *[F.col(c) for c in meta_cols]
+            ),
+            "vec_id",
         )
+    (
+        payload
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
@@ -2540,6 +2561,7 @@ def ivf_index_topk(
     query_ids: list[int],
     k: int = 5,
     n_probe: int = 4,
+    neighbor_pred=None,
 ) -> DataFrame:
     """Serve top-k from a persisted :func:`build_ivf_index` artifact.
 
@@ -2549,13 +2571,28 @@ def ivf_index_topk(
     exactly the probed cells' files. Exact cosine rescoring and
     ranking mirror :func:`ivf_topk_trained`, so the same oracle
     replay applies to the served path.
+
+    ``neighbor_pred`` (a Column over metadata columns baked in via
+    ``build_ivf_index(meta_cols=...)``) turns this into FILTERED
+    vector search: candidates must satisfy the predicate, queries are
+    looked up unfiltered. The predicate composes with the cell
+    pruning inside ONE scan — Spark pushes it to the parquet reader
+    (``PushedFilters``), so a 10%-selective filter reads ~10% of the
+    probed cells' row groups via dictionary/stats skipping rather
+    than post-filtering retrieved rows. Semantics are standard IVF
+    pre-filter-within-probes: a very selective predicate can return
+    fewer than ``k`` rows per query (deterministic; the oracle
+    replays the same rule).
     """
     cents = sorted(
         spark.read.parquet(os.path.join(path, "centroids")).collect(),
         key=lambda r: r["cell"],
     )
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
-    return ivf_serve(spark, cents, vectors, query_ids=query_ids, k=k, n_probe=n_probe)
+    return ivf_serve(
+        spark, cents, vectors, query_ids=query_ids, k=k, n_probe=n_probe,
+        neighbor_pred=neighbor_pred,
+    )
 
 
 def ivf_serve(
@@ -2566,11 +2603,14 @@ def ivf_serve(
     query_ids: list[int],
     k: int = 5,
     n_probe: int = 4,
+    neighbor_pred=None,
 ) -> DataFrame:
     """Probe + exact-rescore against any (vec_id, vector, cell) frame
     and the given centroid rows — the serve half of the persisted IVF
     index, shared by :func:`ivf_index_topk` (single artifact tree)
-    and the streaming ingest (base tree ∪ append trees)."""
+    and the streaming ingest (base tree ∪ append trees).
+    ``neighbor_pred`` restricts CANDIDATES (not query lookups) — see
+    :func:`ivf_index_topk`."""
     import numpy as np
 
     cmat = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
@@ -2590,6 +2630,10 @@ def ivf_serve(
     # the isin predicate on the PARTITION column is what prunes the
     # scan to the probed cells' files
     cand_vectors = vectors.filter(F.col("cell").isin(probe_cells))
+    if neighbor_pred is not None:
+        # metadata predicate lands in the SAME pruned scan
+        # (PushedFilters), not a post-retrieval filter
+        cand_vectors = cand_vectors.filter(neighbor_pred)
     qside = spark.createDataFrame(
         [(r["vec_id"], list(r["vector"])) for r in qrows],
         "query_id long, __q array<double>",

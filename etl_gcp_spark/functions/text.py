@@ -1321,6 +1321,7 @@ def text_index_build(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    meta_cols: tuple = (),
 ) -> None:
     """Build a PERSISTED inverted index — the text-side twin of the
     IVF vector index (functions/similarity.py::build_ivf_index): the
@@ -1334,6 +1335,16 @@ def text_index_build(
     - ``doclen/`` — (doc_id, dl);
     - ``stats/`` — 1 row (n_docs, total_dl).
 
+    ``meta_cols`` denormalizes document attributes (lang, source,
+    license …) into BOTH postings and doclen rows — the standard
+    document-partitioned-index-with-attributes tradeoff (bytes for
+    filter locality) that makes FILTERED retrieval an index-local
+    operation: :func:`bm25_index_filtered_topk` pushes the attribute
+    predicate into the same bucket-pruned postings scan instead of
+    joining a forward index per query. Meta columns are functionally
+    dependent on doc_id, so carrying them through the build
+    aggregations adds grouping keys, not rows.
+
     Build is one tokenize + two aggregations; serving reads ONLY the
     probed buckets' partitions (PartitionFilters — plan-asserted) —
     at 100 TB a query touches |query-term buckets| directories, not
@@ -1341,11 +1352,15 @@ def text_index_build(
     """
     from etl_gcp_spark.operators.encoding import _poly_hash
 
+    meta = [F.col(c) for c in meta_cols]
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
+        *meta,
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = toks.groupBy("doc_id", *meta_cols).agg(
+        F.count(F.lit(1)).alias("dl")
+    )
     dl.write.mode("overwrite").parquet(f"{index_dir}/doclen")
     dl_r = toks.sparkSession.read.parquet(f"{index_dir}/doclen")
     dl_r.agg(
@@ -1353,7 +1368,7 @@ def text_index_build(
         F.sum("dl").alias("total_dl"),
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
     (
-        toks.groupBy("doc_id", "term")
+        toks.groupBy("doc_id", "term", *meta_cols)
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
             "bucket", (_poly_hash(F.col("term")) % n_buckets).cast("int")
@@ -1403,6 +1418,56 @@ def bm25_index_topk(
     stats = spark.read.parquet(f"{index_dir}/stats").select(
         F.col("n_docs").alias("__n_docs"),
         F.col("total_dl").alias("__total_dl"),
+    )
+    return bm25_score_frames(postings, dl, stats, k=k, k1=k1, b=b)
+
+
+def bm25_index_filtered_topk(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    *,
+    doc_pred,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """FILTERED retrieval from the persisted inverted index — the
+    text twin of the filtered IVF serve ("BM25 top-k WHERE
+    lang='en'"): ``doc_pred`` (a Column over attributes baked in via
+    ``text_index_build(meta_cols=...)``) restricts BOTH the postings
+    probe and the doclen read, and the predicate lands in the SAME
+    bucket-pruned postings scan (PartitionFilters on bucket +
+    PushedFilters on the attribute — plan-asserted), never a
+    per-query forward-index join.
+
+    Semantics are SUB-CORPUS BM25: document frequency, n_docs, and
+    avgdl all come from the filtered document set (stats aggregated
+    on the fly from the filtered doclen — one doc-count-sized scan;
+    a production deployment would precompute per-attribute stats
+    rows). The contract, pytest-locked and shared with the oracle:
+    the filtered serve is bit-equal to the fused :func:`bm25_topk`
+    over ``documents.filter(doc_pred)``.
+    """
+    buckets = sorted(
+        {poly_hash_py(t) % n_buckets for t in query_terms}
+    )
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+        .filter(doc_pred)
+        .select("doc_id", F.col("term").alias("__t"), F.col("tf").alias("__tf"))
+    )
+    dl = (
+        spark.read.parquet(f"{index_dir}/doclen")
+        .filter(doc_pred)
+        .select("doc_id", F.col("dl").alias("__dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__total_dl"),
     )
     return bm25_score_frames(postings, dl, stats, k=k, k1=k1, b=b)
 
@@ -1464,6 +1529,7 @@ def text_index_append(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    meta_cols: tuple = (),
 ) -> None:
     """Grow the persisted inverted index — the text twin of
     ivf_index_append: new documents' postings land as NEW FILES in
@@ -1474,19 +1540,22 @@ def text_index_append(
     refresh never touches postings). Serving after append is
     bit-equal to a fused scorer over the union corpus — one oracle
     covers the whole build → append → serve lifecycle.
+    ``meta_cols`` must match the build's — mixed-schema trees would
+    break filtered serves.
     """
     from etl_gcp_spark.operators.encoding import _poly_hash
 
     spark = new_documents.sparkSession
     toks = new_documents.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in meta_cols],
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    toks.groupBy("doc_id").agg(
+    toks.groupBy("doc_id", *meta_cols).agg(
         F.count(F.lit(1)).alias("dl")
     ).write.mode("append").parquet(f"{index_dir}/doclen")
     (
-        toks.groupBy("doc_id", "term")
+        toks.groupBy("doc_id", "term", *meta_cols)
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
             "bucket",
@@ -1527,9 +1596,10 @@ def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
     import shutil
 
     postings = f"{index_dir}/postings"
-    allp = spark.read.parquet(postings).select(
-        "doc_id", "term", "tf", "bucket"
-    )
+    # full payload, not a fixed projection — a meta-enriched index
+    # (text_index_build(meta_cols=...)) must keep its attribute
+    # columns through compaction or filtered serves break after it
+    allp = spark.read.parquet(postings)
     tmp = postings + "_compacting"
     allp.repartition(n_buckets, "bucket").write.partitionBy(
         "bucket"

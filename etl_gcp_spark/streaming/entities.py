@@ -80,6 +80,77 @@ def _latest_labels(spark: SparkSession, root: str, max_batch=None) -> DataFrame:
     )
 
 
+def serve_entity_labels(spark: SparkSession, root: str) -> DataFrame:
+    """Serve (c_custkey, entity_id, entity_size) from the label store
+    — latest label per id over base ∪ patches, sizes recounted over
+    the full store. After :func:`entity_labels_compact` the patch
+    stack is empty and this is a plain scan of the compacted base."""
+    final = _latest_labels(spark, root)
+    return final.select(
+        F.col("id").alias("c_custkey"),
+        F.col("lbl").alias("entity_id"),
+        F.count("*")
+        .over(Window.partitionBy("lbl"))
+        .cast("bigint")
+        .alias("entity_size"),
+    )
+
+
+def entity_labels_compact(spark: SparkSession, root: str) -> None:
+    """Fold the streaming patch stack back into the base artifacts —
+    the label-store twin of ``ivf_index_compact`` / ``text_index_compact``,
+    closing the graph family's build→increment→stream→COMPACT
+    lifecycle. Two folds, each write-new-then-rename (never
+    overwrite-in-place of a tree being read; an object-store
+    deployment commits the same swap through a manifest):
+
+    1. ``labels_base`` ← latest label per id over base ∪ all
+       ``labels/batch=<id>`` patches, then the patch dir is dropped.
+       This re-bounds the serve path's per-id window (base + one row
+       per touching batch) back to exactly one row per id — after a
+       long streaming run, compaction is what keeps serve cost
+       independent of ingest history.
+    2. ``maskkeys/base`` ← base ∪ ``maskkeys/appends`` (batch
+       partition column dropped), so future ingests probe ONE tree.
+
+    Serving before and after compaction returns IDENTICAL results
+    (asserted in tests and by the shared batch oracle) — compaction
+    moves bytes, not semantics.
+    """
+    import shutil
+
+    base_dir = os.path.join(root, "labels_base")
+    patch_dir = os.path.join(root, "labels")
+    if os.path.isdir(patch_dir) and any(
+        e.startswith("batch=") for e in os.listdir(patch_dir)
+    ):
+        latest = _latest_labels(spark, root)
+        tmp = base_dir + "_compacting"
+        latest.write.mode("overwrite").parquet(tmp)
+        old = base_dir + "_old"
+        os.rename(base_dir, old)
+        os.rename(tmp, base_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(patch_dir, ignore_errors=True)
+    mk_base = os.path.join(root, "maskkeys", "base")
+    mk_app = os.path.join(root, "maskkeys", "appends")
+    if os.path.isdir(mk_app) and any(
+        e.startswith("batch=") for e in os.listdir(mk_app)
+    ):
+        merged = spark.read.parquet(mk_base).unionByName(
+            spark.read.option("basePath", mk_app)
+            .parquet(mk_app)
+            .drop("batch")
+        )
+        tmp = mk_base + "_compacting"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = mk_base + "_old"
+        os.rename(mk_base, old)
+        os.rename(tmp, mk_base)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(mk_app, ignore_errors=True)
+
+
 @_metered_build
 def run_streaming_entity_ingest(
     spark: SparkSession,
@@ -89,6 +160,7 @@ def run_streaming_entity_ingest(
     n_batches: int = 4,
     root: str | None = None,
     fail_after_batches: int | None = None,
+    compact: bool = False,
 ) -> DataFrame:
     """Stream records ``c_custkey % delta_mod == 0`` into entity
     labels built on the rest, then serve (c_custkey, entity_id,
@@ -219,14 +291,8 @@ def run_streaming_entity_ingest(
     )
     q.awaitTermination()
 
-    # serve: latest label per id over base ∪ all patches, sizes
-    # recounted over the full store — identical to the batch output
-    final = _latest_labels(spark, root)
-    return final.select(
-        F.col("id").alias("c_custkey"),
-        F.col("lbl").alias("entity_id"),
-        F.count("*")
-        .over(Window.partitionBy("lbl"))
-        .cast("bigint")
-        .alias("entity_size"),
-    )
+    if compact:
+        entity_labels_compact(spark, root)
+    # serve: latest label per id over base ∪ all patches (or the
+    # compacted base alone) — identical to the batch output
+    return serve_entity_labels(spark, root)

@@ -418,6 +418,48 @@ def test_bm25_index_serve_equals_fused(spark, sf_dir, tmp_path):
     assert [r.h for r in got] == [poly_hash_py(t) for t in toks]
 
 
+def test_bm25_filtered_serve_equals_fused_over_subcorpus(
+    spark, sf_dir, tmp_path
+):
+    """The filtered-retrieval contract: serving with doc_pred from a
+    meta-enriched index is bit-equal to the fused scorer over the
+    filtered document set (sub-corpus df/n_docs/avgdl), and the
+    unfiltered serve over the SAME enriched artifact still equals the
+    fused full-corpus scorer (meta columns ride along inertly)."""
+    from etl_gcp_spark.functions.text import (
+        bm25_index_filtered_topk,
+        bm25_index_topk,
+        bm25_topk,
+        text_index_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "textfidx")
+    text_index_build(docs, idx, n_buckets=64, meta_cols=("lang",))
+    terms = ["spark", "vector", "stream"]
+    served = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_filtered_topk(
+            spark, idx, terms, doc_pred=(F.col("lang") == "en"), k=10
+        ).collect()
+    ]
+    fused = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(
+            docs.filter(F.col("lang") == "en"), terms, k=10
+        ).collect()
+    ]
+    assert served and served == fused
+    unfiltered = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(spark, idx, terms, k=10).collect()
+    ]
+    full = [
+        (r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=10).collect()
+    ]
+    assert unfiltered == full
+
+
 def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
     from etl_gcp_spark.functions.text import (
         bm25_index_topk,

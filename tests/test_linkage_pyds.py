@@ -311,3 +311,34 @@ def test_streaming_entity_ingest_recovers_and_equals_batch(
         ).collect()
     )
     assert streamed == batch and len(streamed) == 150
+
+
+def test_entity_label_compact_preserves_serve_and_drops_patches(
+    spark, sf_dir, tmp_path
+):
+    """Compaction moves bytes, not semantics: serving from the
+    compacted store returns exactly the pre-compaction rows; the
+    patch stack and mask-key append trees are gone (the per-id
+    latest-label window is back to one row per id, and future
+    ingests probe one index tree)."""
+    import os
+
+    from etl_gcp_spark.streaming.entities import (
+        entity_labels_compact,
+        run_streaming_entity_ingest,
+        serve_entity_labels,
+    )
+
+    root = str(tmp_path / "ent_compact")
+    path = os.path.join(sf_dir, "customer.parquet")
+    before = sorted(run_streaming_entity_ingest(spark, path, root=root).collect())
+    assert os.path.isdir(os.path.join(root, "labels"))
+    assert os.path.isdir(os.path.join(root, "maskkeys", "appends"))
+    entity_labels_compact(spark, root)
+    assert not os.path.isdir(os.path.join(root, "labels"))
+    assert not os.path.isdir(os.path.join(root, "maskkeys", "appends"))
+    after = sorted(serve_entity_labels(spark, root).collect())
+    assert after == before
+    # idempotent on an already-compacted store
+    entity_labels_compact(spark, root)
+    assert sorted(serve_entity_labels(spark, root).collect()) == before

@@ -596,6 +596,66 @@ def test_ivf_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "cell" in part_filters, plan
 
 
+def test_ivf_filtered_serve_prunes_and_pushes(spark, sf_dir, tmp_path):
+    """Filtered vector search must compose BOTH scan reductions in
+    one plan: PartitionFilters on the probed cells (directory-level
+    pruning) AND PushedFilters on the metadata predicate (row-group
+    stats / dictionary skipping inside the probed cells). A metadata
+    join or post-retrieval filter would show neither."""
+    from etl_gcp_spark.functions.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivffilt")
+    build_ivf_index(emb, path, n_cells=8, n_iters=1, meta_cols=("label",))
+    vectors = spark.read.parquet(path + "/vectors")
+    pruned = (
+        vectors.filter(F.col("cell").isin([1, 3]))
+        .filter(F.col("label") == 1)
+        .select("vec_id")
+    )
+    plan = _plan(pruned)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan
+    assert "label" in pushed, plan
+
+
+def test_ivf_filtered_topk_respects_predicate(spark, sf_dir, tmp_path):
+    """Every served neighbor satisfies the predicate; queries are
+    looked up unfiltered (a query whose own label != 1 still gets
+    answers); per-query result counts are ≤ k."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivffilt2")
+    build_ivf_index(emb, path, n_cells=8, n_iters=1, meta_cols=("label",))
+    out = ivf_index_topk(
+        spark, path, query_ids=list(range(6)), k=3, n_probe=3,
+        neighbor_pred=(F.col("label") == 1),
+    ).collect()
+    assert out, "filtered serve returned nothing"
+    allowed = {
+        r["vec_id"]
+        for r in emb.filter(F.col("label") == 1).select("vec_id").collect()
+    }
+    import collections
+
+    per_q = collections.Counter()
+    for r in out:
+        assert r["neighbor_id"] in allowed
+        per_q[r["query_id"]] += 1
+    assert all(c <= 3 for c in per_q.values())
+    # unfiltered serve over the same artifact must be unaffected by
+    # the metadata column riding along in the payload
+    base = ivf_index_topk(
+        spark, path, query_ids=list(range(6)), k=3, n_probe=3
+    ).collect()
+    assert len(base) == 18
+
+
 def test_ivf_append_tree_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     """The streaming append trees keep the same pruning contract as
     the base tree: a probed-cell read over appends/batch=N/cell=M
@@ -642,6 +702,35 @@ def test_text_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     plan = _plan(postings)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "bucket" in part_filters, plan
+
+
+def test_bm25_filtered_postings_scan_prunes_and_pushes(
+    spark, sf_dir, tmp_path
+):
+    """Filtered retrieval composes BOTH scan reductions in one plan:
+    PartitionFilters on the query terms' buckets AND PushedFilters on
+    the document attribute (lang) denormalized into the postings rows
+    — a forward-index join or post-scoring filter would show
+    neither."""
+    from etl_gcp_spark.functions.text import poly_hash_py, text_index_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "textfidx_plan")
+    text_index_build(docs, path, n_buckets=64, meta_cols=("lang",))
+    buckets = sorted(
+        {poly_hash_py(t) % 64 for t in ["spark", "vector", "stream"]}
+    )
+    postings = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "tf")
+    )
+    plan = _plan(postings)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "bucket" in part_filters, plan
+    assert "lang" in pushed, plan
 
 
 def test_scaled_embedding_entries_explode_without_new_exchange(
