@@ -3988,6 +3988,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clusters": _q_entity_clusters,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
+        # backlog extension (extended r7 session): 6 streaming
+        # entries staled by the crash-atomic staging-guard adoption
+        # (streaming/events.py, snapshot commit 8a28dbb) + 3
+        # text-index entries staled by the meta_cols/filtered-serve
+        # work — parked contiguously in the front section
+        # (positions 79-87) and recorded in HASH_DRIFT_BACKLOG.json.
+        "streaming_hll": _q_streaming_hll,
+        "streaming_markov": _q_streaming_markov,
+        "bm25_index_topk": _q_bm25_index_topk,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        "streaming_quantiles": _q_streaming_quantiles,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        "streaming_cms": _q_streaming_cms,
+        "streaming_topk": _q_streaming_topk,
         # --- round-7 net-new (VERDICT r6 item 6), registered BEHIND
         # the window and the r8 backlog: incremental entity-label
         # maintenance audit — completes the build→append→audit story
@@ -4036,7 +4051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": _q_markov_transitions,
         "numeric_corr_matrix": _q_corr_matrix,
         "chi2_features": _q_chi2_features,
-        "streaming_hll": _q_streaming_hll,
         "table_stats": _q_table_stats,
         "textrank_keywords": _q_textrank,
         "ewma_user_value": _q_ewma,
@@ -4045,11 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": _q_fd_violations,
         "equi_depth_histogram": _q_equi_depth,
         "range_selectivity": _q_selectivity,
-        "streaming_markov": _q_streaming_markov,
         "session_rules": _q_session_rules,
-        "bm25_index_topk": _q_bm25_index_topk,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
         "target_encoding_oof": _q_target_encoding_oof,
         "simhash_fingerprints": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -4083,7 +4093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_counts": _q_l_diversity_counts,
         "embedding_truncation_recall": _q_embedding_truncation_recall,
         "ahash_near_dup": _q_ahash_near_dup,
-        "streaming_quantiles": _q_streaming_quantiles,
         "substring_dedup_rewrite": _q_substring_dedup_rewrite,
         "grouped_quantiles": _q_grouped_quantiles,
         "temperature_mixture": _q_temperature_mixture,
@@ -4119,7 +4128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_binaryfile": _q_ingest_binaryfile,
         "incremental_near_dup": _q_incremental_near_dup,
         "winsorize_prices": _q_winsorize_prices,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
         "contamination_bloom": _q_contamination_bloom,
         "knn_graph": _q_knn_graph,
         "psi_drift": _q_psi_drift,
@@ -4136,7 +4144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": _q_per_source_cap,
         "ngram_novelty": _q_ngram_novelty,
         "temporal_split": _q_temporal_split,
-        "streaming_cms": _q_streaming_cms,
         "dedup_triangles": _q_dedup_triangles,
         "seq_length_histogram": _q_seq_length_histogram,
         "lang_confusion": _q_lang_confusion,
@@ -4144,7 +4151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quota_filter": _q_quality_quota_filter,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "user_erasure": _q_user_erasure,
-        "streaming_topk": _q_streaming_topk,
         "streaming_sessions": _q_stream_sessions,
         "priority_pivot": _q_pivot,
         "customers_without_orders": _q_anti,
