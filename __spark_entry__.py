@@ -1733,6 +1733,37 @@ def _q_ann_ivf_filtered_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_erasure_topk(spark, sf_dir):
+    """Right-to-be-forgotten through the VECTOR index (text twin:
+    text_index_erasure_topk): erase vec_id % 7 == 0 as an
+    O(|request|) tombstone append (bulk DataFrame path, no collect),
+    then serve — erased vectors immediately stop appearing as
+    neighbors AND stop being servable as queries (queries 0 and 7 of
+    0-9 return no rows), while centroids keep their training
+    influence until the next rebuild (the standard retrain-on-drift
+    tradeoff, same as appends against frozen centroids). Oracle:
+    the full-corpus training replay with the erased ids excluded
+    from the query and candidate sides only."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_erase,
+        ivf_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_ivferase_{os.getpid()}_{os.path.basename(sf_dir)}",
+    )
+    build_ivf_index(emb, path, n_cells=32, n_iters=2)
+    ivf_index_erase(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    return ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=5, n_probe=4
+    )
+
+
 def _q_ivf_index_append_topk(spark, sf_dir):
     """Index maintenance without retrain: build the IVF artifact on
     the first 400 vectors only, append the rest against the FROZEN
@@ -1921,6 +1952,45 @@ def _q_bm25_filtered_topk(spark, sf_dir):
         ["spark", "vector", "stream"],
         doc_pred=(F.col("lang") == "en"),
         k=10,
+    )
+
+
+def _q_text_index_erasure_topk(spark, sf_dir):
+    """Right-to-be-forgotten THROUGH the derived artifact: a deletion
+    request must reach every downstream index, not just the source
+    table (table-side twin: user_erasure). Erasure is an
+    O(|request|) tombstone append — postings are never rewritten on
+    the request path; the serve anti-joins the tombstone set
+    (broadcast, bounded by compaction cadence) and recomputes the
+    1-row stats from surviving doclen rows, so results are
+    IMMEDIATELY bit-equal to the fused scorer over the remaining
+    corpus — which is exactly what the oracle computes.
+    text_index_compact later makes the erasure physical
+    (pytest-locked: tombstoned rows gone from every artifact, serve
+    unchanged). Here: erase doc_id % 7 == 0 via the bulk DataFrame
+    path (no driver collect), then serve."""
+    import os as _os
+    import tempfile as _tf
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_build,
+        text_index_erase,
+    )
+
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        f"etl_gcp_spark_textedx_{_os.getpid()}_{_os.path.basename(sf_dir)}",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    text_index_build(docs, idx)
+    text_index_erase(
+        spark,
+        idx,
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    return bm25_index_topk(
+        spark, idx, ["spark", "vector", "stream"], k=10
     )
 
 
@@ -4024,6 +4094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filtered retrieval, text side: attribute predicate pushed
         # into the bucket-pruned postings scan.
         "bm25_filtered_topk": _q_bm25_filtered_topk,
+        # erasure through the derived artifact: tombstone append +
+        # anti-join serve, physical removal at compaction.
+        "text_index_erasure_topk": _q_text_index_erasure_topk,
+        "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8625,6 +8699,18 @@ def oracle_sql() -> dict[str, str]:
     )
     assert _flt != sql["ann_ivf_kmeans_topk"], "filtered-ANN oracle anchor"
     sql["ann_ivf_filtered_topk"] = _flt
+    # erasure serve: full-corpus training replay (erasure happens
+    # AFTER build — centroids keep the erased vectors' influence),
+    # erased ids excluded from the query AND candidate sides
+    _ers = sql["ann_ivf_kmeans_topk"].replace(
+        "WHERE q.vec_id < 10\n",
+        "WHERE q.vec_id < 10 AND q.vec_id % 7 <> 0\n",
+    ).replace(
+        "WHERE a.vec_id <> p.query_id\n",
+        "WHERE a.vec_id <> p.query_id AND a.vec_id % 7 <> 0\n",
+    )
+    assert _ers.count("% 7 <> 0") == 2, "erasure-ANN oracle anchors"
+    sql["ann_ivf_erasure_topk"] = _ers
     # Append-to-frozen-index: identical replay chain, except training
     # (seed + both Lloyd rounds) sees ONLY the vec_id < 400 scope; the
     # final assignment `af` covers the FULL corpus against those
@@ -10172,4 +10258,11 @@ def oracle_sql() -> dict[str, str]:
     )
     assert _bmf != sql["bm25_topk"], "filtered-BM25 oracle anchor"
     sql["bm25_filtered_topk"] = _bmf
+    # erasure serve = the fused scorer over the corpus minus the
+    # erased docs (sub-corpus df/n_docs/avgdl) — same derivation
+    _bme = sql["bm25_topk"].replace(
+        "FROM documents\n", "FROM documents WHERE doc_id % 7 <> 0\n"
+    )
+    assert _bme != sql["bm25_topk"], "erasure-BM25 oracle anchor"
+    sql["text_index_erasure_topk"] = _bme
     return sql

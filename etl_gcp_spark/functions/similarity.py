@@ -2429,6 +2429,11 @@ def build_ivf_index(
     seeding, ``n_iters`` Lloyd rounds, 6-dp centroid rounding), so
     query results replay under the same oracle.
     """
+    import shutil
+
+    # a rebuild is a fresh snapshot: erasures recorded against the
+    # previous artifact do not carry over
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     labels, centroids = ivf_train(
         embeddings,
         n_cells=n_cells,
@@ -2517,6 +2522,41 @@ def ivf_index_append(
     )
 
 
+def _ivf_tombstones(spark, path: str):
+    """The erased-vector set (vec_id rows) accumulated by
+    :func:`ivf_index_erase`, or None when nothing is erased."""
+    tomb = os.path.join(path, "tombstones")
+    if not os.path.isdir(tomb) or not os.listdir(tomb):
+        return None
+    return spark.read.parquet(tomb).select("vec_id")
+
+
+def ivf_index_erase(spark, path: str, vec_ids) -> None:
+    """Logically erase vectors from the persisted IVF index — the
+    vector-side right-to-be-forgotten (text twin:
+    functions/text.py::text_index_erase; table twin: user_erasure).
+    O(|request|) tombstone APPEND; the cell-partitioned corpus is
+    never rewritten on the request path. Serves anti-join the
+    tombstone set (broadcast — bounded by erasure volume between
+    compactions), so erased vectors immediately stop appearing as
+    neighbors AND stop being servable as queries.
+    :func:`ivf_index_compact` makes the erasure physical. Centroids
+    keep the erased vectors' training influence until the next
+    rebuild — the standard retrain-on-drift tradeoff, same as
+    appends against frozen centroids.
+
+    ``vec_ids``: a list of ids or a (vec_id) DataFrame (bulk erasure
+    stays distributed, no driver collect).
+    """
+    if isinstance(vec_ids, DataFrame):
+        df = vec_ids.select(F.col("vec_id").cast("long"))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long"
+        ).coalesce(1)
+    df.write.mode("append").parquet(os.path.join(path, "tombstones"))
+
+
 @_metered_build
 def ivf_index_compact(spark, path: str) -> None:
     """Fold the streaming append trees
@@ -2535,23 +2575,30 @@ def ivf_index_compact(spark, path: str) -> None:
 
     vectors = os.path.join(path, "vectors")
     appends = os.path.join(path, "appends")
-    if not os.path.isdir(appends):
+    tomb = _ivf_tombstones(spark, path)
+    if not os.path.isdir(appends) and tomb is None:
         return
-    base = spark.read.parquet(vectors).select("vec_id", "vector", "cell")
-    extra = (
-        spark.read.option("basePath", appends)
-        .parquet(appends)
-        .select("vec_id", "vector", "cell")
-    )
+    allv = spark.read.parquet(vectors)
+    cols = [c for c in allv.columns]
+    if os.path.isdir(appends):
+        allv = allv.unionByName(
+            spark.read.option("basePath", appends)
+            .parquet(appends)
+            .select(*cols)
+        )
+    # compaction is where erasure becomes PHYSICAL: tombstoned
+    # vectors (ivf_index_erase) drop out of the rewritten cell
+    # partitions and the tombstone dir is cleared
+    if tomb is not None:
+        allv = allv.join(F.broadcast(tomb), "vec_id", "left_anti")
     tmp = vectors + "_compacting"
-    base.unionByName(extra).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(tmp)
+    allv.write.partitionBy("cell").mode("overwrite").parquet(tmp)
     old = vectors + "_old"
     os.rename(vectors, old)
     os.rename(tmp, vectors)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(appends, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
 
 def ivf_index_topk(
@@ -2589,6 +2636,12 @@ def ivf_index_topk(
         key=lambda r: r["cell"],
     )
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        # erased vectors leave the servable set immediately — as
+        # neighbors AND as query lookups; the broadcast anti-join
+        # composes under the cell filter, so partition pruning holds
+        vectors = vectors.join(F.broadcast(tomb), "vec_id", "left_anti")
     return ivf_serve(
         spark, cents, vectors, query_ids=query_ids, k=k, n_probe=n_probe,
         neighbor_pred=neighbor_pred,

@@ -1350,8 +1350,13 @@ def text_index_build(
     at 100 TB a query touches |query-term buckets| directories, not
     the corpus.
     """
+    import shutil
+
     from etl_gcp_spark.operators.encoding import _poly_hash
 
+    # a rebuild is a fresh snapshot: erasures recorded against the
+    # previous artifact do not carry over
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
     meta = [F.col(c) for c in meta_cols]
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -1386,6 +1391,50 @@ def poly_hash_py(tok: str) -> int:
     return sum(ord(c) * 31**i for i, c in enumerate(tok[:8])) % 2147483647
 
 
+def _text_index_tombstones(spark, index_dir: str) -> DataFrame | None:
+    """The erased-doc set (doc_id rows) accumulated by
+    :func:`text_index_erase`, or None when nothing is erased."""
+    import os
+
+    tomb = f"{index_dir}/tombstones"
+    if not os.path.isdir(tomb) or not any(
+        e.endswith(".parquet") or e == "_SUCCESS" or e.startswith("part-")
+        for e in os.listdir(tomb)
+    ):
+        return None
+    return spark.read.parquet(tomb).select("doc_id")
+
+
+def text_index_erase(spark, index_dir: str, doc_ids) -> None:
+    """Logically erase documents from the persisted inverted index —
+    the right-to-be-forgotten operation a derived artifact needs: a
+    user-deletion request must reach every downstream index, not just
+    the source table (the table-side twin is operators/quality.py's
+    user_erasure). Erasure is an O(|request|) tombstone APPEND —
+    postings are NEVER rewritten on the request path, because a
+    100-TB index cannot rewrite terabytes per deletion request. Serve
+    paths anti-join the tombstone set (broadcast — bounded by erasure
+    volume between compactions; the compaction cadence is what bounds
+    it in production) and recompute the 1-row BM25 stats from the
+    surviving doclen rows, so served results are immediately
+    bit-equal to a fused scorer over the corpus minus the erased
+    docs. :func:`text_index_compact` makes the erasure PHYSICAL:
+    tombstoned rows drop out of the rewritten postings/doclen and the
+    tombstone dir is cleared.
+
+    ``doc_ids``: a list of ids (the usual per-request shape) or a
+    (doc_id) DataFrame (bulk erasure — e.g. every doc of a withdrawn
+    source — stays distributed, no driver collect).
+    """
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("long"))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        ).coalesce(1)
+    df.write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
 def bm25_index_topk(
     spark,
     index_dir: str,
@@ -1402,6 +1451,12 @@ def bm25_index_topk(
     elimination), and apply the identical fixed score tree as
     :func:`bm25_topk` — results are bit-equal to the fused path, so
     the same value-hash oracle attaches to the served output.
+
+    If the index carries tombstones (:func:`text_index_erase`),
+    erased docs are anti-joined out of both probe frames and the
+    global stats are recomputed from the surviving doclen rows — the
+    serve is then bit-equal to the fused scorer over the remaining
+    corpus.
     """
     buckets = sorted(
         {poly_hash_py(t) % n_buckets for t in query_terms}
@@ -1415,10 +1470,19 @@ def bm25_index_topk(
     dl = spark.read.parquet(f"{index_dir}/doclen").select(
         "doc_id", F.col("dl").alias("__dl")
     )
-    stats = spark.read.parquet(f"{index_dir}/stats").select(
-        F.col("n_docs").alias("__n_docs"),
-        F.col("total_dl").alias("__total_dl"),
-    )
+    tomb = _text_index_tombstones(spark, index_dir)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("__dl").alias("__total_dl"),
+        )
+    else:
+        stats = spark.read.parquet(f"{index_dir}/stats").select(
+            F.col("n_docs").alias("__n_docs"),
+            F.col("total_dl").alias("__total_dl"),
+        )
     return bm25_score_frames(postings, dl, stats, k=k, k1=k1, b=b)
 
 
@@ -1465,6 +1529,10 @@ def bm25_index_filtered_topk(
         .filter(doc_pred)
         .select("doc_id", F.col("dl").alias("__dl"))
     )
+    tomb = _text_index_tombstones(spark, index_dir)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum("__dl").alias("__total_dl"),
@@ -1600,6 +1668,14 @@ def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
     # (text_index_build(meta_cols=...)) must keep its attribute
     # columns through compaction or filtered serves break after it
     allp = spark.read.parquet(postings)
+    # compaction is where erasure becomes PHYSICAL: tombstoned rows
+    # (text_index_erase) drop out of the rewritten postings + doclen,
+    # stats are recomputed over the survivors, and the tombstone dir
+    # is cleared — after this, no trace of the erased docs remains in
+    # any index artifact
+    tomb = _text_index_tombstones(spark, index_dir)
+    if tomb is not None:
+        allp = allp.join(F.broadcast(tomb), "doc_id", "left_anti")
     tmp = postings + "_compacting"
     allp.repartition(n_buckets, "bucket").write.partitionBy(
         "bucket"
@@ -1608,3 +1684,19 @@ def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
     os.rename(postings, old)
     os.rename(tmp, postings)
     shutil.rmtree(old, ignore_errors=True)
+    if tomb is not None:
+        doclen = f"{index_dir}/doclen"
+        kept = spark.read.parquet(doclen).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        tmp = doclen + "_compacting"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = doclen + "_old"
+        os.rename(doclen, old)
+        os.rename(tmp, doclen)
+        shutil.rmtree(old, ignore_errors=True)
+        spark.read.parquet(doclen).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)

@@ -460,6 +460,56 @@ def test_bm25_filtered_serve_equals_fused_over_subcorpus(
     assert unfiltered == full
 
 
+def test_text_index_erasure_serves_remaining_and_compact_is_physical(
+    spark, sf_dir, tmp_path
+):
+    """The erasure lifecycle: (1) tombstone serve is bit-equal to the
+    fused scorer over the corpus minus the erased docs (stats
+    recomputed from survivors); (2) compaction makes it physical —
+    erased ids gone from postings AND doclen, stats shrunk, tombstone
+    dir cleared; (3) the post-compaction serve is unchanged."""
+    import os
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        bm25_topk,
+        text_index_build,
+        text_index_compact,
+        text_index_erase,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "textedx")
+    text_index_build(docs, idx, n_buckets=64)
+    erased_pred = F.col("doc_id") % 7 == 0
+    text_index_erase(spark, idx, docs.filter(erased_pred).select("doc_id"))
+    terms = ["spark", "vector", "stream"]
+    served = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(spark, idx, terms, k=10).collect()
+    ]
+    fused = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs.filter(~erased_pred), terms, k=10).collect()
+    ]
+    assert served and served == fused
+    n_docs_before = spark.read.parquet(f"{idx}/doclen").count()
+    text_index_compact(spark, idx, n_buckets=64)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    post = spark.read.parquet(f"{idx}/postings")
+    assert post.filter(F.col("doc_id") % 7 == 0).count() == 0
+    dl = spark.read.parquet(f"{idx}/doclen")
+    assert dl.filter(F.col("doc_id") % 7 == 0).count() == 0
+    assert dl.count() < n_docs_before
+    stats = spark.read.parquet(f"{idx}/stats").collect()[0]
+    assert stats["n_docs"] == dl.count()
+    after = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(spark, idx, terms, k=10).collect()
+    ]
+    assert after == served
+
+
 def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
     from etl_gcp_spark.functions.text import (
         bm25_index_topk,

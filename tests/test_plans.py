@@ -656,6 +656,55 @@ def test_ivf_filtered_topk_respects_predicate(spark, sf_dir, tmp_path):
     assert len(base) == 18
 
 
+def test_ivf_erasure_lifecycle_and_pruned_tombstone_serve(
+    spark, sf_dir, tmp_path
+):
+    """The vector-side erasure lifecycle: tombstoned vectors leave
+    the servable set immediately (as neighbors and as queries);
+    the tombstone serve keeps PartitionFilters on cell (the
+    broadcast anti-join composes under the cell filter); compaction
+    makes the erasure physical (ids gone from the rewritten cells,
+    tombstone dir cleared) and serving is unchanged."""
+    import os
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_index_erase,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivferase")
+    build_ivf_index(emb, path, n_cells=8, n_iters=1)
+    ivf_index_erase(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    out = ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=3, n_probe=3
+    ).collect()
+    assert out
+    qs = {r["query_id"] for r in out}
+    assert 0 not in qs and 7 not in qs  # erased queries gone
+    assert all(r["neighbor_id"] % 7 != 0 for r in out)
+    # pruning survives the tombstone anti-join
+    tomb = spark.read.parquet(path + "/tombstones").select("vec_id")
+    vectors = spark.read.parquet(path + "/vectors").join(
+        F.broadcast(tomb), "vec_id", "left_anti"
+    )
+    plan = _plan(vectors.filter(F.col("cell").isin([1, 3])).select("vec_id"))
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan
+    ivf_index_compact(spark, path)
+    assert not os.path.isdir(path + "/tombstones")
+    kept = spark.read.parquet(path + "/vectors")
+    assert kept.filter(F.col("vec_id") % 7 == 0).count() == 0
+    after = ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=3, n_probe=3
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, out))
+
+
 def test_ivf_append_tree_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     """The streaming append trees keep the same pruning contract as
     the base tree: a probed-cell read over appends/batch=N/cell=M
