@@ -3599,6 +3599,28 @@ def _q_entity_clusters_increment(spark, sf_dir):
     )
 
 
+def _q_entity_erasure_audit(spark, sf_dir):
+    """Deletion-maintenance audit for entity labels — the HARD
+    direction of incremental connected components (a deleted bridge
+    SPLITS its component; a deleted min-id steals its label):
+    affected components = the erased records' labels; every other
+    component keeps its labels (identical membership => identical
+    min id); only the affected components' survivors re-cluster —
+    complete because closure made components edge-closed, so
+    maintenance is O(|affected|), not O(corpus). Equality with the
+    full re-clustering holds by construction; only-counts are
+    structural zeros. Oracle: TWO recursive closures (the
+    entity_clusters CTE chain over all records and, name-suffixed,
+    over the survivors) supply every honest count."""
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_erasure_audit,
+    )
+
+    return entity_clusters_erasure_audit(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
 def _q_dedup_triangles(spark, sf_dir):
     from etl_gcp_spark.operators.graph import triangle_participation
     from etl_gcp_spark.operators.text_dedup import minhash_lsh_pairs
@@ -4098,6 +4120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anti-join serve, physical removal at compaction.
         "text_index_erasure_topk": _q_text_index_erasure_topk,
         "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
+        # deletion maintenance for the graph family: bridge deletions
+        # split components; only affected survivors re-cluster.
+        "entity_erasure_audit": _q_entity_erasure_audit,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8398,6 +8423,56 @@ def oracle_sql() -> dict[str, str]:
           (SELECT CAST(count(DISTINCT entity_id) AS BIGINT) FROM fin
             WHERE id % 10 = 0) AS n_entities_touching_delta
     """
+    # deletion-maintenance audit: two closures — the chain above over
+    # ALL records (base labels) and a name-suffixed copy over the
+    # SURVIVORS (c_custkey % 7 <> 0). The suffixed copy is derived
+    # textually from the same chain so the two can never drift;
+    # incremental == full is structural (untouched components keep
+    # their min ids, re-clustered pieces get their min surviving
+    # member ids — exactly what the full recompute assigns).
+    import re as _re
+
+    _cc_surv = _entity_cc_with
+    for _nm in (
+        "cust", "variants", "cand", "fpairs", "nodes",
+        "eidx", "init", "lp", "final", "comp",
+    ):
+        _cc_surv = _re.sub(rf"\b{_nm}\b", f"{_nm}7", _cc_surv)
+    _cc_surv = _cc_surv.replace(
+        "FROM customer\n",
+        "FROM customer WHERE c_custkey % 7 <> 0\n",
+    )
+    assert "cust7" in _cc_surv and "% 7 <> 0" in _cc_surv
+    _cc_surv_body = _cc_surv.split("WITH RECURSIVE", 1)[1]
+    sql["entity_erasure_audit"] = (
+        _entity_cc_with + "," + _cc_surv_body + """
+        , base_fin AS (
+            SELECT c.c_custkey AS id, m.c_custkey AS entity_id
+            FROM comp c JOIN nodes m ON m.idx = c.lbl
+        ), after_fin AS (
+            SELECT c.c_custkey AS id, m.c_custkey AS entity_id
+            FROM comp7 c JOIN nodes7 m ON m.idx = c.lbl
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_records,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 7 = 0) AS n_erased,
+          (SELECT CAST(count(DISTINCT entity_id) AS BIGINT)
+             FROM base_fin) AS n_entities_before,
+          (SELECT CAST(count(DISTINCT entity_id) AS BIGINT)
+             FROM after_fin) AS n_entities_after,
+          (SELECT CAST(count(DISTINCT entity_id) AS BIGINT)
+             FROM base_fin WHERE id % 7 = 0) AS n_affected_components,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT b.entity_id FROM base_fin b
+              JOIN after_fin a USING (id)
+              GROUP BY b.entity_id
+              HAVING count(DISTINCT a.entity_id) >= 2) s)
+            AS n_split_components,
+          CAST(0 AS BIGINT) AS n_only_incr,
+          CAST(0 AS BIGINT) AS n_only_full
+    """
+    )
     # triangles over the exact-Jaccard pair graph (== LSH pairs at
     # driver scales): orient low→high, close (a→b, b→c) with (a→c)
     sql["dedup_triangles"] = f"""

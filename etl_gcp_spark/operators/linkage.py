@@ -523,6 +523,130 @@ def entity_clusters_increment_audit(
     return tag_pinned(out, new_edges, base_ec, incr, full, *inner)
 
 
+def entity_clusters_erasure_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    erase_mod: int = 7,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Deletion-maintenance audit for entity labels — the HARD
+    direction of incremental connected components, completing the
+    graph family's lifecycle (build → increment → stream → compact →
+    ERASE) in parity with the index families' tombstone erasure:
+    deleting a record can SPLIT its component (a bridge node held it
+    together) and can steal its label (the min member id was the
+    erased record), so unlike the append case no contracted merge
+    suffices. The maintenance rule an operations team needs proven:
+
+    1. affected components = the erased records' labels (one
+       semi-join against the label store);
+    2. every OTHER component keeps its labels untouched — no erased
+       member means identical membership and an identical min id;
+    3. the affected components' SURVIVORS are re-clustered among
+       themselves only. This is complete because transitive closure
+       made components edge-closed: deletion cannot create edges, so
+       no survivor can join a different component.
+
+    Maintenance work is therefore O(|affected components|), not
+    O(corpus): only the touched survivors re-block and re-close. The
+    audit compares against a full re-clustering of all survivors —
+    labels are equal BY CONSTRUCTION (each piece's new label is its
+    min surviving member id, which is what the full recompute assigns
+    too), so ``n_only_incr``/``n_only_full`` are structural zeros and
+    a nonzero is a maintenance bug, not noise.
+
+    One summary row (all exact BIGINT): n_records, n_erased,
+    n_entities_before, n_entities_after, n_affected_components,
+    n_split_components (affected components whose survivors landed in
+    ≥2 entities — the bridge-deletion signature), n_only_incr,
+    n_only_full.
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    base_ec = entity_clusters(
+        df, id_col, text_col, max_distance=max_distance
+    ).persist()
+    erased = df.filter(F.col(id_col) % erase_mod == 0).select(id_col)
+    remaining = df.filter(F.col(id_col) % erase_mod != 0)
+
+    affected = (
+        base_ec.join(erased, id_col)
+        .select("entity_id")
+        .dropDuplicates()
+    )
+    untouched = base_ec.join(
+        F.broadcast(affected), "entity_id", "left_anti"
+    ).select(id_col, "entity_id")
+    touched_ids = (
+        base_ec.join(F.broadcast(affected), "entity_id")
+        .join(erased, id_col, "left_anti")
+        .select(id_col)
+    )
+    touched_survivors = df.join(touched_ids, id_col)
+    re_ec = entity_clusters(
+        touched_survivors, id_col, text_col, max_distance=max_distance
+    ).persist()
+
+    incr = (
+        untouched.unionByName(re_ec.select(id_col, "entity_id"))
+        .select(
+            id_col,
+            "entity_id",
+            F.count("*")
+            .over(Window.partitionBy("entity_id"))
+            .cast("bigint")
+            .alias("entity_size"),
+        )
+        .persist()
+    )
+    full = entity_clusters(
+        remaining, id_col, text_col, max_distance=max_distance
+    ).persist()
+
+    def _count(frame, name):
+        return frame.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    def _cnt_distinct(frame, col, name):
+        return frame.agg(
+            F.count_distinct(F.col(col)).cast("long").alias(name)
+        )
+
+    survivors_base = base_ec.select(
+        id_col, F.col("entity_id").alias("__base_eid")
+    ).join(incr.select(id_col, "entity_id"), id_col)
+    split = (
+        survivors_base.groupBy("__base_eid")
+        .agg(F.count_distinct("entity_id").alias("__n_after"))
+        .filter(F.col("__n_after") >= 2)
+    )
+    out = (
+        _count(df, "n_records")
+        .crossJoin(_count(erased, "n_erased"))
+        .crossJoin(
+            _cnt_distinct(base_ec, "entity_id", "n_entities_before")
+        )
+        .crossJoin(_cnt_distinct(incr, "entity_id", "n_entities_after"))
+        .crossJoin(
+            _cnt_distinct(
+                base_ec.join(erased, id_col),
+                "entity_id",
+                "n_affected_components",
+            )
+        )
+        .crossJoin(_count(split, "n_split_components"))
+        .crossJoin(_count(incr.exceptAll(full), "n_only_incr"))
+        .crossJoin(_count(full.exceptAll(incr), "n_only_full"))
+    )
+    inner = (
+        tuple(getattr(base_ec, "_etl_pinned_frames", ()))
+        + tuple(getattr(re_ec, "_etl_pinned_frames", ()))
+        + tuple(getattr(full, "_etl_pinned_frames", ()))
+    )
+    return tag_pinned(out, base_ec, re_ec, incr, full, *inner)
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     key_col: str,

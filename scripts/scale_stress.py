@@ -257,6 +257,9 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
     from etl_gcp_spark.operators.linkage import (
         entity_clusters_increment_audit as _eci_audit,
     )
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_erasure_audit as _ece_audit,
+    )
     from etl_gcp_spark.session import get_spark
 
     spark = get_spark("scale_stress")
@@ -367,6 +370,14 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         # this pair structure, so the audit should be too
         "entity_clusters_increment": lambda m: _eci_audit(
             _names(docs(m)), "id", "name", f"{out_dir}/eci_idx_x{m}"
+        ),
+        # extended-r7 addition: deletion maintenance — affected
+        # components are those holding an erased id (≈ 2/7 of the
+        # planted 2-cliques), subset re-clustering is linear in the
+        # touched survivor count; the base + full legs dominate like
+        # the increment audit's
+        "entity_erasure_audit": lambda m: _ece_audit(
+            _names(docs(m)), "id", "name"
         ),
     }
 

@@ -242,6 +242,38 @@ def test_entity_clusters_increment_bridge_merge(spark, tmp_path):
     assert r.n_entities_touching_delta == 2
 
 
+def test_entity_clusters_erasure_bridge_split(spark):
+    """The scenario deletion maintenance exists for: erasing a BRIDGE
+    record splits its component into two entities, and erasing a
+    MIN-ID record relabels its component — both must come out of the
+    subset re-clustering identical to a full recompute (mismatch
+    columns zero), with the split counted."""
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_erasure_audit,
+    )
+
+    rows = [
+        # chain aaaa -7- aaab -?- aabb: id 7 (erased) bridges 1 and 3
+        Row(id=1, name="aaaa"),
+        Row(id=7, name="aaab"),   # erased (id % 7 == 0): the bridge
+        Row(id=3, name="aabb"),
+        # pair {14, 15}: erased 14 is the min id — 15 survives alone
+        Row(id=14, name="gggg"),  # erased: the component's min id
+        Row(id=15, name="gggh"),
+        Row(id=20, name="zzzz"),  # untouched singleton
+    ]
+    df = spark.createDataFrame(rows)
+    out = entity_clusters_erasure_audit(df, "id", "name").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_records, r.n_erased) == (6, 2)
+    assert r.n_entities_before == 3      # {1,7,3}, {14,15}, {20}
+    assert r.n_entities_after == 4       # {1}, {3}, {15}, {20}
+    assert r.n_affected_components == 2  # both erased ids' components
+    assert r.n_split_components == 1     # only the bridge split
+    assert r.n_only_incr == 0 and r.n_only_full == 0
+
+
 def test_entity_clusters_increment_appends_never_rewrite(spark, tmp_path):
     """Maintenance discipline: the delta append adds files to the
     persisted mask-key index without rewriting the base's files —
