@@ -270,13 +270,31 @@ def entity_clusters(
 
     Output: (id, entity_id, entity_size) for every input row.
     """
+    pairs = fuzzy_pairs(
+        df, id_col, text_col, max_distance=max_distance
+    ).persist()
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(
+        entity_clusters_from_pairs(df, pairs, id_col), pairs
+    )
+
+
+def entity_clusters_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """The closure+splice half of :func:`entity_clusters`, taking an
+    already-materialized (id1, id2) match-pair frame: min-label
+    propagation over EDGE VERTICES only, sizes by window, unmatched
+    records rejoin as singletons through one anti-join. Shared with
+    the deletion-maintenance audit, whose maintenance leg FILTERS a
+    persisted match store instead of re-blocking (deletion cannot
+    create edges, so the stored pair set is complete for any
+    survivor subset). Caller owns the pair frame's lifecycle."""
     from pyspark.sql import Window
 
     from etl_gcp_spark.operators.graph import connected_components
 
-    pairs = fuzzy_pairs(
-        df, id_col, text_col, max_distance=max_distance
-    ).persist()
     verts = (
         pairs.select(F.col("id1").alias(id_col))
         .union(pairs.select(F.col("id2").alias(id_col)))
@@ -298,9 +316,7 @@ def entity_clusters(
         F.col(id_col).alias("entity_id"),
         F.lit(1).cast("bigint").alias("entity_size"),
     )
-    from etl_gcp_spark.caching import tag_pinned
-
-    return tag_pinned(matched.unionByName(singles), pairs)
+    return matched.unionByName(singles)
 
 
 def probe_new_edges(
@@ -550,12 +566,20 @@ def entity_clusters_erasure_audit(
        no survivor can join a different component.
 
     Maintenance work is therefore O(|affected components|), not
-    O(corpus): only the touched survivors re-block and re-close. The
+    O(corpus): only the touched survivors' edges re-close. The
     audit compares against a full re-clustering of all survivors —
     labels are equal BY CONSTRUCTION (each piece's new label is its
     min surviving member id, which is what the full recompute assigns
     too), so ``n_only_incr``/``n_only_full`` are structural zeros and
     a nonzero is a maintenance bug, not noise.
+
+    Deletion maintenance never re-blocks: a production linkage system
+    persists its match edges (the match store), and since deletion
+    cannot CREATE edges, the stored pair set filtered to survivors is
+    complete for any erasure. The maintenance leg here is therefore
+    pure closure work — filter the match store to the affected
+    components' surviving edges and re-close that subgraph — while
+    blocking runs ONCE (to build the store), not once per leg.
 
     One summary row (all exact BIGINT): n_records, n_erased,
     n_entities_before, n_entities_after, n_affected_components,
@@ -563,13 +587,25 @@ def entity_clusters_erasure_audit(
     ≥2 entities — the bridge-deletion signature), n_only_incr,
     n_only_full.
     """
+    from etl_gcp_spark import metering
     from etl_gcp_spark.caching import tag_pinned
 
-    base_ec = entity_clusters(
+    # the match store + label store: blocked and closed ONCE (in
+    # production both are persisted artifacts that exist BEFORE any
+    # erasure arrives, so their materialization meters as build —
+    # bench reports the maintenance+verification cost separately)
+    pairs_all = fuzzy_pairs(
         df, id_col, text_col, max_distance=max_distance
     ).persist()
+    base_ec = entity_clusters_from_pairs(df, pairs_all, id_col).persist()
+    with metering.phase("build"):
+        pairs_all.count()
+        base_ec.count()
     erased = df.filter(F.col(id_col) % erase_mod == 0).select(id_col)
     remaining = df.filter(F.col(id_col) % erase_mod != 0)
+    surv_pairs = pairs_all.filter(
+        (F.col("id1") % erase_mod != 0) & (F.col("id2") % erase_mod != 0)
+    )
 
     affected = (
         base_ec.join(erased, id_col)
@@ -584,9 +620,15 @@ def entity_clusters_erasure_audit(
         .join(erased, id_col, "left_anti")
         .select(id_col)
     )
+    # maintenance: re-close ONLY the affected components' surviving
+    # edges (both endpoints of any affected-component edge live in
+    # that component, so one endpoint semi-join selects them all)
+    touched_pairs = surv_pairs.join(
+        touched_ids.withColumnRenamed(id_col, "id1"), "id1"
+    )
     touched_survivors = df.join(touched_ids, id_col)
-    re_ec = entity_clusters(
-        touched_survivors, id_col, text_col, max_distance=max_distance
+    re_ec = entity_clusters_from_pairs(
+        touched_survivors, touched_pairs, id_col
     ).persist()
 
     incr = (
@@ -601,8 +643,8 @@ def entity_clusters_erasure_audit(
         )
         .persist()
     )
-    full = entity_clusters(
-        remaining, id_col, text_col, max_distance=max_distance
+    full = entity_clusters_from_pairs(
+        remaining, surv_pairs, id_col
     ).persist()
 
     def _count(frame, name):
@@ -639,12 +681,7 @@ def entity_clusters_erasure_audit(
         .crossJoin(_count(incr.exceptAll(full), "n_only_incr"))
         .crossJoin(_count(full.exceptAll(incr), "n_only_full"))
     )
-    inner = (
-        tuple(getattr(base_ec, "_etl_pinned_frames", ()))
-        + tuple(getattr(re_ec, "_etl_pinned_frames", ()))
-        + tuple(getattr(full, "_etl_pinned_frames", ()))
-    )
-    return tag_pinned(out, base_ec, re_ec, incr, full, *inner)
+    return tag_pinned(out, pairs_all, base_ec, re_ec, incr, full)
 
 
 def sorted_neighborhood_pairs(
