@@ -1764,6 +1764,35 @@ def _q_ann_ivf_erasure_topk(spark, sf_dir):
     )
 
 
+def _q_ann_filtered_recall_report(spark, sf_dir):
+    """Recall@k of filtered vector search vs the filtered exact
+    top-k — the third recall audit (index approximation:
+    ann_recall_report; representation: embedding_truncation_recall;
+    this: the FILTER × INDEX interaction). A selective predicate
+    shrinks each probed cell's candidate pool, so filtered recall at
+    fixed n_probe is systematically lower; this report is the
+    measurement behind 'raise n_probe for selective filters'. Oracle:
+    the filtered-serve training replay as an approx CTE joined
+    against a brute-force filtered exact CTE."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        filtered_recall_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_ivffrr_{os.getpid()}_{os.path.basename(sf_dir)}",
+    )
+    build_ivf_index(
+        emb, path, n_cells=32, n_iters=2, meta_cols=("label",)
+    )
+    return filtered_recall_report(
+        spark, emb, path,
+        query_ids=list(range(10)), k=5, n_probe=4, label_value=1,
+    )
+
+
 def _q_ivf_index_append_topk(spark, sf_dir):
     """Index maintenance without retrain: build the IVF artifact on
     the first 400 vectors only, append the rest against the FROZEN
@@ -4123,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deletion maintenance for the graph family: bridge deletions
         # split components; only affected survivors re-cluster.
         "entity_erasure_audit": _q_entity_erasure_audit,
+        # the filter x index recall interaction, measured.
+        "ann_filtered_recall_report": _q_ann_filtered_recall_report,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8786,6 +8817,41 @@ def oracle_sql() -> dict[str, str]:
     )
     assert _ers.count("% 7 <> 0") == 2, "erasure-ANN oracle anchors"
     sql["ann_ivf_erasure_topk"] = _ers
+    # filtered-recall audit: the filtered-serve replay becomes an
+    # approx CTE, joined against a brute-force exact top-k over the
+    # SAME filtered candidate set (queries unfiltered on both sides)
+    _frr_anchor = "SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,"
+    assert sql["ann_ivf_filtered_topk"].count(_frr_anchor) == 1
+    _frr_head = sql["ann_ivf_filtered_topk"].rsplit(_frr_anchor, 1)[0]
+    sql["ann_filtered_recall_report"] = _frr_head + """, approx AS (
+                SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5
+            ), fexact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, cnd.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, cnd.v)
+                                        DESC, cnd.vec_id
+                           ) AS rnk
+                    FROM base q
+                    CROSS JOIN (
+                        SELECT b.vec_id, b.v FROM base b
+                        JOIN embeddings e
+                          ON e.vec_id = b.vec_id AND e.label = 1
+                    ) cnd
+                    WHERE q.vec_id < 10 AND cnd.vec_id <> q.vec_id
+                ) WHERE rnk <= 5
+            )
+            SELECT e.query_id,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+                   round(CAST(count(a.neighbor_id) AS DOUBLE)
+                         / count(*), 4) AS recall
+            FROM fexact e LEFT JOIN approx a
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+    """
     # Append-to-frozen-index: identical replay chain, except training
     # (seed + both Lloyd rounds) sees ONLY the vec_id < 400 scope; the
     # final assignment `af` covers the FULL corpus against those

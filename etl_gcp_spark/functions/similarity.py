@@ -2327,6 +2327,94 @@ def ann_recall_report(
     )
 
 
+def filtered_recall_report(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    label_value: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Recall@k of FILTERED vector search against the filtered exact
+    top-k — the third leg of the recall-audit family
+    (:func:`ann_recall_report` audits the index approximation,
+    :func:`truncation_recall_report` the representation; this one
+    audits the FILTER × INDEX interaction). A selective predicate
+    shrinks each probed cell's candidate pool, so recall under a
+    filter is systematically LOWER than the unfiltered number at the
+    same ``n_probe`` — the standard operational answer is raising
+    ``n_probe`` for selective filters, and this report is the
+    measurement that decision needs (the reason engines like Qdrant/
+    Vespa document filtered-search recall separately).
+
+    Builds nothing: serves from the ``index_dir`` artifact
+    (:func:`build_ivf_index` with the label in ``meta_cols``). The
+    exact side scans the filtered candidates brute-force with queries
+    looked up UNFILTERED — same semantics as the served path. Output:
+    (query_id, n_exact, n_hits, recall 4 dp).
+    """
+    approx = ivf_index_topk(
+        spark,
+        index_dir,
+        query_ids=query_ids,
+        k=k,
+        n_probe=n_probe,
+        neighbor_pred=(F.col(label_col) == label_value),
+    ).select("query_id", "neighbor_id")
+    base = embeddings.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.col(label_col),
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
+    )
+    c = base.filter(F.col(label_col) == label_value).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__c")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__q", "__c", None).alias("__sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 def truncation_recall_report(
     embeddings: DataFrame,
     *,

@@ -961,3 +961,33 @@ def test_streaming_drift_report_recovers_and_equals_batch(
     ).collect()
     batch = ivf_drift_report(load_table(spark, sf_dir, "embeddings")).collect()
     assert streamed == batch and len(streamed) == 2
+
+
+def test_filtered_recall_report_semantics(spark, sf_dir, tmp_path):
+    """Filtered-search recall: every row has 0 ≤ recall ≤ 1 with
+    exact integer numerators/denominators; probing EVERY cell makes
+    the filtered serve exhaustive over the filtered corpus, so recall
+    must be exactly 1.0 for every query — the same floor contract as
+    the unfiltered ann_recall_report."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        filtered_recall_report,
+    )
+    from etl_gcp_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivffrr")
+    build_ivf_index(emb, path, n_cells=8, n_iters=1, meta_cols=("label",))
+    partial = filtered_recall_report(
+        spark, emb, path,
+        query_ids=list(range(6)), k=3, n_probe=2, label_value=1,
+    ).collect()
+    assert len(partial) == 6
+    for r in partial:
+        assert 0 <= r.n_hits <= r.n_exact <= 3
+        assert r.recall == round(r.n_hits / r.n_exact, 4)
+    exhaustive = filtered_recall_report(
+        spark, emb, path,
+        query_ids=list(range(6)), k=3, n_probe=8, label_value=1,
+    ).collect()
+    assert all(r.recall == 1.0 for r in exhaustive)
