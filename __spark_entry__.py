@@ -2023,6 +2023,25 @@ def _q_text_index_erasure_topk(spark, sf_dir):
     )
 
 
+def _q_streaming_text_erasure(spark, sf_dir):
+    """Deletion requests as a STREAM into the persisted inverted
+    index: batch_id-keyed tombstone slices (OVERWRITE — replay
+    rewrites only its own slice), index build guarded by its
+    committer marker so a mid-stream resume cannot clear committed
+    deletions. Final serve is bit-equal to the fused scorer over the
+    survivors, so the batch erasure entry's oracle attaches
+    verbatim; kill-resume pytest-locked."""
+    from etl_gcp_spark.streaming.text import run_streaming_text_erasure
+
+    return run_streaming_text_erasure(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        ["spark", "vector", "stream"],
+        erase_mod=7,
+        k=10,
+    )
+
+
 def _q_text_index_append(spark, sf_dir):
     """Index maintenance, text side: build the inverted index on the
     first half of the corpus, APPEND the second half (new files in
@@ -4154,6 +4173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_erasure_audit": _q_entity_erasure_audit,
         # the filter x index recall interaction, measured.
         "ann_filtered_recall_report": _q_ann_filtered_recall_report,
+        # deletion requests as a stream (batch_id-keyed tombstone
+        # slices; build guarded so resume cannot clear them).
+        "streaming_text_erasure": _q_streaming_text_erasure,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -10406,4 +10428,7 @@ def oracle_sql() -> dict[str, str]:
     )
     assert _bme != sql["bm25_topk"], "erasure-BM25 oracle anchor"
     sql["text_index_erasure_topk"] = _bme
+    # streamed deletions drain to the same final tombstone set, so
+    # the batch erasure oracle attaches verbatim
+    sql["streaming_text_erasure"] = _bme
     return sql

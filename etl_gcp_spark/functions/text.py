@@ -1398,11 +1398,15 @@ def _text_index_tombstones(spark, index_dir: str) -> DataFrame | None:
 
     tomb = f"{index_dir}/tombstones"
     if not os.path.isdir(tomb) or not any(
-        e.endswith(".parquet") or e == "_SUCCESS" or e.startswith("part-")
+        e.endswith(".parquet")
+        or e == "_SUCCESS"
+        or e.startswith("part-")
+        or e.startswith("batch=")  # streamed deletion requests
         for e in os.listdir(tomb)
     ):
         return None
-    return spark.read.parquet(tomb).select("doc_id")
+    df = spark.read.parquet(tomb)
+    return df.select("doc_id")
 
 
 def text_index_erase(spark, index_dir: str, doc_ids) -> None:

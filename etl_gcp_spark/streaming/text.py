@@ -172,3 +172,83 @@ def run_streaming_text_ingest(
     )
     dl = dl_all.select("doc_id", F.col("dl").alias("__dl"))
     return bm25_score_frames(postings, dl, stats, k=k)
+
+
+@_metered_build
+def run_streaming_text_erasure(
+    spark: SparkSession,
+    documents_path: str,
+    query_terms: list[str],
+    *,
+    erase_mod: int = 7,
+    n_batches: int = 4,
+    k: int = 10,
+    n_buckets: int = 64,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Deletion requests arrive as a STREAM: each microbatch of
+    doc_ids lands as a tombstone slice under
+    ``index/tombstones/batch=<batch_id>`` (OVERWRITE — a replayed
+    batch rewrites its own slice; the batch-path
+    ``text_index_erase``'s blind append would duplicate rows on
+    replay, which anti-join semantics would forgive but exactly-once
+    discipline should not rely on). Serving after the stream drains
+    goes through the ordinary tombstone-aware ``bm25_index_topk`` and
+    is bit-equal to a fused scorer over the surviving corpus — the
+    batch erasure entry's oracle attaches verbatim.
+
+    The index build is guarded by its committer marker, NOT blindly
+    rebuilt on resume: a rebuild clears the tombstone dir (fresh
+    snapshot semantics), so re-running it after a mid-stream crash
+    would drop the already-committed deletion slices that the
+    checkpoint will never replay. This is the one streaming runner
+    where "idempotent rebuild" would be a correctness bug.
+    """
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_build,
+    )
+
+    root = root or os.path.join(
+        tempfile.gettempdir(), f"etl_gcp_spark_texterstream_{uuid.uuid4().hex}"
+    )
+    index = os.path.join(root, "index")
+    docs = spark.read.parquet(documents_path)
+
+    if not staged_ready(os.path.join(index, "postings")):
+        text_index_build(docs, index, n_buckets=n_buckets)
+
+    staged = os.path.join(root, "in")
+    if not staged_ready(staged):
+        docs.filter(F.col("doc_id") % erase_mod == 0).select(
+            "doc_id"
+        ).repartition(n_batches).write.mode("overwrite").parquet(staged)
+
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        batch_df.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(index, "tombstones", f"batch={batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink writes, BEFORE the checkpoint
+            # commit — the replay must rewrite only its own slice
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return bm25_index_topk(spark, index, query_terms, k=k, n_buckets=n_buckets)

@@ -510,6 +510,48 @@ def test_text_index_erasure_serves_remaining_and_compact_is_physical(
     assert after == served
 
 
+def test_streaming_text_erasure_recovers_and_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Kill the deletion-request stream after trigger 2 of 4
+    (post-write, pre-commit), resume from the checkpoint, and require
+    the final serve to equal the fused scorer over the survivors —
+    tombstone slices are batch_id-keyed overwrites, and the
+    marker-guarded index build must NOT rerun on resume (a rebuild
+    clears the tombstone dir and would silently drop the committed
+    deletion slices the checkpoint will never replay)."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.functions.text import bm25_topk
+    from etl_gcp_spark.streaming.text import run_streaming_text_erasure
+
+    root = str(tmp_path / "text_erasure_recovery")
+    path = os.path.join(sf_dir, "documents.parquet")
+    terms = ["spark", "vector", "stream"]
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_text_erasure(
+            spark, path, terms, root=root, fail_after_batches=2
+        )
+    # the committed slices must survive the crash into the resume
+    assert os.path.isdir(f"{root}/index/tombstones")
+    streamed = [
+        (r.doc_id, r.bm25)
+        for r in run_streaming_text_erasure(
+            spark, path, terms, root=root
+        ).collect()
+    ]
+    docs = spark.read.parquet(path)
+    fused = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(
+            docs.filter(F.col("doc_id") % 7 != 0), terms, k=10
+        ).collect()
+    ]
+    assert streamed and streamed == fused
+
+
 def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
     from etl_gcp_spark.functions.text import (
         bm25_index_topk,
