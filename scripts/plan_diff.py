@@ -34,27 +34,12 @@ import sys
 # (query, metric) -> justification. Reviewed each round; stale waivers
 # (the metric no longer differs) are reported so they get pruned.
 WAIVERS: dict[tuple[str, str], str] = {
-    # (ivf_drift_report, exchanges) pruned r7: the r6-close baseline
-    # already carries the reworked 5-exchange plan, so the waiver no
-    # longer fires (stale-waiver note confirmed it).
-    ("near_dup_dedup", "broadcast"): (
-        "r7 capture-methodology fix, not a plan change: plan_inventory "
-        "now clears the cache between queries, so rows are STANDALONE "
-        "plans. The r6 row (7 BHJ / 0 SMJ) was captured with a "
-        "neighbor's registered cache substituting InMemoryRelation "
-        "into the pair substrate — its size stats flipped joins to "
-        "broadcast. Hermetic double-run is stable at 3 BHJ / 1 SMJ; "
-        "operator code unchanged (closure hash equal since r6 apart "
-        "from shared-helper drift flagged for re-window). The SMJ "
-        "joins candidate pairs with documents — not broadcastable at "
-        "corpus scale anyway; AQE upgrades it at runtime when small."
-    ),
-    ("dedup_triangles", "broadcast"): (
-        "Same r7 hermetic-capture fix as near_dup_dedup: the r6 row "
-        "(20 BHJ) rode the same cached pair substrate; standalone is "
-        "9 BHJ / 2 SMJ on the pair-pair closure joins, which are "
-        "data-sized and correctly conservative as SMJ at scale."
-    ),
+    # (near_dup_dedup, broadcast) and (dedup_triangles, broadcast)
+    # pruned in the extended r7 session: both r7-close baselines
+    # already carry the hermetic standalone plans, so the
+    # capture-methodology waivers no longer fire (stale-waiver notes
+    # confirmed both). (ivf_drift_report, exchanges) was pruned the
+    # same way at r7 open.
 }
 
 
