@@ -4040,9 +4040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surfaced 68 entries whose package-side operator code
         # changed after their driver-green round; these 45 are the
         # oldest (all r01 stamps, 6-round-old proofs under a
-        # twice-changed canonicalization harness). The 23 overflow
-        # flags are recorded in HASH_DRIFT_BACKLOG.json and head
-        # the r8 window (positions 51-73). ---
+        # twice-changed canonicalization harness). The overflow
+        # flags are recorded in HASH_DRIFT_BACKLOG.json (37 after
+        # the extended-session additions) and park contiguously at
+        # positions 51-87 for the r8 window. ---
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
@@ -4093,11 +4094,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pin test, ADVICE r6); displaced order_gap_days to the
         # backlog head.
         "ivf_drift_report": _q_ivf_drift_report,
-        # --- positions 51-75: the r8 window head — the 25
-        # hash-drift flags that did not fit this round (6 r01 +
-        # 10 r02 + 3 r03 + 1 r04 + 4 r05, oldest first, plus
-        # zipf_fit at the tail — stale from this round's
-        # limit-first rewrite). ---
+        # --- positions 51-87: the r8 window head — the hash-drift
+        # flags that did not fit this round's window (oldest first;
+        # zipf_fit stale from the limit-first rewrite; plus, from
+        # the extended session, the 6 streaming entries staled by
+        # the staging-guard adoption and the 3 text-index entries
+        # staled by the meta_cols/filtered-serve work). The r8
+        # rotation plan: these 37 + the 10 unstamped net-new
+        # (positions 88-97) = 47 of 50 slots. ---
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
