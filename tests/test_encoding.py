@@ -552,6 +552,44 @@ def test_streaming_text_erasure_recovers_and_equals_batch(
     assert streamed and streamed == fused
 
 
+def test_filtered_serve_composes_with_erasure(spark, sf_dir, tmp_path):
+    """Filter × erasure composition: a filtered serve on a tombstoned
+    index must equal the fused scorer over documents that satisfy the
+    predicate AND survive the erasure — both reductions apply to
+    postings, doclen, and the recomputed stats."""
+    from etl_gcp_spark.functions.text import (
+        bm25_index_filtered_topk,
+        bm25_topk,
+        text_index_build,
+        text_index_erase,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "textfe")
+    text_index_build(docs, idx, n_buckets=64, meta_cols=("lang",))
+    text_index_erase(
+        spark, idx, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    terms = ["spark", "vector", "stream"]
+    served = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_filtered_topk(
+            spark, idx, terms, doc_pred=(F.col("lang") == "en"), k=10
+        ).collect()
+    ]
+    fused = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(
+            docs.filter(
+                (F.col("lang") == "en") & (F.col("doc_id") % 7 != 0)
+            ),
+            terms,
+            k=10,
+        ).collect()
+    ]
+    assert served and served == fused
+
+
 def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
     from etl_gcp_spark.functions.text import (
         bm25_index_topk,

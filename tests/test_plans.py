@@ -705,6 +705,39 @@ def test_ivf_erasure_lifecycle_and_pruned_tombstone_serve(
     assert sorted(map(tuple, after)) == sorted(map(tuple, out))
 
 
+def test_ivf_filtered_serve_composes_with_erasure(spark, sf_dir, tmp_path):
+    """Filter × erasure composition on the vector index: a filtered
+    serve over a tombstoned artifact returns only neighbors that
+    satisfy the predicate AND survive the erasure, and erased ids
+    stay unservable as queries."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_erase,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivffe")
+    build_ivf_index(emb, path, n_cells=8, n_iters=1, meta_cols=("label",))
+    ivf_index_erase(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    out = ivf_index_topk(
+        spark, path, query_ids=list(range(10)), k=3, n_probe=3,
+        neighbor_pred=(F.col("label") == 1),
+    ).collect()
+    assert out
+    allowed = {
+        r["vec_id"]
+        for r in emb.filter(
+            (F.col("label") == 1) & (F.col("vec_id") % 7 != 0)
+        ).select("vec_id").collect()
+    }
+    qs = {r["query_id"] for r in out}
+    assert 0 not in qs and 7 not in qs
+    assert all(r["neighbor_id"] in allowed for r in out)
+
+
 def test_ivf_append_tree_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     """The streaming append trees keep the same pruning contract as
     the base tree: a probed-cell read over appends/batch=N/cell=M
