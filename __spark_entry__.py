@@ -4025,25 +4025,92 @@ def _q_stream_sessions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every callable goes through the pinned-frame ledger (see above)
     return {k: _ledgered(fn) for k, fn in {
-        # --- round-7 correctness window (the driver verifies ~the
-        # first 50 keys in dict order). Slots 1-5: the round-6
-        # net-new entries, the only ones without a driver stamp
-        # (VERDICT r6 item 1). ---
+        # --- round-8 correctness window (the driver verifies ~the
+        # first 50 keys in dict order). Slots 1-37: the entire
+        # hash-drift backlog (HASH_DRIFT_BACKLOG.json r08 schedule,
+        # VERDICT r7 item 1) — entries whose transitive package
+        # source changed after their last driver-green round; parked
+        # at positions 51-87 through r7, rotated to the head here in
+        # the same order (oldest stamps first, then the streaming
+        # entries staled by the crash-atomic staging-guard adoption
+        # and the text-index entries staled by the meta_cols/
+        # filtered-serve work). ---
+        "order_gap_days": _q_order_gaps,
+        "status_priority_cube": _q_cube,
+        "price_band_totals": _q_price_bands,
+        "top_customers": _q_top_customers,
+        "customer_order_ranks": _q_order_ranks,
+        "order_rollup": _q_rollup,
+        "quality_filter": _q_quality_filter,
+        "curation_funnel": _q_curation_funnel,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "near_dup_dedup": _q_near_dup_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_lsh_pairs": _q_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "python_datasource_chunks": _q_python_datasource,
+        "streaming_upsert": _q_stream_upsert,
+        "streaming_interval_join": _q_stream_interval_join,
+        "key_skew_report": _q_key_skew_report,
+        "ivf_index_topk": _q_ivf_index_topk,
+        "ivf_index_append_topk": _q_ivf_index_append_topk,
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        "ivf_compact_topk": _q_ivf_compact_topk,
+        # zipf_fit: r06 stamp staled by the limit-first rewrite of
+        # the type-spectrum ranking (global row_number -> orderBy+
+        # limit heap, VERDICT r6 item 5).
+        "zipf_fit": _q_zipf_fit,
+        # staled by the r7 mask_key_index extraction (fuzzy_pairs'
+        # blocking shared with the incremental entity audit).
+        "entity_clusters": _q_entity_clusters,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
+        # staled by the r7 meta_cols/filtered-serve text-index work.
+        "bm25_index_topk": _q_bm25_index_topk,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        # staled by the r7 crash-atomic staging-guard adoption
+        # (streaming/events.py).
+        "streaming_cms": _q_streaming_cms,
+        "streaming_hll": _q_streaming_hll,
+        "streaming_markov": _q_streaming_markov,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        "streaming_quantiles": _q_streaming_quantiles,
+        "streaming_topk": _q_streaming_topk,
+        # --- slots 38-47: the 10 round-7 net-new entries, the only
+        # never-driver-checked entries in the registry (VERDICT r7
+        # item 1): filtered retrieval, right-to-be-forgotten erasure
+        # through all three persisted-index families, and entity-
+        # cluster maintenance (incremental / streaming / deletion /
+        # compaction). ---
+        "entity_clusters_increment": _q_entity_clusters_increment,
+        "streaming_entity_ingest": _q_streaming_entity_ingest,
+        "ann_ivf_filtered_topk": _q_ann_ivf_filtered_topk,
+        "entity_label_compact": _q_entity_label_compact,
+        "bm25_filtered_topk": _q_bm25_filtered_topk,
+        "text_index_erasure_topk": _q_text_index_erasure_topk,
+        "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
+        "entity_erasure_audit": _q_entity_erasure_audit,
+        "ann_filtered_recall_report": _q_ann_filtered_recall_report,
+        "streaming_text_erasure": _q_streaming_text_erasure,
+        # --- slots 48-50: the three oldest surviving stamps (r02,
+        # hash-clean under the extended closure walk) — re-checked
+        # on age alone, per VERDICT r7 item 1's "fill the rest with
+        # the oldest surviving stamps". ---
+        "asof_click_purchase": _q_asof,
+        "audit_stamp": _q_audit_stamp,
+        "bpe_token_count": _q_bpe_token_count,
+        # --- positions 51-100: the round-7 window, all 50 freshly
+        # driver-stamped (CORRECTNESS_r07 50/50 green) — rotated out
+        # of the head to make room. ---
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         "streaming_text_index_ingest": _q_streaming_text_index,
         "quality_calibration_bins": _q_quality_calibration_bins,
         "streaming_drift_report": _q_streaming_drift_report,
-        # --- slots 6-50: hash-drift re-checks (VERDICT r6 item 2).
-        # scripts/registry_hashes.py now walks helper closures
-        # ACROSS etl_gcp_spark modules (ADVICE r6 medium), which
-        # surfaced 68 entries whose package-side operator code
-        # changed after their driver-green round; these 45 are the
-        # oldest (all r01 stamps, 6-round-old proofs under a
-        # twice-changed canonicalization harness). The overflow
-        # flags are recorded in HASH_DRIFT_BACKLOG.json (37 after
-        # the extended-session additions) and park contiguously at
-        # positions 51-87 for the r8 window. ---
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
@@ -4088,104 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _q_contamination,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
-        # slot 50: ivf_drift_report re-check — its r06 stamp went
-        # stale THIS round (drift scoring extracted into the shared
-        # drift_scores_literal/_gemm helpers for the kernel-margin
-        # pin test, ADVICE r6); displaced order_gap_days to the
-        # backlog head.
         "ivf_drift_report": _q_ivf_drift_report,
-        # --- positions 51-87: the r8 window head — the hash-drift
-        # flags that did not fit this round's window (oldest first;
-        # zipf_fit stale from the limit-first rewrite; plus, from
-        # the extended session, the 6 streaming entries staled by
-        # the staging-guard adoption and the 3 text-index entries
-        # staled by the meta_cols/filtered-serve work). The r8
-        # rotation plan: these 37 + the 10 unstamped net-new
-        # (positions 88-97) = 47 of 50 slots. ---
-        "order_gap_days": _q_order_gaps,
-        "status_priority_cube": _q_cube,
-        "price_band_totals": _q_price_bands,
-        "top_customers": _q_top_customers,
-        "customer_order_ranks": _q_order_ranks,
-        "order_rollup": _q_rollup,
-        "quality_filter": _q_quality_filter,
-        "curation_funnel": _q_curation_funnel,
-        "unigram_surprisal": _q_unigram_surprisal,
-        "near_dup_dedup": _q_near_dup_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
-        "python_datasource_chunks": _q_python_datasource,
-        "streaming_upsert": _q_stream_upsert,
-        "streaming_interval_join": _q_stream_interval_join,
-        "key_skew_report": _q_key_skew_report,
-        "ivf_index_topk": _q_ivf_index_topk,
-        "ivf_index_append_topk": _q_ivf_index_append_topk,
-        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
-        "ivf_compact_topk": _q_ivf_compact_topk,
-        # backlog tail: zipf_fit's r06 stamp went stale this round —
-        # type-spectrum ranking rewritten limit-first (global
-        # row_number over a vocabulary-sized frame → orderBy+limit
-        # heap, VERDICT r6 item 5); re-verified green locally.
-        "zipf_fit": _q_zipf_fit,
-        # backlog tail (cont.): stale from this round's
-        # mask_key_index extraction (fuzzy_pairs' blocking shared
-        # with the new incremental audit) — re-verified green
-        # locally.
-        "entity_clusters": _q_entity_clusters,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
-        # backlog extension (extended r7 session): 6 streaming
-        # entries staled by the crash-atomic staging-guard adoption
-        # (streaming/events.py, snapshot commit 8a28dbb) + 3
-        # text-index entries staled by the meta_cols/filtered-serve
-        # work — parked contiguously in the front section
-        # (positions 79-87) and recorded in HASH_DRIFT_BACKLOG.json.
-        "streaming_hll": _q_streaming_hll,
-        "streaming_markov": _q_streaming_markov,
-        "bm25_index_topk": _q_bm25_index_topk,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
-        "streaming_quantiles": _q_streaming_quantiles,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
-        "streaming_cms": _q_streaming_cms,
-        "streaming_topk": _q_streaming_topk,
-        # --- round-7 net-new (VERDICT r6 item 6), registered BEHIND
-        # the window and the r8 backlog: incremental entity-label
-        # maintenance audit — completes the build→append→audit story
-        # for the graph side. ---
-        "entity_clusters_increment": _q_entity_clusters_increment,
-        # streaming twin: per-microbatch label maintenance whose
-        # final state equals batch entity_clusters — its oracle
-        # attaches verbatim (the cheapest route to a value-hash
-        # streaming entry, same as streaming_ivf_ingest).
-        "streaming_entity_ingest": _q_streaming_entity_ingest,
-        # --- round-7 (extended session) net-new, BEHIND the window
-        # and the r8 backlog: filtered vector search — metadata baked
-        # into the IVF payload, predicate pushed into the
-        # partition-pruned serve scan. ---
-        "ann_ivf_filtered_topk": _q_ann_ivf_filtered_topk,
-        # label-store compaction: the graph family's lifecycle
-        # close-out (stream → compact → serve from base alone).
-        "entity_label_compact": _q_entity_label_compact,
-        # filtered retrieval, text side: attribute predicate pushed
-        # into the bucket-pruned postings scan.
-        "bm25_filtered_topk": _q_bm25_filtered_topk,
-        # erasure through the derived artifact: tombstone append +
-        # anti-join serve, physical removal at compaction.
-        "text_index_erasure_topk": _q_text_index_erasure_topk,
-        "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
-        # deletion maintenance for the graph family: bridge deletions
-        # split components; only affected survivors re-cluster.
-        "entity_erasure_audit": _q_entity_erasure_audit,
-        # the filter x index recall interaction, measured.
-        "ann_filtered_recall_report": _q_ann_filtered_recall_report,
-        # deletion requests as a stream (batch_id-keyed tombstone
-        # slices; build guarded so resume cannot clear them).
-        "streaming_text_erasure": _q_streaming_text_erasure,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -4353,7 +4323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_orders": _q_clean_orders,
         "pipeline_gold": _q_pipeline_gold,
         "normalize_columns": _q_normalize_columns,
-        "audit_stamp": _q_audit_stamp,
         "dedup_lineitem": _q_dedup_lineitem,
         "dedup_keep_first": _q_dedup_keep_first,
         "dup_count_lineitem": _q_dup_count,
@@ -4375,7 +4344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "source_mixture_rates": _q_source_mixture,
         "mixture_sample_counts": _q_mixture_sample_counts,
-        "bpe_token_count": _q_bpe_token_count,
         "top_ngrams": _q_top_ngrams,
         "cosine_topk": _q_cosine_topk,
         "quantized_cosine_topk": _q_quantized_topk,
@@ -4383,7 +4351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_parsed": _q_json_parsed,
         "hourly_event_stats": _q_hourly,
         "sessionize_events": _q_sessionize,
-        "asof_click_purchase": _q_asof,
         "sliding_event_stats": _q_sliding,
         "daily_top_event_types": _q_daily_top_types,
         "time_rollup": _q_time_rollup,
