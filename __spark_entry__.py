@@ -1788,8 +1788,12 @@ def _q_ann_filtered_recall_report(spark, sf_dir):
     )
     # an audit serves the artifact it audits — build only when this
     # process hasn't already (repeat runs measure the audit, not a
-    # redundant rebuild; the committer marker is the guard)
-    if not staged_ready(os.path.join(path, "vectors")):
+    # redundant rebuild). The guard watches CENTROIDS, the LAST
+    # artifact build_ivf_index commits: a crash between the vectors
+    # and centroids writes leaves a committed vectors tree whose
+    # reuse would serve stale/missing centroids (ADVICE r7) —
+    # centroids' committer marker implies both trees are complete.
+    if not staged_ready(os.path.join(path, "centroids")):
         build_ivf_index(
             emb, path, n_cells=32, n_iters=2, meta_cols=("label",)
         )

@@ -2568,6 +2568,7 @@ def ivf_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple = (),
 ) -> None:
     """Append new vectors to a persisted :func:`build_ivf_index`
     artifact WITHOUT retraining — the index-maintenance operation a
@@ -2587,7 +2588,24 @@ def ivf_index_append(
     :func:`build_ivf_index`) remains the answer when drift makes the
     frozen centroids unbalanced — the two operations are the standard
     serve-time/maintenance split of a production IVF index.
+
+    ``meta_cols`` must match the build's (``build_ivf_index(
+    meta_cols=...)``): metadata rides in on the id exactly as at
+    build time, so appended rows stay filterable by the same
+    predicates. The base tree's schema is the contract — a mismatch
+    in either direction fails fast here, because the alternative is
+    a mixed-schema vectors tree whose filtered serves silently skip
+    appended vectors (null metadata) and whose compaction
+    ``select(*cols)`` raises much later.
     """
+    base_schema = spark.read.parquet(os.path.join(path, "vectors")).schema
+    base_meta = set(base_schema.names) - {"vec_id", "vector", "cell"}
+    if base_meta != set(meta_cols):
+        raise ValueError(
+            "ivf_index_append meta_cols mismatch: index at "
+            f"{path!r} carries metadata columns {sorted(base_meta)}, "
+            f"append supplies {sorted(meta_cols)}"
+        )
     cents = sorted(
         spark.read.parquet(os.path.join(path, "centroids")).collect(),
         key=lambda r: r["cell"],
@@ -2598,12 +2616,20 @@ def ivf_index_append(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
     assigned = _assign_to_centroids(base, cmat, labels, id_col)
-    (
-        assigned.select(
-            F.col(id_col).alias("vec_id"),
-            F.col("__v").alias("vector"),
-            "cell",
+    payload = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("__v").alias("vector"),
+        "cell",
+    )
+    if meta_cols:
+        payload = payload.join(
+            new_embeddings.select(
+                F.col(id_col).alias("vec_id"), *[F.col(c) for c in meta_cols]
+            ),
+            "vec_id",
         )
+    (
+        payload
         .write.partitionBy("cell")
         .mode("append")
         .parquet(os.path.join(path, "vectors"))
@@ -2661,8 +2687,11 @@ def ivf_index_compact(spark, path: str) -> None:
     """
     import shutil
 
+    from etl_gcp_spark.streaming.staging import commit_swap, heal_swap
+
     vectors = os.path.join(path, "vectors")
     appends = os.path.join(path, "appends")
+    heal_swap(vectors)
     tomb = _ivf_tombstones(spark, path)
     if not os.path.isdir(appends) and tomb is None:
         return
@@ -2679,12 +2708,10 @@ def ivf_index_compact(spark, path: str) -> None:
     # partitions and the tombstone dir is cleared
     if tomb is not None:
         allv = allv.join(F.broadcast(tomb), "vec_id", "left_anti")
-    tmp = vectors + "_compacting"
-    allv.write.partitionBy("cell").mode("overwrite").parquet(tmp)
-    old = vectors + "_old"
-    os.rename(vectors, old)
-    os.rename(tmp, vectors)
-    shutil.rmtree(old, ignore_errors=True)
+    allv.write.partitionBy("cell").mode("overwrite").parquet(
+        vectors + "_compacting"
+    )
+    commit_swap(vectors)
     shutil.rmtree(appends, ignore_errors=True)
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 

@@ -1613,11 +1613,22 @@ def text_index_append(
     bit-equal to a fused scorer over the union corpus — one oracle
     covers the whole build → append → serve lifecycle.
     ``meta_cols`` must match the build's — mixed-schema trees would
-    break filtered serves.
+    break filtered serves — so the base doclen tree's schema is
+    checked first and a mismatch in either direction fails fast
+    (same contract as ivf_index_append's guard on the vector side).
     """
     from etl_gcp_spark.operators.encoding import _poly_hash
 
     spark = new_documents.sparkSession
+    base_meta = set(
+        spark.read.parquet(f"{index_dir}/doclen").schema.names
+    ) - {"doc_id", "dl"}
+    if base_meta != set(meta_cols):
+        raise ValueError(
+            "text_index_append meta_cols mismatch: index at "
+            f"{index_dir!r} carries metadata columns "
+            f"{sorted(base_meta)}, append supplies {sorted(meta_cols)}"
+        )
     toks = new_documents.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in meta_cols],
@@ -1667,7 +1678,11 @@ def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
     import os
     import shutil
 
+    from etl_gcp_spark.streaming.staging import commit_swap, heal_swap
+
     postings = f"{index_dir}/postings"
+    heal_swap(postings)
+    heal_swap(f"{index_dir}/doclen")
     # full payload, not a fixed projection — a meta-enriched index
     # (text_index_build(meta_cols=...)) must keep its attribute
     # columns through compaction or filtered serves break after it
@@ -1680,25 +1695,17 @@ def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
     tomb = _text_index_tombstones(spark, index_dir)
     if tomb is not None:
         allp = allp.join(F.broadcast(tomb), "doc_id", "left_anti")
-    tmp = postings + "_compacting"
     allp.repartition(n_buckets, "bucket").write.partitionBy(
         "bucket"
-    ).mode("overwrite").parquet(tmp)
-    old = postings + "_old"
-    os.rename(postings, old)
-    os.rename(tmp, postings)
-    shutil.rmtree(old, ignore_errors=True)
+    ).mode("overwrite").parquet(postings + "_compacting")
+    commit_swap(postings)
     if tomb is not None:
         doclen = f"{index_dir}/doclen"
         kept = spark.read.parquet(doclen).join(
             F.broadcast(tomb), "doc_id", "left_anti"
         )
-        tmp = doclen + "_compacting"
-        kept.write.mode("overwrite").parquet(tmp)
-        old = doclen + "_old"
-        os.rename(doclen, old)
-        os.rename(tmp, doclen)
-        shutil.rmtree(old, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(doclen + "_compacting")
+        commit_swap(doclen)
         spark.read.parquet(doclen).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_dl"),

@@ -119,21 +119,25 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
     """
     import shutil
 
+    from etl_gcp_spark.streaming.staging import commit_swap, heal_swap
+
     base_dir = os.path.join(root, "labels_base")
     patch_dir = os.path.join(root, "labels")
+    mk_base = os.path.join(root, "maskkeys", "base")
+    mk_app = os.path.join(root, "maskkeys", "appends")
+    # self-repair first: a run killed between commit_swap's renames
+    # (the one window where a base tree is absent) rolls forward to
+    # the committer-marked rewrite, so the store is never left
+    # unservable awaiting manual repair (ADVICE r7)
+    heal_swap(base_dir)
+    heal_swap(mk_base)
     if os.path.isdir(patch_dir) and any(
         e.startswith("batch=") for e in os.listdir(patch_dir)
     ):
         latest = _latest_labels(spark, root)
-        tmp = base_dir + "_compacting"
-        latest.write.mode("overwrite").parquet(tmp)
-        old = base_dir + "_old"
-        os.rename(base_dir, old)
-        os.rename(tmp, base_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        latest.write.mode("overwrite").parquet(base_dir + "_compacting")
+        commit_swap(base_dir)
         shutil.rmtree(patch_dir, ignore_errors=True)
-    mk_base = os.path.join(root, "maskkeys", "base")
-    mk_app = os.path.join(root, "maskkeys", "appends")
     if os.path.isdir(mk_app) and any(
         e.startswith("batch=") for e in os.listdir(mk_app)
     ):
@@ -142,12 +146,8 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
             .parquet(mk_app)
             .drop("batch")
         )
-        tmp = mk_base + "_compacting"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = mk_base + "_old"
-        os.rename(mk_base, old)
-        os.rename(tmp, mk_base)
-        shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(mk_base + "_compacting")
+        commit_swap(mk_base)
         shutil.rmtree(mk_app, ignore_errors=True)
 
 

@@ -35,3 +35,48 @@ def mark_staged(path: str) -> None:
     appended to."""
     with open(path + "._ok", "w"):
         pass
+
+
+def heal_swap(base: str) -> None:
+    """Repair a :func:`commit_swap` interrupted between its two
+    renames — the one crash window where ``base`` does not exist.
+    Roll FORWARD when the fully-written replacement is present
+    (``base + "_compacting"`` carries Spark's committer marker: it
+    was completely written before the swap began), else roll BACK to
+    the preserved ``base + "_old"``. Idempotent and a no-op when
+    ``base`` exists; compactors call it on entry so a store crashed
+    mid-swap self-repairs on the next maintenance pass instead of
+    needing the manual rename the r7 review flagged.
+    """
+    import shutil
+
+    if os.path.isdir(base):
+        # a completed swap may still have leftovers to sweep
+        shutil.rmtree(base + "_old", ignore_errors=True)
+        return
+    tmp, old = base + "_compacting", base + "_old"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.rename(old, base)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def commit_swap(base: str) -> None:
+    """Publish ``base + "_compacting"`` (a complete, committer-marked
+    rewrite) as ``base`` via the two-rename local-FS swap shared by
+    every compactor (IVF vectors, text postings/doclen, entity
+    labels/maskkeys). The window between the renames is the only
+    state without a live ``base``; it is recoverable in BOTH
+    directions and :func:`heal_swap` rolls it forward. An
+    object-store deployment replaces this with a manifest/table-
+    format commit (Iceberg/Delta-style) — renames there are neither
+    atomic nor cheap.
+    """
+    import shutil
+
+    tmp, old = base + "_compacting", base + "_old"
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)

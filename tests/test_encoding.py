@@ -609,6 +609,32 @@ def test_text_index_append_equals_full_build(spark, sf_dir, tmp_path):
     assert a == b  # append-grown index serves identically to a full build
 
 
+def test_text_index_append_meta_cols_mismatch_fails_fast(
+    spark, sf_dir, tmp_path
+):
+    """meta_cols must match the build's in both directions — a
+    mixed-schema postings/doclen tree breaks filtered serves, so the
+    append guards on the base doclen schema (text twin of the
+    ivf_index_append guard, ADVICE r7)."""
+    import pytest
+
+    from etl_gcp_spark.functions.text import text_index_append, text_index_build
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = str(tmp_path / "plainidx")
+    text_index_build(docs.filter(F.col("doc_id") % 2 == 0), plain)
+    with pytest.raises(ValueError, match="meta_cols mismatch"):
+        text_index_append(
+            docs.filter(F.col("doc_id") % 2 == 1), plain, meta_cols=("lang",)
+        )
+    enriched = str(tmp_path / "metaidx")
+    text_index_build(
+        docs.filter(F.col("doc_id") % 2 == 0), enriched, meta_cols=("lang",)
+    )
+    with pytest.raises(ValueError, match="meta_cols mismatch"):
+        text_index_append(docs.filter(F.col("doc_id") % 2 == 1), enriched)
+
+
 def test_text_index_compact_preserves_serving_and_shrinks_files(
     spark, sf_dir, tmp_path
 ):

@@ -991,3 +991,96 @@ def test_filtered_recall_report_semantics(spark, sf_dir, tmp_path):
         query_ids=list(range(6)), k=3, n_probe=8, label_value=1,
     ).collect()
     assert all(r.recall == 1.0 for r in exhaustive)
+
+
+def test_ivf_index_append_meta_cols_roundtrip_and_guard(spark, tmp_path):
+    """Appending to a meta-enriched index must carry the metadata
+    (appended vectors stay visible to filtered serves) and a
+    meta_cols mismatch in EITHER direction must fail fast instead of
+    producing a mixed-schema vectors tree (ADVICE r7)."""
+    import math
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+
+    def vec(i):
+        return [math.sin(0.7 * i + d) + 0.01 * i * d for d in range(8)]
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i), label=i % 2) for i in range(15)]
+    )
+    new = spark.createDataFrame(
+        # exact dup of query 3's vector, label 1 — findable only if
+        # the append carried its metadata through
+        [Row(vec_id=19, embedding=vec(3), label=1)]
+    )
+    path = str(tmp_path / "ivfappmeta")
+    build_ivf_index(base, path, n_cells=4, n_iters=1, meta_cols=("label",))
+
+    # mismatch direction 1: meta-enriched base, plain append
+    with pytest.raises(ValueError, match="meta_cols mismatch"):
+        ivf_index_append(spark, path, new)
+
+    ivf_index_append(spark, path, new, meta_cols=("label",))
+    out = ivf_index_topk(
+        spark, path, query_ids=[3], k=3, n_probe=2,
+        neighbor_pred=F.col("label") == 1,
+    )
+    top = out.orderBy("rank").collect()[0]
+    assert top.neighbor_id == 19 and top.sim == 1.0
+
+    # mismatch direction 2: plain base, meta-carrying append
+    plain = str(tmp_path / "ivfappplain")
+    build_ivf_index(base.drop("label"), plain, n_cells=4, n_iters=1)
+    with pytest.raises(ValueError, match="meta_cols mismatch"):
+        ivf_index_append(spark, plain, new, meta_cols=("label",))
+
+
+def test_heal_swap_rolls_forward_and_back(spark, tmp_path):
+    """A compactor killed between commit_swap's two renames leaves no
+    base tree; heal_swap must roll FORWARD when the rewrite carries
+    the committer marker, BACKWARD to the preserved _old otherwise,
+    and be a no-op (plus leftover sweep) when base exists."""
+    import os
+
+    from etl_gcp_spark.streaming.staging import commit_swap, heal_swap
+
+    base = str(tmp_path / "store")
+    df = spark.range(10).withColumnRenamed("id", "vec_id")
+
+    # forward: base gone, _compacting committed
+    df.write.parquet(base + "_compacting")
+    df.limit(3).write.parquet(base + "_old")
+    heal_swap(base)
+    assert spark.read.parquet(base).count() == 10
+    assert not os.path.exists(base + "_old")
+    assert not os.path.exists(base + "_compacting")
+
+    # backward: base gone, _compacting incomplete (no _SUCCESS)
+    import shutil
+
+    shutil.rmtree(base)
+    df.limit(3).write.parquet(base + "_old")
+    os.makedirs(base + "_compacting")
+    open(os.path.join(base + "_compacting", "part-partial.parquet"), "w").close()
+    heal_swap(base)
+    assert spark.read.parquet(base).count() == 3
+    assert not os.path.exists(base + "_compacting")
+
+    # completed swap: no-op apart from sweeping leftovers
+    df.limit(3).write.parquet(base + "_old")
+    heal_swap(base)
+    assert spark.read.parquet(base).count() == 3
+    assert not os.path.exists(base + "_old")
+
+    # and the happy-path swap itself still publishes the rewrite
+    df.write.parquet(base + "_compacting")
+    commit_swap(base)
+    assert spark.read.parquet(base).count() == 10
