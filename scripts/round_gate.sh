@@ -21,6 +21,10 @@ if pgrep -f "org.apache.spark" | grep -qv $$; then
          "stopping them first." >&2
 fi
 
+echo "== 0/4 import/name-resolution smoke (seconds — run this alone" \
+     "before ANY snapshot commit, not only at round close)" >&2
+python scripts/smoke_imports.py
+
 echo "== 1/4 pytest" >&2
 python -m pytest tests/ -q
 
