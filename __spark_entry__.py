@@ -1803,6 +1803,47 @@ def _q_ann_filtered_recall_report(spark, sf_dir):
     )
 
 
+def _q_ivf_retrain_swap(spark, sf_dir):
+    """The IVF lifecycle's monitor->ACT edge (VERDICT r7 item 6):
+    build on the undrifted head (vec_id < 400), append the drifted
+    tail against FROZEN centroids, erase vec_id % 11 == 0 (tombstone
+    append), then RETRAIN-SWAP — centroids retrained on the artifact's
+    own surviving corpus, both trees republished write-new-then-rename,
+    tombstones made physical and cleared. The report proves the swap:
+    served top-k == from-scratch fused path over survivors
+    (n_only_serve/n_only_fused structural zeros), measured recall@5
+    vs the exhaustive scan, and n_tombstones_left == 0. Oracle: the
+    k-means training replay over the survivor scope + a brute-force
+    exact CTE (the retrain IS a fresh build on survivors, so the
+    standard replay attaches)."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_erase,
+        ivf_retrain_swap,
+        retrain_swap_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_ivfretr_{os.getpid()}_{os.path.basename(sf_dir)}",
+    )
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path, n_cells=32, n_iters=2
+    )
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= 400))
+    ivf_index_erase(
+        spark, path, emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    )
+    ivf_retrain_swap(spark, path, n_cells=32, n_iters=2)
+    survivors = emb.filter(F.col("vec_id") % 11 != 0)
+    return retrain_swap_report(
+        spark, survivors, path,
+        query_ids=list(range(10)), k=5, n_cells=32, n_probe=4,
+    )
+
+
 def _q_ivf_index_append_topk(spark, sf_dir):
     """Index maintenance without retrain: build the IVF artifact on
     the first 400 vectors only, append the rest against the FROZEN
@@ -4160,6 +4201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
         "ivf_drift_report": _q_ivf_drift_report,
+        # --- round-8 net-new, BEHIND the window (VERDICT r7 item 6):
+        # the drift->retrain ACT edge — retrain on the artifact's own
+        # surviving corpus, write-new-then-rename republish of both
+        # trees, tombstones physical, serve equality + recall proven.
+        "ivf_retrain_swap": _q_ivf_retrain_swap,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8850,6 +8896,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
                    round(CAST(count(a.neighbor_id) AS DOUBLE)
                          / count(*), 4) AS recall
+            FROM fexact e LEFT JOIN approx a
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+    """
+    # Retrain-swap audit: the retrain IS a fresh build on the
+    # surviving corpus, so the standard k-means replay attaches with
+    # base scoped to survivors (vec_id % 11 <> 0) — training seeds,
+    # both Lloyd rounds, assignment, probes and rescoring all read
+    # the survivor scope. Derived textually from the base replay; the
+    # recall legs mirror ann_filtered_recall_report's; equality and
+    # tombstone columns are structural zeros (same convention as the
+    # entity audits).
+    _rtr = sql["ann_ivf_kmeans_topk"].replace(
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n",
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+        "                WHERE vec_id % 11 <> 0\n",
+    )
+    assert _rtr != sql["ann_ivf_kmeans_topk"], "retrain oracle anchor"
+    _rtr_anchor = "SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim,"
+    assert _rtr.count(_rtr_anchor) == 1
+    sql["ivf_retrain_swap"] = _rtr.rsplit(_rtr_anchor, 1)[0] + """, approx AS (
+                SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5
+            ), fexact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, b.v)
+                                        DESC, b.vec_id
+                           ) AS rnk
+                    FROM base q CROSS JOIN base b
+                    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
+                ) WHERE rnk <= 5
+            )
+            SELECT e.query_id,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+                   round(CAST(count(a.neighbor_id) AS DOUBLE)
+                         / count(*), 4) AS recall,
+                   CAST(0 AS BIGINT) AS n_only_serve,
+                   CAST(0 AS BIGINT) AS n_only_fused,
+                   CAST(0 AS BIGINT) AS n_tombstones_left
             FROM fexact e LEFT JOIN approx a
               ON a.query_id = e.query_id
              AND a.neighbor_id = e.neighbor_id

@@ -2716,6 +2716,192 @@ def ivf_index_compact(spark, path: str) -> None:
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
 
 
+@_metered_build
+def ivf_retrain_swap(
+    spark,
+    path: str,
+    *,
+    n_cells: int = 32,
+    n_iters: int = 2,
+) -> None:
+    """ACT on the drift trigger — the last open edge of the IVF
+    lifecycle (build → append → compact → serve → recall/drift audit
+    → **retrain**). :func:`ivf_drift_report` only *detects* that the
+    frozen centroids stopped fitting the ingested distribution; this
+    operation fixes it: retrain centroids on the CURRENT corpus (base
+    tree ∪ streaming/batch appends, minus tombstoned vectors — read
+    from the artifact itself, so whatever metadata columns the index
+    carries survive by construction), re-assign every surviving
+    vector, and publish both trees write-new-then-rename (the
+    ``entity_label_compact`` discipline, via
+    :func:`~etl_gcp_spark.streaming.staging.commit_swap`).
+
+    Erasure contract: a rebuild is a fresh snapshot — tombstones
+    accumulated against the OLD artifact become PHYSICAL here (the
+    erased vectors are excluded from the rewrite and also lose their
+    training influence, which plain compaction keeps) and the
+    tombstone dir is cleared, same contract the text twin documents
+    on its rebuild path (functions/text.py::text_index_erase).
+
+    Publish order: vectors first, then centroids. The two renames
+    cannot be jointly atomic on a local FS; a reader in the window
+    sees NEW cell membership probed by OLD centroids — probes still
+    return valid (if lower-recall) neighbors because rescoring is
+    exact. A crash in the window self-repairs: both trees'
+    ``heal_swap`` roll forward on the next maintenance pass. An
+    object-store deployment commits both trees through one
+    manifest/table-format snapshot instead.
+
+    Scale shape: training is the replayable k-means (n_cells·dim
+    accumulator shuffles per iter, :func:`ivf_train`); the rewrite is
+    one partitioned pass over the surviving corpus — the same cost
+    class as :func:`ivf_index_compact`, paid only when the drift
+    gate fires, never per-ingest.
+    """
+    import shutil
+
+    from etl_gcp_spark.streaming.staging import commit_swap, heal_swap
+
+    vectors = os.path.join(path, "vectors")
+    centroids = os.path.join(path, "centroids")
+    appends = os.path.join(path, "appends")
+    heal_swap(vectors)
+    heal_swap(centroids)
+    cur = spark.read.parquet(vectors)
+    cols = list(cur.columns)
+    if os.path.isdir(appends):
+        cur = cur.unionByName(
+            spark.read.option("basePath", appends)
+            .parquet(appends)
+            .select(*cols)
+        )
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        cur = cur.join(F.broadcast(tomb), "vec_id", "left_anti")
+    meta = [c for c in cols if c not in ("vec_id", "vector", "cell")]
+    labels, cmat = ivf_train(
+        cur, n_cells=n_cells, n_iters=n_iters,
+        id_col="vec_id", vec_col="vector",
+    )
+    base = cur.select("vec_id", F.col("vector").alias("__v"))
+    payload = _assign_to_centroids(base, cmat, labels, "vec_id").select(
+        "vec_id", F.col("__v").alias("vector"), "cell"
+    )
+    if meta:
+        # the assignment kernel's Arrow schema is fixed — metadata
+        # rides back in on the id, as at build time
+        payload = payload.join(cur.select("vec_id", *meta), "vec_id")
+    payload.write.partitionBy("cell").mode("overwrite").parquet(
+        vectors + "_compacting"
+    )
+    spark.createDataFrame(
+        [(int(l), [float(x) for x in c]) for l, c in zip(labels, cmat)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        centroids + "_compacting"
+    )
+    commit_swap(vectors)
+    commit_swap(centroids)
+    shutil.rmtree(appends, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+
+
+def retrain_swap_report(
+    spark,
+    survivors: DataFrame,
+    path: str,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit the post-:func:`ivf_retrain_swap` artifact: (1) the
+    swapped index SERVES identically to a from-scratch trained fused
+    path over the surviving corpus (``n_only_serve``/``n_only_fused``
+    are exceptAll counts and structural zeros — training, assignment
+    and rescoring are the same deterministic kernels, so a nonzero is
+    a swap bug, not noise); (2) measured recall@k of the retrained
+    index against the exhaustive scan (:func:`ann_recall_report`'s
+    legs — the number that says whether the retrain actually restored
+    quality); (3) the tombstone dir is gone (``n_tombstones_left`` —
+    erasure became physical at the rebuild).
+
+    The fused and exhaustive legs are VERIFICATION (metered as
+    ``verify``); the served path is the production read.
+    """
+    from etl_gcp_spark import metering
+    from etl_gcp_spark.caching import tag_pinned
+
+    served = (
+        ivf_index_topk(
+            spark, path, query_ids=query_ids, k=k, n_probe=n_probe
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    fused = (
+        ivf_topk_trained(
+            survivors,
+            query_ids=query_ids, k=k, n_cells=n_cells,
+            n_probe=n_probe, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact = (
+        cosine_topk(
+            survivors,
+            query_filter=F.col(id_col).isin(query_ids),
+            k=k, id_col=id_col, vec_col=vec_col,
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    with metering.phase("verify"):
+        fused.count()
+        exact.count()
+    tomb = _ivf_tombstones(spark, path)
+    n_tomb = 0 if tomb is None else tomb.count()
+
+    def _per_q(frame, name):
+        return frame.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    hits = _per_q(served.join(exact, ["query_id", "neighbor_id"]), "n_hits")
+    only_s = _per_q(served.exceptAll(fused), "n_only_serve")
+    only_f = _per_q(fused.exceptAll(served), "n_only_fused")
+    out = (
+        _per_q(exact, "n_exact")
+        .join(hits, "query_id", "left")
+        .join(only_s, "query_id", "left")
+        .join(only_f, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+            F.coalesce("n_only_serve", F.lit(0))
+            .cast("long")
+            .alias("n_only_serve"),
+            F.coalesce("n_only_fused", F.lit(0))
+            .cast("long")
+            .alias("n_only_fused"),
+            F.lit(n_tomb).cast("long").alias("n_tombstones_left"),
+        )
+    )
+    return tag_pinned(out, served, fused, exact)
+
+
 def ivf_index_topk(
     spark,
     path: str,

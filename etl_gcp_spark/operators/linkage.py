@@ -462,6 +462,11 @@ def entity_clusters_increment_audit(
     base_ec = entity_clusters(
         base, id_col, text_col, max_distance=max_distance
     ).persist()
+    # the base clustering is the pre-existing production artifact
+    # (built BEFORE any delta arrives) — meter it as build, matching
+    # the erasure twin's discipline
+    with metering.phase("build"):
+        base_ec.count()
 
     # contract: base endpoints collapse to their base-leg label
     lblmap = base_ec.select(
@@ -504,6 +509,11 @@ def entity_clusters_increment_audit(
     full = entity_clusters(
         df, id_col, text_col, max_distance=max_distance
     ).persist()
+    # the from-scratch re-clustering is the audit's VERIFICATION leg
+    # — meter it as `verify` so serve_sec reflects the incremental
+    # maintenance path only (VERDICT r7 item 4)
+    with metering.phase("verify"):
+        full.count()
 
     def _count(frame, name):
         return frame.agg(F.count(F.lit(1)).cast("long").alias(name))
@@ -646,6 +656,13 @@ def entity_clusters_erasure_audit(
     full = entity_clusters_from_pairs(
         remaining, surv_pairs, id_col
     ).persist()
+    # the full re-clustering of all survivors exists ONLY to prove
+    # the maintenance rule — it is not a serving or maintenance path,
+    # so its closure meters as `verify` (VERDICT r7 item 4: without
+    # this the audit's serve_sec read ~19 s of verification cost and
+    # a real serve regression would drown in it)
+    with metering.phase("verify"):
+        full.count()
 
     def _count(frame, name):
         return frame.agg(F.count(F.lit(1)).cast("long").alias(name))

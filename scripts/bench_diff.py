@@ -79,15 +79,25 @@ def main() -> int:
     for name in sorted(set(osplit) | set(nsplit)):
         o, n = osplit.get(name), nsplit.get(name)
         if o and n:
+            ver = ""
+            if "verify_sec" in o or "verify_sec" in n:
+                ver = (
+                    f", verify {o.get('verify_sec', 0.0):.2f}s ->"
+                    f" {n.get('verify_sec', 0.0):.2f}s"
+                )
             print(
                 f"index   {name}: build {o['build_sec']:.2f}s ->"
                 f" {n['build_sec']:.2f}s, serve {o['serve_sec']:.2f}s ->"
-                f" {n['serve_sec']:.2f}s"
+                f" {n['serve_sec']:.2f}s" + ver
             )
         elif n:
+            ver = (
+                f" / verify {n['verify_sec']:.2f}s"
+                if "verify_sec" in n else ""
+            )
             print(
                 f"index   {name}: build {n['build_sec']:.2f}s /"
-                f" serve {n['serve_sec']:.2f}s (no prior split)"
+                f" serve {n['serve_sec']:.2f}s" + ver + " (no prior split)"
             )
 
     t_old = sum(old.values())

@@ -955,3 +955,59 @@ def test_streamed_text_append_tree_scan_is_partition_pruned(
     plan = _plan(pruned)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "bucket" in part_filters, plan
+
+
+def test_ivf_retrain_swap_rebuilds_pruned_artifact(spark, sf_dir, tmp_path):
+    """The drift->retrain ACT edge: after ivf_retrain_swap the
+    artifact is a fresh snapshot — appends folded in, tombstoned
+    vectors PHYSICALLY gone (dir cleared, training influence
+    dropped), metadata columns preserved through the rebuild — and
+    the post-swap serve still reads a partition-pruned scan (the
+    layout IS the index; a retrain must not cost that property)."""
+    import os
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_erase,
+        ivf_index_topk,
+        ivf_retrain_swap,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfretr")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path,
+        n_cells=8, n_iters=1, meta_cols=("label",),
+    )
+    ivf_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= 400),
+        meta_cols=("label",),
+    )
+    ivf_index_erase(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    ivf_retrain_swap(spark, path, n_cells=8, n_iters=1)
+
+    assert not os.path.isdir(path + "/tombstones")
+    assert not os.path.isdir(path + "/appends")
+    kept = spark.read.parquet(path + "/vectors")
+    assert "label" in kept.columns  # metadata survived the rebuild
+    assert kept.filter(F.col("vec_id") % 7 == 0).count() == 0
+    n_surv = emb.filter(F.col("vec_id") % 7 != 0).count()
+    assert kept.count() == n_surv
+    # retrained centroids are consistent with the rewritten cells:
+    # every stored cell label exists in the centroid table
+    cells = {r["cell"] for r in kept.select("cell").distinct().collect()}
+    cents = {
+        r["cell"]
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    assert cells <= cents
+    # the post-swap serve keeps PartitionFilters on cell
+    out = ivf_index_topk(spark, path, query_ids=[1, 2, 3], k=3, n_probe=3)
+    plan = _plan(out)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] % 7 != 0 for r in rows)

@@ -1084,3 +1084,41 @@ def test_heal_swap_rolls_forward_and_back(spark, tmp_path):
     df.write.parquet(base + "_compacting")
     commit_swap(base)
     assert spark.read.parquet(base).count() == 10
+
+
+def test_retrain_swap_report_zeros_and_recall(spark, sf_dir, tmp_path):
+    """retrain_swap_report's equality columns are structural zeros
+    (the swapped artifact serves identically to a from-scratch fused
+    train over survivors) and its recall leg is a genuine measurement
+    (bounded by 1, n_hits <= n_exact)."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_erase,
+        ivf_retrain_swap,
+        retrain_swap_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfretr_report")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path, n_cells=8, n_iters=1
+    )
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") >= 400))
+    ivf_index_erase(
+        spark, path, emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    )
+    ivf_retrain_swap(spark, path, n_cells=8, n_iters=1)
+    survivors = emb.filter(F.col("vec_id") % 11 != 0)
+    rows = retrain_swap_report(
+        spark, survivors, path,
+        query_ids=list(range(10)), k=5, n_cells=8, n_probe=3, n_iters=1,
+    ).collect()
+    assert len(rows) == 9  # query 0 erased
+    for r in rows:
+        assert r["n_only_serve"] == 0 and r["n_only_fused"] == 0
+        assert r["n_tombstones_left"] == 0
+        assert 0 <= r["n_hits"] <= r["n_exact"] == 5
+        assert 0.0 <= r["recall"] <= 1.0
