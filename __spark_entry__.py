@@ -2093,6 +2093,30 @@ def _q_streaming_text_erasure(spark, sf_dir):
     )
 
 
+def _q_streaming_ivf_erasure(spark, sf_dir):
+    """Deletion requests as a STREAM into the persisted IVF index —
+    the vector twin of streaming_text_erasure, closing the erasure
+    family's streaming story on both index sides: batch_id-keyed
+    tombstone slices (OVERWRITE — replay rewrites only its own
+    slice), index build guarded by the CENTROIDS committer marker
+    (the last-written artifact) so a mid-stream resume can neither
+    reuse a torn build nor clear committed deletions. Final serve is
+    the ordinary tombstone-aware pruned read, bit-equal to the batch
+    erased-index serve — ann_ivf_erasure_topk's replay oracle
+    attaches verbatim; kill-resume pytest-locked."""
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_erasure
+
+    return run_streaming_ivf_erasure(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        erase_mod=7,
+        query_ids=list(range(10)),
+        k=5,
+        n_probe=4,
+        n_cells=32,
+    )
+
+
 def _q_text_index_append(spark, sf_dir):
     """Index maintenance, text side: build the inverted index on the
     first half of the corpus, APPEND the second half (new files in
@@ -3378,6 +3402,26 @@ def _q_streaming_entity_ingest(spark, sf_dir):
     )
 
 
+def _q_streaming_entity_erasure(spark, sf_dir):
+    """Deletion requests as a STREAM into the entity label store —
+    the graph-side member of the streaming-erasure family, applying
+    the deletion-maintenance rule the batch erasure audit proves
+    once per microbatch: affected components from the pre-batch
+    state, surviving members re-closed over the persisted match
+    store filtered to survivors (deletion cannot create edges — no
+    re-blocking), tombstone + label slices batch_id-keyed overwrites.
+    Final serve equals batch entity_clusters over the survivors, so
+    the recursive-CTE closure oracle attaches with the survivor
+    filter; kill-resume pytest-locked."""
+    from etl_gcp_spark.streaming.entities import (
+        run_streaming_entity_erasure,
+    )
+
+    return run_streaming_entity_erasure(
+        spark, os.path.join(sf_dir, "customer.parquet"), erase_mod=7
+    )
+
+
 def _q_entity_label_compact(spark, sf_dir):
     """Label-store lifecycle close-out — the graph-family twin of
     ivf_compact_topk / text_index_compact_topk: stream the records
@@ -4206,6 +4250,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surviving corpus, write-new-then-rename republish of both
         # trees, tombstones physical, serve equality + recall proven.
         "ivf_retrain_swap": _q_ivf_retrain_swap,
+        # streaming twin of the vector-side erasure: deletion
+        # requests as a stream (batch_id-keyed tombstone slices,
+        # centroid-marker-guarded build) — erasure family symmetric
+        # across both index families in batch AND streaming form.
+        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
+        # graph-side streaming erasure: the deletion-maintenance rule
+        # applied per microbatch against the persisted match store —
+        # with this, all three families have batch AND streaming
+        # erasure plus compaction.
+        "streaming_entity_erasure": _q_streaming_entity_erasure,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -8553,6 +8607,16 @@ def oracle_sql() -> dict[str, str]:
           CAST(0 AS BIGINT) AS n_only_full
     """
     )
+    # streamed deletion maintenance: each batch preserves the
+    # invariant "labels == entity_clusters(survivors so far)" (the
+    # audited per-batch rule), so the final state replays as ONE
+    # closure over the survivor scope — the suffixed survivor chain
+    # derived above, with entity_clusters' serve projection
+    sql["streaming_entity_erasure"] = _cc_surv + """
+        SELECT c.c_custkey, m.c_custkey AS entity_id,
+               count(*) OVER (PARTITION BY c.lbl) AS entity_size
+        FROM comp7 c JOIN nodes7 m ON m.idx = c.lbl
+    """
     # triangles over the exact-Jaccard pair graph (== LSH pairs at
     # driver scales): orient low→high, close (a→b, b→c) with (a→c)
     sql["dedup_triangles"] = f"""
@@ -8866,6 +8930,10 @@ def oracle_sql() -> dict[str, str]:
     )
     assert _ers.count("% 7 <> 0") == 2, "erasure-ANN oracle anchors"
     sql["ann_ivf_erasure_topk"] = _ers
+    # the streamed tombstones' final state equals the batch erasure's
+    # (same ids, same anti-join serve over the same frozen-build
+    # artifact), so the batch replay attaches verbatim
+    sql["streaming_ivf_erasure"] = _ers
     # filtered-recall audit: the filtered-serve replay becomes an
     # approx CTE, joined against a brute-force exact top-k over the
     # SAME filtered candidate set (queries unfiltered on both sides)

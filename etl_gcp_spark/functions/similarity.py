@@ -2843,26 +2843,29 @@ def retrain_swap_report(
         .select("query_id", "neighbor_id")
         .persist()
     )
-    fused = (
-        ivf_topk_trained(
-            survivors,
-            query_ids=query_ids, k=k, n_cells=n_cells,
-            n_probe=n_probe, n_iters=n_iters,
-            id_col=id_col, vec_col=vec_col,
-        )
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
-    exact = (
-        cosine_topk(
-            survivors,
-            query_filter=F.col(id_col).isin(query_ids),
-            k=k, id_col=id_col, vec_col=vec_col,
-        )
-        .select("query_id", "neighbor_id")
-        .persist()
-    )
+    # constructions INSIDE the phase: ivf_topk_trained trains eagerly
+    # (ivf_train collects per Lloyd round at plan-build time), so a
+    # count-only phase would bill the training to serve
     with metering.phase("verify"):
+        fused = (
+            ivf_topk_trained(
+                survivors,
+                query_ids=query_ids, k=k, n_cells=n_cells,
+                n_probe=n_probe, n_iters=n_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        exact = (
+            cosine_topk(
+                survivors,
+                query_filter=F.col(id_col).isin(query_ids),
+                k=k, id_col=id_col, vec_col=vec_col,
+            )
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
         fused.count()
         exact.count()
     tomb = _ivf_tombstones(spark, path)

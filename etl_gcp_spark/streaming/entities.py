@@ -84,8 +84,24 @@ def serve_entity_labels(spark: SparkSession, root: str) -> DataFrame:
     """Serve (c_custkey, entity_id, entity_size) from the label store
     — latest label per id over base ∪ patches, sizes recounted over
     the full store. After :func:`entity_labels_compact` the patch
-    stack is empty and this is a plain scan of the compacted base."""
+    stack is empty and this is a plain scan of the compacted base.
+
+    Erasure-aware: when :func:`run_streaming_entity_erasure` has
+    accumulated tombstone slices under ``root/tombstones``, erased
+    ids drop out via a broadcast anti-join (bounded by erasure volume
+    between compactions — the same serve discipline as the IVF and
+    text index tombstones), and sizes recount over the survivors."""
     final = _latest_labels(spark, root)
+    tomb_dir = os.path.join(root, "tombstones")
+    if os.path.isdir(tomb_dir) and any(
+        e.startswith("batch=") for e in os.listdir(tomb_dir)
+    ):
+        tombs = (
+            spark.read.option("basePath", tomb_dir)
+            .parquet(tomb_dir)
+            .select("id")
+        )
+        final = final.join(F.broadcast(tombs), "id", "left_anti")
     return final.select(
         F.col("id").alias("c_custkey"),
         F.col("lbl").alias("entity_id"),
@@ -295,4 +311,159 @@ def run_streaming_entity_ingest(
         entity_labels_compact(spark, root)
     # serve: latest label per id over base ∪ all patches (or the
     # compacted base alone) — identical to the batch output
+    return serve_entity_labels(spark, root)
+
+
+@_metered_build
+def run_streaming_entity_erasure(
+    spark: SparkSession,
+    customer_path: str,
+    *,
+    erase_mod: int = 7,
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Deletion requests arrive as a STREAM into the entity label
+    store — the graph-side member of the streaming-erasure family
+    (text: ``streaming/text.py::run_streaming_text_erasure``;
+    vectors: ``streaming/vectors.py::run_streaming_ivf_erasure``),
+    applying the deletion-maintenance rule the batch audit proves
+    (:func:`~etl_gcp_spark.operators.linkage.
+    entity_clusters_erasure_audit`) once per microbatch:
+
+    1. affected components = the batch's erased ids' CURRENT labels
+       (one semi-join against the pre-batch state);
+    2. the affected components' surviving members re-close among
+       themselves over the persisted MATCH STORE filtered to
+       survivors (deletion cannot create edges, so the stored pair
+       set is complete — no re-blocking, ever);
+    3. the batch writes TWO slices in overwrite mode:
+       ``tombstones/batch=<id>`` (the erased ids) and
+       ``labels/batch=<id>`` (the re-closed survivors' new labels).
+
+    Per-batch work is O(|batch| + touched components), and because
+    each batch transforms "labels == entity_clusters(survivors so
+    far)" into the same invariant minus its own ids, the final state
+    equals one batch clustering of all survivors — the batch
+    closure oracle attaches with the survivor filter.
+
+    Crash-replay: state reads filter ``batch < batch_id`` (both the
+    label patches and prior tombstone slices), so a replayed batch
+    recomputes its slices from exactly the pre-batch state and the
+    overwrites absorb the replay. The base build (match store +
+    labels) is idempotent-overwrite; tombstones live OUTSIDE the
+    rebuilt trees, so unlike the index twins a re-run of the base
+    build cannot clear committed deletions.
+    """
+    from etl_gcp_spark.caching import unpersist_pinned
+    from etl_gcp_spark.operators.linkage import (
+        entity_clusters_from_pairs,
+        fuzzy_pairs,
+    )
+
+    root = root or os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_enterstream_{uuid.uuid4().hex}",
+    )
+    records = spark.read.parquet(customer_path).select(
+        "c_custkey", "c_name"
+    )
+
+    # base artifacts: the match store (blocked ONCE over all records)
+    # and the full-corpus labels — both idempotent overwrites
+    pairs_path = os.path.join(root, "pairs")
+    pairs = fuzzy_pairs(records, "c_custkey", "c_name")
+    pairs.select("id1", "id2").write.mode("overwrite").parquet(pairs_path)
+    unpersist_pinned(pairs)
+    base_ec = entity_clusters_from_pairs(
+        records, spark.read.parquet(pairs_path), "c_custkey"
+    )
+    base_ec.select(
+        F.col("c_custkey").alias("id"), F.col("entity_id").alias("lbl")
+    ).write.mode("overwrite").parquet(os.path.join(root, "labels_base"))
+
+    staged = os.path.join(root, "in")
+    if not staged_ready(staged):
+        records.filter(F.col("c_custkey") % erase_mod == 0).select(
+            F.col("c_custkey").alias("id")
+        ).repartition(n_batches).write.mode("overwrite").parquet(staged)
+
+    tomb_dir = os.path.join(root, "tombstones")
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        erased = batch_df.select("id").localCheckpoint(eager=True)
+        # pre-batch state: label patches AND tombstone slices from
+        # strictly earlier batches only — replay-safe
+        cur = _latest_labels(spark, root, max_batch=batch_id)
+        if os.path.isdir(tomb_dir) and any(
+            e.startswith("batch=") for e in os.listdir(tomb_dir)
+        ):
+            prior = (
+                spark.read.option("basePath", tomb_dir)
+                .parquet(tomb_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("id")
+            )
+            cur = cur.join(F.broadcast(prior), "id", "left_anti")
+            gone = prior.unionByName(erased)
+        else:
+            gone = erased
+        affected = (
+            cur.join(erased, "id").select("lbl").dropDuplicates()
+        )
+        touched_ids = (
+            cur.join(F.broadcast(affected), "lbl")
+            .join(erased, "id", "left_anti")
+            .select("id")
+        )
+        # survivors' edges from the persisted match store: both
+        # endpoints alive, left endpoint in an affected component
+        # (components are edge-closed, so one endpoint suffices)
+        store = spark.read.parquet(pairs_path)
+        surv_pairs = store.join(
+            F.broadcast(gone).withColumnRenamed("id", "id1"),
+            "id1", "left_anti",
+        ).join(
+            F.broadcast(gone).withColumnRenamed("id", "id2"),
+            "id2", "left_anti",
+        )
+        touched_pairs = surv_pairs.join(
+            touched_ids.withColumnRenamed("id", "id1"), "id1"
+        )
+        touched_records = records.join(
+            touched_ids.withColumnRenamed("id", "c_custkey"), "c_custkey"
+        )
+        re_ec = entity_clusters_from_pairs(
+            touched_records, touched_pairs, "c_custkey"
+        )
+        re_ec.select(
+            F.col("c_custkey").alias("id"), F.col("entity_id").alias("lbl")
+        ).write.mode("overwrite").parquet(
+            os.path.join(root, "labels", f"batch={batch_id}")
+        )
+        erased.write.mode("overwrite").parquet(
+            os.path.join(tomb_dir, f"batch={batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink writes, BEFORE the checkpoint
+            # commit — the replay must rewrite only its own slices
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema("id long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
     return serve_entity_labels(spark, root)

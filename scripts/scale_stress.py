@@ -510,6 +510,44 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         "sublinear_ok": texp < 0.3,
     }
 
+    # Retrain-swap claim check (round-8): the drift->retrain ACT edge
+    # costs one k-means train + one partitioned rewrite of the
+    # surviving corpus — the same ~linear class as a fresh build,
+    # never quadratic. Rides the ivfidx_x{mult} artifact the append
+    # check left behind (base + appended rows) plus a tombstone
+    # slice, so the measured path also folds appends and makes the
+    # erasure physical — the full production retrain shape.
+    from etl_gcp_spark.functions.similarity import (
+        ivf_index_erase as _erase_idx,
+        ivf_retrain_swap as _retrain_idx,
+    )
+
+    retrain_t = {}
+    for mult in (1, scale):
+        ipath = f"{out_dir}/ivfidx_x{mult}"
+        _erase_idx(
+            spark,
+            ipath,
+            vecs(mult).filter(F.col("vec_id") % 11 == 0).select("vec_id"),
+        )
+        t0 = time.time()
+        _retrain_idx(spark, ipath, n_cells=32, n_iters=1)
+        retrain_t[mult] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    rexp = float(np.log(retrain_t[scale] / retrain_t[1]) / np.log(scale))
+    fixed_results["retrain:ivf_swap_vs_corpus"] = {
+        f"rows_x{1}": BASE_VECS,
+        f"rows_x{scale}": BASE_VECS * scale,
+        "sec_x1": retrain_t[1],
+        f"sec_x{scale}": retrain_t[scale],
+        "exponent": round(rexp, 3),
+        # a retrain is a fresh build: ~linear, with fixed-cost
+        # headroom at the small size biasing the exponent DOWN here
+        # (unlike the sub-quadratic ops, the claim is a ceiling well
+        # under quadratic, not flatness)
+        "sublinear_ok": rexp < 1.3,
+    }
+
     results: dict[str, dict] = {} if only else dict(fixed_results)
     for name, fn in {**ops, **skew_ops}.items():
         if only and name not in only:

@@ -374,3 +374,48 @@ def test_entity_label_compact_preserves_serve_and_drops_patches(
     # idempotent on an already-compacted store
     entity_labels_compact(spark, root)
     assert sorted(serve_entity_labels(spark, root).collect()) == before
+
+
+def test_streaming_entity_erasure_recovers_and_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Kill the deletion-request stream after trigger 2 of 4
+    (post-write, pre-commit), resume from the checkpoint, and require
+    the final serve to equal batch entity_clusters over the
+    survivors — tombstone and label slices are batch_id-keyed
+    overwrites whose replay reads only pre-batch state, and the
+    per-batch rule (affected components' survivors re-closed over the
+    persisted match store) must compose across batches."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.linkage import entity_clusters
+    from etl_gcp_spark.streaming.entities import (
+        run_streaming_entity_erasure,
+    )
+
+    root = str(tmp_path / "entity_erasure_recovery")
+    path = os.path.join(sf_dir, "customer.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_entity_erasure(
+            spark, path, root=root, fail_after_batches=2
+        )
+    assert os.path.isdir(f"{root}/tombstones")
+    streamed = sorted(
+        map(
+            tuple,
+            run_streaming_entity_erasure(spark, path, root=root).collect(),
+        )
+    )
+    records = spark.read.parquet(path).select("c_custkey", "c_name")
+    survivors = records.filter(F.col("c_custkey") % 7 != 0)
+    batch = sorted(
+        map(
+            tuple,
+            entity_clusters(survivors, "c_custkey", "c_name").collect(),
+        )
+    )
+    assert streamed and streamed == batch
+    assert all(r[0] % 7 != 0 for r in streamed)  # erased ids unserved

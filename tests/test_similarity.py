@@ -1122,3 +1122,61 @@ def test_retrain_swap_report_zeros_and_recall(spark, sf_dir, tmp_path):
         assert r["n_tombstones_left"] == 0
         assert 0 <= r["n_hits"] <= r["n_exact"] == 5
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_streaming_ivf_erasure_recovers_and_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Kill the vector deletion-request stream after trigger 2 of 4
+    (post-write, pre-commit), resume from the checkpoint, and require
+    the final serve to equal the batch erased-index serve — tombstone
+    slices are batch_id-keyed overwrites, and the centroid-marker-
+    guarded build must NOT rerun on resume (a rebuild clears the
+    tombstone dir and would drop the committed deletion slices the
+    checkpoint will never replay)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_erase,
+        ivf_index_topk,
+    )
+    from etl_gcp_spark.streaming.vectors import run_streaming_ivf_erasure
+
+    root = str(tmp_path / "ivf_erasure_recovery")
+    path = f"{sf_dir}/embeddings.parquet"
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_ivf_erasure(
+            spark, path, root=root, fail_after_batches=2,
+            n_cells=8, query_ids=[1, 2, 3], k=3, n_probe=3,
+        )
+    # the committed slices must survive the crash into the resume
+    assert os.path.isdir(f"{root}/index/tombstones")
+    streamed = sorted(
+        map(
+            tuple,
+            run_streaming_ivf_erasure(
+                spark, path, root=root,
+                n_cells=8, query_ids=[1, 2, 3], k=3, n_probe=3,
+            ).collect(),
+        )
+    )
+    emb = spark.read.parquet(path)
+    bpath = str(tmp_path / "ivf_erasure_batch")
+    build_ivf_index(emb, bpath, n_cells=8, n_iters=2)
+    ivf_index_erase(
+        spark, bpath, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    batch = sorted(
+        map(
+            tuple,
+            ivf_index_topk(
+                spark, bpath, query_ids=[1, 2, 3], k=3, n_probe=3
+            ).collect(),
+        )
+    )
+    assert streamed and streamed == batch
+    assert all(r[1] % 7 != 0 for r in streamed)  # erased never served
