@@ -2035,6 +2035,39 @@ def _q_bm25_filtered_topk(spark, sf_dir):
     )
 
 
+def _q_text_index_resize_topk(spark, sf_dir):
+    """The text side's retrain: re-bucket the persisted inverted
+    index 64 -> 128 buckets (the partition function a growing corpus
+    outgrows), write-new-then-rename, with pending tombstones made
+    physical in the same rebuild — then serve at the new bucket
+    count. BM25 is bucket-invariant, so the serve is bit-equal to
+    the fused scorer over the survivors: the erasure entry's oracle
+    attaches verbatim."""
+    import os as _os
+    import tempfile as _tf
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_build,
+        text_index_erase,
+        text_index_resize,
+    )
+
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        f"etl_gcp_spark_textrsz_{_os.getpid()}_{_os.path.basename(sf_dir)}",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    text_index_build(docs, idx, n_buckets=64)
+    text_index_erase(
+        spark, idx, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    text_index_resize(spark, idx, n_buckets=128)
+    return bm25_index_topk(
+        spark, idx, ["spark", "vector", "stream"], k=10, n_buckets=128
+    )
+
+
 def _q_text_index_erasure_topk(spark, sf_dir):
     """Right-to-be-forgotten THROUGH the derived artifact: a deletion
     request must reach every downstream index, not just the source
@@ -4260,6 +4293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with this, all three families have batch AND streaming
         # erasure plus compaction.
         "streaming_entity_erasure": _q_streaming_entity_erasure,
+        # the text side's retrain: re-bucket the postings partition
+        # function as the corpus outgrows its build-time sizing —
+        # swap-discipline symmetric with ivf_retrain_swap.
+        "text_index_resize_topk": _q_text_index_resize_topk,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -10569,4 +10606,7 @@ def oracle_sql() -> dict[str, str]:
     # streamed deletions drain to the same final tombstone set, so
     # the batch erasure oracle attaches verbatim
     sql["streaming_text_erasure"] = _bme
+    # resize is a rebucketing rebuild over the survivors: BM25 is
+    # bucket-invariant, so the erasure-scoped fused oracle attaches
+    sql["text_index_resize_topk"] = _bme
     return sql

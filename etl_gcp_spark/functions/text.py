@@ -13,6 +13,8 @@ Python anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1462,6 +1464,7 @@ def bm25_index_topk(
     serve is then bit-equal to the fused scorer over the remaining
     corpus.
     """
+    _check_n_buckets(spark, index_dir, n_buckets)
     buckets = sorted(
         {poly_hash_py(t) % n_buckets for t in query_terms}
     )
@@ -1518,6 +1521,7 @@ def bm25_index_filtered_topk(
     the filtered serve is bit-equal to the fused :func:`bm25_topk`
     over ``documents.filter(doc_pred)``.
     """
+    _check_n_buckets(spark, index_dir, n_buckets)
     buckets = sorted(
         {poly_hash_py(t) % n_buckets for t in query_terms}
     )
@@ -1620,6 +1624,7 @@ def text_index_append(
     from etl_gcp_spark.operators.encoding import _poly_hash
 
     spark = new_documents.sparkSession
+    _check_n_buckets(spark, index_dir, n_buckets)
     base_meta = set(
         spark.read.parquet(f"{index_dir}/doclen").schema.names
     ) - {"doc_id", "dl"}
@@ -1711,3 +1716,89 @@ def text_index_compact(spark, index_dir: str, *, n_buckets: int = 64) -> None:
             F.sum("dl").alias("total_dl"),
         ).write.mode("overwrite").parquet(f"{index_dir}/stats")
         shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+
+
+@_metered_build
+def text_index_resize(spark, index_dir: str, *, n_buckets: int) -> None:
+    """Re-bucket the persisted inverted index to a NEW bucket count —
+    the text side's "retrain" (vector twin:
+    similarity.py::ivf_retrain_swap): the term-hash bucket is the
+    index's partition function, and its count fixes the serve-time
+    pruning granularity (a probe reads |query_terms| buckets ≈
+    1/n_buckets of the postings each). A corpus grown far past its
+    build-time sizing leaves each bucket arbitrarily large — resizing
+    is the maintenance act the bucket-count choice defers, exactly as
+    retraining is for drifted centroids.
+
+    One pass: postings (minus tombstones) re-hash to
+    ``poly_hash(term) % n_buckets``, republished
+    write-new-then-rename (:func:`~etl_gcp_spark.streaming.staging.
+    commit_swap`; crash self-repairs via heal_swap on the next
+    maintenance call). Like a retrain, the rebuild is a fresh
+    snapshot: tombstoned docs drop out of every artifact (doclen
+    filtered, stats recomputed) and the tombstone dir is cleared.
+    Serves must pass the new ``n_buckets`` — the score tree is
+    bucket-invariant, so results are bit-equal before and after
+    (pytest + the shared fused oracle).
+    """
+    import os
+    import shutil
+
+    from etl_gcp_spark.operators.encoding import _poly_hash
+    from etl_gcp_spark.streaming.staging import commit_swap, heal_swap
+
+    postings = f"{index_dir}/postings"
+    doclen = f"{index_dir}/doclen"
+    heal_swap(postings)
+    heal_swap(doclen)
+    allp = spark.read.parquet(postings).drop("bucket")
+    tomb = _text_index_tombstones(spark, index_dir)
+    if tomb is not None:
+        allp = allp.join(F.broadcast(tomb), "doc_id", "left_anti")
+    (
+        allp.withColumn(
+            "bucket",
+            (_poly_hash(F.col("term")) % n_buckets).cast("int"),
+        )
+        .repartition(n_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(postings + "_compacting")
+    )
+    commit_swap(postings)
+    # record the new partition function: appends and serves at the
+    # OLD count would misroute terms silently (wrong bucket -> probe
+    # misses), so the count is persisted and checked fail-fast by
+    # _check_n_buckets in every bucket-dependent operation
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    if tomb is not None:
+        kept = spark.read.parquet(doclen).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        kept.write.mode("overwrite").parquet(doclen + "_compacting")
+        commit_swap(doclen)
+        spark.read.parquet(doclen).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+
+
+def _check_n_buckets(spark, index_dir: str, n_buckets: int) -> None:
+    """Fail fast when a bucket-dependent operation (append, compact,
+    serve) is called with a bucket count different from the one a
+    :func:`text_index_resize` recorded — a mismatched count would
+    hash terms into the wrong partitions (appends) or probe the wrong
+    ones (serves), both silent. Indexes never resized carry no meta
+    file and keep their caller-managed contract."""
+    meta = f"{index_dir}/meta"
+    if not os.path.isdir(meta):
+        return
+    stored = spark.read.parquet(meta).collect()[0]["n_buckets"]
+    if int(stored) != int(n_buckets):
+        raise ValueError(
+            f"index at {index_dir!r} was resized to n_buckets={stored}; "
+            f"got n_buckets={n_buckets}"
+        )

@@ -680,3 +680,73 @@ def test_target_encode_oof_excludes_own_fold(spark):
         assert r.enc_oof == round(sum(other) / len(other), 4)
     # leakage check: in-fold rows never contribute to their own cell
     assert {r.fold for r in out} == {0, 1}
+
+
+def test_text_index_resize_preserves_serving_and_guards_count(
+    spark, sf_dir, tmp_path
+):
+    """Resizing the postings partition function (64 -> 128 buckets)
+    must not change served results (BM25 is bucket-invariant), must
+    make pending tombstones physical in the same rebuild, and must
+    make the OLD bucket count unusable afterward — a mismatched count
+    would misroute appends and probes silently."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        bm25_topk,
+        text_index_append,
+        text_index_build,
+        text_index_erase,
+        text_index_resize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "rszidx")
+    terms = ["spark", "vector", "stream"]
+    text_index_build(docs, idx, n_buckets=64)
+    text_index_erase(
+        spark, idx, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    before = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(spark, idx, terms, n_buckets=64).collect()
+    ]
+    text_index_resize(spark, idx, n_buckets=128)
+    # physical erasure: tombstones gone, postings hold survivors only
+    assert not os.path.isdir(f"{idx}/tombstones")
+    kept = spark.read.parquet(f"{idx}/postings")
+    assert kept.filter(F.col("doc_id") % 7 == 0).count() == 0
+    # the new hash space is in effect: bucket ids above the old
+    # 64-bucket ceiling exist (deterministic for this corpus's vocab)
+    new_ids = {
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{idx}/postings/bucket=*")
+    }
+    assert max(new_ids) >= 64, sorted(new_ids)
+    after = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(spark, idx, terms, n_buckets=128).collect()
+    ]
+    assert before == after  # rebucketing moves bytes, not semantics
+    fused = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(
+            docs.filter(F.col("doc_id") % 7 != 0), terms, k=10
+        ).collect()
+    ]
+    assert after == fused
+    # the old count is now rejected everywhere it could misroute
+    with pytest.raises(ValueError, match="resized to n_buckets=128"):
+        bm25_index_topk(spark, idx, terms, n_buckets=64)
+    with pytest.raises(ValueError, match="resized to n_buckets=128"):
+        text_index_append(docs.limit(5), idx, n_buckets=64)
+    # appends at the new count keep working
+    newdocs = docs.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 100_000_000
+    )
+    text_index_append(newdocs, idx, n_buckets=128)
+    assert bm25_index_topk(spark, idx, terms, n_buckets=128).count() > 0
