@@ -4218,18 +4218,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_erasure_audit": _q_entity_erasure_audit,
         "ann_filtered_recall_report": _q_ann_filtered_recall_report,
         "streaming_text_erasure": _q_streaming_text_erasure,
-        # --- slots 48-50: the three oldest surviving stamps (r02,
+        # --- slots 48-49: the two oldest surviving stamps (r02,
         # hash-clean under the extended closure walk) — re-checked
         # on age alone, per VERDICT r7 item 1's "fill the rest with
         # the oldest surviving stamps". ---
         "asof_click_purchase": _q_asof,
         "audit_stamp": _q_audit_stamp,
-        "bpe_token_count": _q_bpe_token_count,
+        # slot 50: its fresh r07 stamp was re-staled THIS round by
+        # the verify-phase metering change (ver_full persisted in
+        # operators/text_dedup.py), so it takes the last slot over a
+        # third age-only fill — zero unscheduled drift flags.
+        "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         # --- positions 51-100: the round-7 window, all 50 freshly
         # driver-stamped (CORRECTNESS_r07 50/50 green) — rotated out
         # of the head to make room. ---
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
-        "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
+        # displaced from the r8 window head by dedup_index_
+        # maintenance_audit's re-window (above): the oldest-stamp
+        # fill it replaced, parked here for the r9 rotation.
+        "bpe_token_count": _q_bpe_token_count,
         "streaming_text_index_ingest": _q_streaming_text_index,
         "quality_calibration_bins": _q_quality_calibration_bins,
         "streaming_drift_report": _q_streaming_drift_report,
