@@ -40,6 +40,26 @@ WAIVERS: dict[tuple[str, str], str] = {
     # capture-methodology waivers no longer fire (stale-waiver notes
     # confirmed both). (ivf_drift_report, exchanges) was pruned the
     # same way at r7 open.
+    #
+    # r8 verify-phase metering (VERDICT r7 item 4): the audits'
+    # verification legs are now persisted + force-materialized inside
+    # metering.phase('verify'/'build') so bench can attribute their
+    # cost. The captured plan therefore shows the comparison legs
+    # reading InMemoryRelations instead of one exchange-reused
+    # subtree — exchange COUNT rises while runtime work falls or
+    # holds (isolated repeat-5, CHANGELOG_r08: the rebuild/closure
+    # now computes once into cache instead of riding reuse across
+    # legs). Deliberate; prune when the r8-close baseline carries
+    # these plans.
+    ("dedup_index_maintenance_audit", "exchanges"):
+        "verify metering: ver_full persisted (was exchange-reused "
+        "across 3 legs); runtime dispositioned in CHANGELOG_r08",
+    ("entity_clusters_increment", "exchanges"):
+        "verify metering: base_ec/full closures materialized inside "
+        "build/verify phases; serve split now honest",
+    ("entity_erasure_audit", "exchanges"):
+        "verify metering: pairs/base/full closures materialized "
+        "inside build/verify phases; serve split now honest",
 }
 
 
