@@ -1844,6 +1844,24 @@ def _q_ivf_retrain_swap(spark, sf_dir):
     )
 
 
+def _q_bitext_margin_pairs(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin):
+    best target-side alignment per source vector, scored by cosine
+    over the mean of both sides' k-NN cosines (CSLS-style hubness
+    correction). Sides = id parity (engine-portable stand-in for a
+    language column). Exact blocked-GEMM top-k both directions,
+    margin as one IEEE division of exact integer-scaled sums —
+    replayable bit-for-bit in the oracle."""
+    from etl_gcp_spark.functions.similarity import margin_bitext_pairs
+
+    return margin_bitext_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        k=4,
+        margin_threshold=1.0,
+        n_blocks=8,
+    )
+
+
 def _q_ivf_index_append_topk(spark, sf_dir):
     """Index maintenance without retrain: build the IVF artifact on
     the first 400 vectors only, append the rest against the FROZEN
@@ -4304,6 +4322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # function as the corpus outgrows its build-time sizing —
         # swap-discipline symmetric with ivf_retrain_swap.
         "text_index_resize_topk": _q_text_index_resize_topk,
+        # margin-based bitext mining (ratio margin / CSLS hubness
+        # correction) — the cross-corpus alignment member of the
+        # retrieval family.
+        "bitext_margin_pairs": _q_bitext_margin_pairs,
         # --- driver-green, hash-clean under the extended closure
         # walk (no drift since last stamp). hll_distinct_stats
         # (DataSketches estimates) was demoted to
@@ -9012,6 +9034,67 @@ def oracle_sql() -> dict[str, str]:
               ON a.query_id = e.query_id
              AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id
+    """
+    # Margin-based bitext mining: both directed exact top-k sets
+    # replay with 6-dp integer-scaled sims; the margin is one IEEE
+    # division of exact int64 products, so quotient and rounding are
+    # bit-identical across engines; ties break on the target id.
+    sql["bitext_margin_pairs"] = """
+        WITH src AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 2 = 0
+        ), tgt AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 2 = 1
+        ), fwd AS (
+            SELECT src_id, tgt_id, sim6 FROM (
+                SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                       CAST(round(round(list_cosine_similarity(s.v, t.v), 6)
+                                  * 1000000.0) AS BIGINT) AS sim6,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY round(list_cosine_similarity(s.v, t.v), 6)
+                                    DESC, t.vec_id
+                       ) AS rnk
+                FROM src s CROSS JOIN tgt t
+            ) WHERE rnk <= 4
+        ), rev AS (
+            SELECT tgt_id, sim6 FROM (
+                SELECT t.vec_id AS tgt_id,
+                       CAST(round(round(list_cosine_similarity(t.v, s.v), 6)
+                                  * 1000000.0) AS BIGINT) AS sim6,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY round(list_cosine_similarity(t.v, s.v), 6)
+                                    DESC, s.vec_id
+                       ) AS rnk
+                FROM tgt t CROSS JOIN src s
+            ) WHERE rnk <= 4
+        ), rx AS (
+            SELECT src_id, sum(sim6) AS rx6, count(*) AS cx
+            FROM fwd GROUP BY src_id
+        ), ry AS (
+            SELECT tgt_id, sum(sim6) AS ry6, count(*) AS cy
+            FROM rev GROUP BY tgt_id
+        ), m AS (
+            SELECT f.src_id, f.tgt_id, f.sim6,
+                   CAST(2 * f.sim6 * rx.cx * ry.cy AS DOUBLE)
+                     / (rx.rx6 * ry.cy + ry.ry6 * rx.cx) AS mraw
+            FROM fwd f
+            JOIN rx ON rx.src_id = f.src_id
+            JOIN ry ON ry.tgt_id = f.tgt_id
+        ), best AS (
+            SELECT src_id, tgt_id, sim6, mraw,
+                   row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY mraw DESC, tgt_id
+                   ) AS rb
+            FROM m
+        )
+        SELECT src_id, tgt_id,
+               round(sim6 / 1000000.0, 6) AS sim,
+               round(mraw, 6) AS margin
+        FROM best WHERE rb = 1 AND round(mraw, 6) >= 1.0
     """
     # Retrain-swap audit: the retrain IS a fresh build on the
     # surviving corpus, so the standard k-means replay attaches with

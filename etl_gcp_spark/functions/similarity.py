@@ -3111,3 +3111,182 @@ def embedding_sanitize(
         is_zero.alias("is_zero_norm"),
         verdict.alias("verdict"),
     )
+
+
+def blocked_cross_topk(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    k: int = 4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact DIRECTED top-k cosine from every ``src`` vector into the
+    ``tgt`` set via distributed blocked GEMM — the two-corpus form of
+    :func:`blocked_exact_near_dup_pairs` (no broadcast-fit
+    requirement on either side, no driver collect): both sides hash
+    into ``n_blocks`` row-blocks, every (src-block, tgt-block) pair is
+    one Arrow task running a dense numpy GEMM, each task emits its
+    LOCAL per-row top-k (so shuffle out is n_src·n_blocks·k rows, not
+    n_src·n_tgt), and a partitioned window keeps the global top-k.
+
+    Determinism: sims are 6-dp-rounded then integer-scaled (the repo's
+    ×1e6 idiom); ranking breaks ties on the neighbor id in BOTH the
+    local and global selections, so the result replays on any engine.
+    Output: (query_id, neighbor_id, sim6 long).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _packed(df, blk_alias, items_alias):
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        return base.groupBy(
+            F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).alias(blk_alias)
+        ).agg(F.collect_list(F.struct("__id", "__v")).alias(items_alias))
+
+    pairs = (
+        _packed(src, "xblk", "xitems")
+        .crossJoin(_packed(tgt, "yblk", "yitems"))
+        .repartition(F.col("xblk"), F.col("yblk"))
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_x = np.asarray([it["__id"] for it in row.xitems])
+                ids_y = np.asarray([it["__id"] for it in row.yitems])
+                mx = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.xitems]
+                )
+                my = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.yitems]
+                )
+                mx /= np.linalg.norm(mx, axis=1, keepdims=True)
+                my /= np.linalg.norm(my, axis=1, keepdims=True)
+                sim6 = np.rint(
+                    np.round(mx @ my.T, 6) * 1_000_000.0
+                ).astype(np.int64)
+                kk = min(k, sim6.shape[1])
+                out_q, out_n, out_s = [], [], []
+                for i in range(sim6.shape[0]):
+                    # local top-k under the GLOBAL order (sim6 desc,
+                    # id asc) — lexsort is ascending, so negate sims
+                    order = np.lexsort((ids_y, -sim6[i]))[:kk]
+                    out_q.append(np.full(kk, ids_x[i]))
+                    out_n.append(ids_y[order])
+                    out_s.append(sim6[i][order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "sim6": np.concatenate(out_s),
+                        }
+                    )
+
+    id_type = src.schema[id_col].dataType.simpleString()
+    local = pairs.mapInPandas(
+        kernel,
+        f"query_id {id_type}, neighbor_id {id_type}, sim6 long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim6").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def margin_bitext_pairs(
+    embeddings: DataFrame,
+    *,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_pred=None,
+    tgt_pred=None,
+) -> DataFrame:
+    """Margin-based bitext mining (ratio margin, Artetxe & Schwenk,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", ACL 2019): align each source-side vector to its best
+    target-side candidate scored by
+
+        margin(x, y) = cos(x, y) / ((rk(x) + rk(y)) / 2)
+
+    where rk(·) is the mean cosine of the vector's k nearest
+    neighbors in the OTHER side — the CSLS-style hubness correction
+    that raw cosine lacks (hub vectors score high against everything;
+    dividing by their neighborhood mean cancels it). This is the
+    standard mining step for parallel-corpus construction (LASER /
+    CCMatrix) and the missing member of the repo's alignment family
+    (hybrid_rrf_topk fuses rankings, mmr_select diversifies — this
+    MINES cross-corpus pairs).
+
+    Exact and replayable: both directed top-k sets come from
+    :func:`blocked_cross_topk` (6-dp integer-scaled sims); the margin
+    is ONE IEEE division of exact int64 products,
+    ``2·sim6·cx·cy / (rx6·cy + ry6·cx)`` (rx6/ry6 = exact sums of the
+    scaled top-k sims, cx/cy their counts), so the quotient — and its
+    6-dp rounding, used for both the threshold and the output — is
+    bit-identical on any engine. Best-per-source ties break on the
+    target id. Defaults split the corpus by id parity (the
+    engine-portable stand-in for a language column; pass
+    ``src_pred``/``tgt_pred`` for real sides).
+
+    Scale shape: two blocked cross top-k passes (n·B·dim shuffle in,
+    n·B·k out), two k-row-bounded aggregates, one broadcast-sized
+    join pair. At production scale the exact passes swap for
+    ANN candidates (ivf_index_topk with neighbor_pred on the side
+    column) with the same margin arithmetic downstream.
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    if src_pred is None:
+        src_pred = F.col(id_col) % 2 == 0
+    if tgt_pred is None:
+        tgt_pred = F.col(id_col) % 2 == 1
+    src = embeddings.filter(src_pred)
+    tgt = embeddings.filter(tgt_pred)
+    kw = dict(k=k, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col)
+    fwd = blocked_cross_topk(src, tgt, **kw).persist()
+    rev = blocked_cross_topk(tgt, src, **kw)
+    rx = fwd.groupBy("query_id").agg(
+        F.sum("sim6").alias("rx6"), F.count(F.lit(1)).alias("cx")
+    )
+    ry = (
+        rev.groupBy("query_id")
+        .agg(F.sum("sim6").alias("ry6"), F.count(F.lit(1)).alias("cy"))
+        .withColumnRenamed("query_id", "neighbor_id")
+    )
+    m = (
+        fwd.join(rx, "query_id")
+        .join(ry, "neighbor_id")
+        .withColumn(
+            "__margin",
+            (F.lit(2) * F.col("sim6") * F.col("cx") * F.col("cy"))
+            / (F.col("rx6") * F.col("cy") + F.col("ry6") * F.col("cx")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__margin").desc(), F.col("neighbor_id")
+    )
+    out = (
+        m.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .filter(F.round("__margin", 6) >= margin_threshold)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            F.round(F.col("sim6") / F.lit(1_000_000.0), 6).alias("sim"),
+            F.round("__margin", 6).alias("margin"),
+        )
+    )
+    return tag_pinned(out, fwd)

@@ -1180,3 +1180,57 @@ def test_streaming_ivf_erasure_recovers_and_equals_batch(
     )
     assert streamed and streamed == batch
     assert all(r[1] % 7 != 0 for r in streamed)  # erased never served
+
+
+def test_margin_bitext_pairs_matches_numpy_and_finds_planted_pair(spark):
+    """The mined alignments equal a numpy recomputation of the ratio
+    margin (top-4 both directions, exact integer-scaled sums, id
+    tiebreaks), and a planted identical src/tgt pair aligns at
+    sim 1.0 with the best margin for its source."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.similarity import margin_bitext_pairs
+
+    rs = np.random.RandomState(42)
+    rng_vecs = {i: [float(x) for x in rs.randn(8)] for i in range(20)}
+    rng_vecs[11] = list(rng_vecs[10])  # planted parallel pair
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in rng_vecs.items()]
+    )
+    got = {
+        r.src_id: (r.tgt_id, r.sim, r.margin)
+        for r in margin_bitext_pairs(
+            df, k=4, margin_threshold=0.0, n_blocks=4
+        ).collect()
+    }
+
+    # numpy mirror of the operator's exact arithmetic
+    ids = sorted(rng_vecs)
+    V = np.stack([np.asarray(rng_vecs[i], dtype=np.float64) for i in ids])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sim6 = np.rint(np.round(V @ V.T, 6) * 1e6).astype(np.int64)
+    src = [i for i in ids if i % 2 == 0]
+    tgt = [i for i in ids if i % 2 == 1]
+
+    def topk(q, cands):
+        s = sorted(cands, key=lambda c: (-sim6[q][c], c))[:4]
+        return s
+
+    rx = {q: [sim6[q][c] for c in topk(q, tgt)] for q in src}
+    ry = {t: [sim6[t][c] for c in topk(t, src)] for t in tgt}
+    expect = {}
+    for q in src:
+        best = None
+        for t in topk(q, tgt):
+            mraw = (2 * sim6[q][t] * len(rx[q]) * len(ry[t])) / (
+                sum(rx[q]) * len(ry[t]) + sum(ry[t]) * len(rx[q])
+            )
+            key = (-mraw, t)
+            if best is None or key < best[0]:
+                best = (key, t, sim6[q][t], mraw)
+        expect[q] = (best[1], round(best[2] / 1e6, 6), round(best[3], 6))
+
+    assert got == expect
+    t_id, sim, margin = got[10]
+    assert t_id == 11 and sim == 1.0 and margin > 1.0
