@@ -42,7 +42,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()
-    bench_queries = list(registry)
+    # NAME-SORTED, not registry order: the correctness-window rotation
+    # reorders the registry every round, and bench order used to
+    # follow it — so each entry's in-suite number moved with its
+    # POSITION (block-manager/GC debt from whatever ran before it),
+    # producing spurious >1.5x bench_diff flags after every rotation
+    # (r8: bm25_index_topk 6.0 s in-suite vs 2.2 s isolated, purely
+    # positional). Sorted order is stable across rotations, so
+    # round-over-round diffs compare like positions. One-time switch,
+    # recorded in the "order" field; bench_diff NOTEs on it.
+    bench_queries = sorted(registry)
     # SPARK_GRAFT_BENCH_ONLY=a,b,c — isolated-protocol runs (quiet
     # host, one entry or a small set, usually with
     # SPARK_GRAFT_BENCH_REPEAT=5) used to disposition in-suite
@@ -165,6 +174,7 @@ def main() -> None:
             f"{repeat}/{cheap_repeat}-adaptive" if repeat >= 2 else str(repeat)
         ),
         "stat": "median",
+        "order": "name-sorted",
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "index_splits": splits,
         "n_queries": len(timings),

@@ -3148,6 +3148,10 @@ def blocked_cross_topk(
             F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).alias(blk_alias)
         ).agg(F.collect_list(F.struct("__id", "__v")).alias(items_alias))
 
+    # bounded crossJoin: a B×B task matrix over PACKED one-row-per-
+    # block frames (n_blocks is configuration, not data size) — the
+    # blocked-GEMM distribution pattern, the directed-pair form of
+    # blocked_exact_near_dup_pairs' blk<=blk self-join
     pairs = (
         _packed(src, "xblk", "xitems")
         .crossJoin(_packed(tgt, "yblk", "yitems"))

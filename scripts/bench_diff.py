@@ -45,7 +45,7 @@ def main() -> int:
     # the r5→r6 min-of-2 → median-of-3 switch, or the side-write skip
     # landing between rounds) — say so instead of letting the first
     # post-change diff read as a real win/regression (ADVICE r5)
-    for field in ("stat", "repeat"):
+    for field in ("stat", "repeat", "order"):
         ov, nv = old_doc.get(field), new_doc.get(field)
         if ov != nv:
             print(
