@@ -51,15 +51,9 @@ WAIVERS: dict[tuple[str, str], str] = {
     # now computes once into cache instead of riding reuse across
     # legs). Deliberate; prune when the r8-close baseline carries
     # these plans.
-    ("dedup_index_maintenance_audit", "exchanges"):
-        "verify metering: ver_full persisted (was exchange-reused "
-        "across 3 legs); runtime dispositioned in CHANGELOG_r08",
-    ("entity_clusters_increment", "exchanges"):
-        "verify metering: base_ec/full closures materialized inside "
-        "build/verify phases; serve split now honest",
-    ("entity_erasure_audit", "exchanges"):
-        "verify metering: pairs/base/full closures materialized "
-        "inside build/verify phases; serve split now honest",
+    # (the three r8 verify-metering exchange waivers were pruned at
+    # r8 close: the close baseline carries the metered plans, so the
+    # metric no longer differs — stale-waiver notes confirmed.)
 }
 
 
