@@ -1862,6 +1862,38 @@ def _q_bitext_margin_pairs(spark, sf_dir):
     )
 
 
+def _q_bitext_margin_pairs_ann(spark, sf_dir):
+    """ANN-candidate bitext mining WITH its recall audit in one pass
+    (VERDICT r8 item 2 — the scaled posture the exact miner's
+    docstring promises): one IVF artifact over the combined corpus
+    with the side column baked in as metadata, both directed top-k
+    legs from ivf_cross_topk (side predicate pushed into the
+    pruned-cell candidate scans), the identical int64 ratio-margin
+    arithmetic downstream, and measured pair-recall against the
+    exact miner at equal k/threshold (the ann_recall_report audit
+    shape). Oracle: the standard k-means replay (lowest-id seeding,
+    2 Lloyd rounds, 6-dp centroids) feeds per-side probe + rescore
+    CTEs, the guarded margin SQL runs on both the ANN and exact
+    candidate sets, and the recall columns are scalar subqueries
+    over the two mined-pair sets."""
+    from etl_gcp_spark.functions.similarity import bitext_ann_recall_report
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_bitextann_{os.getpid()}_{os.path.basename(sf_dir)}",
+    )
+    return bitext_ann_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        path,
+        k=4,
+        margin_threshold=1.0,
+        n_cells=32,
+        n_iters=2,
+        n_probe=4,
+        n_blocks=8,
+    )
+
+
 def _q_ivf_index_append_topk(spark, sf_dir):
     """Index maintenance without retrain: build the IVF artifact on
     the first 400 vectors only, append the rest against the FROZEN
@@ -4165,16 +4197,75 @@ def _q_stream_sessions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every callable goes through the pinned-frame ledger (see above)
     return {k: _ledgered(fn) for k, fn in {
-        # --- round-8 correctness window (the driver verifies ~the
-        # first 50 keys in dict order). Slots 1-37: the entire
-        # hash-drift backlog (HASH_DRIFT_BACKLOG.json r08 schedule,
-        # VERDICT r7 item 1) — entries whose transitive package
-        # source changed after their last driver-green round; parked
-        # at positions 51-87 through r7, rotated to the head here in
-        # the same order (oldest stamps first, then the streaming
-        # entries staled by the crash-atomic staging-guard adoption
-        # and the text-index entries staled by the meta_cols/
-        # filtered-serve work). ---
+        # --- round-9 correctness window (the driver verifies ~the
+        # first 50 keys in dict order). Slots 1-5: the round-8
+        # net-new entries — the registry's only never-driver-checked
+        # entries at r9 open (VERDICT r8 item 1). ---
+        "ivf_retrain_swap": _q_ivf_retrain_swap,
+        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
+        "streaming_entity_erasure": _q_streaming_entity_erasure,
+        "text_index_resize_topk": _q_text_index_resize_topk,
+        "bitext_margin_pairs": _q_bitext_margin_pairs,
+        # --- slots 6-16: every HASH_DRIFT flag after the r9 edits —
+        # the text-index family (staled by text_index_build clearing
+        # the resize meta contract), the IVF fold entries (staled by
+        # the idempotent-replay dedup in compact), and the entity
+        # store entries (staled by entity_labels_compact making
+        # erasure physical; surfaced by the registry_hashes unwrap
+        # fix — the old walk was blind through @timed wrappers). ---
+        "bm25_filtered_topk": _q_bm25_filtered_topk,
+        "bm25_index_topk": _q_bm25_index_topk,
+        "entity_label_compact": _q_entity_label_compact,
+        "ivf_compact_topk": _q_ivf_compact_topk,
+        "streaming_entity_ingest": _q_streaming_entity_ingest,
+        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        "streaming_text_erasure": _q_streaming_text_erasure,
+        "streaming_text_index_ingest": _q_streaming_text_index,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        "text_index_erasure_topk": _q_text_index_erasure_topk,
+        # --- slots 17-50: the 34 oldest surviving stamps (r02, the
+        # whole cohort minus write_roundtrip_jdbc, which waits for
+        # r10) — re-checked on age alone, hash-clean under the
+        # extended closure walk. ---
+        "bpe_token_count": _q_bpe_token_count,
+        "clean_orders": _q_clean_orders,
+        "cosine_topk": _q_cosine_topk,
+        "daily_top_event_types": _q_daily_top_types,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_lineitem": _q_dedup_lineitem,
+        "doc_fingerprint": _q_fingerprint,
+        "dup_count_lineitem": _q_dup_count,
+        "events_json_extract": _q_json_extract,
+        "events_json_parsed": _q_json_parsed,
+        "exact_text_dedup": _q_exact_text_dedup,
+        "freshness_check": _q_freshness,
+        "hourly_event_stats": _q_hourly,
+        "ingest_csv": _q_ingest_csv,
+        "lang_id": _q_lang_id,
+        "mixture_sample_counts": _q_mixture_sample_counts,
+        "normalize_columns": _q_normalize_columns,
+        "pipeline_gold": _q_pipeline_gold,
+        "quality_gate": _q_quality_gate,
+        "quality_metrics": _q_quality_metrics,
+        "quantized_cosine_topk": _q_quantized_topk,
+        "repetition_signals": _q_repetition_signals,
+        "schema_columns": _q_schema_columns,
+        "sessionize_events": _q_sessionize,
+        "sliding_event_stats": _q_sliding,
+        "source_mixture_rates": _q_source_mixture,
+        "sql_interface": _q_sql_interface,
+        "text_quality": _q_text_quality,
+        "time_rollup": _q_time_rollup,
+        "token_count": _q_token_count,
+        "top_ngrams": _q_top_ngrams,
+        "validate_violations": _q_violations,
+        "validation_summary": _q_violation_summary,
+        "write_roundtrip": _q_write_roundtrip,
+        # --- behind the window: the r8 window (all 50 freshly
+        # driver-stamped in CORRECTNESS_r08) and every other
+        # driver-green, hash-clean entry, in their prior relative
+        # order. ---
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
@@ -4197,65 +4288,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew_report,
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_index_append_topk": _q_ivf_index_append_topk,
-        "streaming_ivf_ingest": _q_streaming_ivf_ingest,
-        "ivf_compact_topk": _q_ivf_compact_topk,
-        # zipf_fit: r06 stamp staled by the limit-first rewrite of
-        # the type-spectrum ranking (global row_number -> orderBy+
-        # limit heap, VERDICT r6 item 5).
         "zipf_fit": _q_zipf_fit,
-        # staled by the r7 mask_key_index extraction (fuzzy_pairs'
-        # blocking shared with the incremental entity audit).
         "entity_clusters": _q_entity_clusters,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
-        # staled by the r7 meta_cols/filtered-serve text-index work.
-        "bm25_index_topk": _q_bm25_index_topk,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
-        # staled by the r7 crash-atomic staging-guard adoption
-        # (streaming/events.py).
         "streaming_cms": _q_streaming_cms,
         "streaming_hll": _q_streaming_hll,
         "streaming_markov": _q_streaming_markov,
         "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
         "streaming_quantiles": _q_streaming_quantiles,
         "streaming_topk": _q_streaming_topk,
-        # --- slots 38-47: the 10 round-7 net-new entries, the only
-        # never-driver-checked entries in the registry (VERDICT r7
-        # item 1): filtered retrieval, right-to-be-forgotten erasure
-        # through all three persisted-index families, and entity-
-        # cluster maintenance (incremental / streaming / deletion /
-        # compaction). ---
         "entity_clusters_increment": _q_entity_clusters_increment,
-        "streaming_entity_ingest": _q_streaming_entity_ingest,
         "ann_ivf_filtered_topk": _q_ann_ivf_filtered_topk,
-        "entity_label_compact": _q_entity_label_compact,
-        "bm25_filtered_topk": _q_bm25_filtered_topk,
-        "text_index_erasure_topk": _q_text_index_erasure_topk,
         "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
         "entity_erasure_audit": _q_entity_erasure_audit,
         "ann_filtered_recall_report": _q_ann_filtered_recall_report,
-        "streaming_text_erasure": _q_streaming_text_erasure,
-        # --- slots 48-49: the two oldest surviving stamps (r02,
-        # hash-clean under the extended closure walk) — re-checked
-        # on age alone, per VERDICT r7 item 1's "fill the rest with
-        # the oldest surviving stamps". ---
         "asof_click_purchase": _q_asof,
         "audit_stamp": _q_audit_stamp,
-        # slot 50: its fresh r07 stamp was re-staled THIS round by
-        # the verify-phase metering change (ver_full persisted in
-        # operators/text_dedup.py), so it takes the last slot over a
-        # third age-only fill — zero unscheduled drift flags.
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
-        # --- positions 51-100: the round-7 window, all 50 freshly
-        # driver-stamped (CORRECTNESS_r07 50/50 green) — rotated out
-        # of the head to make room. ---
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
-        # displaced from the r8 window head by dedup_index_
-        # maintenance_audit's re-window (above): the oldest-stamp
-        # fill it replaced, parked here for the r9 rotation.
-        "bpe_token_count": _q_bpe_token_count,
-        "streaming_text_index_ingest": _q_streaming_text_index,
         "quality_calibration_bins": _q_quality_calibration_bins,
         "streaming_drift_report": _q_streaming_drift_report,
         "q1_pricing_summary": _q_q1,
@@ -4303,34 +4354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
         "ivf_drift_report": _q_ivf_drift_report,
-        # --- round-8 net-new, BEHIND the window (VERDICT r7 item 6):
-        # the drift->retrain ACT edge — retrain on the artifact's own
-        # surviving corpus, write-new-then-rename republish of both
-        # trees, tombstones physical, serve equality + recall proven.
-        "ivf_retrain_swap": _q_ivf_retrain_swap,
-        # streaming twin of the vector-side erasure: deletion
-        # requests as a stream (batch_id-keyed tombstone slices,
-        # centroid-marker-guarded build) — erasure family symmetric
-        # across both index families in batch AND streaming form.
-        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
-        # graph-side streaming erasure: the deletion-maintenance rule
-        # applied per microbatch against the persisted match store —
-        # with this, all three families have batch AND streaming
-        # erasure plus compaction.
-        "streaming_entity_erasure": _q_streaming_entity_erasure,
-        # the text side's retrain: re-bucket the postings partition
-        # function as the corpus outgrows its build-time sizing —
-        # swap-discipline symmetric with ivf_retrain_swap.
-        "text_index_resize_topk": _q_text_index_resize_topk,
-        # margin-based bitext mining (ratio margin / CSLS hubness
-        # correction) — the cross-corpus alignment member of the
-        # retrieval family.
-        "bitext_margin_pairs": _q_bitext_margin_pairs,
-        # --- driver-green, hash-clean under the extended closure
-        # walk (no drift since last stamp). hll_distinct_stats
-        # (DataSketches estimates) was demoted to
-        # tests/test_sketches_entry.py in round 5; hll_replayable
-        # is the canonical registry sketch. ---
         "lsh_recall_report": _q_lsh_recall_report,
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
         "soft_dedup_weights": _q_soft_dedup_weights,
@@ -4490,40 +4513,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "pq_adc_topk": _q_pq_adc_topk,
         "leakage_safe_split_counts": _q_leakage_safe_split_counts,
-        "clean_orders": _q_clean_orders,
-        "pipeline_gold": _q_pipeline_gold,
-        "normalize_columns": _q_normalize_columns,
-        "dedup_lineitem": _q_dedup_lineitem,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dup_count_lineitem": _q_dup_count,
-        "quality_metrics": _q_quality_metrics,
-        "quality_gate": _q_quality_gate,
-        "freshness_check": _q_freshness,
-        "validate_violations": _q_violations,
-        "validation_summary": _q_violation_summary,
-        "schema_columns": _q_schema_columns,
-        "ingest_csv": _q_ingest_csv,
-        "write_roundtrip": _q_write_roundtrip,
         "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
-        "sql_interface": _q_sql_interface,
-        "exact_text_dedup": _q_exact_text_dedup,
-        "doc_fingerprint": _q_fingerprint,
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "text_quality": _q_text_quality,
-        "repetition_signals": _q_repetition_signals,
-        "source_mixture_rates": _q_source_mixture,
-        "mixture_sample_counts": _q_mixture_sample_counts,
-        "top_ngrams": _q_top_ngrams,
-        "cosine_topk": _q_cosine_topk,
-        "quantized_cosine_topk": _q_quantized_topk,
-        "events_json_extract": _q_json_extract,
-        "events_json_parsed": _q_json_parsed,
-        "hourly_event_stats": _q_hourly,
-        "sessionize_events": _q_sessionize,
-        "sliding_event_stats": _q_sliding,
-        "daily_top_event_types": _q_daily_top_types,
-        "time_rollup": _q_time_rollup,
+        # --- round-9 net-new, BEHIND the window (VERDICT r8 item
+        # 2): ANN-candidate bitext mining over one side-tagged IVF
+        # artifact (distributed probing, pruned-cell candidate
+        # scans) with the measured pair-recall audit vs the exact
+        # miner — parked for the r10 window per the net-new
+        # convention. ---
+        "bitext_margin_pairs_ann": _q_bitext_margin_pairs_ann,
     }.items()}
 
 
@@ -9077,12 +9074,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT tgt_id, sum(sim6) AS ry6, count(*) AS cy
             FROM rev GROUP BY tgt_id
         ), m AS (
+            -- non-positive denominator (both sides' top-k cosine
+            -- sums <= 0) is an explicit drop, not a null/sign-flip
             SELECT f.src_id, f.tgt_id, f.sim6,
                    CAST(2 * f.sim6 * rx.cx * ry.cy AS DOUBLE)
                      / (rx.rx6 * ry.cy + ry.ry6 * rx.cx) AS mraw
             FROM fwd f
             JOIN rx ON rx.src_id = f.src_id
             JOIN ry ON ry.tgt_id = f.tgt_id
+            WHERE rx.rx6 * ry.cy + ry.ry6 * rx.cx > 0
         ), best AS (
             SELECT src_id, tgt_id, sim6, mraw,
                    row_number() OVER (
@@ -9095,6 +9095,211 @@ def oracle_sql() -> dict[str, str]:
                round(sim6 / 1000000.0, 6) AS sim,
                round(mraw, 6) AS margin
         FROM best WHERE rb = 1 AND round(mraw, 6) >= 1.0
+    """
+    # ANN-candidate bitext mining + recall audit: the k-means replay
+    # (identical chain to ann_ivf_kmeans_topk — lowest-id seeding,
+    # 2 Lloyd rounds, 6-dp centroids, final assignment af) feeds
+    # per-side probe CTEs (top-4 cells per query, ties to the lowest
+    # cell); each directed candidate set is probe ⋈ af on cell
+    # restricted to the other side's parity; the guarded margin SQL
+    # is textually the exact miner's; the exact miner itself replays
+    # as e* CTEs for the recall legs.
+    sql["bitext_margin_pairs_ann"] = """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+            FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 32)
+        ), a1 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c0 c
+            ) WHERE rnk = 1
+        ), c1 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a1
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), a2 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c1 c
+            ) WHERE rnk = 1
+        ), c2 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a2
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), af AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c2 c
+            ) WHERE rnk = 1
+        ), sprobe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, c.cv)
+                                    DESC, c.cell
+                       ) AS prnk
+                FROM base q CROSS JOIN c2 c
+                WHERE q.vec_id % 2 = 0
+            ) WHERE prnk <= 4
+        ), tprobe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, c.cv)
+                                    DESC, c.cell
+                       ) AS prnk
+                FROM base q CROSS JOIN c2 c
+                WHERE q.vec_id % 2 = 1
+            ) WHERE prnk <= 4
+        ), fwd AS (
+            SELECT src_id, tgt_id, sim6 FROM (
+                SELECT p.query_id AS src_id, a.vec_id AS tgt_id,
+                       CAST(round(round(list_cosine_similarity(qb.v, a.v), 6)
+                                  * 1000000.0) AS BIGINT) AS sim6,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY round(list_cosine_similarity(qb.v, a.v), 6)
+                                    DESC, a.vec_id
+                       ) AS rnk
+                FROM sprobe p
+                JOIN af a USING (cell)
+                JOIN base qb ON qb.vec_id = p.query_id
+                WHERE a.vec_id % 2 = 1
+            ) WHERE rnk <= 4
+        ), rev AS (
+            SELECT tgt_id, sim6 FROM (
+                SELECT p.query_id AS tgt_id,
+                       CAST(round(round(list_cosine_similarity(qb.v, a.v), 6)
+                                  * 1000000.0) AS BIGINT) AS sim6,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY round(list_cosine_similarity(qb.v, a.v), 6)
+                                    DESC, a.vec_id
+                       ) AS rnk
+                FROM tprobe p
+                JOIN af a USING (cell)
+                JOIN base qb ON qb.vec_id = p.query_id
+                WHERE a.vec_id % 2 = 0
+            ) WHERE rnk <= 4
+        ), rx AS (
+            SELECT src_id, sum(sim6) AS rx6, count(*) AS cx
+            FROM fwd GROUP BY src_id
+        ), ry AS (
+            SELECT tgt_id, sum(sim6) AS ry6, count(*) AS cy
+            FROM rev GROUP BY tgt_id
+        ), m AS (
+            SELECT f.src_id, f.tgt_id, f.sim6,
+                   CAST(2 * f.sim6 * rx.cx * ry.cy AS DOUBLE)
+                     / (rx.rx6 * ry.cy + ry.ry6 * rx.cx) AS mraw
+            FROM fwd f
+            JOIN rx ON rx.src_id = f.src_id
+            JOIN ry ON ry.tgt_id = f.tgt_id
+            WHERE rx.rx6 * ry.cy + ry.ry6 * rx.cx > 0
+        ), best AS (
+            SELECT src_id, tgt_id, sim6, mraw,
+                   row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY mraw DESC, tgt_id
+                   ) AS rb
+            FROM m
+        ), apairs AS (
+            SELECT src_id, tgt_id,
+                   round(sim6 / 1000000.0, 6) AS sim,
+                   round(mraw, 6) AS margin
+            FROM best WHERE rb = 1 AND round(mraw, 6) >= 1.0
+        ), esrc AS (
+            SELECT vec_id, v FROM base WHERE vec_id % 2 = 0
+        ), etgt AS (
+            SELECT vec_id, v FROM base WHERE vec_id % 2 = 1
+        ), efwd AS (
+            SELECT src_id, tgt_id, sim6 FROM (
+                SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                       CAST(round(round(list_cosine_similarity(s.v, t.v), 6)
+                                  * 1000000.0) AS BIGINT) AS sim6,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY round(list_cosine_similarity(s.v, t.v), 6)
+                                    DESC, t.vec_id
+                       ) AS rnk
+                FROM esrc s CROSS JOIN etgt t
+            ) WHERE rnk <= 4
+        ), erev AS (
+            SELECT tgt_id, sim6 FROM (
+                SELECT t.vec_id AS tgt_id,
+                       CAST(round(round(list_cosine_similarity(t.v, s.v), 6)
+                                  * 1000000.0) AS BIGINT) AS sim6,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY round(list_cosine_similarity(t.v, s.v), 6)
+                                    DESC, s.vec_id
+                       ) AS rnk
+                FROM etgt t CROSS JOIN esrc s
+            ) WHERE rnk <= 4
+        ), erx AS (
+            SELECT src_id, sum(sim6) AS rx6, count(*) AS cx
+            FROM efwd GROUP BY src_id
+        ), ery AS (
+            SELECT tgt_id, sum(sim6) AS ry6, count(*) AS cy
+            FROM erev GROUP BY tgt_id
+        ), em AS (
+            SELECT f.src_id, f.tgt_id, f.sim6,
+                   CAST(2 * f.sim6 * rx.cx * ry.cy AS DOUBLE)
+                     / (rx.rx6 * ry.cy + ry.ry6 * rx.cx) AS mraw
+            FROM efwd f
+            JOIN erx rx ON rx.src_id = f.src_id
+            JOIN ery ry ON ry.tgt_id = f.tgt_id
+            WHERE rx.rx6 * ry.cy + ry.ry6 * rx.cx > 0
+        ), ebest AS (
+            SELECT src_id, tgt_id, mraw,
+                   row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY mraw DESC, tgt_id
+                   ) AS rb
+            FROM em
+        ), epairs AS (
+            SELECT src_id, tgt_id
+            FROM ebest WHERE rb = 1 AND round(mraw, 6) >= 1.0
+        ), stats AS (
+            SELECT (SELECT count(*) FROM epairs) AS n_exact_pairs,
+                   (SELECT count(*) FROM apairs a
+                    JOIN epairs e USING (src_id, tgt_id)) AS n_hits
+        )
+        SELECT a.src_id, a.tgt_id, a.sim, a.margin,
+               CAST(CASE WHEN e.src_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS hit,
+               s.n_exact_pairs, s.n_hits,
+               round(s.n_hits / CAST(s.n_exact_pairs AS DOUBLE), 4)
+                   AS pair_recall
+        FROM apairs a
+        LEFT JOIN epairs e USING (src_id, tgt_id)
+        CROSS JOIN stats s
     """
     # Retrain-swap audit: the retrain IS a fresh build on the
     # surviving corpus, so the standard k-means replay attaches with

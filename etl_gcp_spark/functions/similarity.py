@@ -2703,6 +2703,13 @@ def ivf_index_compact(spark, path: str) -> None:
             .parquet(appends)
             .select(*cols)
         )
+        # idempotent fold: a crash between commit_swap and the
+        # appends cleanup below leaves a base that ALREADY contains
+        # the folded rows — re-unioning the surviving appends dir
+        # must not write duplicate vec_ids into the artifact
+        # (vec_id is the identity key: tombstones, serves and the
+        # maintenance audit all address rows by it)
+        allv = allv.dropDuplicates(["vec_id"])
     # compaction is where erasure becomes PHYSICAL: tombstoned
     # vectors (ivf_index_erase) drop out of the rewritten cell
     # partitions and the tombstone dir is cleared
@@ -2775,6 +2782,15 @@ def ivf_retrain_swap(
             .parquet(appends)
             .select(*cols)
         )
+        # idempotent fold (same contract as ivf_index_compact): a
+        # crash after commit_swap(vectors) but before the appends
+        # cleanup leaves the folded rows in the new base — the
+        # re-union on replay must not double-count them in training
+        # or duplicate them in the rewrite. Dedup is on vec_id, not
+        # the full row: the committed base carries RE-ASSIGNED cell
+        # values while the surviving appends dir keeps the old ones,
+        # so only the identity key is stable across the replay.
+        cur = cur.dropDuplicates(["vec_id"])
     tomb = _ivf_tombstones(spark, path)
     if tomb is not None:
         cur = cur.join(F.broadcast(tomb), "vec_id", "left_anti")
@@ -3113,6 +3129,69 @@ def embedding_sanitize(
     )
 
 
+def _packed_cross_topk_kernel(k: int):
+    """Arrow task kernel shared by :func:`blocked_cross_topk` and
+    :func:`ivf_cross_topk`: each input row carries one packed
+    query block (``xitems``) and one packed candidate set
+    (``yitems``); the task runs a dense normalized GEMM and emits
+    each query's LOCAL top-k under the global order (6-dp
+    integer-scaled sim desc, neighbor id asc). Zero-norm vectors
+    fail fast — normalizing one yields NaN sims and
+    ``np.rint(NaN)`` is undefined (garbage rankings, not an
+    error); the documented contract is that callers sanitize with
+    :func:`embedding_sanitize` first."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_x = np.asarray([it["__id"] for it in row.xitems])
+                ids_y = np.asarray([it["__id"] for it in row.yitems])
+                mx = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.xitems]
+                )
+                my = np.stack(
+                    [np.asarray(it["__v"], dtype=np.float64) for it in row.yitems]
+                )
+                nx = np.linalg.norm(mx, axis=1, keepdims=True)
+                ny = np.linalg.norm(my, axis=1, keepdims=True)
+                if not (nx.all() and ny.all()):
+                    bad = np.concatenate(
+                        [ids_x[(nx == 0).ravel()], ids_y[(ny == 0).ravel()]]
+                    )
+                    raise ValueError(
+                        "cross top-k: zero-norm embedding(s) "
+                        f"{sorted(set(bad.tolist()))[:5]} — cosine is "
+                        "undefined; drop them upstream with "
+                        "embedding_sanitize"
+                    )
+                mx /= nx
+                my /= ny
+                sim6 = np.rint(
+                    np.round(mx @ my.T, 6) * 1_000_000.0
+                ).astype(np.int64)
+                kk = min(k, sim6.shape[1])
+                out_q, out_n, out_s = [], [], []
+                for i in range(sim6.shape[0]):
+                    # local top-k under the GLOBAL order (sim6 desc,
+                    # id asc) — lexsort is ascending, so negate sims
+                    order = np.lexsort((ids_y, -sim6[i]))[:kk]
+                    out_q.append(np.full(kk, ids_x[i]))
+                    out_n.append(ids_y[order])
+                    out_s.append(sim6[i][order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "sim6": np.concatenate(out_s),
+                        }
+                    )
+
+    return kernel
+
+
 def blocked_cross_topk(
     src: DataFrame,
     tgt: DataFrame,
@@ -3136,8 +3215,6 @@ def blocked_cross_topk(
     local and global selections, so the result replays on any engine.
     Output: (query_id, neighbor_id, sim6 long).
     """
-    import numpy as np
-    import pandas as pd
 
     def _packed(df, blk_alias, items_alias):
         base = df.select(
@@ -3158,43 +3235,9 @@ def blocked_cross_topk(
         .repartition(F.col("xblk"), F.col("yblk"))
     )
 
-    def kernel(batches):
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                ids_x = np.asarray([it["__id"] for it in row.xitems])
-                ids_y = np.asarray([it["__id"] for it in row.yitems])
-                mx = np.stack(
-                    [np.asarray(it["__v"], dtype=np.float64) for it in row.xitems]
-                )
-                my = np.stack(
-                    [np.asarray(it["__v"], dtype=np.float64) for it in row.yitems]
-                )
-                mx /= np.linalg.norm(mx, axis=1, keepdims=True)
-                my /= np.linalg.norm(my, axis=1, keepdims=True)
-                sim6 = np.rint(
-                    np.round(mx @ my.T, 6) * 1_000_000.0
-                ).astype(np.int64)
-                kk = min(k, sim6.shape[1])
-                out_q, out_n, out_s = [], [], []
-                for i in range(sim6.shape[0]):
-                    # local top-k under the GLOBAL order (sim6 desc,
-                    # id asc) — lexsort is ascending, so negate sims
-                    order = np.lexsort((ids_y, -sim6[i]))[:kk]
-                    out_q.append(np.full(kk, ids_x[i]))
-                    out_n.append(ids_y[order])
-                    out_s.append(sim6[i][order])
-                if out_q:
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_n),
-                            "sim6": np.concatenate(out_s),
-                        }
-                    )
-
     id_type = src.schema[id_col].dataType.simpleString()
     local = pairs.mapInPandas(
-        kernel,
+        _packed_cross_topk_kernel(k),
         f"query_id {id_type}, neighbor_id {id_type}, sim6 long",
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -3241,15 +3284,22 @@ def margin_bitext_pairs(
     scaled top-k sims, cx/cy their counts), so the quotient — and its
     6-dp rounding, used for both the threshold and the output — is
     bit-identical on any engine. Best-per-source ties break on the
-    target id. Defaults split the corpus by id parity (the
-    engine-portable stand-in for a language column; pass
-    ``src_pred``/``tgt_pred`` for real sides).
+    target id. Candidates with a non-positive denominator (both
+    sides' top-k cosine sums ≤ 0 — no meaningful neighborhood mean)
+    are dropped before ranking rather than silently nulled or
+    sign-flipped (:func:`_margin_rank`). Defaults split the corpus by
+    id parity (the engine-portable stand-in for a language column;
+    pass ``src_pred``/``tgt_pred`` for real sides).
 
     Scale shape: two blocked cross top-k passes (n·B·dim shuffle in,
     n·B·k out), two k-row-bounded aggregates, one broadcast-sized
-    join pair. At production scale the exact passes swap for
-    ANN candidates (ivf_index_topk with neighbor_pred on the side
-    column) with the same margin arithmetic downstream.
+    join pair. Compute is the exact O(n_src·n_tgt·dim) cross-GEMM —
+    the AUDIT posture; production mining swaps the candidate legs
+    for :func:`margin_bitext_pairs_ann` (IVF artifact with the side
+    column in meta_cols, :func:`ivf_cross_topk` both directions,
+    identical margin arithmetic), with
+    :func:`bitext_ann_recall_report` measuring the recall cost of
+    that swap against this exact path.
     """
     from etl_gcp_spark.caching import tag_pinned
 
@@ -3262,6 +3312,25 @@ def margin_bitext_pairs(
     kw = dict(k=k, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col)
     fwd = blocked_cross_topk(src, tgt, **kw).persist()
     rev = blocked_cross_topk(tgt, src, **kw)
+    out = _margin_rank(fwd, rev, margin_threshold)
+    return tag_pinned(out, fwd)
+
+
+def _margin_rank(
+    fwd: DataFrame, rev: DataFrame, margin_threshold: float
+) -> DataFrame:
+    """The ratio-margin arithmetic shared by the exact
+    (:func:`margin_bitext_pairs`) and ANN-candidate
+    (:func:`margin_bitext_pairs_ann`) miners: given the two directed
+    (query_id, neighbor_id, sim6) top-k sets, score each forward
+    candidate by ``2·sim6·cx·cy / (rx6·cy + ry6·cx)`` (one IEEE
+    division of exact int64 products — replays bit-for-bit), keep the
+    best target per source (ties on target id), threshold on the 6-dp
+    margin. Candidates whose denominator is not positive are dropped
+    BEFORE ranking: a vector whose top-k cosine sum is ≤ 0 has no
+    meaningful neighborhood mean — dividing by it would null (0) or
+    sign-flip (negative) the margin and silently mis-rank, so the
+    guard makes the degenerate case an explicit drop instead."""
     rx = fwd.groupBy("query_id").agg(
         F.sum("sim6").alias("rx6"), F.count(F.lit(1)).alias("cx")
     )
@@ -3273,6 +3342,9 @@ def margin_bitext_pairs(
     m = (
         fwd.join(rx, "query_id")
         .join(ry, "neighbor_id")
+        .filter(
+            F.col("rx6") * F.col("cy") + F.col("ry6") * F.col("cx") > 0
+        )
         .withColumn(
             "__margin",
             (F.lit(2) * F.col("sim6") * F.col("cx") * F.col("cy"))
@@ -3282,7 +3354,7 @@ def margin_bitext_pairs(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__margin").desc(), F.col("neighbor_id")
     )
-    out = (
+    return (
         m.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .filter(F.round("__margin", 6) >= margin_threshold)
@@ -3293,4 +3365,294 @@ def margin_bitext_pairs(
             F.round("__margin", 6).alias("margin"),
         )
     )
-    return tag_pinned(out, fwd)
+
+
+def ivf_cross_topk(
+    spark,
+    path: str,
+    *,
+    query_pred,
+    cand_pred,
+    k: int = 4,
+    n_probe: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Directed top-k cosine from EVERY query-side vector into the
+    candidate side, accelerated by a persisted :func:`build_ivf_index`
+    artifact — the mining-scale form of :func:`ivf_index_topk`. That
+    serve path collects a small ``query_ids`` probe set driver-side;
+    here the query side is the whole corpus half, so probing is
+    DISTRIBUTED: an Arrow kernel with the (tiny, n_cells×dim) centroid
+    matrix in its closure assigns each query its ``n_probe`` nearest
+    cells (ties to the lowest cell, same rule as :func:`ivf_serve` and
+    the k-means replay oracle), and each query is scored ONLY against
+    the candidates of its probed cells.
+
+    Both sides read from the artifact itself: ``query_pred`` /
+    ``cand_pred`` are predicates over the metadata columns baked in
+    via ``build_ivf_index(meta_cols=...)``, so they push into the
+    parquet scans (``PushedFilters``) and the candidate read is
+    additionally pruned to the union of probed cells (partition
+    filter on ``cell`` — asserted in tests/test_plans.py). Compute is
+    O(n_query · n_probe/n_cells · n_cand · dim) versus the exact
+    cross-GEMM's O(n_query · n_cand · dim); shuffle out stays
+    n_query · n_probe · k rows.
+
+    Task shape: queries pack per (cell, hash-block) and candidates
+    per cell, joined on cell — per-task memory is one cell's
+    candidates plus one query block, so ``n_cells`` (like the exact
+    path's ``n_blocks``) scales with the corpus to keep tasks
+    memory-bounded. Tombstoned vectors leave both sides immediately
+    (same anti-join as every serve). Returns (query_id, neighbor_id,
+    sim6) under the repo's 6-dp integer-scaled determinism contract;
+    the caller releases the pinned probe frame via the tag_pinned
+    ledger.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_gcp_spark.caching import tag_pinned
+
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    cmat = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    labels = np.asarray([r["cell"] for r in cents], dtype=np.int64)
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        vectors = vectors.join(F.broadcast(tomb), "vec_id", "left_anti")
+    queries = vectors.filter(query_pred).select("vec_id", "vector")
+    npb = min(n_probe, len(cents))
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mq = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vector"]]
+            )
+            nq = np.linalg.norm(mq, axis=1, keepdims=True)
+            if not nq.all():
+                raise ValueError(
+                    "ivf_cross_topk: zero-norm query embedding(s) "
+                    f"{sorted(ids[(nq == 0).ravel()].tolist())[:5]} — "
+                    "drop them upstream with embedding_sanitize"
+                )
+            sims = (mq / nq) @ cmat.T
+            # top n_probe cells per query; stable argsort over the
+            # ascending-label axis breaks exact ties to the lowest
+            # cell, matching ivf_serve and the SQL replay
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, npb),
+                    "cell": labels[order].ravel(),
+                }
+            )
+
+    id_type = vectors.schema["vec_id"].dataType.simpleString()
+    probes = queries.mapInPandas(
+        probe, f"vec_id {id_type}, cell int"
+    ).persist()
+    # bounded collect: ≤ n_cells distinct values — the driver-side
+    # list is what turns the candidate read into a pruned partition
+    # scan (cells nobody probed are never opened)
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    qpack = (
+        probes.join(queries, "vec_id")
+        .select(
+            F.col("vec_id").alias("__id"),
+            F.col("vector").alias("__v"),
+            "cell",
+        )
+        .groupBy(
+            "cell",
+            F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).alias("xblk"),
+        )
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("xitems"))
+    )
+    ypack = (
+        vectors.filter(F.col("cell").isin(probed_cells))
+        .filter(cand_pred)
+        .select(
+            F.col("vec_id").alias("__id"),
+            F.col("vector").alias("__v"),
+            "cell",
+        )
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("yitems"))
+    )
+    local = (
+        qpack.join(ypack, "cell")
+        .repartition(F.col("cell"), F.col("xblk"))
+        .mapInPandas(
+            _packed_cross_topk_kernel(k),
+            f"query_id {id_type}, neighbor_id {id_type}, sim6 long",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim6").desc(), F.col("neighbor_id")
+    )
+    out = (
+        local.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    return tag_pinned(out, probes)
+
+
+def margin_bitext_pairs_ann(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    n_probe: int = 4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_pred=None,
+    tgt_pred=None,
+) -> DataFrame:
+    """:func:`margin_bitext_pairs` with ANN candidate generation —
+    the production posture the exact miner's docstring names: ONE
+    IVF artifact is built over the combined corpus with the side
+    column baked in as metadata (``build_ivf_index(meta_cols=
+    ("side",))``), both directed top-k sets come from
+    :func:`ivf_cross_topk` (side predicates pushed into the pruned
+    cell scans), and the identical int64 ratio-margin arithmetic
+    (:func:`_margin_rank`) runs downstream. Compute drops from the
+    exact pass's O(n_src·n_tgt·dim) to
+    O(n·n_probe/n_cells·n·dim) — the quadratic term shrinks by
+    n_probe/n_cells — at the cost of candidate recall, which
+    :func:`bitext_ann_recall_report` measures against the exact
+    miner (the audit leg every approximate family carries:
+    ann_recall_report, lsh_recall_report).
+
+    Training on the COMBINED corpus (not per side) keeps one
+    partition function for both directions, so the same probed-cell
+    layout serves src→tgt and tgt→src; it is also what the standard
+    k-means replay oracle attaches to.
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    if src_pred is None:
+        src_pred = F.col(id_col) % 2 == 0
+    if tgt_pred is None:
+        tgt_pred = F.col(id_col) % 2 == 1
+    tagged = embeddings.filter(src_pred | tgt_pred).withColumn(
+        "side", F.when(src_pred, F.lit("src")).otherwise(F.lit("tgt"))
+    )
+    build_ivf_index(
+        tagged,
+        path,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        meta_cols=("side",),
+    )
+    spark = embeddings.sparkSession
+    kw = dict(k=k, n_probe=n_probe, n_blocks=n_blocks)
+    fwd = ivf_cross_topk(
+        spark, path,
+        query_pred=F.col("side") == "src",
+        cand_pred=F.col("side") == "tgt",
+        **kw,
+    )
+    fwd_pins = tuple(getattr(fwd, "_etl_pinned_frames", ()))
+    fwd = fwd.persist()
+    rev = ivf_cross_topk(
+        spark, path,
+        query_pred=F.col("side") == "tgt",
+        cand_pred=F.col("side") == "src",
+        **kw,
+    )
+    out = _margin_rank(fwd, rev, margin_threshold)
+    return tag_pinned(
+        out, fwd, *fwd_pins, *getattr(rev, "_etl_pinned_frames", ())
+    )
+
+
+def bitext_ann_recall_report(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    n_probe: int = 4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine with :func:`margin_bitext_pairs_ann` AND audit it in the
+    same pass: every ANN-mined pair carries a ``hit`` flag (1 iff the
+    exact miner found the same (src, tgt) pair at equal k/threshold)
+    plus the corpus-level ``pair_recall`` = |ANN ∩ exact| / |exact| —
+    the measured number that says whether n_probe/n_cells is sized
+    right for this corpus, exactly as :func:`ann_recall_report` does
+    for plain top-k serving. Global counts ride in on a broadcast
+    1×1-row crossJoin (the repo's bounded-stats idiom — never a
+    single-partition global window)."""
+    from etl_gcp_spark.caching import tag_pinned
+
+    ann = margin_bitext_pairs_ann(
+        embeddings,
+        path,
+        k=k,
+        margin_threshold=margin_threshold,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        n_probe=n_probe,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    ann_pins = tuple(getattr(ann, "_etl_pinned_frames", ()))
+    ann = ann.persist()
+    exact = margin_bitext_pairs(
+        embeddings,
+        k=k,
+        margin_threshold=margin_threshold,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    exact_pins = tuple(getattr(exact, "_etl_pinned_frames", ()))
+    exact = exact.select("src_id", "tgt_id").persist()
+    stats = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs")
+    ).crossJoin(
+        ann.join(exact, ["src_id", "tgt_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+    )
+    out = (
+        ann.join(
+            exact.withColumn("hit", F.lit(1)), ["src_id", "tgt_id"], "left"
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "src_id",
+            "tgt_id",
+            "sim",
+            "margin",
+            F.coalesce("hit", F.lit(0)).cast("int").alias("hit"),
+            "n_exact_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_exact_pairs"), 4
+            ).alias("pair_recall"),
+        )
+    )
+    return tag_pinned(out, ann, exact, *ann_pins, *exact_pins)

@@ -1357,8 +1357,13 @@ def text_index_build(
     from etl_gcp_spark.operators.encoding import _poly_hash
 
     # a rebuild is a fresh snapshot: erasures recorded against the
-    # previous artifact do not carry over
+    # previous artifact do not carry over, and neither does a
+    # text_index_resize's persisted bucket-count contract — a stale
+    # meta/n_buckets from the old artifact would spuriously reject
+    # (or, coincidentally matching, wrongly bless) this build's
+    # caller-managed bucket count on every later append/serve
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/meta", ignore_errors=True)
     meta = [F.col(c) for c in meta_cols]
     toks = documents.select(
         F.col(id_col).alias("doc_id"),

@@ -129,6 +129,16 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
     2. ``maskkeys/base`` ← base ∪ ``maskkeys/appends`` (batch
        partition column dropped), so future ingests probe ONE tree.
 
+    Erasure becomes PHYSICAL here, mirroring ivf_index_compact /
+    text_index_compact: tombstone slices accumulated by
+    :func:`run_streaming_entity_erasure` drop the erased ids out of
+    the rewritten ``labels_base``, the blocking index
+    (``maskkeys/base``) and the persisted match store (``pairs``),
+    then the tombstone dir is cleared (fresh-snapshot semantics) —
+    so the serve path's broadcast anti-join set is re-bounded to the
+    erasure volume since the LAST compaction instead of growing
+    forever, and no trace of the erased ids remains in any artifact.
+
     Serving before and after compaction returns IDENTICAL results
     (asserted in tests and by the shared batch oracle) — compaction
     moves bytes, not semantics.
@@ -141,30 +151,77 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
     patch_dir = os.path.join(root, "labels")
     mk_base = os.path.join(root, "maskkeys", "base")
     mk_app = os.path.join(root, "maskkeys", "appends")
+    tomb_dir = os.path.join(root, "tombstones")
+    pairs_dir = os.path.join(root, "pairs")
     # self-repair first: a run killed between commit_swap's renames
     # (the one window where a base tree is absent) rolls forward to
     # the committer-marked rewrite, so the store is never left
     # unservable awaiting manual repair (ADVICE r7)
     heal_swap(base_dir)
     heal_swap(mk_base)
-    if os.path.isdir(patch_dir) and any(
-        e.startswith("batch=") for e in os.listdir(patch_dir)
-    ):
+    heal_swap(pairs_dir)
+
+    def _slices(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            e.startswith("batch=") for e in os.listdir(d)
+        )
+
+    tombs = (
+        spark.read.option("basePath", tomb_dir)
+        .parquet(tomb_dir)
+        .select("id")
+        if _slices(tomb_dir)
+        else None
+    )
+    if _slices(patch_dir) or tombs is not None:
         latest = _latest_labels(spark, root)
+        if tombs is not None:
+            latest = latest.join(F.broadcast(tombs), "id", "left_anti")
         latest.write.mode("overwrite").parquet(base_dir + "_compacting")
         commit_swap(base_dir)
         shutil.rmtree(patch_dir, ignore_errors=True)
-    if os.path.isdir(mk_app) and any(
-        e.startswith("batch=") for e in os.listdir(mk_app)
-    ):
-        merged = spark.read.parquet(mk_base).unionByName(
-            spark.read.option("basePath", mk_app)
-            .parquet(mk_app)
-            .drop("batch")
-        )
+    if os.path.isdir(mk_base) and (_slices(mk_app) or tombs is not None):
+        merged = spark.read.parquet(mk_base)
+        if _slices(mk_app):
+            merged = merged.unionByName(
+                spark.read.option("basePath", mk_app)
+                .parquet(mk_app)
+                .drop("batch")
+            )
+        if tombs is not None:
+            # the blocking index is keyed by the caller's id column
+            # (mask_key_index keeps its name) — by construction the
+            # FIRST column of the store
+            mk_id = merged.columns[0]
+            merged = merged.join(
+                F.broadcast(tombs).withColumnRenamed("id", mk_id),
+                mk_id,
+                "left_anti",
+            )
         merged.write.mode("overwrite").parquet(mk_base + "_compacting")
         commit_swap(mk_base)
         shutil.rmtree(mk_app, ignore_errors=True)
+    if tombs is not None:
+        if os.path.isdir(pairs_dir):
+            kept = (
+                spark.read.parquet(pairs_dir)
+                .join(
+                    F.broadcast(tombs).withColumnRenamed("id", "id1"),
+                    "id1",
+                    "left_anti",
+                )
+                .join(
+                    F.broadcast(tombs).withColumnRenamed("id", "id2"),
+                    "id2",
+                    "left_anti",
+                )
+            )
+            kept.write.mode("overwrite").parquet(pairs_dir + "_compacting")
+            commit_swap(pairs_dir)
+        # cleared LAST: every rewrite above is an anti-join, so a
+        # crash anywhere before this line replays as a no-op against
+        # the already-filtered stores (idempotent fold)
+        shutil.rmtree(tomb_dir, ignore_errors=True)
 
 
 @_metered_build

@@ -173,7 +173,14 @@ def _closure_src(raw, module) -> str:
         s = _src(fn)
         parts.append(_strip_comments(s))
         idents = _code_idents(s)
-        ns = getattr(fn, "__globals__", None)
+        # unwrap decorated functions (functools.wraps preserves
+        # __wrapped__): a @timed("build") wrapper's __globals__ is
+        # the METERING module's namespace, so chasing through it
+        # resolved none of the wrapped body's references — edits to
+        # a helper reached only via a decorated function (e.g.
+        # entity_labels_compact from run_streaming_entity_ingest)
+        # left every caller's hash unchanged (review r9)
+        ns = getattr(inspect.unwrap(fn), "__globals__", None)
         if ns is None and inspect.isclass(fn):
             defmod = sys.modules.get(getattr(fn, "__module__", ""), None)
             ns = vars(defmod) if defmod is not None else {}

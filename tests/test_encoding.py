@@ -750,3 +750,33 @@ def test_text_index_resize_preserves_serving_and_guards_count(
     )
     text_index_append(newdocs, idx, n_buckets=128)
     assert bm25_index_topk(spark, idx, terms, n_buckets=128).count() > 0
+
+
+def test_text_index_build_resets_resize_contract(spark, sf_dir, tmp_path):
+    """A fresh build at a previously-resized path must reset the
+    persisted bucket-count contract along with the tombstones: a
+    stale meta/n_buckets from the old artifact would spuriously
+    reject (or coincidentally bless) the rebuild's caller-managed
+    count on every later append/serve."""
+    import os
+
+    from etl_gcp_spark.functions.text import (
+        bm25_index_topk,
+        text_index_build,
+        text_index_resize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "rebuild_after_resize")
+    terms = ["spark", "vector", "stream"]
+    text_index_build(docs, idx, n_buckets=64)
+    text_index_resize(spark, idx, n_buckets=128)
+    assert os.path.isdir(f"{idx}/meta")
+    # rebuild at a THIRD count: must not trip the stale 128 guard
+    text_index_build(docs, idx, n_buckets=32)
+    assert not os.path.isdir(f"{idx}/meta")
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_index_topk(spark, idx, terms, n_buckets=32).collect()
+    ]
+    assert got  # serves under the rebuild's own contract

@@ -419,3 +419,51 @@ def test_streaming_entity_erasure_recovers_and_equals_batch(
     )
     assert streamed and streamed == batch
     assert all(r[0] % 7 != 0 for r in streamed)  # erased ids unserved
+
+
+def test_entity_label_compact_makes_erasure_physical(
+    spark, sf_dir, tmp_path
+):
+    """Compacting a store that carries streaming-erasure tombstones
+    mirrors ivf/text compaction: erased ids leave labels_base AND the
+    persisted match store physically, the tombstone dir is cleared
+    (re-bounding the serve anti-join set), and the serve is identical
+    before and after."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.streaming.entities import (
+        entity_labels_compact,
+        run_streaming_entity_erasure,
+        serve_entity_labels,
+    )
+
+    root = str(tmp_path / "ent_erasure_compact")
+    path = os.path.join(sf_dir, "customer.parquet")
+    before = sorted(
+        map(
+            tuple,
+            run_streaming_entity_erasure(spark, path, root=root).collect(),
+        )
+    )
+    assert os.path.isdir(os.path.join(root, "tombstones"))
+    entity_labels_compact(spark, root)
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    base = spark.read.parquet(os.path.join(root, "labels_base"))
+    assert base.filter(F.col("id") % 7 == 0).count() == 0
+    pairs = spark.read.parquet(os.path.join(root, "pairs"))
+    assert (
+        pairs.filter(
+            (F.col("id1") % 7 == 0) | (F.col("id2") % 7 == 0)
+        ).count()
+        == 0
+    )
+    after = sorted(map(tuple, serve_entity_labels(spark, root).collect()))
+    assert after == before
+    # idempotent on the already-compacted store
+    entity_labels_compact(spark, root)
+    assert (
+        sorted(map(tuple, serve_entity_labels(spark, root).collect()))
+        == before
+    )

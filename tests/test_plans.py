@@ -1011,3 +1011,50 @@ def test_ivf_retrain_swap_rebuilds_pruned_artifact(spark, sf_dir, tmp_path):
     assert "cell" in part_filters, plan
     rows = out.collect()
     assert rows and all(r["neighbor_id"] % 7 != 0 for r in rows)
+
+
+def test_bitext_ann_candidate_scan_prunes_and_pushes(
+    spark, sf_dir, tmp_path
+):
+    """The ANN bitext candidate leg must compose BOTH scan
+    reductions, like every filtered IVF serve: PartitionFilters on
+    the probed cells (directory pruning to the union of cells any
+    query probes) AND PushedFilters on the side column (row-group
+    skipping inside them). A side join or post-retrieval filter
+    would show neither."""
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_cross_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    tagged = emb.withColumn(
+        "side",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("src")).otherwise(
+            F.lit("tgt")
+        ),
+    )
+    path = str(tmp_path / "bitext_plan")
+    build_ivf_index(
+        tagged, path, n_cells=8, n_iters=1, meta_cols=("side",)
+    )
+    out = ivf_cross_topk(
+        spark, path,
+        query_pred=F.col("side") == "src",
+        cand_pred=F.col("side") == "tgt",
+        k=4, n_probe=2, n_blocks=2,
+    )
+    plan = _plan_formatted(out)
+    # the candidate scan: partition-pruned to probed cells AND
+    # side-pushed; scan text appears once per parquet scan, so
+    # require a scan line carrying both
+    assert any(
+        "cell" in seg.splitlines()[0]
+        for seg in plan.split("PartitionFilters: ")[1:]
+    ), plan
+    assert any(
+        "side" in seg.splitlines()[0]
+        for seg in plan.split("PushedFilters: ")[1:]
+    ), plan

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from etl_gcp_spark.functions.similarity import (
     cosine_topk,
@@ -82,7 +83,7 @@ def test_embedding_lsh_full_recall_on_testdata(spark, sf_dir):
     )
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
         (r.id1, r.id2, r.sim)
         for r in exact_near_dup_pairs(emb, threshold=0.45).collect()
@@ -189,7 +190,7 @@ def test_blocked_gemm_matches_broadcast_exact(spark, sf_dir):
     )
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
         (r.id1, r.id2, r.sim)
         for r in exact_near_dup_pairs(emb, threshold=0.45).collect()
@@ -267,7 +268,7 @@ def test_ivf_selective_probe_recall_floor_on_testdata(spark, sf_dir):
     from etl_gcp_spark.functions.similarity import cosine_topk, ivf_topk
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = list(range(10))
     exact = {
         (r.query_id, r.neighbor_id)
@@ -299,7 +300,7 @@ def test_ivf_kmeans_trained_recall_floor(spark, sf_dir):
     )
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     labels, centroids = ivf_train(emb, n_cells=32, n_iters=2)
     assert labels == sorted(labels)
     assert all(1 <= c <= 32 for c in labels)
@@ -817,7 +818,7 @@ def test_truncation_recall_full_dim_is_perfect(spark, sf_dir):
 
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     full = truncation_recall_report(
         emb, query_ids=[0, 1, 2], k=3, trunc_dim=64
     ).collect()
@@ -889,7 +890,7 @@ def test_drift_kernel_margin_to_rounding_boundary(spark, sf_dir):
     )
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.filter((F.col("vec_id") % 5) != 4)
     _labels, cmat = ivf_train(base, n_cells=8, n_iters=2)
 
@@ -975,7 +976,7 @@ def test_filtered_recall_report_semantics(spark, sf_dir, tmp_path):
     )
     from etl_gcp_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     path = str(tmp_path / "ivffrr")
     build_ivf_index(emb, path, n_cells=8, n_iters=1, meta_cols=("label",))
     partial = filtered_recall_report(
@@ -1234,3 +1235,214 @@ def test_margin_bitext_pairs_matches_numpy_and_finds_planted_pair(spark):
     assert got == expect
     t_id, sim, margin = got[10]
     assert t_id == 11 and sim == 1.0 and margin > 1.0
+
+
+def test_ivf_compact_replay_after_crash_window_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """A crash between commit_swap(vectors) and the appends cleanup
+    leaves a committed base that already contains the folded rows
+    next to the surviving appends dir. The replayed compact must not
+    write duplicate vec_ids (the fold is dropDuplicates-idempotent)
+    and must serve identically."""
+    import os
+    import shutil
+
+    from etl_gcp_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfcrash")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path, n_cells=8, n_iters=1
+    )
+    # stage an appends tree the way the streaming ingest does
+    appends = os.path.join(path, "appends")
+    new = emb.filter(F.col("vec_id") >= 400)
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    from etl_gcp_spark.functions.similarity import _assign_to_centroids
+
+    assigned = _assign_to_centroids(
+        new.select("vec_id", F.col("embedding").alias("__v")),
+        [list(r["centroid"]) for r in cents],
+        [int(r["cell"]) for r in cents],
+        "vec_id",
+    ).select("vec_id", F.col("__v").alias("vector"), "cell")
+    assigned.write.partitionBy("cell").parquet(
+        os.path.join(appends, "batch=0")
+    )
+    saved = str(tmp_path / "appends_saved")
+    shutil.copytree(appends, saved)
+    ivf_index_compact(spark, path)
+    assert not os.path.isdir(appends)
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in ivf_index_topk(
+            spark, path, query_ids=[0, 1, 2], k=3, n_probe=2
+        ).collect()
+    }
+    # simulate the crash window: the appends dir survived the swap
+    shutil.copytree(saved, appends)
+    ivf_index_compact(spark, path)
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    assert vecs.count() == vecs.select("vec_id").distinct().count()
+    assert vecs.count() == emb.count()
+    replay = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in ivf_index_topk(
+            spark, path, query_ids=[0, 1, 2], k=3, n_probe=2
+        ).collect()
+    }
+    assert replay == served
+
+
+def test_ivf_retrain_swap_replay_after_crash_window_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Same crash window for the retrain: the committed rewrite holds
+    re-assigned cells while the surviving appends dir keeps the old
+    ones, so the replay's fold must dedup on the identity key alone —
+    a full-row dedup would let both copies through."""
+    import os
+    import shutil
+
+    from etl_gcp_spark.functions.similarity import (
+        _assign_to_centroids,
+        build_ivf_index,
+        ivf_retrain_swap,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivfretrcrash")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path, n_cells=8, n_iters=1
+    )
+    # stage an appends tree the way the streaming ingest does
+    appends = os.path.join(path, "appends")
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    _assign_to_centroids(
+        emb.filter(F.col("vec_id") >= 400).select(
+            "vec_id", F.col("embedding").alias("__v")
+        ),
+        [list(r["centroid"]) for r in cents],
+        [int(r["cell"]) for r in cents],
+        "vec_id",
+    ).select("vec_id", F.col("__v").alias("vector"), "cell").write.partitionBy(
+        "cell"
+    ).parquet(os.path.join(appends, "batch=0"))
+    saved = str(tmp_path / "retr_appends_saved")
+    shutil.copytree(appends, saved)
+    ivf_retrain_swap(spark, path, n_cells=8, n_iters=1)
+    assert not os.path.isdir(appends)
+    first = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(path + "/vectors").collect()
+    }
+    shutil.copytree(saved, appends)
+    ivf_retrain_swap(spark, path, n_cells=8, n_iters=1)
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == vecs.select("vec_id").distinct().count()
+    assert {
+        (r["vec_id"], r["cell"]) for r in vecs.collect()
+    } == first  # deterministic retrain over the identical corpus
+
+
+def test_cross_topk_zero_norm_fails_fast(spark):
+    """A zero-norm embedding makes cosine undefined — the blocked
+    cross kernel must raise (naming embedding_sanitize) rather than
+    emit NaN-derived garbage rankings."""
+    import pytest
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.similarity import blocked_cross_topk
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0]),
+        ]
+    )
+    src = df.filter(F.col("vec_id") % 2 == 0)
+    tgt = df.filter(F.col("vec_id") % 2 == 1)
+    with pytest.raises(Exception, match="zero-norm"):
+        blocked_cross_topk(src, tgt, k=1, n_blocks=1).collect()
+
+
+def test_margin_rank_drops_nonpositive_denominator(spark):
+    """Candidates whose combined top-k cosine sums are <= 0 are an
+    explicit drop (not a null or sign-flipped margin): the all-
+    negative pair vanishes, the positive pair survives with the
+    exact integer-ratio margin."""
+    from etl_gcp_spark.functions.similarity import _margin_rank
+
+    fwd = spark.createDataFrame(
+        [(1, 2, -500_000), (3, 4, 800_000)],
+        "query_id long, neighbor_id long, sim6 long",
+    )
+    rev = spark.createDataFrame(
+        [(2, 1, -500_000), (4, 3, 800_000)],
+        "query_id long, neighbor_id long, sim6 long",
+    )
+    got = _margin_rank(fwd, rev, margin_threshold=0.0).collect()
+    assert [(r.src_id, r.tgt_id, r.margin) for r in got] == [(3, 4, 1.0)]
+
+
+def test_bitext_ann_exhaustive_probe_equals_exact(spark, sf_dir, tmp_path):
+    """With n_probe == n_cells the ANN candidate sets ARE the exact
+    cross top-k, so the miner returns the exact pairs, every row is a
+    hit and pair_recall is 1.0 — the identity that pins the ANN path
+    to the same margin arithmetic."""
+    from etl_gcp_spark.functions.similarity import bitext_ann_recall_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    rep = bitext_ann_recall_report(
+        emb, str(tmp_path / "bitext_full"),
+        k=4, margin_threshold=1.0, n_cells=8, n_iters=1,
+        n_probe=8, n_blocks=4,
+    ).collect()
+    assert rep and all(r.hit == 1 for r in rep)
+    assert all(r.pair_recall == 1.0 for r in rep)
+    assert rep[0].n_exact_pairs == len(rep) == rep[0].n_hits
+
+
+def test_bitext_ann_probe_subset_recall_measured(spark, sf_dir, tmp_path):
+    """At n_probe < n_cells the report measures the recall cost:
+    every ANN-mined pair flagged hit=1 is genuinely in the exact
+    set, and pair_recall equals n_hits / n_exact_pairs."""
+    from etl_gcp_spark.functions.similarity import (
+        bitext_ann_recall_report,
+        margin_bitext_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    rep = bitext_ann_recall_report(
+        emb, str(tmp_path / "bitext_sub"),
+        k=4, margin_threshold=1.0, n_cells=8, n_iters=1,
+        n_probe=2, n_blocks=4,
+    ).collect()
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in margin_bitext_pairs(
+            emb, k=4, margin_threshold=1.0, n_blocks=4
+        ).collect()
+    }
+    hits = {(r.src_id, r.tgt_id) for r in rep if r.hit == 1}
+    assert hits <= exact
+    assert rep[0].n_exact_pairs == len(exact)
+    assert rep[0].n_hits == len(hits)
+    assert rep[0].pair_recall == round(len(hits) / len(exact), 4)
