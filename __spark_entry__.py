@@ -537,6 +537,24 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+def _q_decontaminate_docs(spark, sf_dir):
+    """ACT on benchmark contamination (the removal edge the overlap
+    and bloom screens stop short of — GPT-3 appendix C posture):
+    excise every token covered by a 3-gram that appears verbatim in
+    the src0 benchmark shard, reassemble survivors in order, drop
+    documents whose removed fraction exceeds 0.3. Oracle replays the
+    window collisions, the 0-based removed-index union and the
+    list_where token filter textually."""
+    from etl_gcp_spark.operators.corpus import decontaminate_docs
+
+    return decontaminate_docs(
+        _t(spark, sf_dir, "documents"),
+        benchmark_source="src0",
+        n=3,
+        max_removed_frac=0.3,
+    )
+
+
 def _q_quality_filter(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import quality_filter
 
@@ -4199,41 +4217,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _ledgered(fn) for k, fn in {
         # --- round-9 correctness window (the driver verifies ~the
         # first 50 keys in dict order). Slots 1-5: the round-8
-        # net-new entries — the registry's only never-driver-checked
-        # entries at r9 open (VERDICT r8 item 1). ---
+        # net-new entries — never driver-checked at r9 open
+        # (VERDICT r8 item 1). ---
         "ivf_retrain_swap": _q_ivf_retrain_swap,
         "streaming_ivf_erasure": _q_streaming_ivf_erasure,
         "streaming_entity_erasure": _q_streaming_entity_erasure,
         "text_index_resize_topk": _q_text_index_resize_topk,
         "bitext_margin_pairs": _q_bitext_margin_pairs,
-        # --- slots 6-16: every HASH_DRIFT flag after the r9 edits —
-        # the text-index family (staled by text_index_build clearing
-        # the resize meta contract), the IVF fold entries (staled by
-        # the idempotent-replay dedup in compact), and the entity
-        # store entries (staled by entity_labels_compact making
-        # erasure physical; surfaced by the registry_hashes unwrap
-        # fix — the old walk was blind through @timed wrappers). ---
+        # --- slots 6-44: every HASH_DRIFT flag after the r9 edits.
+        # Three causes: (1) the with_shingles/ngram window
+        # expressions made TOTAL (try_element_at + clamped
+        # sequence — codegen CSE evaluated them on sub-n rows
+        # inside the size filter's stage and crashed on 2-token
+        # docs), staling the whole shingle-consumer family;
+        # (2) the idempotent-replay fold dedup in
+        # ivf_index_compact/ivf_retrain_swap; (3) physical erasure
+        # in entity_labels_compact and the resize-meta reset in
+        # text_index_build (the entity flags surfaced only via the
+        # registry_hashes unwrap fix — the old walk was blind
+        # through @timed wrappers). ---
+        "benchmark_coverage": _q_benchmark_coverage,
         "bm25_filtered_topk": _q_bm25_filtered_topk,
         "bm25_index_topk": _q_bm25_index_topk,
+        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
+        "containment_pairs": _q_containment_pairs,
+        "contamination_bloom": _q_contamination_bloom,
+        "contamination_overlap": _q_contamination,
+        "cross_doc_passage_share": _q_cross_doc_passage_share,
+        "curation_funnel": _q_curation_funnel,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
+        "dedup_triangles": _q_dedup_triangles,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "ensemble_near_dup": _q_ensemble_near_dup,
         "entity_label_compact": _q_entity_label_compact,
+        "incremental_near_dup": _q_incremental_near_dup,
         "ivf_compact_topk": _q_ivf_compact_topk,
+        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
+        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
+        "lsh_recall_report": _q_lsh_recall_report,
+        "minhash_lsh_pairs": _q_minhash,
+        "near_dup_dedup": _q_near_dup_dedup,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_novelty": _q_ngram_novelty,
+        "quality_filter": _q_quality_filter,
+        "repetition_signals": _q_repetition_signals,
+        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "streaming_entity_ingest": _q_streaming_entity_ingest,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
         "streaming_text_erasure": _q_streaming_text_erasure,
         "streaming_text_index_ingest": _q_streaming_text_index,
         "text_index_append_topk": _q_text_index_append,
         "text_index_compact_topk": _q_text_index_compact,
         "text_index_erasure_topk": _q_text_index_erasure_topk,
-        # --- slots 17-50: the 34 oldest surviving stamps (r02, the
-        # whole cohort minus write_roundtrip_jdbc, which waits for
-        # r10) — re-checked on age alone, hash-clean under the
-        # extended closure walk. ---
+        # --- slots 45-50: the oldest surviving stamps (r02),
+        # re-checked on age alone; the rest of the r02 cohort
+        # waits for r10. ---
         "bpe_token_count": _q_bpe_token_count,
         "clean_orders": _q_clean_orders,
         "cosine_topk": _q_cosine_topk,
         "daily_top_event_types": _q_daily_top_types,
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_lineitem": _q_dedup_lineitem,
+        # --- behind the window: every other driver-green,
+        # hash-clean entry, in prior relative order. ---
         "doc_fingerprint": _q_fingerprint,
         "dup_count_lineitem": _q_dup_count,
         "events_json_extract": _q_json_extract,
@@ -4249,7 +4301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": _q_quality_gate,
         "quality_metrics": _q_quality_metrics,
         "quantized_cosine_topk": _q_quantized_topk,
-        "repetition_signals": _q_repetition_signals,
         "schema_columns": _q_schema_columns,
         "sessionize_events": _q_sessionize,
         "sliding_event_stats": _q_sliding,
@@ -4262,24 +4313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_violations": _q_violations,
         "validation_summary": _q_violation_summary,
         "write_roundtrip": _q_write_roundtrip,
-        # --- behind the window: the r8 window (all 50 freshly
-        # driver-stamped in CORRECTNESS_r08) and every other
-        # driver-green, hash-clean entry, in their prior relative
-        # order. ---
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
-        "quality_filter": _q_quality_filter,
-        "curation_funnel": _q_curation_funnel,
         "unigram_surprisal": _q_unigram_surprisal,
-        "near_dup_dedup": _q_near_dup_dedup,
-        "dedup_clusters": _q_dedup_clusters,
-        "minhash_lsh_pairs": _q_minhash,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "python_datasource_chunks": _q_python_datasource,
@@ -4295,7 +4335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms": _q_streaming_cms,
         "streaming_hll": _q_streaming_hll,
         "streaming_markov": _q_streaming_markov,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
         "streaming_quantiles": _q_streaming_quantiles,
         "streaming_topk": _q_streaming_topk,
         "entity_clusters_increment": _q_entity_clusters_increment,
@@ -4305,7 +4344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_recall_report": _q_ann_filtered_recall_report,
         "asof_click_purchase": _q_asof,
         "audit_stamp": _q_audit_stamp,
-        "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
         "quality_calibration_bins": _q_quality_calibration_bins,
         "streaming_drift_report": _q_streaming_drift_report,
@@ -4350,24 +4388,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_counts": _q_salted_counts,
         "gap_fill_hourly": _q_gap_fill,
         "pack_documents": _q_pack_documents,
-        "contamination_overlap": _q_contamination,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
         "ivf_drift_report": _q_ivf_drift_report,
-        "lsh_recall_report": _q_lsh_recall_report,
-        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
-        "soft_dedup_weights": _q_soft_dedup_weights,
         "wow_growth": _q_wow_growth,
-        "benchmark_coverage": _q_benchmark_coverage,
         "quality_pctile_by_source": _q_quality_pctile,
         "winsorize_by_group": _q_winsorize_by_group,
         "price_reconciliation": _q_price_reconciliation,
-        "cross_doc_passage_share": _q_cross_doc_passage_share,
         "char_entropy": _q_char_entropy,
         "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
         "bigram_surprisal": _q_bigram_surprisal,
-        "dedup_clusters_star": _q_dedup_clusters_star,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "pack_offsets": _q_pack_offsets,
         "curriculum_buckets": _q_curriculum_buckets,
@@ -4408,7 +4439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shards": _q_epoch_shards,
         "kcore_embedding_graph": _q_kcore_embedding_graph,
         "embedding_sanitize": _q_embedding_sanitize,
-        "ensemble_near_dup": _q_ensemble_near_dup,
         "cdc_tombstone_merge": _q_cdc_tombstone_merge,
         "watermark_sizing": _q_watermark_sizing,
         "streaming_interval_join_outer": _q_stream_interval_join_outer,
@@ -4441,35 +4471,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_change_point": _q_cusum_change_point,
         "hard_negatives": _q_hard_negatives,
         "pii_source_report": _q_pii_source_report,
-        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
         "boilerplate_strip": _q_boilerplate_strip,
-        "dup_ngram_fraction": _q_dup_ngram_fraction,
         "dsir_weights": _q_dsir_weights,
         "bpe_merges": _q_bpe_merges,
         "event_pagerank": _q_event_pagerank,
-        "source_overlap_matrix": _q_source_overlap_matrix,
         "embedding_outliers": _q_embedding_outliers,
         "zorder_layout": _q_zorder_layout,
         "ingest_binaryfile": _q_ingest_binaryfile,
-        "incremental_near_dup": _q_incremental_near_dup,
         "winsorize_prices": _q_winsorize_prices,
-        "contamination_bloom": _q_contamination_bloom,
         "knn_graph": _q_knn_graph,
         "psi_drift": _q_psi_drift,
         "impute_orders": _q_impute_orders,
         "mad_outliers": _q_mad_outliers,
         "normalize_text": _q_normalize_text,
         "perplexity_filter": _q_perplexity_filter,
-        "containment_pairs": _q_containment_pairs,
-        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
         "bm25_topk": _q_bm25_topk,
         "benford_check": _q_benford_check,
         "ks_drift": _q_ks_drift,
         "quality_logreg": _q_quality_logreg,
         "per_source_cap": _q_per_source_cap,
-        "ngram_novelty": _q_ngram_novelty,
         "temporal_split": _q_temporal_split,
-        "dedup_triangles": _q_dedup_triangles,
         "seq_length_histogram": _q_seq_length_histogram,
         "lang_confusion": _q_lang_confusion,
         "source_quality_report": _q_source_quality_report,
@@ -4512,15 +4533,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
         "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "pq_adc_topk": _q_pq_adc_topk,
-        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
         "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
-        # --- round-9 net-new, BEHIND the window (VERDICT r8 item
-        # 2): ANN-candidate bitext mining over one side-tagged IVF
-        # artifact (distributed probing, pruned-cell candidate
-        # scans) with the measured pair-recall audit vs the exact
-        # miner — parked for the r10 window per the net-new
-        # convention. ---
+        # --- round-9 net-new, BEHIND the window (parked for the
+        # r10 rotation per the net-new convention):
+        # bitext_margin_pairs_ann — ANN-candidate bitext mining
+        # over one side-tagged IVF artifact with the measured
+        # pair-recall audit vs the exact miner (VERDICT r8 item 2);
+        # decontaminate_docs — the contamination family's ACT edge
+        # (excise benchmark n-gram collisions, reassemble, drop
+        # mostly-benchmark docs). ---
         "bitext_margin_pairs_ann": _q_bitext_margin_pairs_ann,
+        "decontaminate_docs": _q_decontaminate_docs,
     }.items()}
 
 
@@ -6612,6 +6635,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE source <> 'src0'
             GROUP BY doc_id
             HAVING count(*) >= 5
+        """,
+        # decontamination ACT: windows replay at the overlap screen's
+        # 1-based positions; removed 0-based token indexes are the
+        # union of (i-1)+j over colliding windows; the rewrite is a
+        # list_where over the index mask — byte-identical to the
+        # Spark F.filter positional lambda
+        "decontaminate_docs": r"""
+            WITH docs AS (
+                SELECT doc_id, text, source,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, source, g.i AS i,
+                       toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+                FROM docs
+                CROSS JOIN LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) g
+                WHERE len(toks) >= 3
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+            ), ridx AS (
+                SELECT DISTINCT s.doc_id, s.i - 1 + r.j AS idx
+                FROM sh s
+                JOIN bench USING (shingle)
+                CROSS JOIN LATERAL (SELECT unnest(range(0, 3)) AS j) r
+                WHERE s.source <> 'src0'
+            ), rm AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+                       list(idx) AS idxs
+                FROM ridx GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+                   CASE WHEN coalesce(rm.n_removed, 0)
+                             / CAST(len(d.toks) AS DOUBLE) > 0.3 THEN 'drop'
+                        WHEN coalesce(rm.n_removed, 0) > 0 THEN 'rewrite'
+                        ELSE 'keep' END AS action,
+                   CASE WHEN coalesce(rm.n_removed, 0)
+                             / CAST(len(d.toks) AS DOUBLE) > 0.3 THEN NULL
+                        WHEN coalesce(rm.n_removed, 0) > 0 THEN
+                            array_to_string(
+                                list_where(
+                                    d.toks,
+                                    list_transform(
+                                        range(0, len(d.toks)),
+                                        x -> NOT list_contains(rm.idxs, x)
+                                    )
+                                ), ' ')
+                        ELSE d.text END AS clean_text
+            FROM docs d
+            LEFT JOIN rm USING (doc_id)
+            WHERE d.source <> 'src0'
         """,
         # bloom prefilter is exact (no false negatives; false
         # positives die in the verify join) — oracle is the plain

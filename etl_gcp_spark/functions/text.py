@@ -193,12 +193,14 @@ def repetition_signals(
         if n == 1:
             arr = t
         else:
+            # total expression: CSE can run this inside the size>=n
+            # filter's stage on sub-n rows (see with_shingles, r9)
             arr = F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
                 lambda i: F.concat_ws(
                     " ",
                     *[
-                        F.element_at(t, (i + j + 1).cast("int"))
+                        F.try_element_at(t, (i + j + 1).cast("int"))
                         for j in range(n)
                     ],
                 ),

@@ -172,6 +172,122 @@ def contamination_overlap(
     )
 
 
+def decontaminate_docs(
+    documents: DataFrame,
+    *,
+    benchmark_source: str = "src0",
+    n: int = 3,
+    max_removed_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """ACT on benchmark contamination — the removal edge the
+    detection screens (:func:`contamination_overlap`,
+    :func:`contamination_bloom`) stop short of, and the standard
+    pretraining decontamination step (GPT-3 appendix C / PaLM:
+    excise the n-gram collisions, drop documents that are mostly
+    benchmark): every corpus token covered by an n-gram window that
+    appears verbatim in the benchmark shard is removed, the document
+    is reassembled from the surviving tokens in order, and documents
+    whose removed fraction exceeds ``max_removed_frac`` (strict) are
+    dropped outright — rewriting a document that IS the benchmark
+    leaves unusable fragments.
+
+    Output (scalar-only): (doc_id, n_tokens, n_removed, action,
+    clean_text) over every non-benchmark document — ``action`` ∈
+    {'keep','rewrite','drop'}; ``clean_text`` is the original text
+    for keeps (no rewrite happened, byte-identical), the
+    space-joined survivors for rewrites, NULL for drops.
+
+    Scale shape: the benchmark gram set is eval-set-sized by
+    construction — deduplicated and BROADCAST (production would hash
+    it first; strings keep the op engine-replayable), so the corpus
+    side is one scan + one broadcast join on the gram. Only
+    documents with hits pay the rewrite: the removed-index set rides
+    back on the id and the token filter runs inside the packed row
+    (``F.filter`` with the positional lambda — no token explode, no
+    shuffle of the text). Docs shorter than ``n`` tokens have no
+    windows and pass through as keeps.
+    """
+    corp = documents.filter(F.col(source_col) != benchmark_source)
+    bench_grams = (
+        with_shingles(
+            documents.filter(F.col(source_col) == benchmark_source),
+            text_col,
+            id_col,
+            n,
+        )
+        .select(F.explode("shingles").alias("__gram"))
+        .dropDuplicates()
+    )
+    toked = corp.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).withColumn("__nt", F.size("__toks"))
+    tk = F.col("__toks")
+    # try_element_at keeps the window expression TOTAL: codegen
+    # common-subexpression elimination can evaluate the transform
+    # inside the __nt >= n filter's stage (i.e. on rows the filter is
+    # about to drop), where a plain element_at on a sub-n doc throws
+    grams = toked.filter(F.col("__nt") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.col("__nt") - n, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.try_element_at(tk, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            )
+        ).alias("pos", "__gram"),
+    )
+    # contaminated token indexes (0-based): the union of [pos, pos+n)
+    # over every colliding window — overlapping windows merge via the
+    # set semantics, so n_removed counts tokens, not windows
+    removed = (
+        grams.join(F.broadcast(bench_grams), "__gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("__idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__rm"))
+    )
+    joined = toked.join(removed, id_col, "left").withColumn(
+        "__nrm",
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long"),
+    )
+    action = (
+        F.when(
+            F.col("__nrm") / F.col("__nt").cast("double")
+            > max_removed_frac,
+            F.lit("drop"),
+        )
+        .when(F.col("__nrm") > 0, F.lit("rewrite"))
+        .otherwise(F.lit("keep"))
+    )
+    survivors = F.filter(
+        tk, lambda t, i: ~F.array_contains(F.col("__rm"), i)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.col("__nrm").alias("n_removed"),
+        action.alias("action"),
+        F.when(action == "drop", F.lit(None).cast("string"))
+        .when(action == "rewrite", F.concat_ws(" ", survivors))
+        .otherwise(F.col(text_col))
+        .alias("clean_text"),
+    )
+
+
 # Gopher-style rejection thresholds (Rae et al. 2021, §A1.1 — public
 # methodology), adapted to the synthetic corpus's scale. Order matters:
 # the FIRST failing rule names the rejection reason.

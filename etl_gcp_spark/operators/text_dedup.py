@@ -72,10 +72,18 @@ def with_shingles(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= n)
     toks = F.col("__toks")
+    # TOTAL expression (try_element_at + clamped sequence): codegen
+    # common-subexpression elimination can evaluate this transform
+    # inside the size>=n filter's own stage — i.e. on sub-n rows the
+    # filter is about to drop — where a plain element_at throws
+    # (review r9: first corpus with a 2-token document crashed every
+    # shingle consumer). For surviving rows the clamp and the try_
+    # variant are exact no-ops.
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            " ",
+            *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
         ),
     )
     out = grams if not distinct else F.array_distinct(grams)

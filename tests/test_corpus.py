@@ -370,3 +370,44 @@ def test_curriculum_buckets_monotone_in_quality(spark):
     )
     assert out[0].bucket == max(r.bucket for r in out)   # cleanest doc
     assert 1 <= min(r.bucket for r in out)
+
+
+def test_decontaminate_docs_actions_spans_and_threshold(spark):
+    """The ACT edge over the contamination screens: colliding 3-gram
+    windows are excised token-by-token (overlapping windows merge —
+    tokens counted once), the rewrite preserves surviving order,
+    clean docs pass byte-identical, sub-n docs have no windows, and
+    a mostly-benchmark doc crosses the strict 0.3 fraction and is
+    dropped with NULL text."""
+    from etl_gcp_spark.operators.corpus import decontaminate_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "src0"),  # the benchmark
+            (1, "one two three four five", "src1"),
+            (2, "x y alpha beta gamma z w q r t", "src1"),
+            # overlapping collisions: windows [0] and [1] both hit ->
+            # removed {0,1,2} ∪ {1,2,3} = 4 of 12 tokens = 0.33 > 0.3
+            (3, "alpha beta gamma delta p q r s t u v w", "src1"),
+            (4, "hi there", "src1"),  # shorter than n: no windows
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_docs(
+            docs, benchmark_source="src0", n=3, max_removed_frac=0.3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # benchmark shard excluded
+    assert out[1]["action"] == "keep"
+    assert out[1]["clean_text"] == "one two three four five"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["action"] == "rewrite"
+    assert out[2]["n_removed"] == 3
+    assert out[2]["clean_text"] == "x y z w q r t"
+    assert out[3]["action"] == "drop"
+    assert out[3]["n_removed"] == 4  # merged union, not 2 windows * 3
+    assert out[3]["clean_text"] is None
+    assert out[4]["action"] == "keep"
+    assert out[4]["clean_text"] == "hi there"

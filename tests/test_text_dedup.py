@@ -363,3 +363,34 @@ def test_lsh_recall_report_contract(spark):
         assert r.band_lo >= 0.3
     # the unrelated doc forms no pair above the floor with anything
     assert sum(r.n_pairs for r in rows.values()) <= 3
+
+
+def test_with_shingles_survives_sub_n_docs_in_fused_pipeline(spark):
+    """Whole-stage-codegen CSE can evaluate the shingle transform
+    inside the size>=n filter's stage — on the sub-n rows the filter
+    is about to drop — so the window expression must be TOTAL: a
+    2-token document in the corpus must not crash a downstream
+    explode/dedup pipeline (it did, review r9), and the shingles of
+    valid documents are unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.operators.text_dedup import with_shingles
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (4, "hi there")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["g"]
+        for r in with_shingles(docs.filter(F.col("doc_id") == 0))
+        .select(F.explode("shingles").alias("g"))
+        .dropDuplicates()
+        .collect()
+    )
+    assert got == ["alpha beta gamma", "beta gamma delta"]
+    # and the mixed frame end-to-end: sub-n doc simply has no rows
+    mixed = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in with_shingles(docs).collect()
+    }
+    assert set(mixed) == {0}
