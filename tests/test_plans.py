@@ -1058,3 +1058,17 @@ def test_bitext_ann_candidate_scan_prunes_and_pushes(
         "side" in seg.splitlines()[0]
         for seg in plan.split("PushedFilters: ")[1:]
     ), plan
+
+
+def test_decontaminate_bench_grams_broadcast(spark, sf_dir):
+    """The benchmark gram set is eval-set-sized and must reach the
+    corpus side as a BROADCAST hash join (the corpus gram explode
+    never shuffles); a sort-merge join here would shuffle every
+    corpus window at 100 TB."""
+    from etl_gcp_spark.operators.corpus import decontaminate_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(
+        decontaminate_docs(docs, benchmark_source="src0", n=3)
+    )
+    assert "BroadcastHashJoin" in plan, plan
