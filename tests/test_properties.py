@@ -613,3 +613,89 @@ def test_equi_depth_rank_matches_sorted_python(spark, vals, k):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(out, out[1:]):
         assert a.hi < b.lo
+
+
+def test_text_operators_total_on_pathological_corpus(spark):
+    """Adversarial-input sweep (review r9): the shingle-totality bug
+    showed that a single sub-n / empty / NULL-text document can crash
+    an operator whose expressions aren't total under codegen CSE.
+    Every text-family operator must ACCEPT a corpus of empty,
+    whitespace-only, single-token, sub-n, NULL, huge-token and
+    unicode documents — outputs may be empty, but never a throw."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_spark.functions.text import (
+        bm25_topk,
+        fingerprint,
+        lang_id,
+        quality_score,
+        tfidf_top_terms,
+        token_count,
+        top_ngrams,
+        winnow_fingerprints,
+    )
+    from etl_gcp_spark.operators.corpus import (
+        boilerplate_strip,
+        contamination_overlap,
+        decontaminate_docs,
+        quality_filter,
+    )
+    from etl_gcp_spark.operators.text_dedup import (
+        containment_pairs,
+        exact_text_dedup,
+        minhash_lsh_pairs,
+        near_dup_dedup,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        with_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "src0", "en"),
+            (1, "", "src1", "en"),
+            (2, "word", "src1", "en"),
+            (3, "   ", "src1", "en"),
+            (4, "a b", "src1", "en"),
+            (5, "x" * 5000, "src1", "en"),
+            (6, "tab\tand\nnewline  double  space", "src1", "en"),
+            (7, None, "src1", "en"),
+            (8, "é ü ß 中文 🙂 emoji", "src1", "en"),
+            (9, "alpha beta gamma delta epsilon zeta", "src1", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    ops = {
+        "with_shingles": lambda: with_shingles(docs),
+        "minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs),
+        "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(docs),
+        "exact_text_dedup": lambda: exact_text_dedup(docs),
+        "simhash_pairs": lambda: simhash_pairs(docs),
+        "near_dup_dedup": lambda: near_dup_dedup(docs),
+        "containment_pairs": lambda: containment_pairs(docs),
+        "winnow_fingerprints": lambda: winnow_fingerprints(docs),
+        "contamination_overlap": lambda: contamination_overlap(docs),
+        "decontaminate_docs": lambda: decontaminate_docs(docs),
+        "quality_filter": lambda: quality_filter(docs),
+        "boilerplate_strip": lambda: boilerplate_strip(docs),
+        "token_count": lambda: token_count(docs),
+        "lang_id": lambda: lang_id(docs),
+        "quality_score": lambda: quality_score(docs),
+        "fingerprint": lambda: fingerprint(docs),
+        "top_ngrams": lambda: top_ngrams(docs),
+        "bm25_topk": lambda: bm25_topk(docs, ["alpha", "beta"], k=5),
+        "tfidf_top_terms": lambda: tfidf_top_terms(docs),
+    }
+    failures = {}
+    for name, fn in ops.items():
+        try:
+            fn().count()
+        except Exception as ex:  # pragma: no cover - the assert reports
+            failures[name] = str(ex).splitlines()[0][:120]
+    assert not failures, failures
+    # and the planted duplicate still pairs up through the gauntlet
+    pair_ids = {
+        frozenset((r["id1"], r["id2"]))
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert frozenset((0, 9)) in pair_ids
