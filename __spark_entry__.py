@@ -555,6 +555,29 @@ def _q_decontaminate_docs(spark, sf_dir):
     )
 
 
+def _q_streaming_decontamination(spark, sf_dir):
+    """Benchmark shards arrive as a STREAM (the production shape:
+    eval releases over time): each microbatch writes its gram slice,
+    probes the once-built corpus n-gram posting for newly-affected
+    docs, and recomputes ONLY their absolute verdicts against the
+    gram union so far — batch-keyed overwrite slices, replay-safe,
+    per-batch cost O(|shard| + affected docs). Contamination is
+    monotone, so latest-verdict-per-doc equals one batch
+    decontaminate_docs against the full benchmark — that entry's
+    oracle attaches verbatim."""
+    from etl_gcp_spark.streaming.text import run_streaming_decontamination
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return run_streaming_decontamination(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        benchmark_source="src0",
+        n=3,
+        max_removed_frac=0.3,
+        n_batches=4,
+    )
+
+
 def _q_quality_filter(spark, sf_dir):
     from etl_gcp_spark.operators.corpus import quality_filter
 
@@ -4544,6 +4567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mostly-benchmark docs). ---
         "bitext_margin_pairs_ann": _q_bitext_margin_pairs_ann,
         "decontaminate_docs": _q_decontaminate_docs,
+        # streaming_decontamination — the ACT's streaming twin:
+        # benchmark shards as a stream, per-batch re-excision of only
+        # the newly-affected docs (batch-keyed verdict slices,
+        # replay-safe); final state == the batch ACT, whose oracle
+        # attaches verbatim.
+        "streaming_decontamination": _q_streaming_decontamination,
     }.items()}
 
 
@@ -9523,6 +9552,12 @@ def oracle_sql() -> dict[str, str]:
     # compaction moves bytes, not semantics: the compacted serve must
     # stay green under the identical replay
     sql["ivf_compact_topk"] = sql["ivf_index_append_topk"]
+    # Contamination is monotone (shards only ADD grams; a doc's
+    # verdict changes only when a new shard hits it, and then it is
+    # in that batch's affected set), so the streamed store's final
+    # latest-verdict state equals one batch decontaminate against the
+    # full benchmark — the ACT's oracle attaches verbatim.
+    sql["streaming_decontamination"] = sql["decontaminate_docs"]
     # Histogram quantiles: exact bin counts + the SAME IEEE
     # expression tree as the Spark side (division before the ×128,
     # cast-then-divide interpolation), so the sketch estimate itself

@@ -221,17 +221,41 @@ def decontaminate_docs(
         .select(F.explode("shingles").alias("__gram"))
         .dropDuplicates()
     )
-    toked = corp.select(
+    toked = tokenize_docs(corp, id_col=id_col, text_col=text_col)
+    grams = doc_gram_posting(toked, n, id_col=id_col)
+    removed = removal_index(grams, bench_grams, n, id_col=id_col)
+    return apply_removal(
+        toked.join(removed, id_col, "left"),
+        max_removed_frac,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def tokenize_docs(
+    documents: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text, __toks, __nt) — the token view the decontamination
+    steps share (batch :func:`decontaminate_docs` and the streaming
+    runner in streaming/text.py)."""
+    return documents.select(
         F.col(id_col),
         F.col(text_col),
         tokens(F.col(text_col)).alias("__toks"),
     ).withColumn("__nt", F.size("__toks"))
+
+
+def doc_gram_posting(
+    toked: DataFrame, n: int, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, __gram) — every n-token window with its 0-based
+    position. try_element_at + the clamped sequence keep the window
+    expression TOTAL: codegen common-subexpression elimination can
+    evaluate the transform inside the __nt >= n filter's stage (i.e.
+    on rows the filter is about to drop), where a plain element_at on
+    a sub-n doc throws."""
     tk = F.col("__toks")
-    # try_element_at keeps the window expression TOTAL: codegen
-    # common-subexpression elimination can evaluate the transform
-    # inside the __nt >= n filter's stage (i.e. on rows the filter is
-    # about to drop), where a plain element_at on a sub-n doc throws
-    grams = toked.filter(F.col("__nt") >= n).select(
+    return toked.filter(F.col("__nt") >= n).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -246,10 +270,20 @@ def decontaminate_docs(
             )
         ).alias("pos", "__gram"),
     )
-    # contaminated token indexes (0-based): the union of [pos, pos+n)
-    # over every colliding window — overlapping windows merge via the
-    # set semantics, so n_removed counts tokens, not windows
-    removed = (
+
+
+def removal_index(
+    grams: DataFrame,
+    bench_grams: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, __rm) — contaminated 0-based token indexes: the union of
+    [pos, pos+n) over every window colliding with the (broadcast)
+    benchmark gram set. Overlapping windows merge via the set
+    semantics, so downstream counts are tokens, not windows."""
+    return (
         grams.join(F.broadcast(bench_grams), "__gram")
         .select(
             F.col(id_col),
@@ -260,7 +294,23 @@ def decontaminate_docs(
         .groupBy(id_col)
         .agg(F.collect_set("__idx").alias("__rm"))
     )
-    joined = toked.join(removed, id_col, "left").withColumn(
+
+
+def apply_removal(
+    joined: DataFrame,
+    max_removed_frac: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The verdict/rewrite step over (id, text, __toks, __nt, __rm):
+    (id, n_tokens, n_removed, action, clean_text) — 'drop' past the
+    strict removed-fraction threshold (NULL text), 'rewrite' joins
+    the surviving tokens in order inside the packed row (positional
+    F.filter — no token explode), 'keep' passes the original text
+    byte-identical."""
+    tk = F.col("__toks")
+    staged = joined.withColumn(
         "__nrm",
         F.coalesce(F.size("__rm"), F.lit(0)).cast("long"),
     )
@@ -276,7 +326,7 @@ def decontaminate_docs(
     survivors = F.filter(
         tk, lambda t, i: ~F.array_contains(F.col("__rm"), i)
     )
-    return joined.select(
+    return staged.select(
         F.col(id_col),
         F.col("__nt").cast("long").alias("n_tokens"),
         F.col("__nrm").alias("n_removed"),

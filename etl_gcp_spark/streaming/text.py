@@ -19,7 +19,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gcp_spark.metering import timed as _timed_phase
@@ -252,3 +252,179 @@ def run_streaming_text_erasure(
     q.awaitTermination()
 
     return bm25_index_topk(spark, index, query_terms, k=k, n_buckets=n_buckets)
+
+
+@_metered_build
+def run_streaming_decontamination(
+    spark: SparkSession,
+    documents_path: str,
+    *,
+    benchmark_source: str = "src0",
+    n: int = 3,
+    max_removed_frac: float = 0.3,
+    n_batches: int = 4,
+    root: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
+    """Benchmark shards arrive as a STREAM — the streaming twin of
+    :func:`~etl_gcp_spark.operators.corpus.decontaminate_docs`, and
+    the shape real decontamination has in production: eval sets are
+    RELEASED over time, and each release must re-excise only the
+    documents it newly contaminates, not reprocess the corpus.
+
+    Base artifacts (idempotent overwrites — the corpus is static):
+    ``root/corpus`` (doc_id, text, n_tokens) and ``root/corpusgrams``
+    (doc_id, pos, gram — the n-gram posting, built ONCE). Each
+    microbatch of benchmark documents then:
+
+    1. writes its distinct grams as ``root/benchgrams/batch=<id>``
+       (OVERWRITE — a replayed batch rewrites its own slice);
+    2. probes the posting with THIS batch's grams (broadcast — eval
+       shards are small) for the affected doc set;
+    3. recomputes the AFFECTED docs' absolute verdict against the
+       union of gram slices ``batch <= batch_id`` (including its
+       own, just written — the maskkeys-ingest discipline) and
+       writes it as ``root/verdicts/batch=<id>``.
+
+    Per-batch work is O(|batch grams| + affected docs' tokens) —
+    never a corpus pass. Serving takes each doc's LATEST verdict
+    (contamination is monotone: a doc's verdict only changes when a
+    new shard hits it, and then it IS in that batch's affected set),
+    defaulting untouched docs to 'keep'. The final state therefore
+    equals one batch :func:`decontaminate_docs` against the full
+    benchmark — that entry's oracle attaches verbatim. Crash-replay:
+    both slice writes are batch-keyed overwrites of deterministic
+    content; ``fail_after_batches`` injects the post-write
+    pre-commit crash for the kill-resume test.
+    """
+    from etl_gcp_spark.operators.corpus import (
+        apply_removal,
+        doc_gram_posting,
+        removal_index,
+        tokenize_docs,
+    )
+    from etl_gcp_spark.operators.text_dedup import with_shingles
+
+    root = root or os.path.join(
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_decontstream_{uuid.uuid4().hex}",
+    )
+    docs = spark.read.parquet(documents_path).select(
+        "doc_id", "text", "source"
+    )
+    corp = docs.filter(F.col("source") != benchmark_source)
+    bench = docs.filter(F.col("source") == benchmark_source)
+
+    corpus_path = os.path.join(root, "corpus")
+    posting_path = os.path.join(root, "corpusgrams")
+    toked = tokenize_docs(corp)
+    toked.select("doc_id", "text", "__nt").write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
+    doc_gram_posting(toked, n).write.mode("overwrite").parquet(
+        posting_path
+    )
+
+    staged = os.path.join(root, "in")
+    if not staged_ready(staged):
+        bench.repartition(n_batches).write.mode("overwrite").parquet(
+            staged
+        )
+
+    bg_dir = os.path.join(root, "benchgrams")
+    done_in_run = {"n": 0}
+
+    def ingest(batch_df, batch_id):
+        batch_grams = (
+            with_shingles(batch_df, "text", "doc_id", n)
+            .select(F.explode("shingles").alias("__gram"))
+            .dropDuplicates()
+        )
+        batch_grams.write.mode("overwrite").parquet(
+            os.path.join(bg_dir, f"batch={batch_id}")
+        )
+        # all shards so far, INCLUDING this one's just-written slice
+        all_grams = (
+            spark.read.option("basePath", bg_dir)
+            .parquet(bg_dir)
+            .filter(F.col("batch") <= batch_id)
+            .select("__gram")
+            .dropDuplicates()
+        )
+        posting = spark.read.parquet(posting_path)
+        affected = (
+            posting.join(F.broadcast(batch_grams), "__gram")
+            .select("doc_id")
+            .dropDuplicates()
+        )
+        from etl_gcp_spark.functions.text import tokens as _tokens
+
+        corpus = spark.read.parquet(corpus_path)
+        aff_toked = corpus.join(affected, "doc_id").select(
+            "doc_id",
+            "text",
+            _tokens(F.col("text")).alias("__toks"),
+            F.col("__nt"),
+        )
+        removed = removal_index(
+            posting.join(F.broadcast(affected), "doc_id"),
+            all_grams,
+            n,
+        )
+        apply_removal(
+            aff_toked.join(removed, "doc_id", "left"), max_removed_frac
+        ).write.mode("overwrite").parquet(
+            os.path.join(root, "verdicts", f"batch={batch_id}")
+        )
+        done_in_run["n"] += 1
+        if fail_after_batches and done_in_run["n"] >= fail_after_batches:
+            # crash AFTER the sink writes, BEFORE the checkpoint
+            # commit — the replay must rewrite only its own slices
+            raise RuntimeError("injected crash (recovery test)")
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    corpus = spark.read.parquet(corpus_path)
+    v_dir = os.path.join(root, "verdicts")
+    base = corpus.select(
+        "doc_id",
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit("keep").alias("action"),
+        F.col("text").alias("clean_text"),
+        F.lit(-1).cast("long").alias("batch"),
+    )
+    if os.path.isdir(v_dir) and any(
+        e.startswith("batch=") for e in os.listdir(v_dir)
+    ):
+        patches = (
+            spark.read.option("basePath", v_dir)
+            .parquet(v_dir)
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_removed",
+                "action",
+                "clean_text",
+                F.col("batch").cast("long"),
+            )
+        )
+        base = base.unionByName(patches)
+    w = Window.partitionBy("doc_id").orderBy(F.col("batch").desc())
+    return (
+        base.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("doc_id", "n_tokens", "n_removed", "action", "clean_text")
+    )

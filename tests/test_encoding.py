@@ -780,3 +780,46 @@ def test_text_index_build_resets_resize_contract(spark, sf_dir, tmp_path):
         for r in bm25_index_topk(spark, idx, terms, n_buckets=32).collect()
     ]
     assert got  # serves under the rebuild's own contract
+
+
+def test_streaming_decontamination_recovers_and_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Kill the benchmark-shard stream after trigger 2 of 4
+    (post-write, pre-commit), resume from the checkpoint, and require
+    the final serve to equal batch decontaminate_docs over the full
+    benchmark — gram and verdict slices are batch_id-keyed overwrites
+    of deterministic content, and per-batch re-excision of only the
+    newly-affected docs must compose across shards (contamination is
+    monotone)."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.operators.corpus import decontaminate_docs
+    from etl_gcp_spark.streaming.text import (
+        run_streaming_decontamination,
+    )
+
+    root = str(tmp_path / "decont_recovery")
+    path = os.path.join(sf_dir, "documents.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_decontamination(
+            spark, path, root=root, fail_after_batches=2
+        )
+    assert os.path.isdir(f"{root}/benchgrams")
+    streamed = sorted(
+        map(
+            tuple,
+            run_streaming_decontamination(spark, path, root=root).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            decontaminate_docs(
+                spark.read.parquet(path), benchmark_source="src0"
+            ).collect(),
+        )
+    )
+    assert streamed and streamed == batch
