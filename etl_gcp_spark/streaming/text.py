@@ -317,12 +317,23 @@ def run_streaming_decontamination(
 
     corpus_path = os.path.join(root, "corpus")
     posting_path = os.path.join(root, "corpusgrams")
+    n_buckets = 64
     toked = tokenize_docs(corp)
     toked.select("doc_id", "text", "__nt").write.mode(
         "overwrite"
     ).parquet(corpus_path)
-    doc_gram_posting(toked, n).write.mode("overwrite").parquet(
-        posting_path
+    # the posting is bucket-partitioned on the gram hash (the text
+    # index's partition-function discipline): a shard's probe reads
+    # only its grams' buckets (PartitionFilters), not the corpus
+    (
+        doc_gram_posting(toked, n)
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("__gram"), F.lit(n_buckets)).cast("int"),
+        )
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(posting_path)
     )
 
     staged = os.path.join(root, "in")
@@ -351,7 +362,22 @@ def run_streaming_decontamination(
             .select("__gram")
             .dropDuplicates()
         )
-        posting = spark.read.parquet(posting_path)
+        # probe ONLY the shard's grams' buckets — bounded collect
+        # (<= n_buckets ints), and the partition filter is what keeps
+        # the probe from reading the whole posting at corpus scale
+        probe_buckets = sorted(
+            r["b"]
+            for r in batch_grams.select(
+                F.pmod(F.xxhash64("__gram"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .dropDuplicates()
+            .collect()
+        )
+        posting = spark.read.parquet(posting_path).filter(
+            F.col("bucket").isin(probe_buckets)
+        )
         affected = (
             posting.join(F.broadcast(batch_grams), "__gram")
             .select("doc_id")
@@ -366,8 +392,12 @@ def run_streaming_decontamination(
             _tokens(F.col("text")).alias("__toks"),
             F.col("__nt"),
         )
+        # the rewrite needs ALL of an affected doc's windows, which
+        # the bucket layout can't prune — recompute them in flight
+        # from the (few) affected docs instead of a second posting
+        # scan: O(affected tokens), not O(corpus)
         removed = removal_index(
-            posting.join(F.broadcast(affected), "doc_id"),
+            doc_gram_posting(aff_toked, n),
             all_grams,
             n,
         )
