@@ -2773,6 +2773,41 @@ def _q_streaming_quantiles(spark, sf_dir):
     )
 
 
+def _q_hamming_topk(spark, sf_dir):
+    """Binary-sign quantized serving: 1 bit/dim packed into two
+    int64 words (low-32 bits only, so the packing replays in any
+    signed-shift engine), top-5 by XOR+popcount with the id
+    tiebreak — the highest-compression member of the quantization
+    family (float64 -> 1 bit is 64x; the binary shadow corpus is
+    what a 100 TB serving tier scans). Oracle replays the word
+    packing (list_sum over a CASE shift), xor+bit_count and the
+    asc-hamming ranking textually."""
+    from etl_gcp_spark.functions.similarity import hamming_topk
+
+    return hamming_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        dim=64,
+    )
+
+
+def _q_hamming_recall_report(spark, sf_dir):
+    """Recall@5 of binary-sign Hamming serving vs the exact cosine
+    top-5 — the representation audit for hamming_topk, pairing with
+    embedding_truncation_recall (fewer dims) and the PQ/int8 audits:
+    every compression axis carries its own measured recall number
+    before it serves."""
+    from etl_gcp_spark.functions.similarity import hamming_recall_report
+
+    return hamming_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        dim=64,
+    )
+
+
 def _q_embedding_truncation_recall(spark, sf_dir):
     """Recall@5 of truncated-to-16-dim cosine search vs the full
     64-dim exact top-5 — the Matryoshka-style representation audit
@@ -4573,6 +4608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay-safe); final state == the batch ACT, whose oracle
         # attaches verbatim.
         "streaming_decontamination": _q_streaming_decontamination,
+        # hamming_topk / hamming_recall_report — binary-sign
+        # quantized serving (1 bit/dim, XOR+popcount) and its
+        # measured recall audit vs exact cosine: the
+        # highest-compression member of the quantization family.
+        "hamming_topk": _q_hamming_topk,
+        "hamming_recall_report": _q_hamming_recall_report,
     }.items()}
 
 
@@ -8989,6 +9030,64 @@ def oracle_sql() -> dict[str, str]:
                    AS recall
         FROM fulltk f LEFT JOIN hits h ON h.query_id = f.query_id
         GROUP BY f.query_id
+    """
+    # Binary-sign Hamming serving: word packing = list_sum over a
+    # CASE-guarded (1::BIGINT << i) per low-32 bit lane (out-of-range
+    # dims are NULL -> CASE false -> 0, matching try_element_at);
+    # score = bit_count(xor) summed over both words, rank ASC with
+    # the id tiebreak.
+    sql["hamming_topk"] = """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), words AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(0, 32),
+                       i -> CASE WHEN v[i+1] > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                   )) AS BIGINT) AS w0,
+                   CAST(list_sum(list_transform(range(0, 32),
+                       i -> CASE WHEN v[i+33] > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                   )) AS BIGINT) AS w1
+            FROM base
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q.w0, c.w0))
+                        + bit_count(xor(q.w1, c.w1)) AS INTEGER)
+                       AS hamming
+            FROM words q
+            JOIN words c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ), ranked AS (
+            SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, hamming,
+               CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= 5
+    """
+    sql["hamming_recall_report"] = f"""
+        WITH exact AS ({sql["cosine_topk"]}),
+        approx AS ({sql["hamming_topk"]}),
+        hits AS (
+            SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM exact e
+            JOIN approx a
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(coalesce(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+               round(coalesce(max(h.n_hits), 0)::DOUBLE / count(*), 4)
+                   AS recall
+        FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+        GROUP BY e.query_id
     """
     sql["ann_recall_report"] = f"""
         WITH exact AS ({sql["cosine_topk"]}),

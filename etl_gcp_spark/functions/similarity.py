@@ -3656,3 +3656,180 @@ def bitext_ann_recall_report(
         )
     )
     return tag_pinned(out, ann, exact, *ann_pins, *exact_pins)
+
+
+def sign_quantize(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary sign quantization: 1 bit per dimension (``v[i] > 0``),
+    packed into ``ceil(dim/32)`` int64 words — the highest-compression
+    serving representation in the quantization family (float64 → 1
+    bit is a 64× byte reduction; the 64-dim corpus packs into TWO
+    words). Bits stay in the low 32 of each word so the packing
+    replays exactly in engines whose ``<<`` is 64-bit-signed
+    (no sign-bit shifts anywhere).
+
+    Pure JVM expression (aggregate over a power-of-two literal
+    array — no shift builtins, no UDF); TOTAL by construction
+    (try_element_at; absent dims contribute 0), so ragged or short
+    vectors degrade instead of throwing.
+
+    Output: (id, w0, w1, ... long) — one column per word, scalar-only
+    for the driver contract.
+    """
+    n_words = (dim + 31) // 32
+    v = _as_double(F.col(vec_col))
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+
+    def _word(w: int):
+        # factory, not a default-arg lambda: pyspark higher-order
+        # lambdas must have exactly the arity Spark expects
+        off = w * 32
+
+        def merge(acc, i):
+            return acc + F.when(
+                F.try_element_at(v, (i + off + 1).cast("int")) > 0,
+                F.element_at(pow2, i + 1),
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            merge,
+        )
+
+    return embeddings.select(
+        F.col(id_col),
+        *[_word(w).alias(f"w{w}") for w in range(n_words)],
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance over :func:`sign_quantize` words —
+    binary-quantized vector serving: score = Σ popcount(xor(word_i))
+    (``F.bit_count``, whole-stage codegen), rank asc with the id
+    tiebreak. The scan reads 8·ceil(dim/32) bytes per vector instead
+    of 8·dim — at 100 TB of float64 embeddings the binary shadow
+    corpus is 1/32 the bytes, which is the serving win; recall cost
+    vs exact cosine is measured by :func:`hamming_recall_report`
+    (the truncation_recall_report twin — representation audits, not
+    index audits). Candidate generation here is the full (compressed)
+    scan; the bucketed path at scale is SRP-LSH over the same sign
+    bits (functions/similarity.py::embedding_near_dup's family).
+
+    Output: (query_id, neighbor_id, hamming, rank).
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    words = sign_quantize(
+        embeddings, id_col=id_col, vec_col=vec_col, dim=dim
+    ).persist()
+    n_words = (dim + 31) // 32
+    q = words.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
+    )
+    c = words.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"w{w}") for w in range(n_words)],
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(f"qw{w}").bitwiseXOR(F.col(f"w{w}"))
+        )
+        ham = term if ham is None else ham + term
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ham.cast("int").alias("hamming"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return tag_pinned(out, words)
+
+
+def hamming_recall_report(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of binary-sign Hamming serving against the exact
+    cosine top-k — the representation-approximation audit for
+    :func:`hamming_topk`, pairing with
+    :func:`truncation_recall_report` (fewer dims) and the PQ/int8
+    audits (coarser cells): at 100 TB every compression axis needs
+    its own measured recall number before it serves. Output:
+    (query_id, n_exact, n_hits, recall 4 dp).
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    exact = cosine_topk(
+        embeddings,
+        query_filter=F.col(id_col).isin(query_ids),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    approx = hamming_topk(
+        embeddings,
+        query_ids=query_ids,
+        k=k,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    approx_pins = tuple(getattr(approx, "_etl_pinned_frames", ()))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+    return tag_pinned(out, *approx_pins)

@@ -1446,3 +1446,54 @@ def test_bitext_ann_probe_subset_recall_measured(spark, sf_dir, tmp_path):
     assert rep[0].n_exact_pairs == len(exact)
     assert rep[0].n_hits == len(hits)
     assert rep[0].pair_recall == round(len(hits) / len(exact), 4)
+
+
+def test_hamming_topk_sign_semantics_and_recall(spark):
+    """Binary-sign serving: an identical vector is hamming-0 rank-1;
+    flipping exactly f signs measures hamming f; a zero vector packs
+    to all-zero words (v > 0 strict) without any normalization crash;
+    and the recall report counts hits against exact cosine."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_gcp_spark.functions.similarity import (
+        hamming_recall_report,
+        hamming_topk,
+        sign_quantize,
+    )
+
+    rs = np.random.RandomState(7)
+    vecs = {i: rs.randn(64) for i in range(20)}
+    vecs[11] = vecs[0].copy()                      # identical twin
+    vecs[12] = vecs[0].copy()
+    vecs[12][:5] = -np.abs(vecs[12][:5]) - 1.0     # exactly 5 dims negative
+    vecs[0][:5] = np.abs(vecs[0][:5]) + 1.0        # ...that are positive in 0
+    vecs[11] = vecs[0].copy()
+    vecs[13] = np.zeros(64)                        # zero vector
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    out = {
+        (r.query_id, r.rank): (r.neighbor_id, r.hamming)
+        for r in hamming_topk(df, query_ids=[0], k=3).collect()
+    }
+    assert out[(0, 1)] == (11, 0)          # twin at hamming 0
+    # the 5-sign-flipped copy is exactly hamming 5 from query 0
+    flipped = {r.neighbor_id: r.hamming
+               for r in hamming_topk(df, query_ids=[0], k=19).collect()}
+    assert flipped[12] == 5
+    # zero vector packs to all-zero words, no crash anywhere
+    w = {r["vec_id"]: (r["w0"], r["w1"])
+         for r in sign_quantize(df).collect()}
+    assert w[13] == (0, 0)
+    # exact cosine fails fast on zero-norm (documented sanitize
+    # contract), so the recall frame excludes the zero vector
+    rep = {r.query_id: r for r in
+           hamming_recall_report(
+               df.filter(F.col("vec_id") != 13), query_ids=[0, 1], k=3
+           ).collect()}
+    assert rep[0].n_exact == 3
+    assert 0 <= rep[0].n_hits <= 3
+    assert rep[0].recall == round(rep[0].n_hits / 3, 4)
+    # the twin is both the exact-cosine and the hamming top-1 -> hit
+    assert rep[0].n_hits >= 1
