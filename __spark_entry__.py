@@ -9498,8 +9498,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN e.src_id IS NOT NULL THEN 1 ELSE 0 END
                     AS INTEGER) AS hit,
                s.n_exact_pairs, s.n_hits,
-               round(s.n_hits / CAST(s.n_exact_pairs AS DOUBLE), 4)
-                   AS pair_recall
+               CASE WHEN s.n_exact_pairs > 0
+                    THEN round(s.n_hits / CAST(s.n_exact_pairs AS DOUBLE), 4)
+                    ELSE 1.0 END AS pair_recall
         FROM apairs a
         LEFT JOIN epairs e USING (src_id, tgt_id)
         CROSS JOIN stats s

@@ -33,7 +33,7 @@ GEMM kernels — no row-at-a-time Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 import os
@@ -2698,18 +2698,25 @@ def ivf_index_compact(spark, path: str) -> None:
     allv = spark.read.parquet(vectors)
     cols = [c for c in allv.columns]
     if os.path.isdir(appends):
-        allv = allv.unionByName(
+        # idempotent fold, DETERMINISTIC: a crash between commit_swap
+        # and the appends cleanup below leaves a base that ALREADY
+        # contains the folded rows — re-unioning the surviving
+        # appends dir must not write duplicate vec_ids into the
+        # artifact (vec_id is the identity key: tombstones, serves
+        # and the maintenance audit all address rows by it). The
+        # committed base row must WIN the fold: after a retrain swap
+        # the base row carries the re-assigned cell while a stale
+        # append row carries the old one, and a dropDuplicates here
+        # could nondeterministically persist the stale cell — a
+        # vector parked in a partition the new centroids never probe.
+        app = (
             spark.read.option("basePath", appends)
             .parquet(appends)
             .select(*cols)
+            .dropDuplicates(["vec_id"])
+            .join(allv.select("vec_id"), "vec_id", "left_anti")
         )
-        # idempotent fold: a crash between commit_swap and the
-        # appends cleanup below leaves a base that ALREADY contains
-        # the folded rows — re-unioning the surviving appends dir
-        # must not write duplicate vec_ids into the artifact
-        # (vec_id is the identity key: tombstones, serves and the
-        # maintenance audit all address rows by it)
-        allv = allv.dropDuplicates(["vec_id"])
+        allv = allv.unionByName(app)
     # compaction is where erasure becomes PHYSICAL: tombstoned
     # vectors (ivf_index_erase) drop out of the rewritten cell
     # partitions and the tombstone dir is cleared
@@ -3582,6 +3589,18 @@ def margin_bitext_pairs_ann(
     )
 
 
+def _guarded_recall(hits: Column, total: Column) -> Column:
+    """``round(hits / total, 4)`` with the 0/0 degenerate case pinned
+    to 1.0: an empty ground-truth set means there is nothing to miss,
+    so vacuous recall is perfect — NOT the NULL that a bare division
+    yields, which would silently null the report's headline metric on
+    every row (and read as "metric broken" rather than "nothing to
+    recall")."""
+    return F.when(
+        total > 0, F.round(hits / total, 4)
+    ).otherwise(F.lit(1.0))
+
+
 def bitext_ann_recall_report(
     embeddings: DataFrame,
     path: str,
@@ -3650,9 +3669,9 @@ def bitext_ann_recall_report(
             F.coalesce("hit", F.lit(0)).cast("int").alias("hit"),
             "n_exact_pairs",
             "n_hits",
-            F.round(
-                F.col("n_hits") / F.col("n_exact_pairs"), 4
-            ).alias("pair_recall"),
+            _guarded_recall(F.col("n_hits"), F.col("n_exact_pairs")).alias(
+                "pair_recall"
+            ),
         )
     )
     return tag_pinned(out, ann, exact, *ann_pins, *exact_pins)

@@ -190,9 +190,20 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
             )
         if tombs is not None:
             # the blocking index is keyed by the caller's id column
-            # (mask_key_index keeps its name) — by construction the
-            # FIRST column of the store
-            mk_id = merged.columns[0]
+            # (mask_key_index keeps its name); every OTHER column is
+            # fixed by the mask_key_index contract, so derive the key
+            # as the one non-contract column rather than trusting
+            # column position — a reordered or prepended store column
+            # would silently anti-join on the wrong key and let
+            # erased ids survive in the blocking index
+            _mk_contract = {"__t", "pos", "mkey"}
+            mk_keys = [c for c in merged.columns if c not in _mk_contract]
+            if len(mk_keys) != 1:
+                raise ValueError(
+                    "maskkeys store schema violates the mask_key_index"
+                    f" contract (id, __t, pos, mkey): {merged.columns}"
+                )
+            mk_id = mk_keys[0]
             merged = merged.join(
                 F.broadcast(tombs).withColumnRenamed("id", mk_id),
                 mk_id,

@@ -467,3 +467,73 @@ def test_entity_label_compact_makes_erasure_physical(
         sorted(map(tuple, serve_entity_labels(spark, root).collect()))
         == before
     )
+
+
+def test_entity_compact_maskkey_erasure_survives_column_reorder(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r9: the maskkeys tombstone anti-join used to key on
+    merged.columns[0] — a positional assumption. A store whose
+    columns were written in a different order (id NOT first) must
+    still have erased ids physically removed from the blocking
+    index; the key is now derived from the mask_key_index contract
+    (the one column outside {__t, pos, mkey})."""
+    import os
+
+    from etl_gcp_spark.operators.linkage import mask_key_index
+    from etl_gcp_spark.streaming.entities import entity_labels_compact
+
+    root = str(tmp_path / "mk_reorder")
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select("c_custkey", "c_name")
+        .limit(60)
+    )
+    # labels_base + pairs: minimal valid stores for the compact
+    cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_custkey").alias("lbl")
+    ).write.parquet(os.path.join(root, "labels_base"))
+    spark.createDataFrame([(1, 2)], "id1 long, id2 long").write.parquet(
+        os.path.join(root, "pairs")
+    )
+    # blocking index written with the id column LAST (reordered)
+    mask_key_index(cust, "c_custkey", "c_name").select(
+        "__t", "pos", "mkey", "c_custkey"
+    ).write.parquet(os.path.join(root, "maskkeys", "base"))
+    erased = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("id")
+    )
+    assert erased.count() > 0
+    erased.write.parquet(os.path.join(root, "tombstones", "batch=0"))
+    entity_labels_compact(spark, root)
+    mk = spark.read.parquet(os.path.join(root, "maskkeys", "base"))
+    assert mk.filter(F.col("c_custkey") % 5 == 0).count() == 0
+    assert mk.filter(F.col("c_custkey") % 5 != 0).count() > 0
+
+
+def test_entity_compact_rejects_contract_violating_maskkey_store(
+    spark, tmp_path
+):
+    """A maskkeys store with an ambiguous key (extra non-contract
+    column) fails fast instead of silently anti-joining on an
+    arbitrary column."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.streaming.entities import entity_labels_compact
+
+    root = str(tmp_path / "mk_bad")
+    spark.createDataFrame(
+        [(1, 1)], "id long, lbl long"
+    ).write.parquet(os.path.join(root, "labels_base"))
+    spark.createDataFrame(
+        [(1, "a", "x", 1, "m", "extra")],
+        "id long, __t string, mkey string, pos int, extra2 string,"
+        " extra3 string",
+    ).write.parquet(os.path.join(root, "maskkeys", "base"))
+    spark.createDataFrame([(1,)], "id long").write.parquet(
+        os.path.join(root, "tombstones", "batch=0")
+    )
+    with pytest.raises(ValueError, match="mask_key_index"):
+        entity_labels_compact(spark, root)

@@ -1497,3 +1497,87 @@ def test_hamming_topk_sign_semantics_and_recall(spark):
     assert rep[0].recall == round(rep[0].n_hits / 3, 4)
     # the twin is both the exact-cosine and the hamming top-1 -> hit
     assert rep[0].n_hits >= 1
+
+
+def test_ivf_compact_fold_keeps_committed_base_cells(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r9: a crash between ivf_retrain_swap's commit_swap and
+    its appends cleanup leaves a committed base carrying RE-ASSIGNED
+    cells next to a surviving appends dir carrying the stale ones. A
+    routine ivf_index_compact replayed in that window must fold
+    deterministically — committed base rows win — or a stale cell
+    can nondeterministically persist into a partition the new
+    centroids never probe (silent recall loss)."""
+    import os
+    import shutil
+
+    from etl_gcp_spark.functions.similarity import (
+        _assign_to_centroids,
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_retrain_swap,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_fold_det")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 400), path, n_cells=8, n_iters=1
+    )
+    # stage appends assigned under the OLD centroids
+    appends = os.path.join(path, "appends")
+    cents = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    _assign_to_centroids(
+        emb.filter(F.col("vec_id") >= 400).select(
+            "vec_id", F.col("embedding").alias("__v")
+        ),
+        [list(r["centroid"]) for r in cents],
+        [int(r["cell"]) for r in cents],
+        "vec_id",
+    ).select("vec_id", F.col("__v").alias("vector"), "cell").write.partitionBy(
+        "cell"
+    ).parquet(os.path.join(appends, "batch=0"))
+    saved = str(tmp_path / "fold_appends_saved")
+    shutil.copytree(appends, saved)
+    # retrain folds the appends in under NEW centroids/cells
+    ivf_retrain_swap(spark, path, n_cells=8, n_iters=2)
+    committed = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(path + "/vectors").collect()
+    }
+    # crash window: the stale-cell appends dir survived the swap;
+    # a ROUTINE compact (not a retrain replay) runs next
+    shutil.copytree(saved, appends)
+    ivf_index_compact(spark, path)
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == vecs.select("vec_id").distinct().count()
+    # deterministic: every committed (vec_id, cell) survived verbatim
+    assert {
+        (r["vec_id"], r["cell"]) for r in vecs.collect()
+    } == committed
+
+
+def test_guarded_recall_pins_empty_ground_truth_to_one(spark):
+    """ADVICE r9: pair_recall = n_hits / n_exact_pairs is 0/0 → NULL
+    when the exact miner finds no pairs, silently nulling the
+    report's headline metric; the guarded expression pins the
+    vacuous case to 1.0 and leaves the live case untouched."""
+    from etl_gcp_spark.functions.similarity import _guarded_recall
+
+    rows = spark.createDataFrame(
+        [(0, 0), (3, 4), (4, 4)], "hits long, total long"
+    )
+    got = {
+        (r["hits"], r["total"]): r["recall"]
+        for r in rows.select(
+            "hits",
+            "total",
+            _guarded_recall(F.col("hits"), F.col("total")).alias("recall"),
+        ).collect()
+    }
+    assert got[(0, 0)] == 1.0
+    assert got[(3, 4)] == 0.75
+    assert got[(4, 4)] == 1.0
