@@ -3852,3 +3852,171 @@ def hamming_recall_report(
         )
     )
     return tag_pinned(out, *approx_pins)
+
+
+def hamming_lsh_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH bucketed serving over the sign bits — the at-scale
+    candidate path that :func:`hamming_topk`'s full compressed scan
+    names: the packed sign words are cut into ``n_bands`` fixed-width
+    bit bands (``band_bits`` each; a band never straddles a word, so
+    ``band_bits`` must divide 32 and ``n_bands·band_bits ≤ dim``).
+    Sign bits ARE signed-random-projection hashes (Charikar 2002,
+    ``sim(u,v) = 1 - θ/π`` per bit), so two vectors collide in a band
+    with probability ``(1 - θ/π)^band_bits`` and become a candidate
+    iff ANY band collides — the same banding trade MinHash-LSH makes,
+    tuned here by band width instead of row count.
+
+    Scale posture: the corpus side is a ``(band, bval)`` posting
+    (n_bands rows per vector, generated by one ``posexplode`` —
+    no shuffle until the candidate join, whose key is the bucket);
+    query probes are broadcast, so candidate volume is bounded by the
+    probed buckets' sizes, never the corpus — the candidate-scan
+    class every bucketed family in this repo shares (LSH bands, IVF
+    cells, DF-capped postings). Rescoring is the existing
+    XOR+popcount hamming, restricted to the candidates. Recall vs
+    the full compressed scan is measured by
+    :func:`hamming_lsh_recall_report` (candidate-generation audit;
+    :func:`hamming_recall_report` audits the representation axis).
+
+    Output: (query_id, neighbor_id, hamming, rank) — rank asc by
+    hamming with the id tiebreak, ≤ k rows per query (fewer when the
+    probed buckets hold fewer candidates).
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    if 32 % band_bits != 0:
+        raise ValueError("band_bits must divide 32 (no word straddle)")
+    if n_bands * band_bits > dim:
+        raise ValueError("n_bands*band_bits exceeds dim")
+    n_words = (dim + 31) // 32
+    words = sign_quantize(
+        embeddings, id_col=id_col, vec_col=vec_col, dim=dim
+    ).persist()
+
+    mask = (1 << band_bits) - 1
+
+    def _bval(b: int):
+        word = (b * band_bits) // 32
+        off = (b * band_bits) % 32
+        return F.shiftright(F.col(f"w{word}"), off).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+
+    def _bands(df, out_id: str):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(*[_bval(b) for b in range(n_bands)])
+            ).alias("band", "bval"),
+        )
+
+    probes = _bands(
+        words.filter(F.col(id_col).isin(query_ids)), "query_id"
+    )
+    posting = _bands(words, "neighbor_id")
+    cands = (
+        posting.join(F.broadcast(probes), ["band", "bval"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    q = words.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
+    )
+    c = words.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"w{w}") for w in range(n_words)],
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"qw{w}").bitwiseXOR(F.col(f"w{w}")))
+        ham = term if ham is None else ham + term
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    out = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", ham.cast("int").alias("hamming"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return tag_pinned(out, words)
+
+
+def hamming_lsh_recall_report(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the SRP-LSH bucketed serve against the FULL
+    compressed scan — the candidate-generation audit for
+    :func:`hamming_lsh_topk`, completing the quantized-serving story
+    the way :func:`bitext_ann_recall_report` completed mining: the
+    representation axis (sign bits vs float cosine) is audited by
+    :func:`hamming_recall_report`; this one isolates what the
+    BANDING alone gives up, so the two numbers factor the total
+    serving error by axis. Output: (query_id, n_exact, n_hits,
+    recall 4 dp) — n_exact counts the full-scan top-k.
+    """
+    from etl_gcp_spark.caching import tag_pinned
+
+    exact = hamming_topk(
+        embeddings, query_ids=query_ids, k=k, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    exact_pins = tuple(getattr(exact, "_etl_pinned_frames", ()))
+    approx = hamming_lsh_topk(
+        embeddings, query_ids=query_ids, k=k, dim=dim,
+        n_bands=n_bands, band_bits=band_bits,
+        id_col=id_col, vec_col=vec_col,
+    )
+    approx_pins = tuple(getattr(approx, "_etl_pinned_frames", ()))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            _guarded_recall(
+                F.coalesce("n_hits", F.lit(0)),
+                F.col("n_exact").cast("double"),
+            ).alias("recall"),
+        )
+    )
+    return tag_pinned(out, *exact_pins, *approx_pins)

@@ -1072,3 +1072,21 @@ def test_decontaminate_bench_grams_broadcast(spark, sf_dir):
         decontaminate_docs(docs, benchmark_source="src0", n=3)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hamming_lsh_probes_broadcast_no_cartesian(spark, sf_dir):
+    """The SRP-LSH serve's candidate join keys on (band, bval) with
+    the query probes BROADCAST, and the rescore joins candidates to
+    the word table by id — nowhere a cartesian: the full-scan
+    hamming_topk's broadcast crossJoin is exactly what the bucketed
+    path exists to avoid at corpus scale."""
+    from etl_gcp_spark.functions.similarity import hamming_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hamming_lsh_topk(
+        emb, query_ids=list(range(10)), k=5, n_bands=16, band_bits=4
+    )
+    plan = _plan_formatted(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

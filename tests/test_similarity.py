@@ -1581,3 +1581,64 @@ def test_guarded_recall_pins_empty_ground_truth_to_one(spark):
     assert got[(0, 0)] == 1.0
     assert got[(3, 4)] == 0.75
     assert got[(4, 4)] == 1.0
+
+
+def test_hamming_lsh_one_bit_bands_equal_full_scan(spark, sf_dir):
+    """band_bits=1 x 64 bands: any vector agreeing with the query on
+    at least ONE sign bit is a candidate — on real float data that is
+    every vector (an antipodal twin would need all 64 signs flipped),
+    so the bucketed serve must reproduce the full compressed scan
+    exactly, ranks and all."""
+    from etl_gcp_spark.functions.similarity import (
+        hamming_lsh_topk,
+        hamming_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    full = sorted(
+        map(tuple, hamming_topk(emb, query_ids=[0, 1, 2], k=5).collect())
+    )
+    lsh = sorted(
+        map(
+            tuple,
+            hamming_lsh_topk(
+                emb, query_ids=[0, 1, 2], k=5, n_bands=64, band_bits=1
+            ).collect(),
+        )
+    )
+    assert lsh == full
+
+
+def test_hamming_lsh_twin_always_candidate_and_contract_errors(
+    spark, sf_dir
+):
+    """A sign-identical twin collides in EVERY band, so it must
+    surface at rank 1 / hamming 0 under any banding config; invalid
+    band geometry fails fast."""
+    import pytest
+
+    from etl_gcp_spark.functions.similarity import hamming_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    twin = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(9999).cast("long")
+    )
+    out = {
+        (r.query_id, r.rank): (r.neighbor_id, r.hamming)
+        for r in hamming_lsh_topk(
+            emb.unionByName(twin),
+            query_ids=[0],
+            k=3,
+            n_bands=8,
+            band_bits=8,
+        ).collect()
+    }
+    assert out[(0, 1)] == (9999, 0)
+    with pytest.raises(ValueError, match="divide 32"):
+        hamming_lsh_topk(emb, query_ids=[0], band_bits=6)
+    with pytest.raises(ValueError, match="exceeds dim"):
+        hamming_lsh_topk(emb, query_ids=[0], n_bands=32, band_bits=8)
