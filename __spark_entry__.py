@@ -4162,6 +4162,46 @@ def _q_pq_adc_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    """IVF+PQ fused serving (the FAISS-IVFPQ production combo): the
+    k-means coarse quantizer prunes to each query's 4 probed cells,
+    ADC lookup-table scoring runs over ONLY those candidates' PQ
+    codes — neither the float corpus nor a full code scan is read.
+    Oracle replays k-means train/assign/probe AND codebook/encode/
+    LUT-sum textually (both replay chains already proven alone)."""
+    from etl_gcp_spark.functions.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=32,
+        n_iters=2,
+        n_probe=4,
+        n_subspaces=8,
+        n_codes=16,
+    )
+
+
+def _q_ivf_pq_recall_report(spark, sf_dir):
+    """Recall@5 of fused IVF+PQ vs exact cosine — the COMPOSITE
+    audit: cell pruning and code coarseness compound in production,
+    so the combination carries its own measured number beside the
+    per-axis audits (ann_recall_report, the PQ family)."""
+    from etl_gcp_spark.functions.similarity import ivf_pq_recall_report
+
+    return ivf_pq_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=32,
+        n_iters=2,
+        n_probe=4,
+        n_subspaces=8,
+        n_codes=16,
+    )
+
+
 def _q_embedding_dedup_clusters(spark, sf_dir):
     from etl_gcp_spark.operators.graph import embedding_dedup_clusters
 
@@ -4662,6 +4702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs the full compressed scan.
         "hamming_lsh_topk": _q_hamming_lsh_topk,
         "hamming_lsh_recall_report": _q_hamming_lsh_recall_report,
+        # ivf_pq_topk / ivf_pq_recall_report — the FAISS-IVFPQ fused
+        # serve (cell pruning x ADC code scoring) and its composite
+        # recall audit: the two quantization axes finally meet.
+        "ivf_pq_topk": _q_ivf_pq_topk,
+        "ivf_pq_recall_report": _q_ivf_pq_recall_report,
     }.items()}
 
 
@@ -9190,6 +9235,153 @@ def oracle_sql() -> dict[str, str]:
     sql["hamming_lsh_recall_report"] = f"""
         WITH exact AS ({sql["hamming_topk"]}),
         approx AS ({sql["hamming_lsh_topk"]}),
+        hits AS (
+            SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM exact e
+            JOIN approx a
+              ON a.query_id = e.query_id
+             AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(coalesce(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+               round(coalesce(max(h.n_hits), 0)::DOUBLE / count(*), 4)
+                   AS recall
+        FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+        GROUP BY e.query_id
+    """
+    # IVF+PQ fused serve: the k-means replay chain (c0..af, probe —
+    # textually the ann_ivf_kmeans_topk training) supplies the
+    # candidate set, the PQ replay chain (nrm, cb, codes, qlut —
+    # textually pq_adc_topk's) supplies the ADC scoring; the fused
+    # scored CTE joins candidates to codes to the LUT
+    sql["ivf_pq_topk"] = """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+            FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 32)
+        ), a1 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c0 c
+            ) WHERE rnk = 1
+        ), c1 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a1
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), a2 AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c1 c
+            ) WHERE rnk = 1
+        ), c2 AS (
+            SELECT cell, list(cval ORDER BY idx) AS cv FROM (
+                SELECT cell, idx, round(avg(val), 6) AS cval FROM (
+                    SELECT cell, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS idx
+                    FROM a2
+                ) GROUP BY cell, idx
+            ) GROUP BY cell
+        ), af AS (
+            SELECT vec_id, cell FROM (
+                SELECT b.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.v, c.cv)
+                                    DESC, c.cell
+                       ) AS rnk
+                FROM base b CROSS JOIN c2 c
+            ) WHERE rnk = 1
+        ), probe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.v, c.cv)
+                                    DESC, c.cell
+                       ) AS prnk
+                FROM base q CROSS JOIN c2 c
+                WHERE q.vec_id < 10
+            ) WHERE prnk <= 4
+        ), nrm AS (
+            SELECT vec_id,
+                   list_transform(
+                       v, x -> x / sqrt(list_inner_product(v, v))
+                   ) AS nv
+            FROM base
+        ), subsp AS (
+            SELECT unnest(range(1, 9)) AS s
+        ), cb AS (
+            SELECT subsp.s, seed.code,
+                   list_transform(
+                       list_slice(seed.nv, (subsp.s-1)*8 + 1, subsp.s*8),
+                       x -> round(x, 6)
+                   ) AS cw
+            FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) AS code, nv
+                FROM (SELECT vec_id, nv FROM nrm ORDER BY vec_id
+                      LIMIT 16)
+            ) seed CROSS JOIN subsp
+        ), codes AS (
+            SELECT vec_id, s, code FROM (
+                SELECT n.vec_id, cb.s, cb.code,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id, cb.s
+                           ORDER BY list_distance(
+                               list_slice(n.nv, (cb.s-1)*8 + 1, cb.s*8),
+                               cb.cw
+                           ) ASC, cb.code
+                       ) AS rnk
+                FROM nrm n CROSS JOIN cb
+            ) WHERE rnk = 1
+        ), qlut AS (
+            SELECT q.vec_id AS query_id, cb.s, cb.code,
+                   list_inner_product(
+                       list_slice(q.nv, (cb.s-1)*8 + 1, cb.s*8), cb.cw
+                   ) AS val
+            FROM nrm q CROSS JOIN cb
+            WHERE q.vec_id < 10
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(sum(l.val), 6) AS approx_sim
+            FROM probe p
+            JOIN af a USING (cell)
+            JOIN codes c ON c.vec_id = a.vec_id
+            JOIN qlut l ON l.query_id = p.query_id
+                       AND l.s = c.s AND l.code = c.code
+            WHERE a.vec_id <> p.query_id
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT query_id, neighbor_id, approx_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_sim DESC, neighbor_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, approx_sim,
+               CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= 5
+    """
+    sql["ivf_pq_recall_report"] = f"""
+        WITH exact AS ({sql["cosine_topk"]}),
+        approx AS ({sql["ivf_pq_topk"]}),
         hits AS (
             SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
             FROM exact e

@@ -4020,3 +4020,180 @@ def hamming_lsh_recall_report(
         )
     )
     return tag_pinned(out, *exact_pins, *approx_pins)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ fused serving — the FAISS-IVFPQ production combo this
+    repo's two quantization axes meet in: the k-means coarse
+    quantizer (:func:`ivf_train`) prunes the corpus to each query's
+    ``n_probe`` cells, and ADC (:func:`pq_topk`'s lookup-table sum)
+    scores ONLY those candidates against the PQ codes. At 100 TB
+    this is the memory-AND-compute point: the serving store is
+    n·n_subspaces one-byte codes (32× smaller than float64) and a
+    query touches ~n_probe/n_cells of it, so neither the float
+    corpus nor a full code scan is ever read — compared with
+    :func:`pq_topk` (full code scan) and :func:`ivf_topk_trained`
+    (float rescore of probed cells).
+
+    Scale shape: centroid train/probe is the proven bounded-collect
+    k-means (n_cells rows); the probe table (|Q|·n_probe) and the
+    ADC LUT (|Q|·S·n_codes doubles) broadcast; candidates flow
+    through one (cell)-keyed join, then S narrow code rows per
+    candidate join the LUT on (query_id, s, code) — all codegen, no
+    float vectors in the serve path. Ranking uses the 6-dp-rounded
+    ADC score with the id tiebreak (cross-engine stable; the oracle
+    replays train, encode, probe and the LUT sum textually).
+    Recall vs exact cosine is measured by
+    :func:`ivf_pq_recall_report` — the composite audit of BOTH
+    approximation axes at once (cell pruning × code coarseness).
+
+    Output: (query_id, neighbor_id, approx_sim, rank).
+    """
+    import numpy as np
+
+    labels, centroids = ivf_train(
+        embeddings,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    assigned = _assign_to_centroids(base, centroids, labels, id_col)
+    codebook = pq_codebook(
+        embeddings,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes = pq_encode(
+        embeddings, codebook, id_col=id_col, vec_col=vec_col
+    )
+    # per-query probed cells + ADC lookup table: both |Q|-bounded
+    # driver work over the already-collected centroid/codebook rows
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    lab = np.asarray(labels, dtype=np.int64)
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    d = cb[0].shape[1]
+    qrows = base.filter(F.col(id_col).isin(query_ids or [])).collect()
+    probe_rows, lut_rows = [], []
+    for r in qrows:
+        qv = np.asarray(r["__v"], dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        sims = cmat @ qn
+        for idx in np.argsort(-sims, kind="stable")[:n_probe]:
+            probe_rows.append((r[id_col], int(lab[idx])))
+        for s, book in enumerate(cb):
+            vals = book @ qn[s * d : (s + 1) * d]
+            for j, val in enumerate(vals):
+                lut_rows.append((r[id_col], s + 1, j + 1, float(val)))
+    spark = embeddings.sparkSession
+    probed = spark.createDataFrame(
+        probe_rows or [], "query_id long, cell int"
+    )
+    lut = spark.createDataFrame(
+        lut_rows or [], "query_id long, s int, code int, val double"
+    )
+    cands = (
+        F.broadcast(probed)
+        .join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("s0", "code"),
+    ).select("neighbor_id", (F.col("s0") + 1).alias("s"), "code")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.join(exploded, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("val"), 6).alias("approx_sim"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_sim", "rank")
+    )
+
+
+def ivf_pq_recall_report(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the fused IVF+PQ serve against exact cosine — the
+    COMPOSITE audit: cell pruning (audited alone by
+    ann_recall_report) and code coarseness (pq family) compound, and
+    the production question is what the combination loses, not each
+    axis in isolation. Output: (query_id, n_exact, n_hits,
+    recall 4 dp)."""
+    exact = cosine_topk(
+        embeddings,
+        query_filter=F.col(id_col).isin(query_ids or []),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    approx = ivf_pq_topk(
+        embeddings,
+        query_ids=query_ids,
+        k=k,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        n_probe=n_probe,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            _guarded_recall(
+                F.coalesce("n_hits", F.lit(0)),
+                F.col("n_exact").cast("double"),
+            ).alias("recall"),
+        )
+    )

@@ -1090,3 +1090,21 @@ def test_hamming_lsh_probes_broadcast_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_pq_serve_broadcasts_probe_and_lut_no_cartesian(
+    spark, sf_dir
+):
+    """The fused IVF+PQ serve joins candidates through the broadcast
+    probe table and the broadcast ADC LUT; nothing in the serve path
+    may shuffle the corpus against itself or fall into a cartesian —
+    the float corpus never appears in the plan's join inputs at all
+    (codes only)."""
+    from etl_gcp_spark.functions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk(emb, query_ids=list(range(10)), k=5)
+    plan = _plan_formatted(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

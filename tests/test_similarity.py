@@ -1642,3 +1642,55 @@ def test_hamming_lsh_twin_always_candidate_and_contract_errors(
         hamming_lsh_topk(emb, query_ids=[0], band_bits=6)
     with pytest.raises(ValueError, match="exceeds dim"):
         hamming_lsh_topk(emb, query_ids=[0], n_bands=32, band_bits=8)
+
+
+def test_ivf_pq_exhaustive_probe_equals_full_adc_scan(spark, sf_dir):
+    """n_probe = n_cells makes the candidate set the whole corpus, so
+    the fused serve must reproduce pq_topk's full ADC scan exactly —
+    the same exhaustive-probe pin every IVF variant carries."""
+    from etl_gcp_spark.functions.similarity import ivf_pq_topk, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    full = sorted(
+        map(
+            tuple,
+            pq_topk(
+                emb, query_ids=[0, 1, 2], k=5, n_subspaces=8, n_codes=16
+            ).collect(),
+        )
+    )
+    fused = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb,
+                query_ids=[0, 1, 2],
+                k=5,
+                n_cells=8,
+                n_iters=1,
+                n_probe=8,
+                n_subspaces=8,
+                n_codes=16,
+            ).collect(),
+        )
+    )
+    assert fused == full
+
+
+def test_ivf_pq_recall_report_bounds(spark, sf_dir):
+    """Composite recall is well-formed: n_exact = k per query, hits
+    within [0, k], recall = hits/k at 4 dp."""
+    from etl_gcp_spark.functions.similarity import ivf_pq_recall_report
+
+    rep = ivf_pq_recall_report(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        query_ids=list(range(5)),
+        k=5,
+    ).collect()
+    assert len(rep) == 5
+    for r in rep:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall"] == round(r["n_hits"] / 5, 4)
