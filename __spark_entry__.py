@@ -2850,6 +2850,22 @@ def _q_hamming_lsh_recall_report(spark, sf_dir):
     )
 
 
+def _q_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE merge training (Sennrich et al. 2016): 10
+    merge rounds over the corpus vocabulary — each round one
+    vocab-sized pair-count aggregation, a 1-row argmax collect and a
+    pure-expression greedy fold. Oracle replays the full training
+    loop as a generated chain of MATERIALIZED CTEs (pair counts,
+    lexicographic-tiebreak argmax, run-parity greedy merge) — the
+    window-function formulation of the same left-to-right
+    non-overlapping merge the Spark fold computes."""
+    from etl_gcp_spark.functions.text import bpe_train_merges
+
+    return bpe_train_merges(
+        _t(spark, sf_dir, "documents"), n_merges=10
+    )
+
+
 def _q_embedding_truncation_recall(spark, sf_dir):
     """Recall@5 of truncated-to-16-dim cosine search vs the full
     64-dim exact top-5 — the Matryoshka-style representation audit
@@ -4707,6 +4723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall audit: the two quantization axes finally meet.
         "ivf_pq_topk": _q_ivf_pq_topk,
         "ivf_pq_recall_report": _q_ivf_pq_recall_report,
+        # bpe_train_merges — BPE tokenizer TRAINING as a first-class
+        # distributed op (vocab-sized rounds after one corpus pass).
+        "bpe_train_merges": _q_bpe_train_merges,
     }.items()}
 
 
@@ -9251,6 +9270,82 @@ def oracle_sql() -> dict[str, str]:
         FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
         GROUP BY e.query_id
     """
+    # BPE merge training: the oracle replays the WHOLE training loop
+    # as a generated chain of MATERIALIZED CTEs (materialization
+    # matters: S{i} is referenced twice per round, and inlining would
+    # re-expand the chain 2^rounds times). Per round: pair counts
+    # over adjacent symbols, argmax with the (cnt DESC, l, r)
+    # tiebreak, then the greedy left-to-right non-overlapping merge
+    # expressed with window functions — consecutive candidate
+    # positions form chains (only possible when left==right), odd
+    # chain offsets are merge starts, and the following position is
+    # dropped; equivalent to the Spark side's sequential fold.
+    def _bpe_merges_sql(n_merges: int) -> str:
+        parts = [
+            """W AS MATERIALIZED (
+            SELECT w, count(*) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                       AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), S0 AS MATERIALIZED (
+            SELECT w, freq,
+                   list_append(
+                       list_transform(range(1, length(w) + 1),
+                                      i -> substring(w, i, 1)),
+                       '</w>') AS syms
+            FROM W
+        )"""
+        ]
+        outs = []
+        for i in range(n_merges):
+            parts.append(f""", P{i} AS MATERIALIZED (
+            SELECT s.syms[t.j] AS l, s.syms[t.j + 1] AS r,
+                   sum(s.freq) AS cnt
+            FROM S{i} s, unnest(range(1, len(s.syms))) AS t(j)
+            GROUP BY 1, 2
+        ), B{i} AS MATERIALIZED (
+            SELECT l, r, cnt FROM P{i} ORDER BY cnt DESC, l, r LIMIT 1
+        ), M{i} AS MATERIALIZED (
+            SELECT s.w, s.freq, t.j AS pos, s.syms[t.j] AS sym,
+                   CASE WHEN t.j < len(s.syms)
+                        AND s.syms[t.j] = b.l
+                        AND s.syms[t.j + 1] = b.r
+                        THEN 1 ELSE 0 END AS cand
+            FROM S{i} s CROSS JOIN B{i} b,
+                 unnest(range(1, len(s.syms) + 1)) AS t(j)
+        ), Ga{i} AS (
+            SELECT *, CASE WHEN cand = 1 THEN pos - row_number() OVER (
+                       PARTITION BY w, cand ORDER BY pos)
+                      ELSE NULL END AS chain
+            FROM M{i}
+        ), Gb{i} AS (
+            SELECT *,
+                   lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+                   CASE WHEN cand = 1 AND (row_number() OVER (
+                        PARTITION BY w, chain ORDER BY pos) % 2) = 1
+                        THEN 1 ELSE 0 END AS mstart
+            FROM Ga{i}
+        ), Gc{i} AS (
+            SELECT *, lag(mstart) OVER (PARTITION BY w ORDER BY pos)
+                       AS prevm
+            FROM Gb{i}
+        ), S{i + 1} AS MATERIALIZED (
+            SELECT w, freq,
+                   list(CASE WHEN mstart = 1 THEN sym || nxt
+                             ELSE sym END ORDER BY pos) AS syms
+            FROM Gc{i} WHERE coalesce(prevm, 0) = 0
+            GROUP BY w, freq
+        )""")
+            outs.append(
+                f"SELECT {i + 1} AS rank, l AS left_sym,"
+                f" r AS right_sym, l || r AS merged,"
+                f" CAST(cnt AS BIGINT) AS pair_count FROM B{i}"
+            )
+        return "WITH " + "".join(parts) + "\n" + "\nUNION ALL ".join(outs)
+
+    sql["bpe_train_merges"] = _bpe_merges_sql(10)
+
     # IVF+PQ fused serve: the k-means replay chain (c0..af, probe —
     # textually the ann_ivf_kmeans_topk training) supplies the
     # candidate set, the PQ replay chain (nrm, cb, codes, qlut —

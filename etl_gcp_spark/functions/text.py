@@ -1809,3 +1809,122 @@ def _check_n_buckets(spark, index_dir: str, n_buckets: int) -> None:
             f"index at {index_dir!r} was resized to n_buckets={stored}; "
             f"got n_buckets={n_buckets}"
         )
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    *,
+    n_merges: int = 10,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich, Haddow & Birch 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the full iterative tokenizer-TRAINING loop, extending
+    :func:`bpe_merges` (which ranks only the FIRST iteration's merge
+    candidates): learn the merge table itself from the corpus.
+
+    Algorithm, exactly the paper's: words (whitespace-split,
+    lowercased) become character sequences with an end-of-word
+    symbol; each round counts all adjacent symbol pairs weighted by
+    word frequency, takes the most frequent pair (ties broken
+    lexicographically on (left, right) — deterministic across
+    engines), and greedily merges it left-to-right in every word
+    (non-overlapping: ``aaa`` with pair (a,a) → ``[aa, a]``).
+
+    Scale shape — the reason BPE training map-reduces: after ONE
+    corpus pass the working set is the (word, freq) VOCABULARY, not
+    the corpus; every round is then (1) a pair-count aggregation
+    over vocabulary rows (map-side combined, shuffle carries (pair,
+    partial count)), (2) a single-row argmax collect (the same
+    bounded-collect class as k-means centroids), (3) a pure-
+    expression greedy fold over each word's symbol array — no
+    shuffle at all. Lineage is truncated per round
+    (``localCheckpoint``) so the plan stays flat across rounds. At
+    web scale the vocabulary is millions of rows against a corpus of
+    billions — the one corpus-sized pass is the explode/groupBy that
+    builds it.
+
+    Stops early when no adjacent pair remains. Output:
+    (rank, left_sym, right_sym, merged, pair_count) — one row per
+    learned merge, rank 1-based in merge order.
+    """
+    words = (
+        documents.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit(end_marker)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    spark = documents.sparkSession
+    out_rows = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        pairs = (
+            syms.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), F.lit(1), n - 1).alias(
+                            "ls"
+                        ),
+                        F.slice(F.col("syms"), F.lit(2), n - 1).alias(
+                            "rs"
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                F.col("p.ls").alias("l"),
+                F.col("p.rs").alias("r"),
+                "freq",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        l, r, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+        out_rows.append((rank, l, r, l + r, cnt))
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = syms.select("freq", merged.alias("syms")).localCheckpoint(
+            eager=True
+        )
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "rank int, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )

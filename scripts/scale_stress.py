@@ -262,7 +262,9 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         entity_clusters_erasure_audit as _ece_audit,
     )
     from etl_gcp_spark.functions.similarity import (
+        hamming_lsh_topk as _hamming_lsh,
         hamming_topk as _hamming,
+        ivf_pq_topk as _ivfpq,
         margin_bitext_pairs_ann as _bitext_ann,
     )
     from etl_gcp_spark.session import get_spark
@@ -404,6 +406,21 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         # 1/32-byte shadow corpus per query block — expected ~linear
         "hamming_topk": lambda m: _hamming(
             vecs(m), query_ids=list(range(10)), k=5
+        ),
+        # SRP-LSH bucketed hamming serve at the SCALE config (8-bit
+        # bands): candidates bounded by probed bucket sizes (~n/256
+        # per band per query), rescore XOR+popcount over candidates
+        # only — the posting explode is the linear term
+        "hamming_lsh_topk": lambda m: _hamming_lsh(
+            vecs(m), query_ids=list(range(10)), k=5,
+            n_bands=8, band_bits=8,
+        ),
+        # fused IVF+PQ: fixed cell count so candidates per query are
+        # n·n_probe/n_cells (linear) scored as S one-byte codes each;
+        # k-means train dominates the constant term
+        "ivf_pq_topk": lambda m: _ivfpq(
+            vecs(m), query_ids=list(range(10)), k=5,
+            n_cells=32, n_iters=1, n_probe=4,
         ),
     }
 

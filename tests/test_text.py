@@ -167,3 +167,45 @@ def test_bigram_surprisal_penalizes_scrambled_order(spark):
     assert set(bi) == {1, 2}
     assert bi[1].n_bigrams == 7 and bi[2].n_bigrams == 7
     assert bi[1].mean_surprisal < bi[2].mean_surprisal
+
+
+def test_bpe_train_merges_greedy_and_deterministic(spark):
+    """The merge loop is the paper's: most frequent adjacent pair
+    first, lexicographic tiebreak, greedy LEFT-TO-RIGHT
+    non-overlapping application ('aaaa' with pair (a,a) merges
+    positions 1-2 and 3-4, never 2-3), merged symbols feed later
+    rounds."""
+    from etl_gcp_spark.functions.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(docs, n_merges=3).orderBy("rank").collect()
+    # pairs in 'aaaa' (x2 words): (a,a) at 3 positions each = 6;
+    # 'ab' contributes (a,b)=1; plus </w> pairs. (a,a) wins round 1.
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("a", "a")
+    assert rows[0]["pair_count"] == 6
+    # after greedy merge each 'aaaa' is [aa, aa, </w>]: (aa,aa)=2
+    # ties with (aa,</w>)=2 -> lexicographic left tiebreak picks
+    # ('aa','</w>') < ('aa','aa')? '</w>' < 'aa' lexicographically
+    assert rows[1]["left_sym"] == "aa"
+    assert rows[1]["right_sym"] == "</w>"
+    assert rows[1]["pair_count"] == 2
+    # double-run determinism
+    again = bpe_train_merges(docs, n_merges=3).orderBy("rank").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_bpe_train_merges_stops_when_no_pairs_remain(spark):
+    """A corpus whose words collapse to single symbols stops early
+    instead of emitting null merges."""
+    from etl_gcp_spark.functions.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "x x x")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(docs, n_merges=5).collect()
+    # round 1 merges (x, </w>) -> words become single-symbol; no
+    # adjacent pairs remain -> exactly one merge learned
+    assert len(rows) == 1
+    assert rows[0]["merged"] == "x</w>"
