@@ -267,6 +267,9 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         ivf_pq_topk as _ivfpq,
         margin_bitext_pairs_ann as _bitext_ann,
     )
+    from etl_gcp_spark.functions.text import (
+        bpe_train_merges as _bpe_train,
+    )
     from etl_gcp_spark.session import get_spark
 
     spark = get_spark("scale_stress")
@@ -422,6 +425,11 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
             vecs(m), query_ids=list(range(10)), k=5,
             n_cells=32, n_iters=1, n_probe=4,
         ),
+        # BPE training: one corpus-sized vocabulary pass, then a
+        # fixed number of VOCAB-sized rounds (the gen's vocabulary
+        # scales with the corpus, so the round cost grows with it —
+        # but as vocab rows, never corpus tokens)
+        "bpe_train_merges": lambda m: _bpe_train(docs(m), n_merges=5),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't
