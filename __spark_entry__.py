@@ -4371,77 +4371,36 @@ def _q_stream_sessions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every callable goes through the pinned-frame ledger (see above)
     return {k: _ledgered(fn) for k, fn in {
-        # --- round-9 correctness window (the driver verifies ~the
-        # first 50 keys in dict order). Slots 1-5: the round-8
-        # net-new entries — never driver-checked at r9 open
-        # (VERDICT r8 item 1). ---
-        "ivf_retrain_swap": _q_ivf_retrain_swap,
-        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
-        "streaming_entity_erasure": _q_streaming_entity_erasure,
-        "text_index_resize_topk": _q_text_index_resize_topk,
-        "bitext_margin_pairs": _q_bitext_margin_pairs,
-        # --- slots 6-44: every HASH_DRIFT flag after the r9 edits.
-        # Three causes: (1) the with_shingles/ngram window
-        # expressions made TOTAL (try_element_at + clamped
-        # sequence — codegen CSE evaluated them on sub-n rows
-        # inside the size filter's stage and crashed on 2-token
-        # docs), staling the whole shingle-consumer family;
-        # (2) the idempotent-replay fold dedup in
-        # ivf_index_compact/ivf_retrain_swap; (3) physical erasure
-        # in entity_labels_compact and the resize-meta reset in
-        # text_index_build (the entity flags surfaced only via the
-        # registry_hashes unwrap fix — the old walk was blind
-        # through @timed wrappers). ---
-        "benchmark_coverage": _q_benchmark_coverage,
-        "bm25_filtered_topk": _q_bm25_filtered_topk,
-        "bm25_index_topk": _q_bm25_index_topk,
-        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
-        "containment_pairs": _q_containment_pairs,
-        "contamination_bloom": _q_contamination_bloom,
-        "contamination_overlap": _q_contamination,
-        "cross_doc_passage_share": _q_cross_doc_passage_share,
-        "curation_funnel": _q_curation_funnel,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
-        "dedup_triangles": _q_dedup_triangles,
-        "dup_ngram_fraction": _q_dup_ngram_fraction,
-        "ensemble_near_dup": _q_ensemble_near_dup,
+    # --- round-10 correctness window (the driver verifies ~the
+    # first 50 keys in dict order). Slots 1-5: the round-9
+    # net-new entries — never driver-checked at r10 open
+    # (VERDICT r9 item 1). ---
+        "bitext_margin_pairs_ann": _q_bitext_margin_pairs_ann,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "streaming_decontamination": _q_streaming_decontamination,
+        "hamming_topk": _q_hamming_topk,
+        "hamming_recall_report": _q_hamming_recall_report,
+        # --- slots 6-10: the round-10 net-new (SRP-LSH bucketed
+        # hamming serve + audit, fused IVF+PQ serve + audit, BPE
+        # merge training) — stamped in-window rather than parked,
+        # since this round's drift backlog is small. ---
+        "hamming_lsh_topk": _q_hamming_lsh_topk,
+        "hamming_lsh_recall_report": _q_hamming_lsh_recall_report,
+        "ivf_pq_topk": _q_ivf_pq_topk,
+        "ivf_pq_recall_report": _q_ivf_pq_recall_report,
+        "bpe_train_merges": _q_bpe_train_merges,
+        # --- slots 11-14: every HASH_DRIFT flag after the r10
+        # edits (the review fixes: deterministic appends fold in
+        # ivf_index_compact, contract-derived maskkey key in
+        # entity_labels_compact). ---
         "entity_label_compact": _q_entity_label_compact,
-        "incremental_near_dup": _q_incremental_near_dup,
         "ivf_compact_topk": _q_ivf_compact_topk,
-        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
-        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
-        "lsh_recall_report": _q_lsh_recall_report,
-        "minhash_lsh_pairs": _q_minhash,
-        "near_dup_dedup": _q_near_dup_dedup,
-        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "ngram_novelty": _q_ngram_novelty,
-        "quality_filter": _q_quality_filter,
-        "repetition_signals": _q_repetition_signals,
-        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
-        "soft_dedup_weights": _q_soft_dedup_weights,
-        "source_overlap_matrix": _q_source_overlap_matrix,
         "streaming_entity_ingest": _q_streaming_entity_ingest,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
-        "streaming_text_erasure": _q_streaming_text_erasure,
-        "streaming_text_index_ingest": _q_streaming_text_index,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
-        "text_index_erasure_topk": _q_text_index_erasure_topk,
-        # --- slots 45-50: the oldest surviving stamps (r02),
-        # re-checked on age alone; the rest of the r02 cohort
-        # waits for r10. ---
-        "bpe_token_count": _q_bpe_token_count,
-        "clean_orders": _q_clean_orders,
-        "cosine_topk": _q_cosine_topk,
-        "daily_top_event_types": _q_daily_top_types,
-        "dedup_keep_first": _q_dedup_keep_first,
-        "dedup_lineitem": _q_dedup_lineitem,
-        # --- behind the window: every other driver-green,
-        # hash-clean entry, in prior relative order. ---
+        # --- slots 15-50: the oldest surviving stamps — the
+        # ENTIRE remaining r02 cohort (28 entries) plus the first
+        # 8 of the r03 cohort, re-checked on age alone; the
+        # 27 remaining r03 stamps wait for r11. ---
         "doc_fingerprint": _q_fingerprint,
         "dup_count_lineitem": _q_dup_count,
         "events_json_extract": _q_json_extract,
@@ -4469,6 +4428,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_violations": _q_violations,
         "validation_summary": _q_violation_summary,
         "write_roundtrip": _q_write_roundtrip,
+        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
+        "active_balance_intersect": _q_intersect,
+        "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
+        "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
+        "building_no_orders_except": _q_except,
+        "compact_small_files": _q_compact_small_files,
+        "corrupt_record_ingest": _q_corrupt_record_ingest,
+        "customers_without_orders": _q_anti,
+        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
+        # --- behind the window: every other driver-green,
+        # hash-clean entry, in prior relative order (the r9
+        # window's 50 re-stamped entries lead). ---
+        "ivf_retrain_swap": _q_ivf_retrain_swap,
+        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
+        "streaming_entity_erasure": _q_streaming_entity_erasure,
+        "text_index_resize_topk": _q_text_index_resize_topk,
+        "bitext_margin_pairs": _q_bitext_margin_pairs,
+        "benchmark_coverage": _q_benchmark_coverage,
+        "bm25_filtered_topk": _q_bm25_filtered_topk,
+        "bm25_index_topk": _q_bm25_index_topk,
+        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
+        "containment_pairs": _q_containment_pairs,
+        "contamination_bloom": _q_contamination_bloom,
+        "contamination_overlap": _q_contamination,
+        "cross_doc_passage_share": _q_cross_doc_passage_share,
+        "curation_funnel": _q_curation_funnel,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
+        "dedup_triangles": _q_dedup_triangles,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "ensemble_near_dup": _q_ensemble_near_dup,
+        "incremental_near_dup": _q_incremental_near_dup,
+        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
+        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
+        "lsh_recall_report": _q_lsh_recall_report,
+        "minhash_lsh_pairs": _q_minhash,
+        "near_dup_dedup": _q_near_dup_dedup,
+        "near_dup_dedup_exact": _q_near_dup_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_novelty": _q_ngram_novelty,
+        "quality_filter": _q_quality_filter,
+        "repetition_signals": _q_repetition_signals,
+        "shingle_cosine_pairs": _q_shingle_cosine_pairs,
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        "streaming_text_erasure": _q_streaming_text_erasure,
+        "streaming_text_index_ingest": _q_streaming_text_index,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        "text_index_erasure_topk": _q_text_index_erasure_topk,
+        "bpe_token_count": _q_bpe_token_count,
+        "clean_orders": _q_clean_orders,
+        "cosine_topk": _q_cosine_topk,
+        "daily_top_event_types": _q_daily_top_types,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_lineitem": _q_dedup_lineitem,
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
         "price_band_totals": _q_price_bands,
@@ -4655,9 +4672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_erasure": _q_user_erasure,
         "streaming_sessions": _q_stream_sessions,
         "priority_pivot": _q_pivot,
-        "customers_without_orders": _q_anti,
-        "active_balance_intersect": _q_intersect,
-        "building_no_orders_except": _q_except,
         "universe_sample_join": _q_universe_sample_join,
         "stratified_sample_counts": _q_stratified_sample_counts,
         "lateral_topn_per_nation": _q_lateral_topn,
@@ -4671,61 +4685,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_all_sql": _q_group_by_all,
         "parameterized_sql": _q_parameterized_sql,
         "user_value_trend": _q_user_value_trend,
-        "corrupt_record_ingest": _q_corrupt_record_ingest,
         "schema_evolution_read": _q_schema_evolution_read,
         "exact_median_prices": _q_exact_median_prices,
         "train_test_split_counts": _q_train_test_split,
-        "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
         "funnel_conversion": _q_funnel_conversion,
         "retention_cohorts": _q_retention_cohorts,
         "write_roundtrip_orc": _q_write_roundtrip_orc,
         "write_roundtrip_csv": _q_write_roundtrip_csv,
-        "compact_small_files": _q_compact_small_files,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_resize,
         "streaming_hourly_counts": _q_stream_hourly,
         "streaming_dedup": _q_stream_dedup,
         "streaming_user_stats": _q_stream_user_stats,
-        "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-        "ann_ivf_kmeans_topk": _q_ivf_kmeans_topk,
         "pq_adc_topk": _q_pq_adc_topk,
-        "write_roundtrip_jdbc": _q_write_roundtrip_jdbc,
-        # --- round-9 net-new, BEHIND the window (parked for the
-        # r10 rotation per the net-new convention):
-        # bitext_margin_pairs_ann — ANN-candidate bitext mining
-        # over one side-tagged IVF artifact with the measured
-        # pair-recall audit vs the exact miner (VERDICT r8 item 2);
-        # decontaminate_docs — the contamination family's ACT edge
-        # (excise benchmark n-gram collisions, reassemble, drop
-        # mostly-benchmark docs). ---
-        "bitext_margin_pairs_ann": _q_bitext_margin_pairs_ann,
-        "decontaminate_docs": _q_decontaminate_docs,
-        # streaming_decontamination — the ACT's streaming twin:
-        # benchmark shards as a stream, per-batch re-excision of only
-        # the newly-affected docs (batch-keyed verdict slices,
-        # replay-safe); final state == the batch ACT, whose oracle
-        # attaches verbatim.
-        "streaming_decontamination": _q_streaming_decontamination,
-        # hamming_topk / hamming_recall_report — binary-sign
-        # quantized serving (1 bit/dim, XOR+popcount) and its
-        # measured recall audit vs exact cosine: the
-        # highest-compression member of the quantization family.
-        "hamming_topk": _q_hamming_topk,
-        "hamming_recall_report": _q_hamming_recall_report,
-        # --- round-10 net-new: SRP-LSH bucketed hamming serve (the
-        # at-scale candidate path hamming_topk's docstring named,
-        # VERDICT r9 item 5) + its candidate-generation recall audit
-        # vs the full compressed scan.
-        "hamming_lsh_topk": _q_hamming_lsh_topk,
-        "hamming_lsh_recall_report": _q_hamming_lsh_recall_report,
-        # ivf_pq_topk / ivf_pq_recall_report — the FAISS-IVFPQ fused
-        # serve (cell pruning x ADC code scoring) and its composite
-        # recall audit: the two quantization axes finally meet.
-        "ivf_pq_topk": _q_ivf_pq_topk,
-        "ivf_pq_recall_report": _q_ivf_pq_recall_report,
-        # bpe_train_merges — BPE tokenizer TRAINING as a first-class
-        # distributed op (vocab-sized rounds after one corpus pass).
-        "bpe_train_merges": _q_bpe_train_merges,
     }.items()}
 
 
