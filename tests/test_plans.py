@@ -1108,3 +1108,18 @@ def test_ivf_pq_serve_broadcasts_probe_and_lut_no_cartesian(
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_pq_residual_serve_broadcasts_no_cartesian(spark, sf_dir):
+    """The residual serve path is byte-for-byte the fused serve's
+    (codes + broadcast probe/LUT joins) — the qc constant rides the
+    probe table, so adding residual encoding must not introduce any
+    new join shape."""
+    from etl_gcp_spark.functions.similarity import ivf_pq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_pq_residual_topk(emb, query_ids=list(range(10)), k=5)
+    plan = _plan_formatted(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

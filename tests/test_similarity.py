@@ -1694,3 +1694,37 @@ def test_ivf_pq_recall_report_bounds(spark, sf_dir):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hits"] <= 5
         assert r["recall"] == round(r["n_hits"] / 5, 4)
+
+
+def test_ivf_pq_residual_paired_audit_wellformed(spark, sf_dir):
+    """The residual/raw pair exists to MEASURE what residual encoding
+    buys on a given corpus (it lifts mean recall 0.30 -> 0.38 at
+    sf0.01, and loses on the 100-vector sf0.001 corpus where
+    3-vector cells make residual codebook seeds degenerate — which
+    is exactly why the audit is paired instead of assumed). Pin the
+    report contract: shape, hits-bounded arithmetic, and double-run
+    determinism."""
+    from etl_gcp_spark.functions.similarity import (
+        ivf_pq_residual_recall_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = list(range(10))
+    rep = {
+        r["query_id"]: r
+        for r in ivf_pq_residual_recall_report(
+            emb, query_ids=qs, k=5
+        ).collect()
+    }
+    assert set(rep) == set(qs)
+    for r in rep.values():
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall"] == round(r["n_hits"] / 5, 4)
+    again = {
+        r["query_id"]: tuple(r)
+        for r in ivf_pq_residual_recall_report(
+            emb, query_ids=qs, k=5
+        ).collect()
+    }
+    assert again == {q: tuple(r) for q, r in rep.items()}
