@@ -4265,28 +4265,23 @@ def ivf_pq_residual_topk(
     # residual = round(x̂ - ĉ, 6), computed JVM-side (sequential
     # aggregate norm — the same summation order the oracle's
     # list_inner_product uses)
+    # zip_with, NOT element_at over a transform: projection collapse
+    # would re-inline the normalize-transform into every indexed
+    # element (the with_shingles O(dim^2)-per-element class — measured
+    # as a codegen blowup at corpus x10); zip_with evaluates each
+    # operand array once per element
     inner = F.aggregate(
         F.col("__v"), F.lit(0.0), lambda a, x: a + x * x
     )
-    nv = F.transform(F.col("__v"), lambda x: x / F.sqrt(inner))
     res = (
         assigned.join(F.broadcast(cent_df), "cell")
         .select(
             F.col(id_col),
             "cell",
-            nv.alias("__nv"),
-            F.col("__ch"),
-        )
-        .select(
-            F.col(id_col),
-            "cell",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda i: F.round(
-                    F.element_at(F.col("__nv"), i.cast("int"))
-                    - F.element_at(F.col("__ch"), i.cast("int")),
-                    6,
-                ),
+            F.zip_with(
+                F.col("__v"),
+                F.col("__ch"),
+                lambda x, c: F.round(x / F.sqrt(inner) - c, 6),
             ).alias("__r"),
         )
     )

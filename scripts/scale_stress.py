@@ -264,6 +264,7 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
     from etl_gcp_spark.functions.similarity import (
         hamming_lsh_topk as _hamming_lsh,
         hamming_topk as _hamming,
+        ivf_pq_residual_topk as _ivfpq_res,
         ivf_pq_topk as _ivfpq,
         margin_bitext_pairs_ann as _bitext_ann,
     )
@@ -422,6 +423,12 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         # n·n_probe/n_cells (linear) scored as S one-byte codes each;
         # k-means train dominates the constant term
         "ivf_pq_topk": lambda m: _ivfpq(
+            vecs(m), query_ids=list(range(10)), k=5,
+            n_cells=32, n_iters=1, n_probe=4,
+        ),
+        # residual IVFPQ: identical join shape to ivf_pq_topk plus
+        # one broadcast-centroid residual pass — same linear class
+        "ivf_pq_residual_topk": lambda m: _ivfpq_res(
             vecs(m), query_ids=list(range(10)), k=5,
             n_cells=32, n_iters=1, n_probe=4,
         ),
