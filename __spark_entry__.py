@@ -4444,10 +4444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_entity_ingest": _q_streaming_entity_ingest,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
         # --- slots 17-50: the oldest surviving stamps — the
-        # ENTIRE remaining r02 cohort (28 entries) plus the first
-        # 6 of the r03 cohort, re-checked on age alone; the
-        # 29 remaining r03 stamps wait for r11 (the two bumped by
-        # the residual-PQ pair lead the behind-window section). ---
+        # ENTIRE remaining r02 cohort (28 entries) plus 6 r03
+        # entries (5 alphabetical fills + pq_adc_topk, whose r03
+        # stamp was staled by the pq_encode normalize-flag change —
+        # the gate's NOT-scheduled trip caught it); the 29 remaining
+        # r03 stamps wait for r11 (the three bumped entries lead the
+        # behind-window section). ---
         "doc_fingerprint": _q_fingerprint,
         "dup_count_lineitem": _q_dup_count,
         "events_json_extract": _q_json_extract,
@@ -4481,12 +4483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
         "building_no_orders_except": _q_except,
         "compact_small_files": _q_compact_small_files,
-        "corrupt_record_ingest": _q_corrupt_record_ingest,
+        "pq_adc_topk": _q_pq_adc_topk,
         # --- behind the window: every other driver-green,
         # hash-clean entry, in prior relative order (the r9
         # window's 50 re-stamped entries lead). ---
         "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
         "customers_without_orders": _q_anti,
+        "corrupt_record_ingest": _q_corrupt_record_ingest,
         "ivf_retrain_swap": _q_ivf_retrain_swap,
         "streaming_ivf_erasure": _q_streaming_ivf_erasure,
         "streaming_entity_erasure": _q_streaming_entity_erasure,
@@ -4744,7 +4747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": _q_stream_hourly,
         "streaming_dedup": _q_stream_dedup,
         "streaming_user_stats": _q_stream_user_stats,
-        "pq_adc_topk": _q_pq_adc_topk,
     }.items()}
 
 
