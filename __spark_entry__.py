@@ -2866,6 +2866,21 @@ def _q_bpe_train_merges(spark, sf_dir):
     )
 
 
+def _q_bpe_segment_counts(spark, sf_dir):
+    """Apply half of the tokenizer lifecycle: per-document token
+    counts under the vocabulary bpe_train_merges learns (10 merges)
+    — segmentation computed once per distinct word, then one join
+    from the per-occurrence explode. Oracle reuses the training
+    replay chain's FINAL segmentation CTE and joins doc words
+    against it (the exhausted-corpus fallback branch keeps that CTE
+    well-defined when merges run dry early)."""
+    from etl_gcp_spark.functions.text import bpe_segment_counts
+
+    return bpe_segment_counts(
+        _t(spark, sf_dir, "documents"), n_merges=10
+    )
+
+
 def _q_embedding_truncation_recall(spark, sf_dir):
     """Recall@5 of truncated-to-16-dim cosine search vs the full
     64-dim exact top-5 — the Matryoshka-style representation audit
@@ -4484,9 +4499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "building_no_orders_except": _q_except,
         "compact_small_files": _q_compact_small_files,
         "pq_adc_topk": _q_pq_adc_topk,
-        # --- behind the window: every other driver-green,
-        # hash-clean entry, in prior relative order (the r9
-        # window's 50 re-stamped entries lead). ---
+        # --- behind the window: bpe_segment_counts (r10 net-new
+        # parked for the r11 window — the 50 slots are full), the
+        # three r03 entries bumped by later net-new, then every
+        # other driver-green, hash-clean entry in prior relative
+        # order (the r9 window's 50 re-stamped entries lead). ---
+        "bpe_segment_counts": _q_bpe_segment_counts,
         "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
         "customers_without_orders": _q_anti,
         "corrupt_record_ingest": _q_corrupt_record_ingest,
@@ -9357,15 +9375,46 @@ def oracle_sql() -> dict[str, str]:
                              ELSE sym END ORDER BY pos) AS syms
             FROM Gc{i} WHERE coalesce(prevm, 0) = 0
             GROUP BY w, freq
+            UNION ALL
+            SELECT w, freq, syms FROM S{i}
+            WHERE NOT EXISTS (SELECT 1 FROM B{i})
         )""")
             outs.append(
                 f"SELECT {i + 1} AS rank, l AS left_sym,"
                 f" r AS right_sym, l || r AS merged,"
                 f" CAST(cnt AS BIGINT) AS pair_count FROM B{i}"
             )
-        return "WITH " + "".join(parts) + "\n" + "\nUNION ALL ".join(outs)
+        # the exhausted-corpus fallback branch (UNION ALL ... NOT
+        # EXISTS B{i}) carries S{i} forward unchanged once no pair
+        # remains — matching the Spark loop's early break, and
+        # keeping the FINAL segmentation table well-defined for the
+        # apply-side oracle below
+        return "WITH " + "".join(parts), outs, f"S{n_merges}"
 
-    sql["bpe_train_merges"] = _bpe_merges_sql(10)
+    _bpe_parts, _bpe_outs, _bpe_final = _bpe_merges_sql(10)
+    sql["bpe_train_merges"] = (
+        _bpe_parts + "\n" + "\nUNION ALL ".join(_bpe_outs)
+    )
+    # apply side: per-document token counts under the TRAINED vocab —
+    # every word occurrence joins the final segmentation table, so
+    # n_subwords = sum of each word's post-merge symbol count
+    sql["bpe_segment_counts"] = (
+        _bpe_parts
+        + f""", docwords AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+'))
+                       AS w
+                FROM documents
+            ) WHERE w <> ''
+        )
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(s.syms)) AS BIGINT) AS n_subwords
+        FROM docwords d JOIN {_bpe_final} s USING (w)
+        GROUP BY d.doc_id
+    """
+    )
 
     # IVF+PQ fused serve: the k-means replay chain (c0..af, probe —
     # textually the ann_ivf_kmeans_topk training) supplies the

@@ -1811,44 +1811,17 @@ def _check_n_buckets(spark, index_dir: str, n_buckets: int) -> None:
         )
 
 
-def bpe_train_merges(
+def _bpe_train_loop(
     documents: DataFrame,
-    *,
-    n_merges: int = 10,
-    text_col: str = "text",
-    end_marker: str = "</w>",
-) -> DataFrame:
-    """Distributed BPE merge training (Sennrich, Haddow & Birch 2016,
-    "Neural Machine Translation of Rare Words with Subword Units") —
-    the full iterative tokenizer-TRAINING loop, extending
-    :func:`bpe_merges` (which ranks only the FIRST iteration's merge
-    candidates): learn the merge table itself from the corpus.
-
-    Algorithm, exactly the paper's: words (whitespace-split,
-    lowercased) become character sequences with an end-of-word
-    symbol; each round counts all adjacent symbol pairs weighted by
-    word frequency, takes the most frequent pair (ties broken
-    lexicographically on (left, right) — deterministic across
-    engines), and greedily merges it left-to-right in every word
-    (non-overlapping: ``aaa`` with pair (a,a) → ``[aa, a]``).
-
-    Scale shape — the reason BPE training map-reduces: after ONE
-    corpus pass the working set is the (word, freq) VOCABULARY, not
-    the corpus; every round is then (1) a pair-count aggregation
-    over vocabulary rows (map-side combined, shuffle carries (pair,
-    partial count)), (2) a single-row argmax collect (the same
-    bounded-collect class as k-means centroids), (3) a pure-
-    expression greedy fold over each word's symbol array — no
-    shuffle at all. Lineage is truncated per round
-    (``localCheckpoint``) so the plan stays flat across rounds. At
-    web scale the vocabulary is millions of rows against a corpus of
-    billions — the one corpus-sized pass is the explode/groupBy that
-    builds it.
-
-    Stops early when no adjacent pair remains. Output:
-    (rank, left_sym, right_sym, merged, pair_count) — one row per
-    learned merge, rank 1-based in merge order.
-    """
+    n_merges: int,
+    text_col: str,
+    end_marker: str,
+):
+    """Shared BPE training loop: returns (merge rows, FINAL
+    segmentation frame (w, freq, syms) — localCheckpointed; callers
+    unpersist). The frame keeps the word key so the apply side
+    (:func:`bpe_segment_counts`) can join per-occurrence doc words
+    against the trained segmentation."""
     words = (
         documents.select(
             F.explode(
@@ -1860,6 +1833,7 @@ def bpe_train_merges(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     syms = words.select(
+        "w",
         "freq",
         F.concat(
             F.transform(
@@ -1870,7 +1844,6 @@ def bpe_train_merges(
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
-    spark = documents.sparkSession
     out_rows = []
     for rank in range(1, n_merges + 1):
         n = F.size("syms")
@@ -1917,14 +1890,106 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        nxt = syms.select("freq", merged.alias("syms")).localCheckpoint(
-            eager=True
-        )
+        nxt = syms.select(
+            "w", "freq", merged.alias("syms")
+        ).localCheckpoint(eager=True)
         syms.unpersist()
         syms = nxt
+    return out_rows, syms
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    *,
+    n_merges: int = 10,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich, Haddow & Birch 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the full iterative tokenizer-TRAINING loop, extending
+    :func:`bpe_merges` (which ranks only the FIRST iteration's merge
+    candidates): learn the merge table itself from the corpus.
+
+    Algorithm, exactly the paper's: words (whitespace-split,
+    lowercased) become character sequences with an end-of-word
+    symbol; each round counts all adjacent symbol pairs weighted by
+    word frequency, takes the most frequent pair (ties broken
+    lexicographically on (left, right) — deterministic across
+    engines), and greedily merges it left-to-right in every word
+    (non-overlapping: ``aaa`` with pair (a,a) → ``[aa, a]``).
+
+    Scale shape — the reason BPE training map-reduces: after ONE
+    corpus pass the working set is the (word, freq) VOCABULARY, not
+    the corpus; every round is then (1) a pair-count aggregation
+    over vocabulary rows (map-side combined, shuffle carries (pair,
+    partial count)), (2) a single-row argmax collect (the same
+    bounded-collect class as k-means centroids), (3) a pure-
+    expression greedy fold over each word's symbol array — no
+    shuffle at all. Lineage is truncated per round
+    (``localCheckpoint``) so the plan stays flat across rounds. At
+    web scale the vocabulary is millions of rows against a corpus of
+    billions — the one corpus-sized pass is the explode/groupBy that
+    builds it.
+
+    Stops early when no adjacent pair remains. Output:
+    (rank, left_sym, right_sym, merged, pair_count) — one row per
+    learned merge, rank 1-based in merge order.
+    """
+    out_rows, syms = _bpe_train_loop(
+        documents, n_merges, text_col, end_marker
+    )
     syms.unpersist()
-    return spark.createDataFrame(
+    return documents.sparkSession.createDataFrame(
         out_rows,
         "rank int, left_sym string, right_sym string,"
         " merged string, pair_count long",
     )
+
+
+def bpe_segment_counts(
+    documents: DataFrame,
+    *,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """The APPLY half of the tokenizer lifecycle: train the merge
+    table (:func:`bpe_train_merges`\'s loop) and segment every
+    document under it, reporting per-document token counts — the
+    number a data pipeline actually budgets by (sequence packing,
+    context-length filtering, cost estimation run on TOKENS of the
+    production vocabulary, not whitespace words).
+
+    Scale shape: segmentation is computed ONCE PER DISTINCT WORD
+    (the training loop's vocabulary frame already holds the final
+    symbol arrays — zero extra merge work), then one join from the
+    per-occurrence (doc_id, word) explode onto that vocabulary and a
+    map-side-combined count/sum per document. The corpus-sized work
+    is the explode + join; everything BPE is vocab-sized.
+
+    Output: (doc_id, n_words, n_subwords) — n_subwords counts each
+    word\'s post-merge symbols (end-of-word marker included, the
+    standard BPE accounting).
+    """
+    _, syms = _bpe_train_loop(documents, n_merges, text_col, end_marker)
+    occurrences = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    out = (
+        occurrences.join(
+            syms.select("w", F.size("syms").alias("__n_sub")), "w"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sub").alias("n_subwords"),
+        )
+    )
+    from etl_gcp_spark.caching import tag_pinned
+
+    return tag_pinned(out, syms)

@@ -209,3 +209,53 @@ def test_bpe_train_merges_stops_when_no_pairs_remain(spark):
     # adjacent pairs remain -> exactly one merge learned
     assert len(rows) == 1
     assert rows[0]["merged"] == "x</w>"
+
+
+def test_bpe_segment_counts_hand_checked(spark):
+    """Apply-side accounting on a hand-computable corpus: after the
+    single (a,a) merge, 'aaaa' segments to [aa, aa, </w>] (3) and
+    'ab' to [a, b, </w>] (3)."""
+    from etl_gcp_spark.functions.text import bpe_segment_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa ab"), (2, "aaaa")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_segment_counts(docs, n_merges=1).collect()
+    }
+    assert out == {1: (2, 6), 2: (1, 3)}
+
+
+def test_bpe_segment_counts_survives_merge_exhaustion(spark, tmp_path):
+    """When merges run dry before n_merges, the final segmentation
+    must still cover every word (Spark: loop break keeps the last
+    frame; oracle: the NOT-EXISTS fallback branch carries S{i}
+    forward) — verified on BOTH engines over an exhausting corpus."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from etl_gcp_spark.functions.text import bpe_segment_counts
+
+    docs = spark.createDataFrame(
+        [(1, "x x"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_segment_counts(docs, n_merges=5).collect()
+    }
+    # one merge (x, </w>) then exhaustion: every 'x' is 1 subword
+    assert got == {1: (2, 2), 2: (1, 1)}
+    pq = str(tmp_path / "docs.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+    )
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(
+            entrymod.oracle_sql()["bpe_segment_counts"]
+        ).fetchall()
+    }
+    assert oracle == got
