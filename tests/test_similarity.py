@@ -1728,3 +1728,37 @@ def test_ivf_pq_residual_paired_audit_wellformed(spark, sf_dir):
         ).collect()
     }
     assert again == {q: tuple(r) for q, r in rep.items()}
+
+
+def test_r10_serving_families_total_on_degenerate_inputs(
+    spark, sf_dir
+):
+    """Totality sweep for the round-10 serving families (the
+    adversarial-input convention the text operators follow): empty
+    query sets, corpora smaller than the codebook/cell budget, and a
+    single-vector corpus must degrade to empty-or-small results, not
+    throw."""
+    from etl_gcp_spark.functions.similarity import (
+        hamming_lsh_topk,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # empty query set
+    assert hamming_lsh_topk(emb, query_ids=[], k=3).count() == 0
+    assert ivf_pq_topk(emb, query_ids=[], k=3).count() == 0
+    assert ivf_pq_residual_topk(emb, query_ids=[], k=3).count() == 0
+    # corpus smaller than n_codes and n_cells budgets
+    tiny = emb.filter(F.col("vec_id") < 8)
+    for fn in (ivf_pq_topk, ivf_pq_residual_topk):
+        rows = fn(
+            tiny, query_ids=[0, 1], k=3, n_cells=32, n_codes=16
+        ).collect()
+        assert 0 < len(rows) <= 6
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    # single-vector corpus: no self-match, empty result
+    one = emb.filter(F.col("vec_id") == 0)
+    assert hamming_lsh_topk(one, query_ids=[0], k=3).count() == 0
+    assert ivf_pq_topk(one, query_ids=[0], k=3).count() == 0
+

@@ -259,3 +259,10 @@ def test_bpe_segment_counts_survives_merge_exhaustion(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_bpe_train_merges_empty_corpus_returns_empty(spark):
+    from etl_gcp_spark.functions.text import bpe_train_merges
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train_merges(docs, n_merges=3).count() == 0
