@@ -269,6 +269,7 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         margin_bitext_pairs_ann as _bitext_ann,
     )
     from etl_gcp_spark.functions.text import (
+        bpe_segment_counts as _bpe_seg,
         bpe_train_merges as _bpe_train,
     )
     from etl_gcp_spark.session import get_spark
@@ -437,6 +438,9 @@ def bench(out_dir: str, scale: int, only=None) -> dict:
         # scales with the corpus, so the round cost grows with it —
         # but as vocab rows, never corpus tokens)
         "bpe_train_merges": lambda m: _bpe_train(docs(m), n_merges=5),
+        # apply side: vocab-sized segmentation + one corpus-sized
+        # occurrence explode/join — the join is the linear term
+        "bpe_segment_counts": lambda m: _bpe_seg(docs(m), n_merges=5),
     }
 
     # warmup: spawn python workers + codegen so the 1x points aren't
