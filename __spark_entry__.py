@@ -910,8 +910,10 @@ def _q_sql_interface(spark, sf_dir):
 
 def _q_schema_columns(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
-    return spark.createDataFrame(
-        [(c,) for c in df.columns], "column_name string"
+    from etl_gcp_spark.smalldf import small_df
+
+    return small_df(
+        spark, [(c,) for c in df.columns], "column_name string"
     )
 
 

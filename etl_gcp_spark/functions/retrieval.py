@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from etl_gcp_spark.smalldf import small_df
 
 
 def hybrid_rrf_topk(
@@ -211,8 +212,8 @@ def mmr_select(
                 best = (score, cid, cand_rows[cid], red)
         chosen.append(best[1])
         selected.append((step, best[1], best[2], best[3]))
-    return spark.createDataFrame(
-        selected, "pick int, vec_id bigint, rel double, redundancy double"
+    return small_df(
+        spark, selected, "pick int, vec_id bigint, rel double, redundancy double"
     )
 
 

@@ -42,6 +42,7 @@ import os
 # serve_sec separately — at scale the build is a rare batch job while
 # serve latency is the tracked number (etl_gcp_spark/metering.py)
 from etl_gcp_spark.metering import timed as _timed_phase
+from etl_gcp_spark.smalldf import small_df
 
 _metered_build = _timed_phase("build")
 
@@ -574,37 +575,51 @@ def ivf_train(
     """
     import numpy as np
 
+    # Lloyd reuses the projected corpus 1 + n_iters times (seed
+    # collect + one assignment pass per round); persist it so each
+    # round reads the materialized (id, double-vector) rows instead
+    # of re-running the upstream plan — which at the retrain-swap
+    # call site is a multi-tree union + dropDuplicates shuffle +
+    # tombstone anti-join (guide §5: reuse × recompute-cost is
+    # exactly the persist criterion; MLlib's KMeans caches its
+    # training set for the same reason).
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    )
-    seed = [
-        list(r["__v"]) for r in base.orderBy(id_col).limit(n_cells).collect()
-    ]
-    labels = list(range(1, len(seed) + 1))
-    cmat = np.asarray(seed, dtype=np.float64)
-    for _ in range(n_iters):
-        assigned = _assign_to_centroids(base, cmat, labels, id_col)
-        rows = (
-            assigned.select(
-                "cell", F.posexplode("__v").alias("pos", "val")
+    ).persist()
+    try:
+        seed = [
+            list(r["__v"])
+            for r in base.orderBy(id_col).limit(n_cells).collect()
+        ]
+        labels = list(range(1, len(seed) + 1))
+        cmat = np.asarray(seed, dtype=np.float64)
+        for _ in range(n_iters):
+            assigned = _assign_to_centroids(base, cmat, labels, id_col)
+            rows = (
+                assigned.select(
+                    "cell", F.posexplode("__v").alias("pos", "val")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("cval"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "cval"))
+                    ).alias("pairs")
+                )
+                .select(
+                    "cell",
+                    F.transform("pairs", lambda s: s["cval"]).alias("cv"),
+                )
+                .orderBy("cell")
+                .collect()
             )
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("cval"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "cval"))
-                ).alias("pairs")
+            labels = [int(r["cell"]) for r in rows]
+            cmat = np.asarray(
+                [list(r["cv"]) for r in rows], dtype=np.float64
             )
-            .select(
-                "cell",
-                F.transform("pairs", lambda s: s["cval"]).alias("cv"),
-            )
-            .orderBy("cell")
-            .collect()
-        )
-        labels = [int(r["cell"]) for r in rows]
-        cmat = np.asarray([list(r["cv"]) for r in rows], dtype=np.float64)
+    finally:
+        base.unpersist()
     return labels, [list(c) for c in cmat]
 
 
@@ -652,7 +667,8 @@ def ivf_topk_trained(
         for idx in np.argsort(-sims, kind="stable")[:n_probe]:
             probe_rows.append((r[id_col], int(lab[idx])))
     spark = embeddings.sparkSession
-    probed = spark.createDataFrame(
+    probed = small_df(
+        spark,
         probe_rows or [], "query_id long, cell int"
     )
     qside = embeddings.select(
@@ -742,7 +758,8 @@ def ivf_topk(
         for cell in np.argsort(-sims, kind="stable")[:n_probe]:
             probe_rows.append((r[id_col], int(cell) + 1))
     spark = embeddings.sparkSession
-    probed = spark.createDataFrame(
+    probed = small_df(
+        spark,
         probe_rows or [], "query_id long, cell int"
     )
     qside = embeddings.select(
@@ -1143,7 +1160,8 @@ def pq_topk(
             for j, val in enumerate(vals):
                 lut_rows.append((r[id_col], s + 1, j + 1, float(val)))
     spark = embeddings.sparkSession
-    lut = spark.createDataFrame(
+    lut = small_df(
+        spark,
         lut_rows or [], "query_id long, s int, code int, val double"
     )
     exploded = codes.select(
@@ -2559,7 +2577,8 @@ def build_ivf_index(
         .mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
     )
-    spark.createDataFrame(
+    small_df(
+        spark,
         [(int(l), [float(x) for x in c]) for l, c in zip(labels, centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -2672,7 +2691,8 @@ def ivf_index_erase(spark, path: str, vec_ids) -> None:
     if isinstance(vec_ids, DataFrame):
         df = vec_ids.select(F.col("vec_id").cast("long"))
     else:
-        df = spark.createDataFrame(
+        df = small_df(
+            spark,
             [(int(i),) for i in vec_ids], "vec_id long"
         ).coalesce(1)
     df.write.mode("append").parquet(os.path.join(path, "tombstones"))
@@ -2809,22 +2829,31 @@ def ivf_retrain_swap(
     if tomb is not None:
         cur = cur.join(F.broadcast(tomb), "vec_id", "left_anti")
     meta = [c for c in cols if c not in ("vec_id", "vector", "cell")]
-    labels, cmat = ivf_train(
-        cur, n_cells=n_cells, n_iters=n_iters,
-        id_col="vec_id", vec_col="vector",
-    )
-    base = cur.select("vec_id", F.col("vector").alias("__v"))
-    payload = _assign_to_centroids(base, cmat, labels, "vec_id").select(
-        "vec_id", F.col("__v").alias("vector"), "cell"
-    )
-    if meta:
-        # the assignment kernel's Arrow schema is fixed — metadata
-        # rides back in on the id, as at build time
-        payload = payload.join(cur.select("vec_id", *meta), "vec_id")
-    payload.write.partitionBy("cell").mode("overwrite").parquet(
-        vectors + "_compacting"
-    )
-    spark.createDataFrame(
+    # the folded survivor corpus (multi-tree scan + dropDuplicates
+    # shuffle + tombstone anti-join) is read by every training round,
+    # the final re-assignment AND the metadata re-attach — persist it
+    # once instead of recomputing the fold per pass (guide §5)
+    cur = cur.persist()
+    try:
+        labels, cmat = ivf_train(
+            cur, n_cells=n_cells, n_iters=n_iters,
+            id_col="vec_id", vec_col="vector",
+        )
+        base = cur.select("vec_id", F.col("vector").alias("__v"))
+        payload = _assign_to_centroids(base, cmat, labels, "vec_id").select(
+            "vec_id", F.col("__v").alias("vector"), "cell"
+        )
+        if meta:
+            # the assignment kernel's Arrow schema is fixed — metadata
+            # rides back in on the id, as at build time
+            payload = payload.join(cur.select("vec_id", *meta), "vec_id")
+        payload.write.partitionBy("cell").mode("overwrite").parquet(
+            vectors + "_compacting"
+        )
+    finally:
+        cur.unpersist()
+    small_df(
+        spark,
         [(int(l), [float(x) for x in c]) for l, c in zip(labels, cmat)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -3010,7 +3039,8 @@ def ivf_serve(
         sims = cmat @ (qv / np.linalg.norm(qv))
         for idx in np.argsort(-sims, kind="stable")[:n_probe]:
             probe_rows.append((r["vec_id"], int(lab[idx])))
-    probed = spark.createDataFrame(
+    probed = small_df(
+        spark,
         probe_rows or [], "query_id long, cell int"
     )
     probe_cells = sorted({c for _, c in probe_rows})
@@ -3021,7 +3051,8 @@ def ivf_serve(
         # metadata predicate lands in the SAME pruned scan
         # (PushedFilters), not a post-retrieval filter
         cand_vectors = cand_vectors.filter(neighbor_pred)
-    qside = spark.createDataFrame(
+    qside = small_df(
+        spark,
         [(r["vec_id"], list(r["vector"])) for r in qrows],
         "query_id long, __q array<double>",
     )
@@ -4111,10 +4142,12 @@ def ivf_pq_topk(
             for j, val in enumerate(vals):
                 lut_rows.append((r[id_col], s + 1, j + 1, float(val)))
     spark = embeddings.sparkSession
-    probed = spark.createDataFrame(
+    probed = small_df(
+        spark,
         probe_rows or [], "query_id long, cell int"
     )
-    lut = spark.createDataFrame(
+    lut = small_df(
+        spark,
         lut_rows or [], "query_id long, s int, code int, val double"
     )
     cands = (
@@ -4258,7 +4291,8 @@ def ivf_pq_residual_topk(
     lab = list(map(int, labels))
     spark = embeddings.sparkSession
     dim = cmat.shape[1]
-    cent_df = spark.createDataFrame(
+    cent_df = small_df(
+        spark,
         [(c, [float(x) for x in cu]) for c, cu in zip(lab, cunit)],
         "cell int, __ch array<double>",
     )
@@ -4316,10 +4350,12 @@ def ivf_pq_residual_topk(
             vals = book @ qn[s * d : (s + 1) * d]
             for j, val in enumerate(vals):
                 lut_rows.append((r[id_col], s + 1, j + 1, float(val)))
-    probed = spark.createDataFrame(
+    probed = small_df(
+        spark,
         probe_rows or [], "query_id long, cell int, qc double"
     )
-    lut = spark.createDataFrame(
+    lut = small_df(
+        spark,
         lut_rows or [], "query_id long, s int, code int, val double"
     )
     cands = (

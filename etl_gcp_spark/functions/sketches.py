@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_gcp_spark.smalldf import small_df
 
 CMS_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
 # fixed (a, b) per hash row — any 1 ≤ a < p, 0 ≤ b < p gives a
@@ -77,7 +78,7 @@ def cms_point_queries(
     across streaming microbatches) instead of building from ``df``.
     """
     spark = df.sparkSession
-    q = spark.createDataFrame([(int(k),) for k in query_keys], "key long")
+    q = small_df(spark, [(int(k),) for k in query_keys], "key long")
     hashes = F.array(
         *[_bucket(F.col("key"), a, b, width) for a, b in CMS_SEEDS]
     )
@@ -299,8 +300,8 @@ def histogram_quantiles(
         "cnt",
         F.sum("cnt").over(w).alias("cum"),
     ).crossJoin(F.broadcast(ext))
-    qdf = vals.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    qdf = small_df(
+        vals.sparkSession, [(float(q),) for q in qs], "q double"
     )
     # target rank; the landing bin is the first with cum >= target
     t = F.ceil(F.col("q") * F.col("__n")).cast("long")
@@ -401,8 +402,8 @@ def quantiles_from_bins(
     cum = merged.select(
         "bin", "cnt", F.sum("cnt").over(w).alias("cum")
     ).crossJoin(F.broadcast(ext))
-    qdf = bins.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    qdf = small_df(
+        bins.sparkSession, [(float(q),) for q in qs], "q double"
     )
     t = F.ceil(F.col("q") * F.col("__n")).cast("long")
     hit = (
@@ -477,8 +478,8 @@ def grouped_histogram_quantiles(
     cum = binned.select(
         "grp", "bin", "cnt", F.sum("cnt").over(w).alias("cum")
     ).join(F.broadcast(ext), "grp")
-    qdf = df.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    qdf = small_df(
+        df.sparkSession, [(float(q),) for q in qs], "q double"
     )
     t = F.ceil(F.col("q") * F.col("__n")).cast("long")
     hit = (

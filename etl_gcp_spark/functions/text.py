@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 # serve_sec separately — at scale the build is a rare batch job while
 # serve latency is the tracked number (etl_gcp_spark/metering.py)
 from etl_gcp_spark.metering import timed as _timed_phase
+from etl_gcp_spark.smalldf import small_df
 
 _metered_build = _timed_phase("build")
 
@@ -1442,8 +1443,8 @@ def text_index_erase(spark, index_dir: str, doc_ids) -> None:
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long"))
     else:
-        df = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
+        df = small_df(
+            spark, [(int(i),) for i in doc_ids], "doc_id long"
         ).coalesce(1)
     df.write.mode("append").parquet(f"{index_dir}/tombstones")
 
@@ -1668,7 +1669,8 @@ def text_index_append(
         )
         .collect()[0]
     )
-    spark.createDataFrame(
+    small_df(
+        spark,
         [(stats["n_docs"], stats["total_dl"])],
         "n_docs long, total_dl long",
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
@@ -1777,8 +1779,8 @@ def text_index_resize(spark, index_dir: str, *, n_buckets: int) -> None:
     # OLD count would misroute terms silently (wrong bucket -> probe
     # misses), so the count is persisted and checked fail-fast by
     # _check_n_buckets in every bucket-dependent operation
-    spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+    small_df(
+        spark, [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
     if tomb is not None:
         kept = spark.read.parquet(doclen).join(
@@ -1940,7 +1942,8 @@ def bpe_train_merges(
         documents, n_merges, text_col, end_marker
     )
     syms.unpersist()
-    return documents.sparkSession.createDataFrame(
+    return small_df(
+        documents.sparkSession,
         out_rows,
         "rank int, left_sym string, right_sym string,"
         " merged string, pair_count long",

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from etl_gcp_spark.smalldf import small_df
 
 def _revenue() -> F.Column:
     # built lazily: Column construction needs a live SparkContext,
@@ -443,8 +444,8 @@ def price_band_totals(orders: DataFrame) -> DataFrame:
     this would need a bucketed/binned equi-join rewrite instead.
     """
     spark = orders.sparkSession
-    bands = spark.createDataFrame(
-        PRICE_BANDS, "band string, lo double, hi double"
+    bands = small_df(
+        spark, PRICE_BANDS, "band string, lo double, hi double"
     )
     return (
         orders.join(

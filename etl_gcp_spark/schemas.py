@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
+from etl_gcp_spark.smalldf import small_df
 
 # Reference dtype map (data_extractor.py:340-346 + data_loader.py:121-130),
 # re-expressed as pandas-dtype-string → Spark type. StringType is the
@@ -161,7 +162,8 @@ def list_columns(spark, name: str):
     expectations, writable through any sink).
     """
     cols = spark.catalog.listColumns(name)
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         [(c.name, c.dataType, bool(c.nullable)) for c in cols],
         "column_name string, data_type string, nullable boolean",
     )

@@ -38,6 +38,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
         },
     )
     import __spark_entry__ as entrymod
@@ -67,19 +68,38 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
+    # Spark 4 rolling layout: eventlog_v2_<appid>/events_*_<appid>[.codec]
     log_path = os.path.join(evdir, app_id)
     if not os.path.exists(log_path):
-        cand = [p for p in os.listdir(evdir) if p.startswith(app_id)]
+        cand = [
+            p
+            for p in os.listdir(evdir)
+            if p.startswith(app_id) or p == f"eventlog_v2_{app_id}"
+        ]
         if not cand:
             raise SystemExit(f"no event log under {evdir}")
         log_path = os.path.join(evdir, cand[0])
+    if os.path.isdir(log_path):
+        parts = sorted(
+            p for p in os.listdir(log_path) if p.startswith("events_")
+        )
+        if not parts:
+            raise SystemExit(f"no events_* files under {log_path}")
+        log_path = [os.path.join(log_path, p) for p in parts]
+    else:
+        log_path = [log_path]
 
     jobs: dict[int, dict] = {}
     stage_tasks: dict[int, int] = {}
     stage_job: dict[int, int] = {}
     t_epoch0 = None
-    with open(log_path) as f:
-        for line in f:
+    def _lines():
+        for p in log_path:
+            with open(p) as f:
+                yield from f
+
+    if True:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
