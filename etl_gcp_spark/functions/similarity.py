@@ -2572,7 +2572,11 @@ def build_ivf_index(
             "vec_id",
         )
     (
-        payload
+        # cluster by the partition column before the partitioned
+        # write: one file per cell (instead of tasks × cells) and the
+        # write parallelizes across cells (r10; guide §6 — at scale,
+        # intra-cell file splitting is maxRecordsPerFile's job)
+        payload.repartition(n_cells, "cell")
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
@@ -2749,7 +2753,15 @@ def ivf_index_compact(spark, path: str) -> None:
     # partitions and the tombstone dir is cleared
     if tomb is not None:
         allv = allv.join(F.broadcast(tomb), "vec_id", "left_anti")
-    allv.write.partitionBy("cell").mode("overwrite").parquet(
+    # hash-cluster on the partition column so the rewrite lands one
+    # file per cell — compaction exists to bound small-file count, and
+    # without this the rewrite re-fans into (scan tasks × cells) files
+    # (r10; the text twin text_index_compact already did this). Every
+    # cell hashes into exactly one task whatever the partition count,
+    # so defaultParallelism sizes the shuffle without an extra job.
+    allv.repartition(
+        spark.sparkContext.defaultParallelism, "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(
         vectors + "_compacting"
     )
     commit_swap(vectors)
@@ -2847,9 +2859,11 @@ def ivf_retrain_swap(
             # the assignment kernel's Arrow schema is fixed — metadata
             # rides back in on the id, as at build time
             payload = payload.join(cur.select("vec_id", *meta), "vec_id")
-        payload.write.partitionBy("cell").mode("overwrite").parquet(
-            vectors + "_compacting"
-        )
+        # one file per cell, written in parallel (r10; see
+        # ivf_index_compact — same small-file discipline)
+        payload.repartition(n_cells, "cell").write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(vectors + "_compacting")
     finally:
         cur.unpersist()
     small_df(

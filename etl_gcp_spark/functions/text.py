@@ -1373,25 +1373,44 @@ def text_index_build(
         *meta,
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    dl = toks.groupBy("doc_id", *meta_cols).agg(
-        F.count(F.lit(1)).alias("dl")
-    )
-    dl.write.mode("overwrite").parquet(f"{index_dir}/doclen")
-    dl_r = toks.sparkSession.read.parquet(f"{index_dir}/doclen")
-    dl_r.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_dl"),
-    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
-    (
+    # ONE tokenize pass: the postings aggregation is the only consumer
+    # of the exploded token stream; doclen derives from it (dl = Σ tf
+    # per doc — identical values by definition), so the corpus is
+    # scanned and tokenized once instead of once per artifact (r10;
+    # guide §1.2: don't compute things twice). The persisted frame is
+    # the POST-aggregation postings — the smallest full intermediate —
+    # not the raw token stream.
+    postings = (
         toks.groupBy("doc_id", "term", *meta_cols)
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
             "bucket", (_poly_hash(F.col("term")) % n_buckets).cast("int")
         )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/postings")
+        .persist()
     )
+    try:
+        postings.groupBy("doc_id", *meta_cols).agg(
+            F.sum("tf").alias("dl")
+        ).write.mode("overwrite").parquet(f"{index_dir}/doclen")
+        dl_r = toks.sparkSession.read.parquet(f"{index_dir}/doclen")
+        dl_r.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        # postings last — it is the artifact's committer marker (the
+        # streaming twins' staged_ready guard keys on it); clustering
+        # by bucket before the partitioned write keeps output at one
+        # file per bucket partition instead of (tasks × buckets)
+        # files — the same discipline text_index_compact applies
+        # (guide §6: file sizing on write)
+        (
+            postings.repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+    finally:
+        postings.unpersist()
 
 
 def poly_hash_py(tok: str) -> int:
@@ -1647,20 +1666,28 @@ def text_index_append(
         *[F.col(c) for c in meta_cols],
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    toks.groupBy("doc_id", *meta_cols).agg(
-        F.count(F.lit(1)).alias("dl")
-    ).write.mode("append").parquet(f"{index_dir}/doclen")
-    (
+    # one tokenize pass for the delta, same as text_index_build (r10):
+    # doclen derives from the aggregated postings (dl = Σ tf per doc)
+    postings = (
         toks.groupBy("doc_id", "term", *meta_cols)
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
             "bucket",
             (_poly_hash(F.col("term")) % n_buckets).cast("int"),
         )
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/postings")
+        .persist()
     )
+    try:
+        postings.groupBy("doc_id", *meta_cols).agg(
+            F.sum("tf").alias("dl")
+        ).write.mode("append").parquet(f"{index_dir}/doclen")
+        (
+            postings.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+    finally:
+        postings.unpersist()
     stats = (
         spark.read.parquet(f"{index_dir}/doclen")
         .agg(

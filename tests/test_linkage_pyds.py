@@ -477,7 +477,7 @@ def test_entity_compact_maskkey_erasure_survives_column_reorder(
     columns were written in a different order (id NOT first) must
     still have erased ids physically removed from the blocking
     index; the key is now derived from the mask_key_index contract
-    (the one column outside {__t, pos, mkey})."""
+    (the one column outside {__t, __k})."""
     import os
 
     from etl_gcp_spark.operators.linkage import mask_key_index
@@ -498,7 +498,7 @@ def test_entity_compact_maskkey_erasure_survives_column_reorder(
     )
     # blocking index written with the id column LAST (reordered)
     mask_key_index(cust, "c_custkey", "c_name").select(
-        "__t", "pos", "mkey", "c_custkey"
+        "__t", "__k", "c_custkey"
     ).write.parquet(os.path.join(root, "maskkeys", "base"))
     erased = cust.filter(F.col("c_custkey") % 5 == 0).select(
         F.col("c_custkey").alias("id")
@@ -528,8 +528,8 @@ def test_entity_compact_rejects_contract_violating_maskkey_store(
         [(1, 1)], "id long, lbl long"
     ).write.parquet(os.path.join(root, "labels_base"))
     spark.createDataFrame(
-        [(1, "a", "x", 1, "m", "extra")],
-        "id long, __t string, mkey string, pos int, extra2 string,"
+        [(1, "a", 7, "m", "extra")],
+        "id long, __t string, __k long, extra2 string,"
         " extra3 string",
     ).write.parquet(os.path.join(root, "maskkeys", "base"))
     spark.createDataFrame([(1,)], "id long").write.parquet(
