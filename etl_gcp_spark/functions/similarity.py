@@ -2575,8 +2575,13 @@ def build_ivf_index(
         # cluster by the partition column before the partitioned
         # write: one file per cell (instead of tasks × cells) and the
         # write parallelizes across cells (r10; guide §6 — at scale,
-        # intra-cell file splitting is maxRecordsPerFile's job)
-        payload.repartition(n_cells, "cell")
+        # intra-cell file splitting is maxRecordsPerFile's job).
+        # Tasks capped at the core count: every cell still hashes
+        # into exactly one task, so the file count is unchanged and
+        # task-commit overhead stays bounded.
+        payload.repartition(
+            min(n_cells, spark.sparkContext.defaultParallelism), "cell"
+        )
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
@@ -2861,9 +2866,11 @@ def ivf_retrain_swap(
             payload = payload.join(cur.select("vec_id", *meta), "vec_id")
         # one file per cell, written in parallel (r10; see
         # ivf_index_compact — same small-file discipline)
-        payload.repartition(n_cells, "cell").write.partitionBy(
-            "cell"
-        ).mode("overwrite").parquet(vectors + "_compacting")
+        payload.repartition(
+            min(n_cells, spark.sparkContext.defaultParallelism), "cell"
+        ).write.partitionBy("cell").mode("overwrite").parquet(
+            vectors + "_compacting"
+        )
     finally:
         cur.unpersist()
     small_df(

@@ -1403,8 +1403,14 @@ def text_index_build(
         # file per bucket partition instead of (tasks × buckets)
         # files — the same discipline text_index_compact applies
         # (guide §6: file sizing on write)
+        # every bucket hashes into exactly one task whatever the
+        # partition count, so capping tasks at the core count keeps
+        # one file per bucket while bounding task-commit overhead
+        n_part = min(
+            n_buckets, toks.sparkSession.sparkContext.defaultParallelism
+        )
         (
-            postings.repartition(n_buckets, "bucket")
+            postings.repartition(n_part, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{index_dir}/postings")

@@ -771,11 +771,26 @@ def sorted_neighborhood_pairs(
     r = keyed.withColumn("bkt", bkt).withColumn(
         "rn", F.row_number().over(w)
     )
-    a = r.select(
-        F.col("bkt"),
-        F.col("id").alias("id1"),
-        F.col("key").alias("key1"),
-        F.col("rn").alias("rn1"),
+    # EQUI-join on the neighbor's exact rank, not a bucket join
+    # post-filtered on rank distance: a.join(b, "bkt") materializes
+    # Σ|bucket|² intermediate rows before the rank filter prunes them
+    # (low-cardinality bucket expressions make that quadratic — the
+    # sf0.1 customer prefix yields TWO buckets, ~125M pairs), while
+    # exploding the ``window`` offsets on the left side and joining on
+    # (bkt, rn1+off = rn2) generates exactly window·n candidates
+    # (r10; measured 5.0 s → 0.7 s, identical output).
+    a = (
+        r.select(
+            F.col("bkt"),
+            F.col("id").alias("id1"),
+            F.col("key").alias("key1"),
+            F.col("rn").alias("rn1"),
+        )
+        .withColumn(
+            "__off", F.explode(F.sequence(F.lit(1), F.lit(int(window))))
+        )
+        .withColumn("rn2", F.col("rn1") + F.col("__off"))
+        .drop("__off")
     )
     b = r.select(
         F.col("bkt"),
@@ -784,15 +799,14 @@ def sorted_neighborhood_pairs(
         F.col("rn").alias("rn2"),
     )
     return (
-        a.join(b, "bkt")
-        .filter(
-            (F.col("rn2") > F.col("rn1"))
-            & (F.col("rn2") <= F.col("rn1") + window)
-        )
+        a.join(b, ["bkt", "rn2"])
+        # bounded 3-arg levenshtein: early-exit DP, O(d·L) per pair;
+        # -1 = above the bound, so >= 0 keeps [0, max_distance] with
+        # values identical to the unbounded form for every kept row
         .withColumn(
             "distance",
-            F.levenshtein("key1", "key2").cast("long"),
+            F.levenshtein("key1", "key2", int(max_distance)).cast("long"),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") >= 0)
         .select("id1", "id2", "key1", "key2", "distance")
     )

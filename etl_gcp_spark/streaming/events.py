@@ -26,7 +26,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_gcp_spark.streaming.staging import mark_staged, staged_ready
+from etl_gcp_spark.streaming.staging import (
+    mark_staged,
+    stage_ordered_ranges,
+    staged_ready,
+)
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, "
@@ -546,31 +550,16 @@ def run_streaming_minhash_dedup(
     staged = os.path.join(root, "in")
     if not staged_ready(staged):
         docs = spark.read.parquet(docs_path).select("doc_id", "text")
-        # sequential per-range writes: file k holds id-range k and gets
-        # a strictly later modification time than file k-1
-        bounds = docs.approxQuantile(
-            "doc_id", [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        lo = None
-        for k in range(n_batches):
-            hi = bounds[k] if k < len(bounds) else None
-            part = docs
-            if lo is not None:
-                part = part.filter(F.col("doc_id") > lo)
-            if hi is not None:
-                part = part.filter(F.col("doc_id") <= hi)
-            part.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staged, f"b{k:02d}")
-            )
-            lo = hi
-        # all waves written -> completion marker (crash-atomic resume)
-        mark_staged(staged)
+        # one-pass id-range staging; (modTime, path) replay order
+        # enforced by the helper (r10 — was approxQuantile + 4
+        # sequential filtered scans/writes)
+        stage_ordered_ranges(docs, "doc_id", staged, n_batches)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(os.path.join(staged, "*"))
+        .load(staged)
     )
 
     out_dir = os.path.join(root, "kept")
@@ -730,29 +719,14 @@ def run_streaming_cms(
         F.col(key_col).cast("long").alias(key_col)
     )
     if not staged_ready(staged):
-        bounds = keys.approxQuantile(
-            key_col, [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        lo = None
-        for k in range(n_batches):
-            hi = bounds[k] if k < len(bounds) else None
-            part = keys
-            if lo is not None:
-                part = part.filter(F.col(key_col) > lo)
-            if hi is not None:
-                part = part.filter(F.col(key_col) <= hi)
-            part.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staged, f"b{k:02d}")
-            )
-            lo = hi
-        # all waves written -> completion marker (crash-atomic resume)
-        mark_staged(staged)
+        # one-pass key-range staging (r10; see stage_ordered_ranges)
+        stage_ordered_ranges(keys, key_col, staged, n_batches)
 
     stream = (
         spark.readStream.schema(f"{key_col} long")
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(os.path.join(staged, "*"))
+        .load(staged)
     )
     sketch_dir = os.path.join(root, "sketch")
     done_in_run = {"n": 0}
@@ -832,29 +806,14 @@ def run_streaming_topk(
         F.col("event_id").isNotNull() & F.col(key_col).isNotNull()
     ).select(F.col("event_id"), F.col(key_col))
     if not staged_ready(staged):
-        bounds = keys.approxQuantile(
-            "event_id", [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        lo = None
-        for i in range(n_batches):
-            hi = bounds[i] if i < len(bounds) else None
-            part = keys
-            if lo is not None:
-                part = part.filter(F.col("event_id") > lo)
-            if hi is not None:
-                part = part.filter(F.col("event_id") <= hi)
-            part.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staged, f"b{i:02d}")
-            )
-            lo = hi
-        # all waves written -> completion marker (crash-atomic resume)
-        mark_staged(staged)
+        # one-pass key-range staging (r10; see stage_ordered_ranges)
+        stage_ordered_ranges(keys, "event_id", staged, n_batches)
 
     stream = (
         spark.readStream.schema(f"event_id long, {key_col} string")
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(os.path.join(staged, "*"))
+        .load(staged)
     )
     counts_dir = os.path.join(root, "counts")
     done_in_run = {"n": 0}
@@ -947,29 +906,15 @@ def run_streaming_quantiles(
         F.col(value_col).cast("double").alias(value_col),
     )
     if not staged_ready(staged):
-        bounds = rows.approxQuantile(
-            key_col, [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        klo = None
-        for i in range(n_batches):
-            khi = bounds[i] if i < len(bounds) else None
-            part = rows
-            if klo is not None:
-                part = part.filter(F.col(key_col) > klo)
-            if khi is not None:
-                part = part.filter(F.col(key_col) <= khi)
-            part.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staged, f"b{i:02d}")
-            )
-            klo = khi
-        # all waves written -> completion marker (crash-atomic resume)
-        mark_staged(staged)
+        # one-pass key-range staging; replay order enforced by the
+        # helper (r10 — was approxQuantile + 4 sequential writes)
+        stage_ordered_ranges(rows, key_col, staged, n_batches)
 
     stream = (
         spark.readStream.schema(f"{key_col} long, {value_col} double")
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(os.path.join(staged, "*"))
+        .load(staged)
     )
     bins_dir = os.path.join(root, "bins")
     done_in_run = {"n": 0}
@@ -1056,29 +1001,14 @@ def run_streaming_hll(
         F.col(key_col).cast("long").alias(key_col), group_col
     )
     if not staged_ready(staged):
-        bounds = rows.approxQuantile(
-            key_col, [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        lo = None
-        for k in range(n_batches):
-            hi = bounds[k] if k < len(bounds) else None
-            part = rows
-            if lo is not None:
-                part = part.filter(F.col(key_col) > lo)
-            if hi is not None:
-                part = part.filter(F.col(key_col) <= hi)
-            part.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staged, f"b{k:02d}")
-            )
-            lo = hi
-        # all waves written -> completion marker (crash-atomic resume)
-        mark_staged(staged)
+        # one-pass key-range staging (r10; see stage_ordered_ranges)
+        stage_ordered_ranges(rows, key_col, staged, n_batches)
 
     stream = (
         spark.readStream.schema(f"{key_col} long, {group_col} string")
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(os.path.join(staged, "*"))
+        .load(staged)
     )
     regs_dir = os.path.join(root, "regs")
     done_in_run = {"n": 0}
@@ -1177,23 +1107,8 @@ def run_streaming_markov(
         "event_type",
     )
     if not staged_ready(staged):
-        bounds = rows.approxQuantile(
-            "us", [i / n_batches for i in range(1, n_batches)], 0.0
-        )
-        lo = None
-        for k in range(n_batches):
-            hi = bounds[k] if k < len(bounds) else None
-            part = rows
-            if lo is not None:
-                part = part.filter(F.col("us") > lo)
-            if hi is not None:
-                part = part.filter(F.col("us") <= hi)
-            part.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(staged, f"b{k:02d}")
-            )
-            lo = hi
-        # all waves written -> completion marker (crash-atomic resume)
-        mark_staged(staged)
+        # one-pass time-range staging (r10; see stage_ordered_ranges)
+        stage_ordered_ranges(rows, "us", staged, n_batches)
 
     stream = (
         spark.readStream.schema(
@@ -1201,7 +1116,7 @@ def run_streaming_markov(
         )
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(os.path.join(staged, "*"))
+        .load(staged)
     )
     counts_dir = os.path.join(root, "counts")
     state_dir = os.path.join(root, "state")

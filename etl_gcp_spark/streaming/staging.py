@@ -37,6 +37,50 @@ def mark_staged(path: str) -> None:
         pass
 
 
+def stage_ordered_ranges(df, key_col: str, staged: str, n_batches: int) -> None:
+    """Stage ``df`` as ``n_batches`` ascending key-range parquet files
+    in ONE pass — the input-wave staging every ordered streaming
+    harness needs (id-ordered dedup, time-ordered markov), replacing
+    the approxQuantile + n sequential filtered-scan-and-write waves
+    (n+1 full input passes) with a single ``repartitionByRange``
+    shuffle write (r10; guide §1.2: one pass where one pass suffices).
+
+    Ordering contract: the file stream source replays files in
+    (modTime, path) order, and parallel write tasks finish in
+    arbitrary order — so after the write, each part file's mtime is
+    REWRITTEN to a strictly increasing sequence in path order (range
+    partition i lands in part-0000i, so path order IS ascending key
+    order). Rows with equal keys always land in one partition
+    (RangePartitioner), and any contiguous split replays to the same
+    result — the consumers' greedy/stage-cut rules are cut-invariant.
+    Completion is marked crash-atomically via :func:`mark_staged`
+    strictly after the mtime rewrite."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    # write → utime → RENAME: the committer's _SUCCESS would otherwise
+    # mark the staging "ready" in the crash window before the mtime
+    # rewrite, and a resume could replay files out of range order. The
+    # rename publishes the directory only after the order is enforced.
+    tmp = staged + "_staging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+    df.repartitionByRange(n_batches, F.col(key_col)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    parts = sorted(
+        e for e in os.listdir(tmp)
+        if e.startswith("part-") and not e.endswith(".crc")
+    )
+    base = int(time.time()) - len(parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(tmp, p), (base + i, base + i))
+    os.rename(tmp, staged)
+    mark_staged(staged)
+
+
 def heal_swap(base: str) -> None:
     """Repair a :func:`commit_swap` interrupted between its two
     renames — the one crash window where ``base`` does not exist.

@@ -344,8 +344,12 @@ def run_streaming_decontamination(
         )
         # cluster by the partition column before the partitioned write:
         # one file per bucket (instead of tasks × buckets) and the
-        # write itself parallelizes across buckets (r10; guide §6)
-        .repartition(n_buckets, "bucket")
+        # write itself parallelizes across buckets (r10; guide §6);
+        # tasks capped at core count — file count is unchanged
+        .repartition(
+            min(n_buckets, spark.sparkContext.defaultParallelism),
+            "bucket",
+        )
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(posting_path)
