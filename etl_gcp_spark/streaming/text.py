@@ -121,8 +121,22 @@ def run_streaming_text_ingest(
             ).write.mode("overwrite").parquet(
                 os.path.join(appends, "doclen", f"batch={batch_id}")
             )
+            # cluster by bucket before the partitioned write: the
+            # persisted frame materializes at the static shuffle-
+            # partition count (cached plans bypass AQE coalescing), so
+            # an unclustered write fans out to (cache partitions ×
+            # touched buckets) files PER MICROBATCH and the final
+            # serve pays a footer read per file (measured r11: the
+            # ingest entry 2.4× slower on a quiet host, 7.8× on the
+            # r10 driver's throttled disk). One exchange of the tiny
+            # post-agg delta bounds it at one file per bucket (§6).
+            n_part = min(
+                n_buckets,
+                posting.sparkSession.sparkContext.defaultParallelism,
+            )
             (
-                posting.write.partitionBy("bucket")
+                posting.repartition(n_part, "bucket")
+                .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(
                     os.path.join(appends, "postings", f"batch={batch_id}")
