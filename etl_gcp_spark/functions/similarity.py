@@ -1451,11 +1451,11 @@ def embedding_pca1(
     All heavy phases are data-parallel DataFrame aggregations:
 
     - per-dim means: ``posexplode`` → dim-row agg (6 dp);
-    - covariance: chained double ``posexplode`` generates the n·d²
-      (i, j, vᵢ·vⱼ) stream WITHOUT a self-join, and the groupBy's
-      map-side combine collapses it to d² rows per partition before
-      the exchange — shuffle volume is d²·partitions regardless of n.
-      C = round(E[vᵢvⱼ] − mᵢmⱼ, 6);
+    - covariance: an Arrow per-partition XᵀX partial GEMM
+      (:func:`_pca_xtx_partials`) — the n·d² (i, j, vᵢ·vⱼ) stream
+      never exists; each task ships d² partial-sum rows and the
+      exchange carries d²·partitions rows regardless of n (r11;
+      guide §4). C = round(E[vᵢvⱼ] − mᵢmⱼ, 6);
     - ``n_iter`` fixed power steps on the d²-row C: matvec =
       broadcast-join C with the d-row w, groupBy(row) sum,
       renormalize, and round ONLY the normalized iterate to 6 dp.
@@ -1468,9 +1468,7 @@ def embedding_pca1(
       making the round tie-free on both engines. w₀ = 1/√d · 𝟙
       (deterministic sign).
 
-    Output: (id, pc1) with pc1 = round((x − m)·w, 6). At d where n·d²
-    generation dominates, swap the covariance phase for an
-    Arrow-kernel partial-GEMM per partition — same d² exchange.
+    Output: (id, pc1) with pc1 = round((x − m)·w, 6).
 
     Convergence caveat (honest contract): power iteration converges
     at rate (λ₂/λ₁)^k, so after ``n_iter`` steps the output is the
@@ -1492,20 +1490,77 @@ def embedding_pca1(
     return tag_pinned(out, cov)
 
 
+def _pca_xtx_partials(batches):
+    """mapInArrow kernel: per-partition XᵀX partial sums.
+
+    Accumulates one d×d GEMM per Arrow batch (float64) and emits a
+    single d²-row batch (i, j, s=Σ vᵢvⱼ, cnt=partition rows) at task
+    end — the §4 shape: the n·d² (i, j, vᵢ·vⱼ) stream never exists,
+    neither as codegen rows nor across the exchange; the shuffle
+    carries d²·partitions rows whatever n is. `sum(s)/sum(cnt)` per
+    (i, j) downstream equals the old `avg(vi*vj)` exactly up to
+    float summation order, which the 6-dp rounding point was chosen
+    to absorb (the DuckDB oracle already re-sums in ITS own order and
+    hash-matches; re-verified for both pca entries after this change).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    s = None
+    cnt = 0
+    for b in batches:
+        arr = b.column(0)
+        if arr.null_count:
+            arr = arr.drop_null()
+        if len(arr) == 0:
+            continue
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(arr[0])
+        x = flat.reshape(len(arr), d)
+        s = x.T @ x if s is None else s + x.T @ x
+        cnt += x.shape[0]
+    if s is not None:
+        d = s.shape[0]
+        ii, jj = np.meshgrid(
+            np.arange(d, dtype=np.int32),
+            np.arange(d, dtype=np.int32),
+            indexing="ij",
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii.ravel()),
+                pa.array(jj.ravel()),
+                pa.array(s.ravel(), type=pa.float64()),
+                pa.array(np.full(d * d, cnt, dtype=np.int64)),
+            ],
+            names=["i", "j", "s", "cnt"],
+        )
+
+
 def _pca_base_cov(embeddings, id_col, vec_col):
-    """(base, 6-dp per-dim means, 6-dp covariance) — pca phase 1."""
+    """(base, 6-dp per-dim means, 6-dp covariance) — pca phase 1.
+
+    Second moments come from :func:`_pca_xtx_partials` (Arrow
+    per-partition GEMM) instead of the r10 chained double
+    ``posexplode``: the old plan generated n·d² rows through codegen
+    before the map-side combine could collapse them (the r10 "Not yet
+    optimized" entry); the kernel hands whole batches to BLAS and
+    ships d² rows per partition. Means keep the cheap n·d posexplode
+    (linear, map-side combined).
+    """
     base = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
-    expl = base.select("__id", "__v", F.posexplode("__v").alias("i", "vi"))
+    expl = base.select(F.posexplode("__v").alias("i", "vi"))
     means = (
         expl.groupBy(F.col("i").alias("pos"))
         .agg(F.round(F.avg("vi"), 6).alias("m"))
     )
     second = (
-        expl.select("i", "vi", F.posexplode("__v").alias("j", "vj"))
+        base.select("__v")
+        .mapInArrow(_pca_xtx_partials, "i int, j int, s double, cnt long")
         .groupBy("i", "j")
-        .agg(F.avg(F.col("vi") * F.col("vj")).alias("s"))
+        .agg((F.sum("s") / F.sum("cnt")).alias("s"))
     )
     mi = means.select(F.col("pos").alias("i"), F.col("m").alias("mi"))
     mj = means.select(F.col("pos").alias("j"), F.col("m").alias("mj"))
@@ -1517,7 +1572,15 @@ def _pca_base_cov(embeddings, id_col, vec_col):
             F.round(F.col("s") - F.col("mi") * F.col("mj"), 6).alias("c"),
         )
         # d² rows; pinned so each power step reuses it instead of
-        # re-running the n·d² generation (release: unpersist_pinned)
+        # re-running the generation (release: unpersist_pinned).
+        # coalesce(1) BEFORE the persist: a cached plan materializes at
+        # the static shuffle-partition count (AQE does not re-plan it),
+        # so without it every power-step matvec job runs
+        # shuffle.partitions tasks over a d²-row table — ~20 32-task
+        # jobs of fixed overhead per pca entry (measured r11). One
+        # partition is right at any corpus size: the frame is d² rows,
+        # bounded by MODEL dimension, not data.
+        .coalesce(1)
         .persist()
     )
     return base, means, cov
@@ -1649,6 +1712,9 @@ def embedding_pca2(
                 6,
             ).alias("c"),
         )
+        # single-partition cache, same reason as _pca_base_cov: d² rows,
+        # and every pc2 power step re-reads it
+        .coalesce(1)
         .persist()
     )
     w2 = _pca_power(cov2, w0, n_iter)

@@ -112,7 +112,16 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name)
+    # drop the catalog entry NOW: `out` already holds the resolved
+    # memory-sink relation (same rows), but without the drop the sink's
+    # row buffer stays registered — and therefore referenced — for the
+    # SESSION lifetime, so a long run (the 311-entry bench × repeats)
+    # accumulates every streaming result ever produced as driver memory
+    # debt that later queries pay for in GC (guide §5). After the drop
+    # the buffer is released as soon as the caller lets go of `out`.
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def run_streaming_hourly_counts(
