@@ -19,6 +19,7 @@ import functools
 import datetime
 import os
 import tempfile
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -45,6 +46,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # accumulating them for the session lifetime. release_pins() drops the
 # last one.
 _PIN_LEDGER: list[DataFrame] = []
+# ledger ops are lock-guarded: concurrent registry calls (the contract
+# test's thread pool) would otherwise race the pop-until-empty loop
+# (IndexError between the emptiness check and the pop). Unpersisting a
+# frame another in-flight entry still reads is safe — Spark recomputes
+# uncached blocks — so the lock only has to make the LIST operations
+# atomic, not serialize entry execution.
+_PIN_LOCK = threading.Lock()
 
 
 def release_pins() -> None:
@@ -52,8 +60,12 @@ def release_pins() -> None:
     recent registry call. Idempotent; safe any time."""
     from etl_gcp_spark.caching import unpersist_pinned
 
-    while _PIN_LEDGER:
-        unpersist_pinned(_PIN_LEDGER.pop())
+    while True:
+        with _PIN_LOCK:
+            if not _PIN_LEDGER:
+                return
+            df = _PIN_LEDGER.pop()
+        unpersist_pinned(df)
 
 
 def _ledgered(fn):
@@ -62,7 +74,8 @@ def _ledgered(fn):
         release_pins()
         df = fn(spark, sf_dir)
         if getattr(df, "_etl_pinned_frames", ()):
-            _PIN_LEDGER.append(df)
+            with _PIN_LOCK:
+                _PIN_LEDGER.append(df)
         return df
 
     return run
@@ -921,8 +934,13 @@ def _q_ingest_csv(spark, sf_dir):
     from etl_gcp_spark.sinks.writers import write_chunked_csv
     from etl_gcp_spark.sources.readers import read_csv_inferred
 
+    # own prefix, NOT shared with write_roundtrip_csv: the two entries
+    # previously overwrote one directory, which is fine run-to-run but
+    # races under any concurrent-entry harness (the contract test's
+    # thread pool)
     path = os.path.join(
-        tempfile.gettempdir(), f"etl_gcp_spark_csv_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"etl_gcp_spark_csvin_{os.path.basename(sf_dir)}",
     )
     write_chunked_csv(_t(spark, sf_dir, "nation"), path, rows_per_file=10)
     return read_csv_inferred(spark, path).select(
@@ -4432,19 +4450,89 @@ def _q_stream_sessions(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every callable goes through the pinned-frame ledger (see above)
     return {k: _ledgered(fn) for k, fn in {
-    # --- round-10 correctness window (the driver verifies ~the
-    # first 50 keys in dict order). Slots 1-5: the round-9
-    # net-new entries — never driver-checked at r10 open
-    # (VERDICT r9 item 1). ---
+    # --- round-11 correctness window (the driver verifies ~the
+    # first 50 keys in dict order). Slot 1: bpe_segment_counts —
+    # the r10 net-new parked behind the full r10 window, still
+    # never driver-checked. ---
+        "bpe_segment_counts": _q_bpe_segment_counts,
+    # --- slots 2-50: every HASH_DRIFT-stale entry (function
+    # changed after its last driver-green stamp — the r10/r11
+    # optimization edits: Arrow small-table path, text/IVF write
+    # clustering, PCA XtX partials, kcore semi-join peel, memory-
+    # sink view drop, one-pass staging, mask-key blocking) except
+    # the 11 spilled below; locally oracle-green, re-stamped here.
+    # Ordered oldest-green-first within the family groups. ---
+        "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
+        "ann_ivf_filtered_topk": _q_ann_ivf_filtered_topk,
+        "bm25_filtered_topk": _q_bm25_filtered_topk,
+        "bm25_index_topk": _q_bm25_index_topk,
+        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_pca2": _q_embedding_pca2,
+        "ensemble_near_dup": _q_ensemble_near_dup,
+        "entity_clusters": _q_entity_clusters,
+        "entity_clusters_increment": _q_entity_clusters_increment,
+        "entity_erasure_audit": _q_entity_erasure_audit,
+        "entity_label_compact": _q_entity_label_compact,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
+        "ingest_csv": _q_ingest_csv,
+        "ivf_index_append_topk": _q_ivf_index_append_topk,
+        "ivf_index_topk": _q_ivf_index_topk,
+        "ivf_retrain_swap": _q_ivf_retrain_swap,
+        "kcore_embedding_graph": _q_kcore_embedding_graph,
+        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
+        "semdedup_prune": _q_semdedup_prune,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
+        "streaming_cms": _q_streaming_cms,
+        "streaming_dedup": _q_stream_dedup,
+        "streaming_drift_report": _q_streaming_drift_report,
+        "streaming_enrich": _q_streaming_enrich,
+        "streaming_entity_erasure": _q_streaming_entity_erasure,
+        "streaming_entity_ingest": _q_streaming_entity_ingest,
+        "streaming_hll": _q_streaming_hll,
+        "streaming_hourly_counts": _q_stream_hourly,
+        "streaming_interval_join": _q_stream_interval_join,
+        "streaming_interval_join_outer": _q_stream_interval_join_outer,
+        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
+        "streaming_markov": _q_streaming_markov,
+        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
+        "streaming_quantiles": _q_streaming_quantiles,
+        "streaming_sessions": _q_stream_sessions,
+        "streaming_text_erasure": _q_streaming_text_erasure,
+        "streaming_text_index_ingest": _q_streaming_text_index,
+        "streaming_topk": _q_streaming_topk,
+        "streaming_user_stats": _q_stream_user_stats,
+        "text_index_append_topk": _q_text_index_append,
+        "text_index_compact_topk": _q_text_index_compact,
+        "text_index_erasure_topk": _q_text_index_erasure_topk,
+        "text_index_resize_topk": _q_text_index_resize_topk,
+    # --- behind the window: first the 11 stale entries that did
+    # not fit the 50 slots — all changed ONLY by r10's Arrow
+    # small-table constant path (values identical by construction,
+    # re-verified by two full local sweeps in r10 and two more in
+    # r11); they lead the r12 window. Then every other entry in
+    # prior relative order. ---
+        "ann_filtered_recall_report": _q_ann_filtered_recall_report,
+        "ann_recall_report": _q_ann_recall_report,
+        "ann_ivf_topk": _q_ivf_topk,
+        "ivf_drift_report": _q_ivf_drift_report,
+        "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "histogram_quantiles": _q_histogram_quantiles,
+        "mmr_select": _q_mmr_select,
+        "price_band_totals": _q_price_bands,
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "cms_event_counts": _q_cms_event_counts,
         "bitext_margin_pairs_ann": _q_bitext_margin_pairs_ann,
         "decontaminate_docs": _q_decontaminate_docs,
         "streaming_decontamination": _q_streaming_decontamination,
         "hamming_topk": _q_hamming_topk,
         "hamming_recall_report": _q_hamming_recall_report,
-        # --- slots 6-10: the round-10 net-new (SRP-LSH bucketed
-        # hamming serve + audit, fused IVF+PQ serve + audit, BPE
-        # merge training) — stamped in-window rather than parked,
-        # since this round's drift backlog is small. ---
         "hamming_lsh_topk": _q_hamming_lsh_topk,
         "hamming_lsh_recall_report": _q_hamming_lsh_recall_report,
         "ivf_pq_topk": _q_ivf_pq_topk,
@@ -4452,21 +4540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _q_bpe_train_merges,
         "ivf_pq_residual_topk": _q_ivf_pq_residual_topk,
         "ivf_pq_residual_recall_report": _q_ivf_pq_residual_recall_report,
-        # --- slots 13-16: every HASH_DRIFT flag after the r10
-        # edits (the review fixes: deterministic appends fold in
-        # ivf_index_compact, contract-derived maskkey key in
-        # entity_labels_compact). ---
-        "entity_label_compact": _q_entity_label_compact,
         "ivf_compact_topk": _q_ivf_compact_topk,
-        "streaming_entity_ingest": _q_streaming_entity_ingest,
         "streaming_ivf_ingest": _q_streaming_ivf_ingest,
-        # --- slots 17-50: the oldest surviving stamps — the
-        # ENTIRE remaining r02 cohort (28 entries) plus 6 r03
-        # entries (5 alphabetical fills + pq_adc_topk, whose r03
-        # stamp was staled by the pq_encode normalize-flag change —
-        # the gate's NOT-scheduled trip caught it); the 29 remaining
-        # r03 stamps wait for r11 (the three bumped entries lead the
-        # behind-window section). ---
         "doc_fingerprint": _q_fingerprint,
         "dup_count_lineitem": _q_dup_count,
         "events_json_extract": _q_json_extract,
@@ -4474,7 +4549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_text_dedup": _q_exact_text_dedup,
         "freshness_check": _q_freshness,
         "hourly_event_stats": _q_hourly,
-        "ingest_csv": _q_ingest_csv,
         "lang_id": _q_lang_id,
         "mixture_sample_counts": _q_mixture_sample_counts,
         "normalize_columns": _q_normalize_columns,
@@ -4501,38 +4575,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "building_no_orders_except": _q_except,
         "compact_small_files": _q_compact_small_files,
         "pq_adc_topk": _q_pq_adc_topk,
-        # --- behind the window: bpe_segment_counts (r10 net-new
-        # parked for the r11 window — the 50 slots are full), the
-        # three r03 entries bumped by later net-new, then every
-        # other driver-green, hash-clean entry in prior relative
-        # order (the r9 window's 50 re-stamped entries lead). ---
-        "bpe_segment_counts": _q_bpe_segment_counts,
         "dynamic_partition_overwrite": _q_dynamic_partition_overwrite,
         "customers_without_orders": _q_anti,
         "corrupt_record_ingest": _q_corrupt_record_ingest,
-        "ivf_retrain_swap": _q_ivf_retrain_swap,
-        "streaming_ivf_erasure": _q_streaming_ivf_erasure,
-        "streaming_entity_erasure": _q_streaming_entity_erasure,
-        "text_index_resize_topk": _q_text_index_resize_topk,
         "bitext_margin_pairs": _q_bitext_margin_pairs,
         "benchmark_coverage": _q_benchmark_coverage,
-        "bm25_filtered_topk": _q_bm25_filtered_topk,
-        "bm25_index_topk": _q_bm25_index_topk,
-        "cluster_keeper_dedup": _q_cluster_keeper_dedup,
         "containment_pairs": _q_containment_pairs,
         "contamination_bloom": _q_contamination_bloom,
         "contamination_overlap": _q_contamination,
         "cross_doc_passage_share": _q_cross_doc_passage_share,
         "curation_funnel": _q_curation_funnel,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_index_maintenance_audit": _q_dedup_index_maintenance_audit,
         "dedup_triangles": _q_dedup_triangles,
         "dup_ngram_fraction": _q_dup_ngram_fraction,
-        "ensemble_near_dup": _q_ensemble_near_dup,
         "incremental_near_dup": _q_incremental_near_dup,
         "jaccard_threshold_curve": _q_jaccard_threshold_curve,
-        "leakage_safe_split_counts": _q_leakage_safe_split_counts,
         "lsh_recall_report": _q_lsh_recall_report,
         "minhash_lsh_pairs": _q_minhash,
         "near_dup_dedup": _q_near_dup_dedup,
@@ -4542,14 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "repetition_signals": _q_repetition_signals,
         "shingle_cosine_pairs": _q_shingle_cosine_pairs,
-        "soft_dedup_weights": _q_soft_dedup_weights,
         "source_overlap_matrix": _q_source_overlap_matrix,
-        "streaming_near_dup_dedup": _q_streaming_near_dup_dedup,
-        "streaming_text_erasure": _q_streaming_text_erasure,
-        "streaming_text_index_ingest": _q_streaming_text_index,
-        "text_index_append_topk": _q_text_index_append,
-        "text_index_compact_topk": _q_text_index_compact,
-        "text_index_erasure_topk": _q_text_index_erasure_topk,
         "bpe_token_count": _q_bpe_token_count,
         "clean_orders": _q_clean_orders,
         "cosine_topk": _q_cosine_topk,
@@ -4558,7 +4608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lineitem": _q_dedup_lineitem,
         "order_gap_days": _q_order_gaps,
         "status_priority_cube": _q_cube,
-        "price_band_totals": _q_price_bands,
         "top_customers": _q_top_customers,
         "customer_order_ranks": _q_order_ranks,
         "order_rollup": _q_rollup,
@@ -4567,29 +4616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "python_datasource_chunks": _q_python_datasource,
         "streaming_upsert": _q_stream_upsert,
-        "streaming_interval_join": _q_stream_interval_join,
         "key_skew_report": _q_key_skew_report,
-        "ivf_index_topk": _q_ivf_index_topk,
-        "ivf_index_append_topk": _q_ivf_index_append_topk,
         "zipf_fit": _q_zipf_fit,
-        "entity_clusters": _q_entity_clusters,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "fuzzy_name_pairs_d2": _q_fuzzy_name_pairs_d2,
-        "streaming_cms": _q_streaming_cms,
-        "streaming_hll": _q_streaming_hll,
-        "streaming_markov": _q_streaming_markov,
-        "streaming_quantiles": _q_streaming_quantiles,
-        "streaming_topk": _q_streaming_topk,
-        "entity_clusters_increment": _q_entity_clusters_increment,
-        "ann_ivf_filtered_topk": _q_ann_ivf_filtered_topk,
-        "ann_ivf_erasure_topk": _q_ann_ivf_erasure_topk,
-        "entity_erasure_audit": _q_entity_erasure_audit,
-        "ann_filtered_recall_report": _q_ann_filtered_recall_report,
         "asof_click_purchase": _q_asof,
         "audit_stamp": _q_audit_stamp,
-        "ivf_drift_report_gemm": _q_ivf_drift_report_gemm,
         "quality_calibration_bins": _q_quality_calibration_bins,
-        "streaming_drift_report": _q_streaming_drift_report,
         "q1_pricing_summary": _q_q1,
         "q3_shipping_priority": _q_q3,
         "q5_regional_revenue": _q_q5,
@@ -4633,16 +4664,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "order_percentiles": _q_percentiles,
         "customer_running_totals": _q_running_totals,
-        "ivf_drift_report": _q_ivf_drift_report,
         "wow_growth": _q_wow_growth,
         "quality_pctile_by_source": _q_quality_pctile,
         "winsorize_by_group": _q_winsorize_by_group,
         "price_reconciliation": _q_price_reconciliation,
         "char_entropy": _q_char_entropy,
-        "embedding_pca": _q_embedding_pca,
         "embedding_dim_audit": _q_embedding_dim_audit,
         "bigram_surprisal": _q_bigram_surprisal,
-        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "pack_offsets": _q_pack_offsets,
         "curriculum_buckets": _q_curriculum_buckets,
         "target_encoding": _q_target_encoding,
@@ -4664,39 +4692,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow,
         "ann_lsh_topk": _q_ann_topk,
-        "cms_event_counts": _q_cms_event_counts,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "semdedup_prune": _q_semdedup_prune,
-        "ann_ivf_topk": _q_ivf_topk,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "bucketed_join_totals": _q_bucketed_join_totals,
         "standardize_embeddings": _q_standardize_embeddings,
         "robust_scale_embeddings": _q_robust_scale_embeddings,
-        "ann_recall_report": _q_ann_recall_report,
         "priority_sample": _q_priority_sample,
         "snapshot_diff": _q_snapshot_diff,
         "hll_replayable": _q_hll_replayable,
         "hll_overlap": _q_hll_overlap,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
-        "mmr_select": _q_mmr_select,
         "epoch_shards": _q_epoch_shards,
-        "kcore_embedding_graph": _q_kcore_embedding_graph,
         "embedding_sanitize": _q_embedding_sanitize,
         "cdc_tombstone_merge": _q_cdc_tombstone_merge,
         "watermark_sizing": _q_watermark_sizing,
-        "streaming_interval_join_outer": _q_stream_interval_join_outer,
-        "histogram_quantiles": _q_histogram_quantiles,
         "skew_salted_join": _q_skew_salted_join,
         "runtime_filter_join": _q_runtime_filter_join,
         "l_diversity_counts": _q_l_diversity_counts,
         "embedding_truncation_recall": _q_embedding_truncation_recall,
         "ahash_near_dup": _q_ahash_near_dup,
         "substring_dedup_rewrite": _q_substring_dedup_rewrite,
-        "grouped_quantiles": _q_grouped_quantiles,
         "temperature_mixture": _q_temperature_mixture,
         "token_cooccurrence": _q_token_cooccurrence,
         "python_datasource_stream": _q_python_datasource_stream,
-        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "golden_record": _q_golden_record,
         "hilbert_layout": _q_hilbert_layout,
         "join_cardinality_estimate": _q_join_cardinality,
@@ -4708,7 +4725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_lift": _q_event_type_lift,
         "kfold_counts": _q_kfold_counts,
         "boxplot_prices": _q_boxplot_prices,
-        "embedding_pca2": _q_embedding_pca2,
         "integrity_report": _q_integrity_report,
         "weekly_active_users": _q_weekly_active_users,
         "cusum_change_point": _q_cusum_change_point,
@@ -4740,7 +4756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quota_filter": _q_quality_quota_filter,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "user_erasure": _q_user_erasure,
-        "streaming_sessions": _q_stream_sessions,
         "priority_pivot": _q_pivot,
         "universe_sample_join": _q_universe_sample_join,
         "stratified_sample_counts": _q_stratified_sample_counts,
@@ -4749,7 +4764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "session_window_stats": _q_session_window_stats,
         "write_roundtrip_xml": _q_write_roundtrip_xml,
-        "streaming_enrich": _q_streaming_enrich,
         "k_anonymity_counts": _q_k_anonymity,
         "first_last_orders": _q_first_last_orders,
         "group_by_all_sql": _q_group_by_all,
@@ -4764,9 +4778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_roundtrip_csv": _q_write_roundtrip_csv,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_resize,
-        "streaming_hourly_counts": _q_stream_hourly,
-        "streaming_dedup": _q_stream_dedup,
-        "streaming_user_stats": _q_stream_user_stats,
     }.items()}
 
 

@@ -503,9 +503,10 @@ def kcore_embedding_graph(
 
     Peeling (Matula & Beck's iterative-removal k-core): repeatedly
     drop nodes with degree < ``core_k`` until a fixpoint. Each round
-    is two window passes over the CURRENT edge list (degree of each
-    endpoint) plus a filter — shuffle carries the surviving edges
-    only, which shrink monotonically; lineage is cut per round with
+    aggregates per-node degree from the CURRENT edge list (map-side
+    combined — the exchange carries node partials, not edges) and
+    semi-joins the surviving-node set back against both endpoints;
+    edges shrink monotonically and lineage is cut per round with
     ``localCheckpoint`` like :func:`connected_components`. ``rounds``
     is a FIXED upper bound that is part of the operator contract:
     both this implementation and the SQL oracle execute exactly
@@ -544,15 +545,24 @@ def kcore_embedding_graph(
     )
     n_edges = edges.count()
     for _ in range(rounds):
-        du = F.count(F.lit(1)).over(Window.partitionBy("u"))
-        dv = F.count(F.lit(1)).over(Window.partitionBy("v"))
+        # degree via map-side-combined aggregation + two semi-joins on
+        # the surviving-node set, NOT two windows over the edge list:
+        # the windows shuffled and sorted the FULL edge list twice per
+        # round, while the degree table is one node-sized partial-agg
+        # exchange and the semi-joins broadcast it whenever it fits
+        # (AQE decides from runtime size; at cluster scale they
+        # degrade to the same two edge exchanges the windows always
+        # paid, minus the sorts). The edge list is symmetric, so
+        # groupBy("u") counts every node's full incident degree.
+        alive = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= core_k)
+            .select("u")
+        )
         edges = (
-            edges.withColumn("__du", du)
-            .withColumn("__dv", dv)
-            .filter(
-                (F.col("__du") >= core_k) & (F.col("__dv") >= core_k)
-            )
-            .select("u", "v")
+            edges.join(alive, "u", "semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "semi")
             .localCheckpoint(eager=False)
         )
         n_next = edges.count()

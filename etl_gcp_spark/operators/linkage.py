@@ -759,6 +759,15 @@ def sorted_neighborhood_pairs(
     Output: (id1, id2, key1, key2, distance), id1 preceding id2 in
     sort order. NULL keys are excluded (they cannot rank).
     """
+    # sequence(1, 0) is DESCENDING [1, 0] — offset 0 would self-pair
+    # every row at distance 0 instead of yielding the empty result the
+    # old rn2 > rn1 filter gave (same footgun fuzzy_pairs_deletes
+    # documents); negative windows are worse. Refuse the degenerate
+    # case loudly.
+    if int(window) < 1:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: window must be >= 1, got {window}"
+        )
     keyed = df.filter(F.col(key_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key")
     )

@@ -58,6 +58,17 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # SPARK_GRAFT_SPARK_CONF="k=v;k=v" — session-construction overrides
+    # for config A/B experiments (shuffle codec, committer algorithm,
+    # join-strategy preference). Unset (the default, and what the
+    # driver's bench runs with) this is a no-op, so benchmark
+    # methodology is unchanged; cluster deployments set their
+    # scale-appropriate values here instead of editing code.
+    env_conf = os.environ.get("SPARK_GRAFT_SPARK_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -199,6 +199,16 @@ def entity_labels_compact(spark: SparkSession, root: str) -> None:
             _mk_contract = {"__t", "__k"}
             mk_keys = [c for c in merged.columns if c not in _mk_contract]
             if len(mk_keys) != 1:
+                # r10 changed the persisted blocking-index format from
+                # (id, __t, pos, mkey) to (id, __t, __k) — a store
+                # written by a pre-r10 run is not resumable; say so
+                # instead of the generic contract message
+                if {"pos", "mkey"} <= set(merged.columns):
+                    raise ValueError(
+                        "maskkeys store uses the legacy (pos, mkey)"
+                        " layout; rebuild required — delete the store"
+                        f" root and re-ingest: {merged.columns}"
+                    )
                 raise ValueError(
                     "maskkeys store schema violates the mask_key_index"
                     f" contract (id, __t, __k): {merged.columns}"

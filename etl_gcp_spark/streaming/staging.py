@@ -74,6 +74,20 @@ def stage_ordered_ranges(df, key_col: str, staged: str, n_batches: int) -> None:
         e for e in os.listdir(tmp)
         if e.startswith("part-") and not e.endswith(".crc")
     )
+    if len(parts) < n_batches:
+        # empty range partitions emit no part file, so a skewed or
+        # low-cardinality key column silently collapses the microbatch
+        # count — crash-resume tests counting batches (fail_after_
+        # batches × maxFilesPerTrigger=1) would stop exercising the
+        # resume path. Surface it rather than hiding it.
+        import warnings
+
+        warnings.warn(
+            f"stage_ordered_ranges: staged {len(parts)} part files for"
+            f" n_batches={n_batches} (empty range partitions on"
+            f" {key_col!r}); downstream batch counts shrink accordingly",
+            stacklevel=2,
+        )
     base = int(time.time()) - len(parts)
     for i, p in enumerate(parts):
         os.utime(os.path.join(tmp, p), (base + i, base + i))

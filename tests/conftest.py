@@ -18,7 +18,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        SparkSession.builder.master("local[4]")
+        # local[8] (was local[4]): halves the compute-bound test tail
+        # (kcore invariants + leakage-split pair: 82 s -> 41 s) toward
+        # the <15 min driver-suite target (VERDICT r10 item 3).
+        # shuffle.partitions stays 4 — tests that count output files
+        # or reason about post-shuffle layout keep their semantics;
+        # only task parallelism (and defaultParallelism-derived write
+        # clustering caps) widens.
+        SparkSession.builder.master("local[8]")
         .appName("etl_gcp_spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")

@@ -78,15 +78,38 @@ def test_registry_outputs_scalar_only(spark, sf_dir):
     and the entry fails regardless of the values being right (round-4
     standardize/robust_scale_embeddings). Build every entry's frame at
     sf0.001 and assert scalar-only top-level schemas so the class can
-    never reappear."""
+    never reappear.
+
+    Runs the 311 builds through a thread pool: entry construction is
+    dominated by serialized driver latency (streaming runners, index
+    writes), so one-at-a-time took ~13.5 min of the suite's 41 — the
+    single largest driver-pytest cost (VERDICT r10 item 3). Safety
+    audit for concurrency: every entry's scratch root is either
+    uuid4-suffixed or a per-entry-named tempdir (no shared paths);
+    temp views are only registered with identical definitions
+    (register_views over the same sf_dir) or entry-private names; the
+    pin ledger is lock-guarded in __spark_entry__; per-entry
+    shuffle-partition conf twiddles alter only plan shape, never
+    schemas or values."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    bad = []
-    for name, fn in entrymod.queries().items():
+    def check(item):
+        name, fn = item
         df = fn(spark, sf_dir)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+        return [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        bad = [
+            b
+            for bs in pool.map(check, entrymod.queries().items())
+            for b in bs
+        ]
     assert not bad, (
         "driver-unsortable output columns (pandas sort_values would "
         f"raise on these): {bad}"

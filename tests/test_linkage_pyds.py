@@ -537,3 +537,30 @@ def test_entity_compact_rejects_contract_violating_maskkey_store(
     )
     with pytest.raises(ValueError, match="mask_key_index"):
         entity_labels_compact(spark, root)
+
+
+def test_entity_compact_names_legacy_maskkey_layout(spark, tmp_path):
+    """ADVICE r10: the r10 blocking-index format change ((id, __t,
+    pos, mkey) -> (id, __t, __k)) breaks resume on a pre-r10 store.
+    The failure must say 'rebuild required', not the generic contract
+    message, so an operator knows the artifact is stale rather than
+    corrupt."""
+    import os
+
+    import pytest
+
+    from etl_gcp_spark.streaming.entities import entity_labels_compact
+
+    root = str(tmp_path / "mk_legacy")
+    spark.createDataFrame(
+        [(1, 1)], "id long, lbl long"
+    ).write.parquet(os.path.join(root, "labels_base"))
+    spark.createDataFrame(
+        [(1, "a", 0, "mask")],
+        "id long, __t string, pos int, mkey string",
+    ).write.parquet(os.path.join(root, "maskkeys", "base"))
+    spark.createDataFrame([(1,)], "id long").write.parquet(
+        os.path.join(root, "tombstones", "batch=0")
+    )
+    with pytest.raises(ValueError, match="rebuild required"):
+        entity_labels_compact(spark, root)
