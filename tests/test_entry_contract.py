@@ -104,7 +104,7 @@ def test_registry_outputs_scalar_only(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         bad = [
             b
             for bs in pool.map(check, entrymod.queries().items())
